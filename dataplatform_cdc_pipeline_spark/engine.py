@@ -1,0 +1,137 @@
+"""The merge-job lifecycle — Spark-native ``sp_cdc_merge_job`` (SURVEY.md §3).
+
+One call = one incremental batch, mirroring the reference's 8 phases
+(merge.sql:1-581; step-8:7-626):
+
+ 1. config resolve + is_active gate (S1/S2)
+ 2. watermark read + UUID run id (S3, A1)
+ 3. plan synthesis — Column trees from config × target schema (§2.2)
+ 4. upsert/delete change set — window scan → dedup → typed projection (§2.5)
+ 5. J2 delete survivorship (unified dedup by default, SURVEY.md §7)
+ 6. window stats (A3)
+ 7. atomic merge (K1-K4) — bucket-swap commit stands in for the reference's
+    BEGIN TRANSACTION … COMMIT/ROLLBACK (merge.sql:368-457)
+ 8. audit epilogue (K5) — SUCCESS/FAILED row with counts and error message
+    (merge.sql:463-467, 531-581); failures re-raise after logging, like the
+    reference's RESIGNAL (step-6:81-89).
+
+Watermark semantics follow step-8: the next watermark is
+``MAX(load_ts)`` actually processed, not NOW() — closing the race where
+events land between wall-clock capture and the scan (step-8:493).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataplatform_cdc_pipeline_spark.config import MergeConfig
+from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
+    build_changes,
+    build_two_stream,
+    window_scan,
+)
+
+
+class MergeResult(dict):
+    """Run outcome: status, window, counts (attribute + dict access)."""
+
+    __getattr__ = dict.__getitem__
+
+
+def run_merge(
+    spark: SparkSession,
+    cfg: MergeConfig,
+    target: ParquetMergeTarget,
+    audit: WatermarkStore,
+    raw: DataFrame | None = None,
+    window: tuple[datetime.datetime | None, datetime.datetime | None] | None = None,
+    deterministic_audit: bool = False,
+) -> MergeResult:
+    """Run one incremental CDC merge batch.
+
+    ``raw`` defaults to ``spark.read.parquet(cfg.cdc_table)``; ``window``
+    defaults to ``(watermark, None]`` — scan everything newer than the last
+    successful run, then advance the watermark to MAX(load_ts) processed
+    (step-8:493 semantics).
+    """
+    # Phase 1-2: gates + watermark (merge.sql:90-94, 111-115)
+    if not cfg.is_active:
+        return MergeResult(status="SKIPPED_INACTIVE", records_inserted=0, records_deleted=0)
+    if raw is None:
+        raw = spark.read.parquet(cfg.cdc_table)
+    if window is None:
+        start = audit.read_watermark(cfg.cdc_table, cfg.target_table)
+        end = None
+    else:
+        start, end = window
+
+    try:
+        # Phase 3-5: plan synthesis + change-set build
+        windowed = window_scan(raw, cfg, start, end)
+        if cfg.two_stream_fidelity:
+            log_v_i, log_v_d = build_two_stream(
+                windowed, target.schema, cfg, deterministic_audit=deterministic_audit
+            )
+            # The reference applies the delete MERGE *after* the upsert MERGE
+            # inside the transaction (merge.sql:403-436), so when a key has
+            # both a surviving upsert and a surviving delete (delete strictly
+            # newer, J2), the delete is the net effect. Replaying that
+            # statement order as one change set = delete-priority dedup.
+            from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
+
+            changes = latest_per_key(
+                log_v_i.unionByName(log_v_d),
+                list(cfg.pk),
+                order_cols=[(F.col("__op") == "d").cast("int").desc()],
+            )
+        else:
+            changes = build_changes(
+                windowed, target.schema, cfg, deterministic_audit=deterministic_audit
+            )
+
+        # Phase 6: window stats in the same pass as the merge source
+        # (merge.sql:360-366; step-8:493 MAX(load_ts) → next watermark).
+        w = windowed.agg(
+            F.max(F.col(cfg.load_ts_col)).alias("max_lt"),
+            F.min(F.col(cfg.load_ts_col)).alias("min_lt"),
+        ).first()
+        cdc_start_ts, cdc_end_ts = w["min_lt"], w["max_lt"]
+
+        # Phase 7: atomic merge
+        stats = target.merge(changes)
+
+        # Phase 8: audit epilogue
+        run_id = audit.append_run(
+            cfg.cdc_table,
+            cfg.target_database,
+            cfg.target_table,
+            cdc_start_ts,
+            cdc_end_ts,
+            "SUCCESS",
+            records_inserted=stats["records_inserted"],
+            records_deleted=stats["records_deleted"],
+        )
+        return MergeResult(
+            status="SUCCESS",
+            run_id=run_id,
+            cdc_start_ts=cdc_start_ts,
+            cdc_end_ts=cdc_end_ts,
+            **stats,
+        )
+    except Exception as exc:  # noqa: BLE001 — reference logs then RESIGNALs
+        audit.append_run(
+            cfg.cdc_table,
+            cfg.target_database,
+            cfg.target_table,
+            None,
+            None,
+            "FAILED",
+            error_msg=str(exc)[:2000],
+        )
+        raise

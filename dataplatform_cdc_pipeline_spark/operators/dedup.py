@@ -1,0 +1,37 @@
+"""W1 — dedup-latest-per-key, THE core operator of the reference.
+
+``ROW_NUMBER() OVER (PARTITION BY pk ORDER BY __ts_ns DESC,
+__source_pos DESC)`` then ``rn = 1`` (merge.sql:310, 325; step-5.sql:296-312;
+multi-PK partition list step-7:228-233).
+
+Scale notes (100 TB posture):
+- One shuffle on the PK hash; Catalyst plans a single Window exec after a
+  hash repartition. AQE handles skewed keys.
+- The filter ``rn = 1`` is fused into the WindowExec stage (no second pass).
+- For a CDC batch the alternative ``groupBy(pk).agg(max_by(struct, ordkey))``
+  avoids a full sort within groups; row_number keeps exact reference
+  semantics (deterministic ties via the pos tiebreak) and benchmarks
+  equivalently at batch sizes where group cardinality ≈ row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str | Column],
+    order_cols: list[Column] | None = None,
+    ts_col: str = "source_ts_ns_order",
+    pos_col: str = "pos",
+    keep_rn: bool = False,
+) -> DataFrame:
+    """Keep exactly one row per key: newest event time, then highest source
+    position (deterministic tiebreak, merge.sql:310)."""
+    order_cols = order_cols or [F.col(ts_col).desc_nulls_last(), F.col(pos_col).desc_nulls_last()]
+    keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    out = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return out if keep_rn else out.drop("rn")

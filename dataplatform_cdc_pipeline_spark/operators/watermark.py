@@ -1,0 +1,108 @@
+"""S3 / K5 / A2 — persisted watermark + run-audit log.
+
+The reference tracks incremental progress in
+``etl_job_log_incremental_date`` — one row per run with the processed window
+``[cdc_start_ts, cdc_end_ts]``, counts, and status (DDL
+incremental-date.sql:1-14, etl_job_log_incremental_date_mysql.sql:17-35).
+The next window starts at ``COALESCE(MAX(cdc_end_ts), '1970-01-01')``
+(merge.sql:111-115; step-5.sql:155-163). Run ids are UUIDs — step-8 replaced
+``MAX(id)+1`` with ``UUID()`` as "concurrency-safe" (step-8:169-179).
+
+Spark design: an append-only parquet audit table. In streaming mode the
+Structured Streaming checkpoint supersedes the watermark (offsets ARE the
+watermark); the audit table is still appended per batch for parity.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EPOCH = datetime.datetime(1970, 1, 1)
+
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),  # UUID (step-8:179)
+        T.StructField("cdc_table_name", T.StringType()),
+        T.StructField("target_database", T.StringType()),
+        T.StructField("target_table", T.StringType()),
+        T.StructField("cdc_start_ts", T.TimestampType()),
+        T.StructField("cdc_end_ts", T.TimestampType()),
+        T.StructField("insert_timestamp", T.TimestampType()),
+        T.StructField("run_status", T.StringType()),  # SUCCESS | FAILED | PENDING
+        T.StructField("error_msg", T.StringType()),
+        T.StructField("records_inserted", T.LongType()),
+        T.StructField("records_deleted", T.LongType()),
+    ]
+)
+
+
+class WatermarkStore:
+    """Parquet-backed watermark/audit table (one per engine deployment)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        if not os.path.isdir(self.path):
+            return self.spark.createDataFrame([], AUDIT_SCHEMA)
+        return self.spark.read.schema(AUDIT_SCHEMA).parquet(self.path)
+
+    def read_watermark(self, cdc_table: str, target_table: str) -> datetime.datetime:
+        """``COALESCE(MAX(cdc_end_ts), epoch)`` for this pipeline
+        (merge.sql:111-115). Only SUCCESS runs advance the watermark."""
+        row = (
+            self._read()
+            .filter(
+                (F.col("cdc_table_name") == cdc_table)
+                & (F.col("target_table") == target_table)
+                & (F.col("run_status") == "SUCCESS")
+            )
+            .agg(F.max("cdc_end_ts").alias("wm"))
+            .first()
+        )
+        return row["wm"] or EPOCH
+
+    def append_run(
+        self,
+        cdc_table: str,
+        target_database: str,
+        target_table: str,
+        cdc_start_ts: datetime.datetime | None,
+        cdc_end_ts: datetime.datetime | None,
+        run_status: str,
+        error_msg: str | None = None,
+        records_inserted: int = 0,
+        records_deleted: int = 0,
+        run_id: str | None = None,
+    ) -> str:
+        """K5: append one audit row (merge.sql:531-581; step-8:572-626)."""
+        run_id = run_id or str(uuid.uuid4())
+        row = [
+            (
+                run_id,
+                cdc_table,
+                target_database,
+                target_table,
+                cdc_start_ts,
+                cdc_end_ts,
+                datetime.datetime.utcnow(),
+                run_status,
+                error_msg,
+                records_inserted,
+                records_deleted,
+            )
+        ]
+        self.spark.createDataFrame(row, AUDIT_SCHEMA).coalesce(1).write.mode("append").parquet(
+            self.path
+        )
+        return run_id
+
+    def history(self) -> DataFrame:
+        return self._read().orderBy(F.col("insert_timestamp").desc())

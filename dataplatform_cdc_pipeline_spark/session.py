@@ -1,0 +1,53 @@
+"""SparkSession bootstrap tuned for the CDC engine.
+
+Local testing runs ``local[N]`` in one JVM; the same configuration choices
+(AQE on, shuffle partitions sized to parallelism, UTC session timezone,
+dynamic partition overwrite for the bucketed merge targets) are the ones a
+multi-executor cluster deployment would want.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dataplatform-cdc-pipeline-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    - ``spark.sql.session.timeZone=UTC``: the reference's DATETIME semantics
+      are zone-less (merge.sql:271-273 strips UTC); pinning UTC makes Spark
+      TimestampType behave identically and keeps DuckDB-oracle comparisons
+      exact.
+    - ``partitionOverwriteMode=dynamic``: the emulated MERGE rewrites only
+      the hash-bucket partitions that contain matched keys.
+    - AQE on: runtime coalescing + skew-join handling at scale.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

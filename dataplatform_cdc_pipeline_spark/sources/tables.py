@@ -1,0 +1,46 @@
+"""Canonical loader for the driver's synthetic tables (TESTDATA.md).
+
+Handles one environment quirk: ``events.parquet`` stores ``ts`` as parquet
+``TIMESTAMP(NANOS)``, which Spark's vectorized reader rejects by default.
+``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) reads it as
+epoch-nanos LongType; the loader converts to TimestampType at microsecond
+precision (floor), matching DuckDB's ``ts::TIMESTAMP`` truncation so
+oracles line up exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # normalize any nanos-as-long timestamp columns back to TimestampType
+    for f_ in df.schema.fields:
+        if name == "events" and f_.name == "ts" and isinstance(f_.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for SQL-side operators."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
