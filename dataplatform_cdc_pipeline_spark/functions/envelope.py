@@ -40,7 +40,9 @@ def event_ts_expr(data: Column | str, encoding: str = "auto") -> Column:
     auto:  per-row dispatch on an all-digits regex.
     """
     raw = json_scalar(data, "__ts_ns")
-    nanos = F.timestamp_micros((raw.cast("long") / F.lit(1000)).cast("long"))
+    # integer `div`, NOT `/`: epoch-nanos ≈ 1.7e18 exceeds double's 53-bit
+    # mantissa, so float division corrupts the last microsecond digit
+    nanos = F.timestamp_micros(F.call_function("div", raw.cast("long"), F.lit(1000)))
     iso = F.to_timestamp(F.replace(F.replace(raw, F.lit("T"), F.lit(" ")), F.lit("Z"), F.lit("")))
     if encoding == "nanos":
         return nanos

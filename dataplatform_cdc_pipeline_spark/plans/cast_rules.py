@@ -102,7 +102,8 @@ def cast_expr(field: T.StructField, cfg: MergeConfig, data: Column | str = "data
         expr = _rowkey_timestamp_expr(data, cfg.row_key_timestamp).cast(dt)
     # P4 — epoch nanos → timestamp (merge.sql:245-247: TIMESTAMP_MICROS(DIV(x,1000)))
     elif name in cfg.epoc_nano_cols:
-        expr = F.timestamp_micros(F.try_divide(raw.cast("long"), F.lit(1000)).cast("long")).cast(dt)
+        # integer `div` — float division loses precision at epoch-nanos scale
+        expr = F.timestamp_micros(F.call_function("div", raw.cast("long"), F.lit(1000))).cast(dt)
     # P5 — epoch days → date (merge.sql:249-251)
     elif name in cfg.epoc_day_cols:
         expr = F.date_add(F.lit(datetime.date(1970, 1, 1)), raw.cast("int")).cast(dt)

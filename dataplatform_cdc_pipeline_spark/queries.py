@@ -1,0 +1,479 @@
+"""The engine's query inventory — each entry is (Spark implementation,
+DuckDB oracle SQL) over the driver's synthetic tables (TESTDATA.md).
+
+Conventions for exact oracle parity (driver hashes values column-sorted):
+- every computed column aliased identically on both sides
+- timestamps → epoch **micros** BIGINT (``unix_micros`` ⟷
+  ``epoch_us(x::TIMESTAMP)``), dates → 'yyyy-MM-dd' strings
+- floating aggregates rounded to a fixed scale on both sides
+- hashes derived from MD5 only (identical across engines; functions/hashing)
+
+The CDC queries synthesize a bronze feed from ``events``
+(sources/cdc.py) and run the REAL engine operators — window scan, dedup,
+cast rules, survivorship, full merge lifecycle — while the oracle recomputes
+the expected relational result directly from ``events``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataplatform_cdc_pipeline_spark.config import MergeConfig
+from dataplatform_cdc_pipeline_spark.functions.envelope import envelope_columns
+from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
+from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
+    build_changes,
+    build_two_stream,
+    window_scan,
+)
+from dataplatform_cdc_pipeline_spark.sources.cdc import (
+    OP_SQL,
+    USER_STATE_SCHEMA,
+    op_expr,
+    synthesize_cdc_from_events,
+    user_state_config,
+)
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+# Fixed half-open CDC window used by the windowed queries (events span
+# 2024-01; the same literals work at every scale factor).
+WIN_START = "2024-01-05 00:00:00"
+WIN_END = "2024-01-20 00:00:00"
+
+# ---------------------------------------------------------------------------
+# CDC core queries (S4/F1-F4/W1/P*/J2/K1-K4/A2-A3 from SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+F1+F3: half-open window scan + envelope extraction."""
+    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, WIN_START, WIN_END)
+    env = envelope_columns("data", cfg.ts_ns_encoding)
+    return w.select(
+        F.col("__op").alias("op"),
+        env["pos"].alias("pos"),
+        F.unix_micros(env["source_ts_ns_order"]).alias("event_ts_us"),
+        F.unix_micros(F.col("load_ts")).alias("load_ts_us"),
+    ).orderBy("pos")
+
+
+SQL_CDC_WINDOW_SCAN = f"""
+SELECT {OP_SQL} AS op,
+       event_id AS pos,
+       epoch_us(ts::TIMESTAMP) AS event_ts_us,
+       epoch_us(ts::TIMESTAMP) AS load_ts_us
+FROM events
+WHERE ts > TIMESTAMP '{WIN_START}' AND ts <= TIMESTAMP '{WIN_END}'
+ORDER BY pos
+"""
+
+
+def q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest event per PK (event-ts order, pos tiebreak)."""
+    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, None, None)
+    env = envelope_columns("data", cfg.ts_ns_encoding)
+    keyed = w.select(
+        F.col("__op"),
+        F.get_json_object("data", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        env["source_ts_ns_order"].alias("source_ts_ns_order"),
+        env["pos"].alias("pos"),
+    )
+    out = latest_per_key(keyed, ["user_id"])
+    return out.select(
+        "user_id",
+        F.col("__op").alias("op"),
+        "event_type",
+        "value",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    ).orderBy("user_id")
+
+
+SQL_CDC_DEDUP_LATEST = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, op, event_type, value, event_ts_us, pos
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+#: Wide target schema exercising the cast-rule engine end-to-end.
+CAST_DEMO_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),  # P15/P16 ('null' → NULL)
+        T.StructField("value", T.DoubleType()),  # P15 double
+        T.StructField("k", T.IntegerType()),  # P15 int
+        T.StructField("is_big", T.BooleanType()),  # P11 bool parse
+        T.StructField("bitcol", T.IntegerType()),  # P7 bit_to_int
+        T.StructField("created_ns", T.TimestampType()),  # P4 epoch nanos
+        T.StructField("created_s", T.TimestampType()),  # P6 epoch seconds
+        T.StructField("birth_date", T.DateType()),  # P5 epoch days
+        T.StructField("updated_at", T.TimestampType()),  # P8 ISO datetime
+        T.StructField("rk_int", T.LongType()),  # P9 → yyyymmddHHMMSS
+        T.StructField("Rowkeynum", T.LongType()),  # P2 base64 row key
+        T.StructField("SysEndTime", T.TimestampType()),  # P1 sentinel
+        T.StructField("amount", T.DecimalType(18, 4)),  # P15 decimal
+    ]
+)
+
+
+def _cast_demo_payload() -> F.Column:
+    """Synthesize a payload exercising every deterministic cast rule."""
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rk_num = F.col("user_id") * F.lit(1_000_000) + F.col("event_id")
+    return F.to_json(
+        F.struct(
+            op_expr().alias("__op"),
+            (F.unix_micros("ts") * F.lit(1000)).cast("string").alias("__ts_ns"),
+            F.col("event_id").cast("string").alias("__source_pos"),
+            F.col("user_id"),
+            F.when(F.col("event_type") == "view", F.lit("null"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.col("value"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.when(F.col("value") > 100, "true").otherwise("false").alias("is_big"),
+            F.when(F.col("value") > 100, "true").otherwise("false").alias("bitcol"),
+            (F.unix_micros("ts") * F.lit(1000)).cast("string").alias("created_ns"),
+            (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").cast("string").alias("created_s"),
+            ((F.col("user_id") * 100 + F.col("event_id") % 100).cast("string")).alias("birth_date"),
+            iso.alias("updated_at"),
+            iso.alias("rk_int"),
+            F.base64(F.unhex(F.lpad(F.hex(rk_num), 16, "0"))).alias("rk"),
+            F.round(F.col("value") * 1.5, 4).cast("string").alias("amount"),
+        )
+    )
+
+
+def q_cdc_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P4-P9/P11/P15/P16 cast rules through the real engine."""
+    events = load_table(spark, sf_dir, "events")
+    raw = events.select(_cast_demo_payload().alias("data"), F.col("ts").alias("load_ts"))
+    cfg = MergeConfig.from_dict(
+        {
+            "cdc_table": "demo",
+            "target_table": "cast_demo",
+            "pk": "user_id",
+            "epoc_nano_cols": "created_ns",
+            "epoc_cols": "created_s",
+            "epoc_day_cols": "birth_date",
+            "bit_to_int_col": "bitcol",
+            "non_epoch_datetime_col": "updated_at",
+            "datetime_to_int_val_col": "rk_int",
+            "row_key_binary": "rk",
+            "ts_ns_encoding": "nanos",
+        }
+    )
+    changes = build_changes(window_scan(raw, cfg, None, None), CAST_DEMO_SCHEMA, cfg, True)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        "is_big",
+        "bitcol",
+        F.unix_micros("created_ns").alias("created_ns_us"),
+        F.unix_micros("created_s").alias("created_s_us"),
+        F.date_format("birth_date", "yyyy-MM-dd").alias("birth_date"),
+        F.unix_micros("updated_at").alias("updated_at_us"),
+        "rk_int",
+        F.col("Rowkeynum").alias("rowkeynum"),
+        F.date_format("SysEndTime", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sys_end_time"),
+        F.col("amount").cast("string").alias("amount"),
+    ).orderBy("user_id")
+
+
+SQL_CDC_CAST_PROJECTION = f"""
+WITH ranked AS (
+  SELECT *, {OP_SQL} AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS event_type,
+       value,
+       json_extract_string(props, '$.k')::INT AS k,
+       value > 100 AS is_big,
+       CASE WHEN value > 100 THEN 1 ELSE 0 END AS bitcol,
+       epoch_us(ts::TIMESTAMP) AS created_ns_us,
+       (epoch_us(ts::TIMESTAMP) // 1000000) * 1000000 AS created_s_us,
+       strftime(DATE '1970-01-01' + INTERVAL (user_id * 100 + event_id % 100) DAY, '%Y-%m-%d') AS birth_date,
+       (epoch_us(ts::TIMESTAMP) // 1000000) * 1000000 AS updated_at_us,
+       strftime(ts::TIMESTAMP, '%Y%m%d%H%M%S')::BIGINT AS rk_int,
+       user_id * 1000000 + event_id AS rowkeynum,
+       '9999-12-31 23:59:59.999999' AS sys_end_time,
+       printf('%.4f', round(value * 1.5, 4)) AS amount
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_cdc_delete_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: deletes surviving against the upsert view (two-stream fidelity)."""
+    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    cfg = user_state_config(two_stream_fidelity=True)
+    w = window_scan(raw, cfg, None, None)
+    _, log_v_d = build_two_stream(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+    return log_v_d.select(
+        "user_id", F.unix_micros("source_ts_ns_order").alias("event_ts_us"), "pos"
+    ).orderBy("user_id")
+
+
+SQL_CDC_DELETE_SURVIVORSHIP = f"""
+WITH typed AS (
+  SELECT user_id, {OP_SQL} AS op, epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos
+  FROM events
+), i AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, pos DESC) AS rn
+    FROM typed WHERE op != 'd') WHERE rn = 1
+), d AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, pos DESC) AS rn
+    FROM typed WHERE op = 'd') WHERE rn = 1
+)
+SELECT d.user_id, d.ts_us AS event_ts_us, d.pos
+FROM d LEFT JOIN i ON d.user_id = i.user_id
+WHERE i.user_id IS NULL OR i.ts_us < d.ts_us
+ORDER BY d.user_id
+"""
+
+
+def _merged_state(spark: SparkSession, sf_dir: str, windows) -> DataFrame:
+    """Run the real merge lifecycle over one or more load_ts windows."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    for win in windows:
+        run_merge(spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True)
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    ).orderBy("user_id")
+
+
+def q_cdc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full CDC merge into an empty target (K1-K4 end-to-end)."""
+    return _merged_state(spark, sf_dir, [(None, None)])
+
+
+SQL_CDC_MERGE_FULL = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked WHERE rn = 1 AND op != 'd' ORDER BY user_id
+"""
+
+
+def q_cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sequential windowed merges (watermark loop, cross-batch K1-K4)."""
+    split = datetime.datetime(2024, 1, 15)
+    return _merged_state(spark, sf_dir, [(None, split), (split, None)])
+
+
+# load_ts == event ts in the synthetic feed, so batch order == event order and
+# the two-batch replay converges to the same final state as the full merge —
+# the query still exercises the watermarked two-pass path on the Spark side.
+SQL_CDC_MERGE_INCREMENTAL = SQL_CDC_MERGE_FULL
+
+
+def q_cdc_watermark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: window stats — min/max load_ts + upsert/delete candidate counts."""
+    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, WIN_START, WIN_END)
+    changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+    stats = w.agg(
+        F.unix_micros(F.max("load_ts")).alias("max_load_ts_us"),
+        F.unix_micros(F.min("load_ts")).alias("min_load_ts_us"),
+        F.count(F.lit(1)).alias("events_scanned"),
+    )
+    ch = changes.agg(
+        F.count(F.when(F.col("__op") != "d", 1)).alias("records_inserted"),
+        F.count(F.when(F.col("__op") == "d", 1)).alias("records_deleted"),
+    )
+    return stats.crossJoin(ch)
+
+
+SQL_CDC_WATERMARK_STATS = f"""
+WITH win AS (
+  SELECT user_id, {OP_SQL} AS op, epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos
+  FROM events
+  WHERE ts > TIMESTAMP '{WIN_START}' AND ts <= TIMESTAMP '{WIN_END}'
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, pos DESC) AS rn
+    FROM win) WHERE rn = 1
+)
+SELECT (SELECT max(ts_us) FROM win) AS max_load_ts_us,
+       (SELECT min(ts_us) FROM win) AS min_load_ts_us,
+       (SELECT count(*) FROM win) AS events_scanned,
+       (SELECT count(*) FROM latest WHERE op != 'd') AS records_inserted,
+       (SELECT count(*) FROM latest WHERE op = 'd') AS records_deleted
+"""
+
+# ---------------------------------------------------------------------------
+# Relational operator surface (scan/join/agg/window/sort over the star schema)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation with pushdown-friendly filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query with broadcast dims (TPC-H Q5 style)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window (the W1 pattern generalized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, callable] = {
+    "cdc_window_scan": q_cdc_window_scan,
+    "cdc_dedup_latest": q_cdc_dedup_latest,
+    "cdc_cast_projection": q_cdc_cast_projection,
+    "cdc_delete_survivorship": q_cdc_delete_survivorship,
+    "cdc_merge_full": q_cdc_merge_full,
+    "cdc_merge_incremental": q_cdc_merge_incremental,
+    "cdc_watermark_stats": q_cdc_watermark_stats,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_customer": q_top_orders_per_customer,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_window_scan": SQL_CDC_WINDOW_SCAN,
+    "cdc_dedup_latest": SQL_CDC_DEDUP_LATEST,
+    "cdc_cast_projection": SQL_CDC_CAST_PROJECTION,
+    "cdc_delete_survivorship": SQL_CDC_DELETE_SURVIVORSHIP,
+    "cdc_merge_full": SQL_CDC_MERGE_FULL,
+    "cdc_merge_incremental": SQL_CDC_MERGE_INCREMENTAL,
+    "cdc_watermark_stats": SQL_CDC_WATERMARK_STATS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+}

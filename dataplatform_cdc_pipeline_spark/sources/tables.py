@@ -34,8 +34,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # normalize any nanos-as-long timestamp columns back to TimestampType
     for f_ in df.schema.fields:
         if name == "events" and f_.name == "ts" and isinstance(f_.dataType, T.LongType):
+            # integer `div` — float division corrupts the last µs digit at ns scale
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+                "ts", F.timestamp_micros(F.call_function("div", F.col("ts"), F.lit(1000)))
             )
     return df
 
