@@ -50,12 +50,16 @@ def _rowkey_binary_expr(data: Column, json_key: str) -> Column:
     """P2: base64 payload → 8 bytes → big-endian signed INT64.
 
     Reference: ``TO_CODE_POINTS(FROM_BASE64(x))`` assembled with shifts
-    56..0 (merge.sql:227-234). Spark: decode the hex of the unbase64 bytes
-    as a base-16 number. ``conv`` wraps to the signed 64-bit range exactly
-    like the reference's ``<<`` arithmetic on INT64.
+    56..0 (merge.sql:227-234), i.e. a SIGNED big-endian INT64 — a high bit
+    set yields a negative value. ``conv(hex,16,10)`` alone returns the
+    unsigned decimal (overflows a signed cast under ANSI), so assemble from
+    two 32-bit halves with shiftleft, mirroring the reference's arithmetic.
     """
     raw = json_scalar(data, json_key)
-    return F.conv(F.hex(F.unbase64(raw)), 16, 10).cast("long")
+    hx = F.lpad(F.hex(F.unbase64(raw)), 16, "0")
+    high = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    low = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(high, 32) + low
 
 
 def _rowkey_timestamp_expr(data: Column, json_key: str) -> Column:

@@ -1,0 +1,138 @@
+"""F5 golden scenario tests (FIXTURES.md) — event sequences → expected state."""
+
+import pytest
+
+from dataplatform_cdc_pipeline_spark.engine import run_merge
+from tests.helpers import bronze, pipeline, state
+
+
+def merge(spark, rows, window=(None, None), deterministic=True, **cfg_kwargs):
+    cfg, target, audit = pipeline(spark, **cfg_kwargs)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, rows), window=window,
+              deterministic_audit=deterministic)
+    return cfg, target, audit
+
+
+# F5.1 insert-only
+def test_insert_only(spark):
+    _, target, _ = merge(spark, [("c", 1, 1, 1, 1.0), ("c", 2, 2, 2, 2.0)])
+    assert state(target) == [(1, 1.0), (2, 2.0)]
+
+
+# F5.2 insert-then-update in window → only newest survives (W1)
+def test_insert_then_update(spark):
+    _, target, _ = merge(spark, [("c", 1, 1, 1, 1.0), ("u", 2, 2, 1, 9.0)])
+    assert state(target) == [(1, 9.0)]
+
+
+# F5.3 update-then-delete → deleted (J2 delete newer)
+def test_update_then_delete(spark):
+    _, target, _ = merge(spark, [("u", 1, 1, 1, 1.0), ("d", 2, 2, 1, 0.0)])
+    assert state(target) == []
+
+
+# F5.4 delete-then-reinsert → present (upsert newer)
+def test_delete_then_reinsert(spark):
+    _, target, _ = merge(spark, [("d", 1, 1, 1, 0.0), ("c", 2, 2, 1, 7.0)])
+    assert state(target) == [(1, 7.0)]
+
+
+# F5.5 delete of never-seen key → no-op
+def test_lone_delete(spark):
+    _, target, _ = merge(spark, [("d", 1, 1, 99, 0.0)])
+    assert state(target) == []
+
+
+# F5.6 tiebreak by __source_pos at equal __ts_ns → higher pos wins
+def test_pos_tiebreak(spark):
+    _, target, _ = merge(spark, [("c", 5, 1, 1, 1.0), ("u", 5, 2, 1, 2.0)])
+    assert state(target) == [(1, 2.0)]
+
+
+# F5.7 out-of-window events ignored, picked up next run
+def test_out_of_window(spark):
+    import datetime
+
+    cfg, target, audit = pipeline(spark)
+    rows = [("c", 1, 1, 1, 1.0), ("u", 2, 100, 1, 9.0)]  # pos drives load_ts offset
+    split = datetime.datetime(2024, 1, 1, 0, 0, 50)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, rows), window=(None, split),
+              deterministic_audit=True)
+    assert state(target) == [(1, 1.0)]
+    # next run picks up from the watermark (= max load_ts processed, step-8:493)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, rows), deterministic_audit=True)
+    assert state(target) == [(1, 9.0)]
+
+
+# F5.8 replay/duplicate batch → idempotent
+def test_replay_idempotent(spark):
+    rows = [("c", 1, 1, 1, 1.0), ("d", 2, 2, 2, 0.0)]
+    cfg, target, audit = merge(spark, rows)
+    before = state(target)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, rows), window=(None, None),
+              deterministic_audit=True)
+    assert state(target) == before
+
+
+# F5.9 cross-batch late update: reference default overwrites; strict rejects
+@pytest.mark.parametrize("strict,expected", [(False, 1.0), (True, 5.0)])
+def test_cross_batch_late_update(spark, strict, expected):
+    cfg, target, audit = pipeline(spark, strict_ts_guard=strict)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("u", 5, 1, 1, 5.0)]),
+              window=(None, None), deterministic_audit=True)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("u", 1, 2, 1, 1.0)]),
+              window=(None, None), deterministic_audit=True)
+    assert state(target) == [(1, expected)]
+
+
+# F5.12 inactive config → zero side effects
+def test_inactive(spark):
+    cfg, target, audit = pipeline(spark, is_active=0)
+    res = run_merge(spark, cfg, target, audit, raw=bronze(spark, [("c", 1, 1, 1, 1.0)]))
+    assert res["status"] == "SKIPPED_INACTIVE"
+    assert not target.exists()
+
+
+# F5.13 failure rollback: poison row → FAILED audit, target unchanged, re-raise
+def test_failure_rollback(spark):
+    import datetime
+
+    cfg, target, audit = merge(spark, [("c", 1, 1, 1, 1.0)])
+    poison = spark.createDataFrame(
+        [('{"__op":"c","__ts_ns":"1000","__source_pos":"1","user_id":"boom"}',
+          datetime.datetime(2024, 2, 1))],
+        "data string, load_ts timestamp",
+    )
+    with pytest.raises(Exception):
+        run_merge(spark, cfg, target, audit, raw=poison, window=(None, None),
+                  deterministic_audit=True)
+    assert state(target) == [(1, 1.0)]
+    statuses = [r["run_status"] for r in audit.history().collect()]
+    assert "FAILED" in statuses
+
+
+# step-6 fidelity: matched 'c' does not update
+def test_update_only_op_u(spark):
+    cfg, target, audit = pipeline(spark, update_only_op_u=True)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("c", 1, 1, 1, 1.0)]),
+              window=(None, None), deterministic_audit=True)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("c", 2, 2, 1, 99.0)]),
+              window=(None, None), deterministic_audit=True)
+    assert state(target) == [(1, 1.0)]
+    # but a 'u' does update
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("u", 3, 3, 1, 42.0)]),
+              window=(None, None), deterministic_audit=True)
+    assert state(target) == [(1, 42.0)]
+
+
+# unified vs two-stream fidelity plans agree on a mixed batch
+def test_two_stream_equivalence(spark):
+    rows = [
+        ("c", 10, 1, 1, 1.0), ("u", 20, 2, 1, 2.0),
+        ("d", 15, 3, 2, 0.0), ("c", 10, 4, 2, 9.0),
+        ("d", 30, 5, 3, 0.0),
+        ("c", 5, 6, 4, 4.0), ("d", 50, 7, 4, 0.0), ("c", 60, 8, 4, 44.0),
+    ]
+    _, t_unified, _ = merge(spark, rows)
+    _, t_fidelity, _ = merge(spark, rows, two_stream_fidelity=True)
+    assert state(t_unified) == state(t_fidelity) == [(1, 2.0), (4, 44.0)]
