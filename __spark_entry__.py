@@ -26,11 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dataplatform_cdc_pipeline_spark.queries import QUERIES
+    from dataplatform_cdc_pipeline_spark.queries_llm import LLM_QUERIES
 
-    return dict(QUERIES)
+    return {**QUERIES, **LLM_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     from dataplatform_cdc_pipeline_spark.queries import ORACLES
+    from dataplatform_cdc_pipeline_spark.queries_llm import LLM_ORACLES
 
-    return dict(ORACLES)
+    return {**ORACLES, **LLM_ORACLES}

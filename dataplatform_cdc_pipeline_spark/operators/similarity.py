@@ -1,0 +1,160 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+random-hyperplane LSH bucketing (the scale path), plus cosine near-dup
+pairing.
+
+Scale design:
+- **Brute force** is the correctness baseline: broadcast the (small) query
+  set, one scan of the corpus, per-partition top-k via window. O(Q·N·d)
+  but embarrassingly parallel — right up to a few thousand queries.
+- **Hyperplane LSH**: bucket = sign-bit string of `planes` fixed random
+  hyperplanes. The hyperplane matrix is DERIVED FROM MD5 in Python
+  (deterministic, no RNG state), inlined as literals → the same constants
+  reproduce in any engine. Candidates = same-bucket rows only: one
+  shuffle on the bucket key replaces the O(N²)/O(Q·N) cross product.
+- **Near-dup pairs**: same-bucket self-join + exact cosine ≥ τ verify —
+  the embedding analogue of MinHash-LSH dedup.
+
+Dot products fold left-to-right on both engines → bit-identical doubles
+for float32 inputs; outputs round to 6 decimals anyway.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PLANES = 8
+
+
+def hyperplane_signs(planes: int, dims: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from MD5 — identical constants in
+    every engine/run (no RNG seed to drift)."""
+    mat = []
+    for p in range(planes):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"plane{p}|dim{d}".encode()).hexdigest()
+            row.append(1 if int(h[:8], 16) % 2 == 0 else -1)
+        mat.append(row)
+    return mat
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left fold — the same accumulation order DuckDB uses."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def lsh_bucket_expr(vec: Column, signs: list[list[int]]) -> Column:
+    """Sign-bit bucket key: one char per hyperplane ('1' if dot ≥ 0)."""
+    bits = []
+    for row in signs:
+        plane = F.array(*[F.lit(float(s)) for s in row])
+        bits.append(F.when(dot_expr(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (baseline). Queries broadcast; one
+    corpus scan; ranked window per query id."""
+    from pyspark.sql import Window
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("nbr_id"), as_double_vec(vec_col).alias("nbr_vec")
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec"))
+    scored = corpus.join(F.broadcast(qs), F.col("query_id") != F.col("nbr_id")).select(
+        "query_id",
+        "nbr_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "nbr_id", "cosine")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = DEFAULT_PLANES,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+    One shuffle on the bucket key instead of a full cross product."""
+    from pyspark.sql import Window
+
+    signs = hyperplane_signs(planes, dims)
+    corpus = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        as_double_vec(vec_col).alias("nbr_vec"),
+    ).withColumn("bucket", lsh_bucket_expr(F.col("nbr_vec"), signs))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("q_vec"), signs))
+    scored = corpus.join(
+        F.broadcast(qs), (F.col("query_id") != F.col("nbr_id")) & (corpus.bucket == qs.bucket)
+    ).select(
+        "query_id",
+        "nbr_id",
+        F.round(cosine_expr(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "nbr_id", "cosine")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: int = DEFAULT_PLANES,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) found
+    within LSH buckets — near-identical vectors land in the same bucket
+    with high probability; bucketing bounds the pairwise work."""
+    vecs = embeddings.select(
+        F.col(id_col), as_double_vec(vec_col).alias("vec")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("vec"), hyperplane_signs(planes, dims)))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

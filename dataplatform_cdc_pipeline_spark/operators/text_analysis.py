@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID, quality
+scoring, token counting, document fingerprinting. Everything is native
+Column expressions — JVM-side, codegen-able, zero Python on the hot path —
+so a 100 TB documents table processes at scan speed with full predicate
+pushdown/column pruning.
+
+All hashing is MD5-derived (functions/hashing.py) so results are
+reproducible bit-for-bit in any engine (DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+
+# Public common-word profiles for the n-gram/stopword language heuristic.
+# Order matters: deterministic argmax precedence.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est", "je", "pas", "pour"),
+    "es": ("el", "los", "las", "y", "es", "no", "que", "por", "con", "para"),
+    "zh": ("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"),
+}
+
+PUNCT_PATTERN = r"[.,!?;:]"
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokenization of the lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences (with duplicates) of profile words in the token array."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wordset, t)))
+
+
+def token_stats_columns(text: Column | str = "text") -> dict[str, Column]:
+    """Token/char statistics: the building blocks of quality scoring."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_expr(c)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    return {
+        "n_tokens": n_tokens,
+        "n_chars_measured": n_chars,
+        "avg_token_len": F.round(
+            (n_chars - n_tokens + 1).cast("double") / n_tokens.cast("double"), 4
+        ),
+        "punct_count": F.size(F.regexp_extract_all(c, F.lit(PUNCT_PATTERN), 0)),
+        "digit_count": F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0)),
+        "stopword_count": stopword_hits(toks, LANG_PROFILES["en"]),
+    }
+
+
+def quality_score_expr(text: Column | str = "text") -> Column:
+    """Composite [0,1] quality score from length / stopword / punct ratios.
+
+    Deterministic arithmetic (documented weights) so any engine can
+    recompute it; the components mirror common LLM-corpus filters
+    (C4/Gopher-style length + symbol-ratio + stopword heuristics).
+    """
+    s = token_stats_columns(text)
+    n_tokens = s["n_tokens"].cast("double")
+    length_component = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_ratio = s["stopword_count"].cast("double") / n_tokens
+    stop_component = F.least(stop_ratio * F.lit(10.0), F.lit(1.0))
+    punct_ratio = s["punct_count"].cast("double") / s["n_chars_measured"].cast("double")
+    punct_component = F.lit(1.0) - F.least(punct_ratio * F.lit(20.0), F.lit(1.0))
+    len_ok = (
+        (s["avg_token_len"] >= F.lit(3.0)) & (s["avg_token_len"] <= F.lit(10.0))
+    ).cast("double")
+    return F.round(
+        length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1, 4
+    )
+
+
+def language_scores(text: Column | str = "text") -> dict[str, Column]:
+    """Per-language stopword-profile hit counts."""
+    toks = tokens_expr(text)
+    return {lang: stopword_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+
+
+def language_id_expr(text: Column | str = "text") -> Column:
+    """Predicted language = argmax profile hits, ties broken by profile
+    order (en > de > fr > es > zh), 'und' when nothing matches."""
+    scores = language_scores(text)
+    best = F.greatest(*scores.values())
+    expr = None
+    # CASE chain, first match wins → profile order breaks ties
+    for lang, score in scores.items():
+        cond = (score > 0) & (score == best)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint_columns(text: Column | str = "text") -> dict[str, Column]:
+    """Document fingerprints: full-content MD5, 60-bit integer hash, and a
+    word-window rolling fingerprint (min/max of 3-gram hashes — the
+    winnowing endpoints)."""
+    c = F.col(text) if isinstance(text, str) else text
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import shingles_expr
+
+    sh = shingles_expr(c, 3)
+    gram_hashes = F.transform(sh, lambda s: md5_long(s))
+    return {
+        "content_md5": F.md5(c),
+        "content_hash64": md5_long(c),
+        "min_gram_hash": F.array_min(gram_hashes),
+        "max_gram_hash": F.array_max(gram_hashes),
+    }
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set to a documents frame."""
+    out = df
+    for name, col in token_stats_columns(text_col).items():
+        out = out.withColumn(name, col)
+    out = out.withColumn("quality_score", quality_score_expr(text_col))
+    out = out.withColumn("lang_pred", language_id_expr(text_col))
+    for name, col in fingerprint_columns(text_col).items():
+        out = out.withColumn(name, col)
+    return out

@@ -1,0 +1,387 @@
+"""LLM-data-pipeline query inventory: text analysis, dedup family,
+similarity search — with DuckDB oracle SQL for each (same conventions as
+queries.py).
+
+The shared hash primitive is the 60-bit MD5 integer (functions/hashing.py):
+Spark ``conv(substring(md5(x),1,15),16,10)::long`` ⟷ DuckDB
+``('0x'||substring(md5(x),1,15))::BIGINT`` — bit-identical, so MinHash /
+SimHash / fingerprints verify by value across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    hyperplane_signs,
+    lsh_topk,
+)
+from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+    LANG_PROFILES,
+    analyze_documents,
+    language_id_expr,
+    quality_score_expr,
+)
+from dataplatform_cdc_pipeline_spark.operators.text_dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+MD5L = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+# shingles: word 3-grams; short docs yield one shingle of all words
+# i ranges 1..L-2 (3-gram count), clamped to ≥1 for short docs
+SHINGLES = (
+    "list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+
+def _stop_list_sql(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _stop_count_sql(words) -> str:
+    return f"len(list_filter(toks, t -> list_contains({_stop_list_sql(words)}, t)))"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = analyze_documents(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_measured",
+        "avg_token_len",
+        "punct_count",
+        "digit_count",
+        "stopword_count",
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars_measured,
+       round((length(text) - len(toks) + 1) / len(toks), 4) AS avg_token_len,
+       len(regexp_extract_all(text, '[.,!?;:]')) AS punct_count,
+       len(regexp_extract_all(text, '[0-9]')) AS digit_count,
+       {_stop_count_sql(LANG_PROFILES["en"])} AS stopword_count
+FROM t ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score_expr("text").alias("quality_score"),
+        (quality_score_expr("text") >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         least(len(toks) / 100.0, 1.0) AS length_component,
+         least(({_stop_count_sql(LANG_PROFILES["en"])} * 1.0 / len(toks)) * 10.0, 1.0) AS stop_component,
+         1.0 - least((len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text)) * 20.0, 1.0) AS punct_component,
+         CASE WHEN round((length(text) - len(toks) + 1) / len(toks), 4) BETWEEN 3.0 AND 10.0
+              THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM t)
+SELECT doc_id,
+       round(length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1, 4) AS quality_score,
+       round(length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1, 4) >= 0.5 AS keep
+FROM c ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        language_id_expr("text").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    counts = ",\n         ".join(
+        f"{_stop_count_sql(words)} AS c_{lang}" for lang, words in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN c_{l} > 0 AND c_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, text, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+         {counts}
+      FROM t)
+SELECT doc_id, lang AS lang_label, {case} AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+SQL_TEXT_LANGID = _langid_sql()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = analyze_documents(docs)
+    return out.select(
+        "doc_id", "content_md5", "content_hash64", "min_gram_hash", "max_gram_hash"
+    ).orderBy("doc_id")
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, text, {SHINGLES} AS sh FROM t),
+h AS (SELECT doc_id, text, list_transform(sh, g -> {MD5L.format(x="g")}) AS gh FROM s)
+SELECT doc_id,
+       md5(text) AS content_md5,
+       {MD5L.format(x="text")} AS content_hash64,
+       list_min(gh) AS min_gram_hash,
+       list_max(gh) AS max_gram_hash
+FROM h ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("doc_id")
+
+
+SQL_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+g AS (SELECT content_md5, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM h GROUP BY content_md5)
+SELECT doc_id, h.content_md5, canonical_id, group_size
+FROM h JOIN g ON h.content_md5 = g.content_md5
+ORDER BY doc_id
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.9).orderBy("id_a", "id_b")
+
+
+_MINHASH_SALTED = MD5L.format(x="'mh' || i::VARCHAR || '|' || g")
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+sig AS (
+  SELECT doc_id, list_distinct(sh) AS shset,
+         list_transform(range(0, 8), i ->
+           list_min(list_transform(sh, g -> {_MINHASH_SALTED}))) AS mh
+  FROM s),
+bands AS (
+  SELECT doc_id, shset,
+         unnest(list_transform(range(0, 4), b ->
+           b::VARCHAR || '_' || mh[2*b + 1]::VARCHAR || '_' || mh[2*b + 2]::VARCHAR)) AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+v AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+               len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS jaccard
+  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+            JOIN sig sb ON cand.id_b = sb.doc_id)
+SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.9 ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH w AS (
+  SELECT doc_id, unnest({TOKS}) AS word FROM documents),
+h AS (SELECT doc_id, {MD5L.format(x="word")} AS hash FROM w),
+bits AS (
+  SELECT doc_id, j, sum(CASE WHEN (hash >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(0, 60)) AS j)
+  GROUP BY doc_id, j),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id),
+slices AS (
+  SELECT doc_id, simhash,
+         unnest(list_transform(range(0, 4), b ->
+           b::VARCHAR || '_' || ((simhash >> (b * 15)) & 32767)::VARCHAR)) AS slice_key
+  FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM slices a JOIN slices b ON a.slice_key = b.slice_key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower-threshold n-gram Jaccard dedup (same LSH candidates, τ=0.5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+SQL_DEDUP_NGRAM_JACCARD = SQL_DEDUP_MINHASH_LSH.replace("jaccard >= 0.9", "jaccard >= 0.5")
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rk")
+
+
+_COS = (
+    "round(list_dot_product(q.vec, c.vec) / "
+    "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6)"
+)
+SQL_EMBEDDING_TOPK = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, {_COS} AS cosine
+  FROM q, v c WHERE q.vec_id != c.vec_id),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored)
+SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+_ANN_PLANES = 4
+_ANN_DIMS = 64
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5, planes=_ANN_PLANES, dims=_ANN_DIMS).orderBy(
+        "query_id", "rk"
+    )
+
+
+def _ann_lsh_sql() -> str:
+    signs = hyperplane_signs(_ANN_PLANES, _ANN_DIMS)
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(vec, ["
+        + ", ".join(f"{s:.1f}" for s in row)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for row in signs
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+b AS (SELECT vec_id, vec, {bucket} AS bucket FROM v),
+q AS (SELECT * FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, {_COS} AS cosine
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored)
+SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+SQL_EMBEDDING_ANN_LSH = _ann_lsh_sql()
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4, planes=_ANN_PLANES, dims=_ANN_DIMS).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _near_dup_sql() -> str:
+    signs = hyperplane_signs(_ANN_PLANES, _ANN_DIMS)
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(vec, ["
+        + ", ".join(f"{s:.1f}" for s in row)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for row in signs
+    )
+    cos = (
+        "round(list_dot_product(a.vec, b.vec) / "
+        "(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+bk AS (SELECT vec_id, vec, {bucket} AS bucket FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _near_dup_sql()
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+LLM_QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+LLM_ORACLES = {
+    "text_stats": SQL_TEXT_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_ann_lsh": SQL_EMBEDDING_ANN_LSH,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+}

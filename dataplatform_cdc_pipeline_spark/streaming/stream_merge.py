@@ -1,0 +1,92 @@
+"""M5 — Structured Streaming front-end: ``readStream → foreachBatch(merge)``.
+
+The reference is hand-rolled micro-batching: a persisted watermark table
+defines each batch's ``(start, end]`` window (merge.sql:111-115,
+step-8:493); the transaction makes a batch atomic. In Spark the natural
+mapping (SURVEY.md §2.8, §3.4) is:
+
+- the **streaming checkpoint** supersedes the watermark table — source
+  offsets ARE the watermark; each micro-batch is exactly the new window;
+- ``foreachBatch`` invokes the SAME batch core (plan build + bucketed
+  merge) — one code path for batch and streaming;
+- the audit table is still appended per batch for reference parity
+  (run ids = UUIDs, counts, status);
+- cross-batch event-time dedup (which the reference does NOT do — late
+  replays overwrite) is available via ``streaming_dedup_within_watermark``
+  as the stricter opt-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.config import MergeConfig
+from dataplatform_cdc_pipeline_spark.engine import run_merge
+from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+
+def run_streaming_merge(
+    spark: SparkSession,
+    cfg: MergeConfig,
+    target: ParquetMergeTarget,
+    audit: WatermarkStore,
+    source_path: str,
+    checkpoint_path: str,
+    bronze_schema: str = "data string, load_ts timestamp, publish_time timestamp, "
+    "message_id string, source_db_table string, subscription_name string",
+    trigger_once: bool = True,
+    deterministic_audit: bool = False,
+):
+    """Stream a parquet-landing bronze directory into the typed target.
+
+    Each micro-batch runs the full batch core via ``run_merge`` with the
+    batch frame as ``raw`` and an unbounded window — the checkpoint already
+    scoped the rows. ``trigger_once`` processes all available input then
+    stops (the batch-parity mode used in tests); continuous deployments
+    drop it and set a processing-time trigger.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run_merge(
+            spark,
+            cfg,
+            target,
+            audit,
+            raw=batch_df,
+            window=(None, None),
+            deterministic_audit=deterministic_audit,
+        )
+
+    stream = (
+        spark.readStream.schema(bronze_schema).parquet(source_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if trigger_once:
+        q.awaitTermination()
+    return q
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    cfg: MergeConfig,
+    event_ts_col: str = "source_ts_ns_order",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Stricter-than-reference cross-batch dedup: drop replayed events for
+    the same (pk, event-ts) within the watermark horizon.
+
+    The reference has no cross-batch state (SURVEY.md §2.8) — this is the
+    opt-in upgrade using Spark's built-in state store.
+    """
+    return stream.withWatermark(event_ts_col, delay).dropDuplicatesWithinWatermark(
+        [*cfg.pk, event_ts_col]
+    )
