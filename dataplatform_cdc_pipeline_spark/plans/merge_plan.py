@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataplatform_cdc_pipeline_spark.config import MergeConfig
-from dataplatform_cdc_pipeline_spark.functions.envelope import envelope_columns, json_scalar
+from dataplatform_cdc_pipeline_spark.functions.envelope import (
+    envelope_columns,
+    parse_payload,
+    payload_value,
+)
 from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
 from dataplatform_cdc_pipeline_spark.plans.cast_rules import cast_expr, typed_projection
 
@@ -36,8 +40,10 @@ def window_scan(
     date-partitioned bronze table (automatic in Spark — the reference needed
     an explicit PARTITION list, step-8:352-377).
     """
-    env = envelope_columns("data", cfg.ts_ns_encoding)
-    out = raw.withColumn("__op", env["__op"]).filter(F.col("__op").isNotNull())
+    out = raw.withColumn("__payload", parse_payload("data"))
+    out = out.withColumn("__op", payload_value(F.col("__payload"), "__op")).filter(
+        F.col("__op").isNotNull()
+    )
     lt = F.col(cfg.load_ts_col)
     if start is not None:
         out = out.filter(lt > F.lit(start))
@@ -46,7 +52,7 @@ def window_scan(
     return out
 
 
-def _pk_exprs(cfg: MergeConfig, target_schema: T.StructType, data: str = "data") -> list[Column]:
+def _pk_exprs(cfg: MergeConfig, target_schema: T.StructType, payload: str = "__payload") -> list[Column]:
     """Typed PK extraction expressions from the JSON payload.
 
     Default: cast PKs to their declared type *before* dedup (intentional
@@ -59,11 +65,11 @@ def _pk_exprs(cfg: MergeConfig, target_schema: T.StructType, data: str = "data")
     exprs = []
     for k in cfg.pk:
         json_key = cfg.json_key_overrides.get(k, k)
-        raw = json_scalar(data, json_key)
+        raw = payload_value(F.col(payload), json_key)
         if cfg.string_pk_dedup or k not in by_name:
             exprs.append(raw.alias(k))
         else:
-            exprs.append(cast_expr(by_name[k], cfg, data))
+            exprs.append(cast_expr(by_name[k], cfg, payload))
     return exprs
 
 
@@ -80,7 +86,7 @@ def build_changes(
     predicate ``i.pk IS NULL OR i.ts < d.ts`` (merge.sql:348) given both
     sides kept only rn=1 (proof in SURVEY.md §7). One shuffle total.
     """
-    env = envelope_columns("data", cfg.ts_ns_encoding)
+    env = envelope_columns("__payload", cfg.ts_ns_encoding)
     keyed = windowed.select(
         F.col("*"),
         env["source_ts_ns_order"].alias("__event_ts"),
@@ -120,7 +126,7 @@ def build_two_stream(
             F.col("*"),
             *[e.alias(f"__pk_{i}") for i, e in enumerate(_pk_exprs(cfg, target_schema))],
         )
-        env = envelope_columns("data", cfg.ts_ns_encoding)
+        env = envelope_columns("__payload", cfg.ts_ns_encoding)
         keyed = keyed.withColumn("__event_ts", env["source_ts_ns_order"]).withColumn(
             "__pos", env["pos"]
         )

@@ -55,13 +55,13 @@ def q_cdc_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
     cfg = user_state_config()
     w = window_scan(raw, cfg, WIN_START, WIN_END)
-    env = envelope_columns("data", cfg.ts_ns_encoding)
+    env = envelope_columns("__payload", cfg.ts_ns_encoding)
     return w.select(
         F.col("__op").alias("op"),
         env["pos"].alias("pos"),
         F.unix_micros(env["source_ts_ns_order"]).alias("event_ts_us"),
         F.unix_micros(F.col("load_ts")).alias("load_ts_us"),
-    ).orderBy("pos")
+    )
 
 
 SQL_CDC_WINDOW_SCAN = f"""
@@ -80,12 +80,12 @@ def q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
     cfg = user_state_config()
     w = window_scan(raw, cfg, None, None)
-    env = envelope_columns("data", cfg.ts_ns_encoding)
+    env = envelope_columns("__payload", cfg.ts_ns_encoding)
     keyed = w.select(
         F.col("__op"),
-        F.get_json_object("data", "$.user_id").cast("long").alias("user_id"),
-        F.get_json_object("data", "$.event_type").alias("event_type"),
-        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        F.element_at("__payload", "user_id").cast("long").alias("user_id"),
+        F.element_at("__payload", "event_type").alias("event_type"),
+        F.element_at("__payload", "value").cast("double").alias("value"),
         env["source_ts_ns_order"].alias("source_ts_ns_order"),
         env["pos"].alias("pos"),
     )
@@ -97,7 +97,7 @@ def q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
         "pos",
-    ).orderBy("user_id")
+    )
 
 
 SQL_CDC_DEDUP_LATEST = f"""
@@ -197,7 +197,7 @@ def q_cdc_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Rowkeynum").alias("rowkeynum"),
         F.date_format("SysEndTime", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sys_end_time"),
         F.col("amount").cast("string").alias("amount"),
-    ).orderBy("user_id")
+    )
 
 
 SQL_CDC_CAST_PROJECTION = f"""
@@ -233,7 +233,7 @@ def q_cdc_delete_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, log_v_d = build_two_stream(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
     return log_v_d.select(
         "user_id", F.unix_micros("source_ts_ns_order").alias("event_ts_us"), "pos"
-    ).orderBy("user_id")
+    )
 
 
 SQL_CDC_DELETE_SURVIVORSHIP = f"""
@@ -276,7 +276,7 @@ def _merged_state(spark: SparkSession, sf_dir: str, windows) -> DataFrame:
         "k",
         F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
         "pos",
-    ).orderBy("user_id")
+    )
 
 
 def q_cdc_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,7 +366,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        
     )
 
 
@@ -404,7 +404,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("r_name", "n_name")
+        
     )
 
 
@@ -432,7 +432,7 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "rk")
+        
     )
 
 

@@ -71,7 +71,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punct_count",
         "digit_count",
         "stopword_count",
-    ).orderBy("doc_id")
+    )
 
 
 SQL_TEXT_STATS = f"""
@@ -93,7 +93,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         quality_score_expr("text").alias("quality_score"),
         (quality_score_expr("text") >= 0.5).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_TEXT_QUALITY = f"""
@@ -119,7 +119,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("lang_label"),
         language_id_expr("text").alias("lang_pred"),
-    ).orderBy("doc_id")
+    )
 
 
 def _langid_sql() -> str:
@@ -145,11 +145,10 @@ SQL_TEXT_LANGID = _langid_sql()
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import fingerprint_frame
+
     docs = load_table(spark, sf_dir, "documents")
-    out = analyze_documents(docs)
-    return out.select(
-        "doc_id", "content_md5", "content_hash64", "min_gram_hash", "max_gram_hash"
-    ).orderBy("doc_id")
+    return fingerprint_frame(docs)
 
 
 SQL_DOC_FINGERPRINT = f"""
@@ -171,7 +170,7 @@ FROM h ORDER BY doc_id
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs).orderBy("doc_id")
+    return exact_dedup(docs)
 
 
 SQL_DEDUP_EXACT = """
@@ -186,17 +185,22 @@ ORDER BY doc_id
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.9).orderBy("id_a", "id_b")
+    return minhash_dedup_pairs(docs, threshold=0.9)
 
 
-_MINHASH_SALTED = MD5L.format(x="'mh' || i::VARCHAR || '|' || g")
+# family f: digest = md5('mh{f//2}|' || g), 60-bit window at hex offset
+# 1 or 17 (two families per digest — mirrors minhash_signature_expr)
+_MINHASH_FAMILY = (
+    "('0x' || substring(md5('mh' || (f // 2)::VARCHAR || '|' || g), "
+    "1 + 16 * (f % 2), 15))::BIGINT"
+)
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
 sig AS (
   SELECT doc_id, list_distinct(sh) AS shset,
-         list_transform(range(0, 8), i ->
-           list_min(list_transform(sh, g -> {_MINHASH_SALTED}))) AS mh
+         list_transform(range(0, 8), f ->
+           list_min(list_transform(sh, g -> {_MINHASH_FAMILY}))) AS mh
   FROM s),
 bands AS (
   SELECT doc_id, shset,
@@ -218,7 +222,7 @@ SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.9 ORDER BY id_a, id_b
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_pairs(docs, max_hamming=3)
 
 
 SQL_DEDUP_SIMHASH = f"""
@@ -250,7 +254,7 @@ ORDER BY id_a, id_b
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lower-threshold n-gram Jaccard dedup (same LSH candidates, τ=0.5)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return minhash_dedup_pairs(docs, threshold=0.5)
 
 
 SQL_DEDUP_NGRAM_JACCARD = SQL_DEDUP_MINHASH_LSH.replace("jaccard >= 0.9", "jaccard >= 0.5")
@@ -263,7 +267,7 @@ SQL_DEDUP_NGRAM_JACCARD = SQL_DEDUP_MINHASH_LSH.replace("jaccard >= 0.9", "jacca
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rk")
+    return brute_force_topk(emb, queries, k=5)
 
 
 _COS = (
@@ -290,9 +294,7 @@ _ANN_DIMS = 64
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, k=5, planes=_ANN_PLANES, dims=_ANN_DIMS).orderBy(
-        "query_id", "rk"
-    )
+    return lsh_topk(emb, queries, k=5, planes=_ANN_PLANES, dims=_ANN_DIMS)
 
 
 def _ann_lsh_sql() -> str:
@@ -324,9 +326,7 @@ SQL_EMBEDDING_ANN_LSH = _ann_lsh_sql()
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.4, planes=_ANN_PLANES, dims=_ANN_DIMS).orderBy(
-        "id_a", "id_b"
-    )
+    return cosine_near_dup_pairs(emb, threshold=0.4, planes=_ANN_PLANES, dims=_ANN_DIMS)
 
 
 def _near_dup_sql() -> str:

@@ -8,13 +8,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataplatform_cdc_pipeline_spark.config import MergeConfig
+from dataplatform_cdc_pipeline_spark.functions.envelope import parse_payload
 from dataplatform_cdc_pipeline_spark.plans.cast_rules import SYS_END_TIME, cast_expr
 
 
 def one(spark, payload: dict, field: T.StructField, **cfg_kwargs):
     cfg = MergeConfig.from_dict({"cdc_table": "x", "target_table": "t", "pk": "id", **cfg_kwargs})
     df = spark.createDataFrame([(json.dumps(payload),)], "data string")
-    return df.select(cast_expr(field, cfg)).first()[0]
+    return df.select(cast_expr(field, cfg, parse_payload("data"))).first()[0]
 
 
 def test_p1_sysendtime_sentinel(spark):
