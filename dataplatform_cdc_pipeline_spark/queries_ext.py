@@ -1,0 +1,348 @@
+"""Extended relational operator surface: sessionization, rollup, pivot,
+set ops, as-of join, range join, distinct/percentile stats, JSON-props
+aggregation, and a streaming-lifecycle entry — each with a DuckDB oracle.
+
+These widen the engine beyond the reference's own operator list toward the
+common OLAP patterns a production deployment of it would need (the
+reference's CDC tables feed exactly this kind of analytics downstream).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+# ---------------------------------------------------------------------------
+# sessionization (lag + gap threshold + running count)
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session ids per user: a new session starts after a ≥30-min gap.
+
+    One shuffle on user_id; lag + conditional cumsum inside a single
+    WindowExec — the standard scalable sessionization shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+SQL_SESSIONIZE_EVENTS = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+g AS (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+SELECT event_id, user_id,
+       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, event_date): per-cell + subtotal + grand total."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date"), "value"
+    )
+    return (
+        ev.rollup("event_type", "event_date")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("event_date", F.lit("ALL")).alias("event_date"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(event_date, 'ALL') AS event_date,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM (SELECT event_type, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS event_date, value FROM events)
+GROUP BY ROLLUP (event_type, event_date)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as columns (pivot on a fixed value list)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# set ops
+# ---------------------------------------------------------------------------
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: customers with open ('O') orders but no
+    high-value (>100k) orders, via set operators."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    big_cust = orders.filter(F.col("o_totalprice") > 100_000).select("o_custkey")
+    return open_cust.intersect(orders.select("o_custkey")).exceptAll(big_cust).distinct()
+
+
+SQL_CUSTOMER_SET_OPS = """
+SELECT DISTINCT o_custkey FROM (
+  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+   INTERSECT
+   SELECT o_custkey FROM orders)
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join (most recent prior click before each purchase, per user)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join without a pairwise join: one window pass.
+
+    For each purchase, the user's most recent strictly-prior click.
+    The (ts, id) pair is encoded as a fixed-width sortable string so a
+    running MAX over the user's timeline carries both fields — a single
+    shuffle on user_id vs the naive O(n·m) inequality join. (Spark has no
+    native ASOF JOIN; DuckDB's serves as the oracle shape.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    pair = F.when(
+        F.col("event_type") == "click",
+        F.concat(F.lpad(F.col("ts_us").cast("string"), 20, "0"), F.lit("_"),
+                 F.lpad(F.col("event_id").cast("string"), 12, "0")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ev.withColumn("last_click", F.max(pair).over(w)).filter(
+        F.col("event_type") == "purchase"
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.substring("last_click", 1, 20).cast("long").alias("click_ts_us"),
+        F.substring("last_click", 22, 12).cast("long").alias("click_id"),
+    )
+
+
+SQL_ASOF_PRIOR_CLICK = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+m AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         max(CASE WHEN event_type = 'click'
+                  THEN lpad(ts_us::VARCHAR, 20, '0') || '_' || lpad(event_id::VARCHAR, 12, '0')
+             END) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+  FROM ev)
+SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+       substring(last_click, 1, 20)::BIGINT AS click_ts_us,
+       substring(last_click, 22, 12)::BIGINT AS click_id
+FROM m WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# range join (value bands)
+# ---------------------------------------------------------------------------
+
+VALUE_BANDS = [(0.0, 25.0, "low"), (25.0, 100.0, "mid"), (100.0, 1e9, "high")]
+
+
+def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join against a small band table → broadcast nested
+    loop (the right plan: bands are tiny, events never shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, "lo double, hi double, band string")
+    joined = ev.join(
+        F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi), "left"
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+SQL_VALUE_BAND_JOIN = f"""
+WITH bands(lo, hi, band) AS (VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in VALUE_BANDS)})
+SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events LEFT JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct + percentile stats
+# ---------------------------------------------------------------------------
+
+
+def q_events_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distincts + interpolated percentiles per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+    )
+
+
+SQL_EVENTS_DISTINCT_STATS = """
+SELECT event_type,
+       count(DISTINCT user_id) AS distinct_users,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS median_value,
+       round(quantile_cont(value, 0.9), 4) AS p90_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON props aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON column and aggregate its 'k' field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("distinct_k"),
+    )
+
+
+SQL_PROPS_STATS = """
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+       max(json_extract_string(props, '$.k')::INT) AS max_k,
+       count(DISTINCT json_extract_string(props, '$.k')::INT) AS distinct_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming lifecycle entry (checkpointed foreachBatch merge)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Structured-Streaming merge of the synthetic CDC feed: bronze
+    parquet → availableNow stream → foreachBatch(run_merge) → final typed
+    state. Result must equal the batch merge (same oracle)."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        synthesize_cdc_from_events,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming import run_streaming_merge
+
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_q_")
+    bronze = f"{tmp}/bronze"
+    synthesize_cdc_from_events(load_table(spark, sf_dir, "events")).write.parquet(bronze)
+    cfg = user_state_config()
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_streaming_merge(
+        spark, cfg, target, audit, bronze, f"{tmp}/ckpt", deterministic_audit=True
+    )
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+EXT_QUERIES = {
+    "sessionize_events": q_sessionize_events,
+    "events_rollup": q_events_rollup,
+    "events_pivot": q_events_pivot,
+    "customer_set_ops": q_customer_set_ops,
+    "asof_prior_click": q_asof_prior_click,
+    "value_band_join": q_value_band_join,
+    "events_distinct_stats": q_events_distinct_stats,
+    "props_stats": q_props_stats,
+    "stream_merge_state": q_stream_merge_state,
+}
+
+EXT_ORACLES = {
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "customer_set_ops": SQL_CUSTOMER_SET_OPS,
+    "asof_prior_click": SQL_ASOF_PRIOR_CLICK,
+    "value_band_join": SQL_VALUE_BAND_JOIN,
+    "events_distinct_stats": SQL_EVENTS_DISTINCT_STATS,
+    "props_stats": SQL_PROPS_STATS,
+}
+
+# stream_merge_state: same semantics as the batch flagship merge
+from dataplatform_cdc_pipeline_spark.queries import SQL_CDC_MERGE_FULL  # noqa: E402
+
+EXT_ORACLES["stream_merge_state"] = SQL_CDC_MERGE_FULL
