@@ -148,6 +148,81 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize by cell centroid, probe one cell.
+
+    The inverted-file index here uses a deterministic coarse quantizer —
+    cell = the provided partition column (a prior clustering / routing
+    key), centroids = per-cell mean vectors. A query probes ONLY the cell
+    whose centroid is nearest (nprobe=1): centroids are tiny and broadcast;
+    the corpus is scanned with a cell filter, so at scale the probe reads
+    1/cells of the data (with the corpus physically partitioned by cell,
+    that is partition pruning, not just a filter).
+    """
+    from pyspark.sql import Window
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(cell_col).alias("cell"),
+        as_double_vec(vec_col).alias("nbr_vec"),
+    ).withColumn("nbr_norm", norm_expr(F.col("nbr_vec")))
+
+    # centroids: element-wise mean per cell (posexplode + avg per position)
+    dims_df = vecs.select("cell", F.posexplode("nbr_vec").alias("pos", "x"))
+    centroids = (
+        dims_df.groupBy("cell", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+        .withColumn("c_norm", norm_expr(F.col("centroid")))
+    )
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
+    ).withColumn("q_norm", norm_expr(F.col("q_vec")))
+
+    # route each query to its nearest centroid (centroids broadcast)
+    routed = (
+        qs.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "c_cos",
+            dot_expr(F.col("q_vec"), F.col("centroid")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("query_id", "q_vec", "q_norm", "cell")
+    )
+
+    scored = vecs.join(
+        F.broadcast(routed), (vecs.cell == routed.cell) & (F.col("query_id") != F.col("nbr_id"))
+    ).select(
+        "query_id",
+        "nbr_id",
+        F.round(
+            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "nbr_id", "cosine")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -324,6 +324,68 @@ SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5 ORDER BY query_id,
 SQL_EMBEDDING_ANN_LSH = _ann_lsh_sql()
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5)
+
+
+SQL_EMBEDDING_IVF_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, label AS cell, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings),
+u AS (
+  SELECT cell, p.pos, vec[p.pos] AS x
+  FROM v, (SELECT unnest(range(1, 65)) AS pos) p),
+cm AS (SELECT cell, pos, avg(x) AS a FROM u GROUP BY cell, pos),
+cent AS (
+  SELECT cell, list(a ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+q AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id < 10),
+routed AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT q.query_id, q.q_vec, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.q_vec, c.centroid) /
+                      (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                       sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      c.cell ASC) AS rk
+    FROM q CROSS JOIN cent c) WHERE rk = 1),
+scored AS (
+  SELECT r.query_id, c.vec_id AS nbr_id,
+         round(list_dot_product(r.q_vec, c.vec) /
+               (sqrt(list_dot_product(r.q_vec, r.q_vec)) *
+                sqrt(list_dot_product(c.vec, c.vec))), 6) AS cosine
+  FROM routed r JOIN v c ON r.cell = c.cell AND r.query_id != c.vec_id),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored)
+SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only check: the binary decode
+    is a deterministic stub — not SQL-expressible, no oracle entry)."""
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, n=128)
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "content_sha1",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.4, planes=_ANN_PLANES, dims=_ANN_DIMS)
@@ -369,7 +431,9 @@ LLM_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
 }
 
 LLM_ORACLES = {
@@ -383,5 +447,8 @@ LLM_ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_ann_lsh": SQL_EMBEDDING_ANN_LSH,
+    "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    # multimodal_features: deliberately no oracle — binary decode stub is
+    # not SQL-expressible; driver records the rows-only check
 }

@@ -1,0 +1,62 @@
+"""S6-analogue: the bucketed merge target rewrites ONLY affected bucket
+partitions (the engine's partition-pruning story, cf. step-8:352-377)."""
+
+import glob
+import os
+
+from dataplatform_cdc_pipeline_spark.engine import run_merge
+from dataplatform_cdc_pipeline_spark.operators.merge_target import BUCKET_COL, bucket_expr
+from tests.helpers import bronze, pipeline, state
+
+
+def bucket_files(path):
+    out = {}
+    for d in glob.glob(os.path.join(path, f"{BUCKET_COL}=*")):
+        b = int(d.split("=")[-1])
+        out[b] = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+    return out
+
+
+def test_merge_rewrites_only_affected_buckets(spark):
+    cfg, target, audit = pipeline(spark)
+    # seed: keys spread across many buckets
+    seed = [("c", i, i, i, float(i)) for i in range(1, 40)]
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, seed), window=(None, None),
+              deterministic_audit=True)
+    before = bucket_files(target.path)
+    assert len(before) > 4  # actually spread over multiple buckets
+
+    # single-key update → exactly one affected bucket
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("u", 50, 50, 7, 777.0)]),
+              window=(None, None), deterministic_audit=True)
+    after = bucket_files(target.path)
+
+    changed = {
+        b
+        for b in set(before) | set(after)
+        if before.get(b) != after.get(b)
+    }
+    # compute key 7's bucket the same way the engine does
+    b7 = (
+        spark.createDataFrame([(7,)], "user_id long")
+        .select(bucket_expr(["user_id"], cfg.n_buckets).alias("b"))
+        .first()["b"]
+    )
+    assert changed == {b7}
+    assert (7, 777.0) in state(target)
+
+
+def test_pruned_read_lists_only_requested_buckets(spark):
+    cfg, target, audit = pipeline(spark)
+    run_merge(spark, cfg, target, audit,
+              raw=bronze(spark, [("c", i, i, i, float(i)) for i in range(1, 30)]),
+              window=(None, None), deterministic_audit=True)
+    some_bucket = int(sorted(bucket_files(target.path))[0])
+    pruned = target.read(buckets=[some_bucket])
+    # partition pruning is plan-level: the scan must carry a PartitionFilters
+    # entry on __bucket (inputFiles() is not filter-aware)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split("PartitionFilters", 1)[1][:200]
+    rows = pruned.count()
+    total = target.read().count()
+    assert 0 < rows < total

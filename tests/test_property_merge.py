@@ -1,0 +1,83 @@
+"""Property-based differential test: the engine's merge vs a pure-Python
+reference simulator, over randomized event sequences (hypothesis).
+
+All scenarios are packed into ONE bronze frame (disjoint key spaces per
+scenario) so a single Spark merge checks dozens of generated cases — the
+per-example Spark overhead would otherwise dominate.
+"""
+
+import datetime
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataplatform_cdc_pipeline_spark.engine import run_merge
+from tests.helpers import BASE_NS, pipeline
+
+event_st = st.tuples(
+    st.sampled_from(["c", "u", "d"]),  # op
+    st.integers(min_value=0, max_value=5),  # key within scenario
+    st.integers(min_value=0, max_value=20),  # event-ts (µs offset, small → ties)
+    st.floats(min_value=0, max_value=100, allow_nan=False, width=32),
+)
+
+scenario_st = st.lists(event_st, min_size=1, max_size=12)
+
+
+def simulate(events):
+    """Reference semantics: latest (ts, pos) event per key wins; 'd' wins
+    removal. Exactly merge.sql:310 ordering + §7 unified-plan semantics."""
+    latest = {}
+    for pos, (op, key, ts, value) in enumerate(events):
+        cur = latest.get(key)
+        if cur is None or (ts, pos) > (cur[0], cur[1]):
+            latest[key] = (ts, pos, op, value)
+    return {
+        k: (v[3], v[1]) for k, v in latest.items() if v[2] != "d"
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(scenario_st, min_size=1, max_size=10))
+def test_merge_matches_python_simulator(spark_sess, scenarios):
+    rows = []
+    expected = {}
+    for si, events in enumerate(scenarios):
+        base_key = si * 1000
+        for pos, (op, key, ts, value) in enumerate(events):
+            uid = base_key + key
+            gpos = si * 100 + pos  # globally unique, scenario-ordered pos
+            payload = json.dumps(
+                {
+                    "__op": op,
+                    "__ts_ns": str(BASE_NS + ts * 1000),
+                    "__source_pos": str(gpos),
+                    "user_id": uid,
+                    "event_type": "t",
+                    "value": round(float(value), 3),
+                    "k": 1,
+                }
+            )
+            rows.append((payload, datetime.datetime(2024, 1, 1)))
+        for key, (value, _pos) in simulate(events).items():
+            expected[base_key + key] = round(float(value), 3)
+
+    raw = spark_sess.createDataFrame(rows, "data string, load_ts timestamp")
+    cfg, target, audit = pipeline(spark_sess)
+    run_merge(spark_sess, cfg, target, audit, raw=raw, window=(None, None),
+              deterministic_audit=True)
+    got = {
+        r["user_id"]: round(r["value"], 3)
+        for r in target.read().select("user_id", "value").collect()
+    }
+    assert got == expected
+
+
+# hypothesis needs a module-scope fixture handle; reuse the session fixture
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_sess(spark):
+    return spark
