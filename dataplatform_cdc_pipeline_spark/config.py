@@ -60,6 +60,7 @@ class MergeConfig:
     bit_to_int_col: tuple[str, ...] = ()  # 'true'/'false' → 1/0 (P7)
     epoch_to_date_to_string_col: tuple[str, ...] = ()  # declared, unused in ref procs
     non_epoch_datetime_col: tuple[str, ...] = ()  # ISO string → datetime (P8)
+    datetime_millis_cols: tuple[str, ...] = ()  # epoch millis → datetime (P13)
     datetime_to_int_val_col: tuple[str, ...] = ()  # ISO → yyyymmddHHMMSS int (P9)
     datetime_null: tuple[str, ...] = ()  # declared, unused in ref procs
     col_value_as_current_time_ist: tuple[str, ...] = ()  # IST wall-clock (P10)
@@ -136,6 +137,7 @@ class MergeConfig:
             "bit_to_int_col",
             "epoch_to_date_to_string_col",
             "non_epoch_datetime_col",
+            "datetime_millis_cols",
             "datetime_to_int_val_col",
             "datetime_null",
             "col_value_as_current_time_ist",
@@ -181,3 +183,36 @@ def load_config(path_or_dict: str | dict, **overrides) -> MergeConfig:
         raw = dict(path_or_dict)
     raw.update(overrides)
     return MergeConfig.from_dict(raw)
+
+
+def lookup_config(
+    spark,
+    config_table: str,
+    target_database: str,
+    target_table: str,
+    cdc_table: str | None = None,
+) -> MergeConfig:
+    """S1 — config-TABLE lookup, mirroring the reference's point SELECT.
+
+    ``SELECT * FROM config_file5 WHERE mysql_target_database = ? AND
+    mysql_target_table = ? [AND cdc_table = ?] LIMIT 1``
+    (step-5.sql:91-131; merge.sql:84-88). ``config_table`` is a parquet or
+    JSON(L) path holding one row per pipeline (the config_file5 mirror).
+    Raises if no row matches — the reference would fail the proc the same
+    way.
+    """
+    reader = spark.read
+    df = (
+        reader.json(config_table)
+        if config_table.endswith((".json", ".jsonl"))
+        else reader.parquet(config_table)
+    )
+    cond = (df["target_database"] == target_database) & (df["target_table"] == target_table)
+    if cdc_table is not None:
+        cond = cond & (df["cdc_table"] == cdc_table)
+    row = df.filter(cond).limit(1).first()
+    if row is None:
+        raise LookupError(
+            f"no config row for ({target_database}, {target_table}, {cdc_table})"
+        )
+    return MergeConfig.from_dict({k: v for k, v in row.asDict().items() if v is not None})

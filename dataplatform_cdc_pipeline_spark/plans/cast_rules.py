@@ -127,6 +127,12 @@ def cast_expr(field: T.StructField, cfg: MergeConfig, payload: Column | str = "_
     # P8 — non-epoch ISO datetime (merge.sql:257-259; step-5.sql:237 strips T/Z)
     elif name in cfg.non_epoch_datetime_col:
         expr = _iso_ts_expr(raw).cast(dt)
+    # P13 — DATETIME from epoch-millis numeric string:
+    # DATETIME(TIMESTAMP_MILLIS(CAST(CAST(x AS NUMERIC) AS INT64)))
+    # (merge.sql:275-277). The NUMERIC hop tolerates decimal text like
+    # "1718000000123.0"; decimal→long truncates like BQ's cast.
+    elif name in cfg.datetime_millis_cols:
+        expr = F.timestamp_millis(raw.cast("decimal(38,6)").cast("long")).cast(dt)
     # P9 — ISO timestamp → integer yyyymmddHHMMSS (merge.sql:261-263)
     elif name in cfg.datetime_to_int_val_col:
         expr = F.date_format(_iso_ts_expr(raw), "yyyyMMddHHmmss").cast(dt if isinstance(dt, T.NumericType) else "long")
@@ -139,11 +145,9 @@ def cast_expr(field: T.StructField, cfg: MergeConfig, payload: Column | str = "_
     # P12 — TIMESTAMP: ISO → zone-stripped (merge.sql:271-273)
     elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         expr = _iso_ts_expr(raw).cast(dt)
-    # P13 — DATETIME ≡ epoch-millis numeric string (merge.sql:275-277).
-    # Spark has no separate DATETIME type; the engine models the reference's
-    # DATETIME-from-millis columns via epoc-style config or this explicit
-    # list; kept for BQ-schema parity via config `datetime_millis_cols`
-    # (exposed as epoc_nano_cols/epoc_cols in practice).
+    # (P13 handled above via cfg.datetime_millis_cols — Spark has no separate
+    # DATETIME type, so the rule is config-list-driven rather than keyed on
+    # the catalog type like BQ.)
     # P14 — JSON passthrough: nested objects survive as their JSON text in
     # the parsed map (merge.sql:279-281), so the default branch covers it.
     # P15 — default CAST to the declared catalog type (merge.sql:283-285;

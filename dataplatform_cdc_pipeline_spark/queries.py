@@ -126,6 +126,7 @@ CAST_DEMO_SCHEMA = T.StructType(
         T.StructField("created_s", T.TimestampType()),  # P6 epoch seconds
         T.StructField("birth_date", T.DateType()),  # P5 epoch days
         T.StructField("updated_at", T.TimestampType()),  # P8 ISO datetime
+        T.StructField("event_ms", T.TimestampType()),  # P13 epoch millis
         T.StructField("rk_int", T.LongType()),  # P9 → yyyymmddHHMMSS
         T.StructField("Rowkeynum", T.LongType()),  # P2 base64 row key
         T.StructField("SysEndTime", T.TimestampType()),  # P1 sentinel
@@ -153,6 +154,7 @@ def _cast_demo_payload() -> F.Column:
             F.when(F.col("value") > 100, "true").otherwise("false").alias("bitcol"),
             (F.unix_micros("ts") * F.lit(1000)).cast("string").alias("created_ns"),
             (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").cast("string").alias("created_s"),
+            F.call_function("div", F.unix_micros("ts"), F.lit(1000)).cast("string").alias("event_ms"),
             ((F.col("user_id") * 100 + F.col("event_id") % 100).cast("string")).alias("birth_date"),
             iso.alias("updated_at"),
             iso.alias("rk_int"),
@@ -174,6 +176,7 @@ def q_cdc_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epoc_nano_cols": "created_ns",
             "epoc_cols": "created_s",
             "epoc_day_cols": "birth_date",
+            "datetime_millis_cols": "event_ms",
             "bit_to_int_col": "bitcol",
             "non_epoch_datetime_col": "updated_at",
             "datetime_to_int_val_col": "rk_int",
@@ -193,6 +196,7 @@ def q_cdc_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("created_s").alias("created_s_us"),
         F.date_format("birth_date", "yyyy-MM-dd").alias("birth_date"),
         F.unix_micros("updated_at").alias("updated_at_us"),
+        F.unix_micros("event_ms").alias("event_ms_us"),
         "rk_int",
         F.col("Rowkeynum").alias("rowkeynum"),
         F.date_format("SysEndTime", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sys_end_time"),
@@ -217,6 +221,7 @@ SELECT user_id,
        (epoch_us(ts::TIMESTAMP) // 1000000) * 1000000 AS created_s_us,
        strftime(DATE '1970-01-01' + INTERVAL (user_id * 100 + event_id % 100) DAY, '%Y-%m-%d') AS birth_date,
        (epoch_us(ts::TIMESTAMP) // 1000000) * 1000000 AS updated_at_us,
+       (epoch_us(ts::TIMESTAMP) // 1000) * 1000 AS event_ms_us,
        strftime(ts::TIMESTAMP, '%Y%m%d%H%M%S')::BIGINT AS rk_int,
        user_id * 1000000 + event_id AS rowkeynum,
        '9999-12-31 23:59:59.999999' AS sys_end_time,

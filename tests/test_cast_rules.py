@@ -168,3 +168,21 @@ def test_p20_config_normalization():
 
 def test_missing_key_is_null(spark):
     assert one(spark, {"other": 1}, T.StructField("n", T.LongType())) is None
+
+
+def test_p13_datetime_millis(spark):
+    v = one(
+        spark,
+        {"m": "1718000000123"},
+        T.StructField("m", T.TimestampType()),
+        datetime_millis_cols="m",
+    )
+    assert v == datetime.datetime(2024, 6, 10, 6, 13, 20, 123000)
+    # NUMERIC hop tolerates decimal text (merge.sql:276 CAST(... AS NUMERIC))
+    v2 = one(
+        spark,
+        {"m": "1718000000123.0"},
+        T.StructField("m", T.TimestampType()),
+        datetime_millis_cols="m",
+    )
+    assert v2 == v

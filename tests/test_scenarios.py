@@ -136,3 +136,31 @@ def test_two_stream_equivalence(spark):
     _, t_unified, _ = merge(spark, rows)
     _, t_fidelity, _ = merge(spark, rows, two_stream_fidelity=True)
     assert state(t_unified) == state(t_fidelity) == [(1, 2.0), (4, 44.0)]
+
+
+# S1: config-table lookup (point SELECT … LIMIT 1, step-5.sql:91-131)
+def test_config_table_lookup(spark, tmp_path):
+    import json
+
+    rows = [
+        {"cdc_table": "bronze.widgets_cdc", "target_database": "silver",
+         "target_table": "widgets", "pk": "id,tenant_id", "epoc_cols": "created_s",
+         "is_active": 1},
+        {"cdc_table": "bronze.other_cdc", "target_database": "silver",
+         "target_table": "other", "pk": "id", "is_active": 0},
+    ]
+    p = tmp_path / "config_file5.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    from dataplatform_cdc_pipeline_spark.config import lookup_config
+
+    cfg = lookup_config(spark, str(p), "silver", "widgets")
+    assert cfg.pk == ("id", "tenant_id") and cfg.epoc_cols == ("created_s",)
+    assert cfg.is_active is True
+    cfg2 = lookup_config(spark, str(p), "silver", "other", cdc_table="bronze.other_cdc")
+    assert cfg2.is_active is False
+
+    import pytest as _pt
+
+    with _pt.raises(LookupError):
+        lookup_config(spark, str(p), "silver", "missing")
