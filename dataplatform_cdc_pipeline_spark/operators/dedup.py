@@ -27,11 +27,30 @@ def latest_per_key(
     ts_col: str = "source_ts_ns_order",
     pos_col: str = "pos",
     keep_rn: bool = False,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Keep exactly one row per key: newest event time, then highest source
-    position (deterministic tiebreak, merge.sql:310)."""
+    position (deterministic tiebreak, merge.sql:310).
+
+    ``salt_buckets``: two-phase dedup for skewed keys. Phase 1 partitions
+    by (key, random-salt) and keeps each salt-partition's winner — the hot
+    key's rows split across ``salt_buckets`` reducers instead of one.
+    Phase 2 runs the normal dedup over the ≤ salt_buckets survivors per
+    key. "Latest" is associative, so the result is identical (tested);
+    shuffle volume on the hot key drops by ~len(key)/salt_buckets. AQE's
+    skew handling covers joins but NOT window functions — this is the
+    window-skew escape hatch.
+    """
     order_cols = order_cols or [F.col(ts_col).desc_nulls_last(), F.col(pos_col).desc_nulls_last()]
     keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]
+    if salt_buckets and salt_buckets > 1:
+        salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)))
+        w1 = Window.partitionBy(*keys, F.col("__salt")).orderBy(*order_cols)
+        df = (
+            salted.withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") == 1)
+            .drop("__salt", "__rn1")
+        )
     w = Window.partitionBy(*keys).orderBy(*order_cols)
     out = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return out if keep_rn else out.drop("rn")

@@ -45,6 +45,18 @@ from dataplatform_cdc_pipeline_spark.sources.tables import load_table
 WIN_START = "2024-01-05 00:00:00"
 WIN_END = "2024-01-20 00:00:00"
 
+# The synthesized bronze feed is identical for every CDC query in a session;
+# persist it once per sf_dir instead of re-running the events→JSON synthesis
+# per query (the driver and bench call many queries in one session).
+_FEED_CACHE: dict[str, DataFrame] = {}
+
+
+def cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _FEED_CACHE:
+        _FEED_CACHE[key] = synthesize_cdc_from_events(load_table(spark, sf_dir, "events")).persist()
+    return _FEED_CACHE[key]
+
 # ---------------------------------------------------------------------------
 # CDC core queries (S4/F1-F4/W1/P*/J2/K1-K4/A2-A3 from SURVEY.md §2)
 # ---------------------------------------------------------------------------
@@ -52,7 +64,7 @@ WIN_END = "2024-01-20 00:00:00"
 
 def q_cdc_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4+F1+F3: half-open window scan + envelope extraction."""
-    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    raw = cdc_feed(spark, sf_dir)
     cfg = user_state_config()
     w = window_scan(raw, cfg, WIN_START, WIN_END)
     env = envelope_columns("__payload", cfg.ts_ns_encoding)
@@ -77,7 +89,7 @@ ORDER BY pos
 
 def q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: latest event per PK (event-ts order, pos tiebreak)."""
-    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    raw = cdc_feed(spark, sf_dir)
     cfg = user_state_config()
     w = window_scan(raw, cfg, None, None)
     env = envelope_columns("__payload", cfg.ts_ns_encoding)
@@ -232,7 +244,7 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 
 def q_cdc_delete_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: deletes surviving against the upsert view (two-stream fidelity)."""
-    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    raw = cdc_feed(spark, sf_dir)
     cfg = user_state_config(two_stream_fidelity=True)
     w = window_scan(raw, cfg, None, None)
     _, log_v_d = build_two_stream(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
@@ -267,7 +279,7 @@ def _merged_state(spark: SparkSession, sf_dir: str, windows) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
     from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
 
-    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    raw = cdc_feed(spark, sf_dir)
     cfg = user_state_config()
     tmp = tempfile.mkdtemp(prefix="cdc_q_")
     target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
@@ -317,7 +329,7 @@ SQL_CDC_MERGE_INCREMENTAL = SQL_CDC_MERGE_FULL
 
 def q_cdc_watermark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: window stats — min/max load_ts + upsert/delete candidate counts."""
-    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    raw = cdc_feed(spark, sf_dir)
     cfg = user_state_config()
     w = window_scan(raw, cfg, WIN_START, WIN_END)
     changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)

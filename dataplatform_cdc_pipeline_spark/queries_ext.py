@@ -279,6 +279,56 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# correlated-subquery patterns (TPC-H Q4 / Q17 style)
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders having at least one
+    lineitem shipped after the order date, counted by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group scalar subquery — revenue from lineitems
+    below 50% of their part's average quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming lifecycle entry (checkpointed foreachBatch merge)
 # ---------------------------------------------------------------------------
 
@@ -298,7 +348,9 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="cdc_stream_q_")
     bronze = f"{tmp}/bronze"
-    synthesize_cdc_from_events(load_table(spark, sf_dir, "events")).write.parquet(bronze)
+    from dataplatform_cdc_pipeline_spark.queries import cdc_feed
+
+    cdc_feed(spark, sf_dir).write.parquet(bronze)
     cfg = user_state_config()
     target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
     audit = WatermarkStore(spark, f"{tmp}/a")
@@ -328,6 +380,8 @@ EXT_QUERIES = {
     "value_band_join": q_value_band_join,
     "events_distinct_stats": q_events_distinct_stats,
     "props_stats": q_props_stats,
+    "order_priority_check": q_order_priority_check,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "stream_merge_state": q_stream_merge_state,
 }
 
@@ -340,6 +394,8 @@ EXT_ORACLES = {
     "value_band_join": SQL_VALUE_BAND_JOIN,
     "events_distinct_stats": SQL_EVENTS_DISTINCT_STATS,
     "props_stats": SQL_PROPS_STATS,
+    "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

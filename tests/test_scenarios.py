@@ -164,3 +164,27 @@ def test_config_table_lookup(spark, tmp_path):
 
     with _pt.raises(LookupError):
         lookup_config(spark, str(p), "silver", "missing")
+
+
+# skew escape hatch: salted two-phase dedup ≡ plain dedup
+def test_salted_dedup_equivalence(spark):
+    import json as _json
+    import datetime as _dt
+
+    from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
+    from pyspark.sql import functions as F
+
+    # hot key 1 gets 500 events; keys 2-20 get a few each
+    rows = []
+    pos = 0
+    for uid, n in [(1, 500)] + [(i, 5) for i in range(2, 21)]:
+        for _ in range(n):
+            pos += 1
+            rows.append((uid, pos % 37, pos, float(pos)))
+    df = spark.createDataFrame(rows, "user_id long, ts long, pos long, value double")
+
+    plain = latest_per_key(df, ["user_id"], ts_col="ts", pos_col="pos")
+    salted = latest_per_key(df, ["user_id"], ts_col="ts", pos_col="pos", salt_buckets=8)
+    p = sorted(map(tuple, plain.collect()))
+    s = sorted(map(tuple, salted.collect()))
+    assert p == s and len(p) == 20
