@@ -71,13 +71,9 @@ def run_merge(
     else:
         start, end = window
 
-    windowed = None
     try:
-        # Phase 3-5: plan synthesis + change-set build. The windowed scan
-        # feeds BOTH the change set and the window-stats agg (phase 6) —
-        # cache it so the bronze scan + JSON parse run once, mirroring the
-        # reference's materialized temp tables (merge.sql:306-326).
-        windowed = window_scan(raw, cfg, start, end).persist()
+        # Phase 3-5: plan synthesis + change-set build
+        windowed = window_scan(raw, cfg, start, end)
         if cfg.two_stream_fidelity:
             log_v_i, log_v_d = build_two_stream(
                 windowed, target.schema, cfg, deterministic_audit=deterministic_audit
@@ -99,16 +95,12 @@ def run_merge(
                 windowed, target.schema, cfg, deterministic_audit=deterministic_audit
             )
 
-        # Phase 6: window stats in the same pass as the merge source
-        # (merge.sql:360-366; step-8:493 MAX(load_ts) → next watermark).
-        w = windowed.agg(
-            F.max(F.col(cfg.load_ts_col)).alias("max_lt"),
-            F.min(F.col(cfg.load_ts_col)).alias("min_lt"),
-        ).first()
-        cdc_start_ts, cdc_end_ts = w["min_lt"], w["max_lt"]
-
-        # Phase 7: atomic merge
+        # Phase 6+7: atomic merge; window stats come back from the SAME
+        # cached change-set agg (merge.sql:360-366 computes stats from the
+        # materialized view; step-8:493 MAX(load_ts) → next watermark).
         stats = target.merge(changes)
+        cdc_start_ts = stats.pop("cdc_start_ts", None)
+        cdc_end_ts = stats.pop("cdc_end_ts", None)
 
         # Phase 8: audit epilogue
         run_id = audit.append_run(
@@ -139,6 +131,3 @@ def run_merge(
             error_msg=str(exc)[:2000],
         )
         raise
-    finally:
-        if windowed is not None:
-            windowed.unpersist()

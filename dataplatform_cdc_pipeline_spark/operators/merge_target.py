@@ -99,13 +99,25 @@ class ParquetMergeTarget:
         s = changes.withColumn(BUCKET_COL, bucket_expr(pk, n))
         s.cache()
         try:
-            counts = s.agg(
+            # ONE agg job yields counts + affected buckets + window stats
+            # (merge.sql:360-366 computes all stats from the same view)
+            aggs = [
                 F.count(F.when(F.col("__op") != "d", 1)).alias("ins"),
                 F.count(F.when(F.col("__op") == "d", 1)).alias("del"),
                 F.collect_set(BUCKET_COL).alias("buckets"),
-            ).first()
+            ]
+            has_load_ts = "__load_ts" in changes.columns
+            if has_load_ts:
+                aggs += [
+                    F.max("__load_ts").alias("max_lt"),
+                    F.min("__load_ts").alias("min_lt"),
+                ]
+            counts = s.agg(*aggs).first()
             affected = sorted(counts["buckets"] or [])
             stats = {"records_inserted": counts["ins"], "records_deleted": counts["del"]}
+            if has_load_ts:
+                stats["cdc_end_ts"] = counts["max_lt"]
+                stats["cdc_start_ts"] = counts["min_lt"]
             if not affected:
                 return stats
 

@@ -87,8 +87,13 @@ def build_changes(
     sides kept only rn=1 (proof in SURVEY.md §7). One shuffle total.
     """
     env = envelope_columns("__payload", cfg.ts_ns_encoding)
+    # project to exactly what the dedup + typed projection need BEFORE the
+    # shuffle: the raw `data` string and transport metadata columns would
+    # otherwise ride through the exchange (~2× shuffle bytes for nothing)
     keyed = windowed.select(
-        F.col("*"),
+        F.col("__op"),
+        F.col("__payload"),
+        F.col(cfg.load_ts_col),
         env["source_ts_ns_order"].alias("__event_ts"),
         env["pos"].alias("__pos"),
         *[e.alias(f"__pk_{i}") for i, e in enumerate(_pk_exprs(cfg, target_schema))],
@@ -100,7 +105,12 @@ def build_changes(
         pos_col="__pos",
     )
     proj = typed_projection(target_schema, cfg, deterministic_audit=deterministic_audit)
-    return deduped.select(F.col("__op"), *proj)
+    # __load_ts rides along so the merge can derive window stats + the next
+    # watermark from the SAME cached frame (one agg job — the reference also
+    # computes stats from the materialized view, merge.sql:360-366)
+    return deduped.select(
+        F.col("__op"), F.col(cfg.load_ts_col).alias("__load_ts"), *proj
+    )
 
 
 def build_two_stream(
@@ -122,13 +132,14 @@ def build_two_stream(
     pk_names = list(cfg.pk)
 
     def ranked(df: DataFrame) -> DataFrame:
-        keyed = df.select(
-            F.col("*"),
-            *[e.alias(f"__pk_{i}") for i, e in enumerate(_pk_exprs(cfg, target_schema))],
-        )
         env = envelope_columns("__payload", cfg.ts_ns_encoding)
-        keyed = keyed.withColumn("__event_ts", env["source_ts_ns_order"]).withColumn(
-            "__pos", env["pos"]
+        keyed = df.select(
+            F.col("__op"),
+            F.col("__payload"),
+            F.col(cfg.load_ts_col),
+            env["source_ts_ns_order"].alias("__event_ts"),
+            env["pos"].alias("__pos"),
+            *[e.alias(f"__pk_{i}") for i, e in enumerate(_pk_exprs(cfg, target_schema))],
         )
         return latest_per_key(
             keyed, [f"__pk_{i}" for i in range(len(pk_names))], ts_col="__event_ts", pos_col="__pos"
@@ -138,7 +149,9 @@ def build_two_stream(
     deletes_raw = ranked(windowed.filter(F.col("__op") == "d"))
 
     proj = typed_projection(target_schema, cfg, deterministic_audit=deterministic_audit)
-    log_v_i = upserts_raw.select(F.col("__op"), *proj)
+    log_v_i = upserts_raw.select(
+        F.col("__op"), F.col(cfg.load_ts_col).alias("__load_ts"), *proj
+    )
 
     # J2 survivorship: typed-PK equi-join, delete wins only if strictly newer
     # than any surviving upsert (merge.sql:345-349).
@@ -155,5 +168,7 @@ def build_two_stream(
         .filter(F.col("__i_ts").isNull() | (F.col("__i_ts") < F.col("__event_ts")))
         .drop(*[f"__ipk_{i}" for i in range(len(pk_names))], "__i_ts")
     )
-    log_v_d = survived.select(F.col("__op"), *proj)
+    log_v_d = survived.select(
+        F.col("__op"), F.col(cfg.load_ts_col).alias("__load_ts"), *proj
+    )
     return log_v_i, log_v_d

@@ -30,6 +30,11 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver's verify harness supplies ITS OWN SparkSession — pin the
+    # session timezone at runtime so ISO-timestamp parsing and epoch
+    # conversions match the UTC-naive DuckDB oracle regardless of the
+    # caller's JVM default timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # normalize any nanos-as-long timestamp columns back to TimestampType
     for f_ in df.schema.fields:
