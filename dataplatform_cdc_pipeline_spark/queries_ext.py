@@ -367,6 +367,31 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (event-time + watermark) whose
+    drained result must equal the batch GROUP BY (the oracle)."""
+    from dataplatform_cdc_pipeline_spark.streaming.windowed import stream_tumbling_counts
+
+    tmp = tempfile.mkdtemp(prefix="cdc_wstream_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    ev.write.parquet(f"{tmp}/src")
+    return stream_tumbling_counts(
+        spark,
+        f"{tmp}/src",
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+
+SQL_STREAM_WINDOWED_COUNTS = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)) AS window_start_us,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -382,6 +407,7 @@ EXT_QUERIES = {
     "props_stats": q_props_stats,
     "order_priority_check": q_order_priority_check,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "stream_windowed_counts": q_stream_windowed_counts,
     "stream_merge_state": q_stream_merge_state,
 }
 
@@ -396,6 +422,7 @@ EXT_ORACLES = {
     "props_stats": SQL_PROPS_STATS,
     "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+    "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

@@ -35,6 +35,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # conversions match the UTC-naive DuckDB oracle regardless of the
     # caller's JVM default timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # engine tuning that is safe to apply to a caller-supplied session:
+    # AQE coalesces the (possibly default-200) shuffle partitions to the
+    # data size; Arrow accelerates the pandas-UDF operators
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # normalize any nanos-as-long timestamp columns back to TimestampType
     for f_ in df.schema.fields:

@@ -1,0 +1,56 @@
+"""Streaming event-time windowed aggregation (beyond-reference streaming
+surface: the reference has no tumbling/sliding windows, SURVEY.md §2.8).
+
+``stream_tumbling_counts`` runs a watermarked tumbling-window aggregation
+over a parquet-landed event stream with ``availableNow`` + memory sink —
+the drained result equals the equivalent batch GROUP BY, which is exactly
+what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts/sums over a streamed parquet directory.
+
+    Complete output mode against the memory sink: a bounded ``availableNow``
+    drain emits every window (append mode would hold back trailing windows
+    the final watermark never passes), so the result equals the batch
+    aggregation. A continuous deployment would run append mode to a real
+    sink with the watermark bounding state.
+    """
+    name = f"wtc_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len).alias("w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            group_col,
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

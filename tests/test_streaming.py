@@ -47,3 +47,25 @@ def test_streaming_merge_incremental(spark):
     # replaying with the same checkpoint is a no-op (exactly-once)
     run_streaming_merge(spark, cfg, target, audit, src, ckpt, deterministic_audit=True)
     assert state(target) == [(1, 9.0)]
+
+
+def test_stream_tumbling_counts_equals_batch(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+    from dataplatform_cdc_pipeline_spark.streaming.windowed import stream_tumbling_counts
+
+    tmp = tempfile.mkdtemp(prefix="wstream_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    ev.write.parquet(f"{tmp}/src")
+    streamed = stream_tumbling_counts(
+        spark, f"{tmp}/src", "event_id long, ts timestamp, event_type string, value double"
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.unix_micros("w.start").alias("window_start_us"), "event_type", "n", "total_value")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
