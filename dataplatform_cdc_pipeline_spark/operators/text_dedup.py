@@ -262,6 +262,63 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → one canonical id
+    per duplicate cluster (the grouping step after MinHash/SimHash pairing).
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest id reachable over the pair edges until fixpoint. Each
+    iteration is one join + one groupBy (two shuffles) over the *pair*
+    set — never the corpus; iteration count is the cluster diameter
+    (≤ log n after path-halving via label re-join), bounded by
+    ``max_iterations``. Singleton docs map to themselves.
+
+    Returns (id, canonical_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    # labels over nodes that appear in any edge
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        # candidate label for each node: min over neighbors' labels + own
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # min-labels only ever decrease → Σlabel strictly decreases until
+        # fixpoint; one cheap agg replaces a join-based change check
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (
+        all_ids.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("label", F.col(id_col)).alias("canonical_id")
+        )
+    )
+
+
 def simhash_expr(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """60-bit SimHash over word tokens, single pass.
 

@@ -259,6 +259,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_JACCARD = SQL_DEDUP_MINHASH_LSH.replace("jaccard >= 0.9", "jaccard >= 0.5")
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over MinHash-LSH pairs →
+    canonical id per document (iterative min-label propagation)."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.9)
+    return dedup_clusters(pairs, docs)
+
+
+_PAIRS_SQL_NO_ORDER = SQL_DEDUP_MINHASH_LSH.replace("ORDER BY id_a, id_b", "")
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL_NO_ORDER}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node)
+SELECT doc_id, coalesce(comp.canonical, doc_id) AS canonical_id
+FROM documents LEFT JOIN comp ON doc_id = comp.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -429,6 +456,7 @@ LLM_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -445,6 +473,7 @@ LLM_ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_ann_lsh": SQL_EMBEDDING_ANN_LSH,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,

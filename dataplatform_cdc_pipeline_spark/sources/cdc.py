@@ -84,8 +84,10 @@ def synthesize_cdc_from_events(events: DataFrame) -> DataFrame:
     )
 
 
-def read_cdc_batch(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
-    """S4 batch reader for a landed bronze table (parquet/json).
+def read_cdc_batch(
+    spark: SparkSession, path: str, schema: T.StructType | None = None, fmt: str | None = None
+) -> DataFrame:
+    """S4 batch reader for a landed bronze table (parquet/json/csv/orc).
 
     Column pruning + the window predicate push down to the scan; a
     date-partitioned landing layout gets partition pruning for free from
@@ -95,6 +97,10 @@ def read_cdc_batch(spark: SparkSession, path: str, schema: T.StructType | None =
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    if path.endswith(".json") or path.endswith(".jsonl"):
+    if path.endswith((".json", ".jsonl")) or fmt == "json":
         return reader.json(path)
+    if path.endswith(".csv") or fmt == "csv":
+        return reader.option("header", "true").csv(path)
+    if path.endswith(".orc") or fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)

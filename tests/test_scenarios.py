@@ -188,3 +188,21 @@ def test_salted_dedup_equivalence(spark):
     p = sorted(map(tuple, plain.collect()))
     s = sorted(map(tuple, salted.collect()))
     assert p == s and len(p) == 20
+
+
+# bronze source formats: parquet / json / csv / orc all feed the same merge
+def test_bronze_source_formats(spark, tmp_path):
+    from dataplatform_cdc_pipeline_spark.sources.cdc import read_cdc_batch
+
+    raw = bronze(spark, [("c", 1, 1, 1, 1.0), ("u", 2, 2, 1, 9.0)])
+    base = str(tmp_path)
+    raw.write.parquet(f"{base}/b.parquet")
+    raw.write.json(f"{base}/b.jsonl")
+    raw.write.option("header", "true").csv(f"{base}/b.csv")
+    raw.write.orc(f"{base}/b.orc")
+
+    expected = sorted((r["data"], r["load_ts"]) for r in raw.collect())
+    for path in (f"{base}/b.parquet", f"{base}/b.jsonl", f"{base}/b.csv", f"{base}/b.orc"):
+        df = read_cdc_batch(spark, path, schema="data string, load_ts timestamp")
+        got = sorted((r["data"], r["load_ts"]) for r in df.collect())
+        assert got == expected, path

@@ -69,3 +69,29 @@ def test_stream_tumbling_counts_equals_batch(spark, sf_dir):
         .select(F.unix_micros("w.start").alias("window_start_us"), "event_type", "n", "total_value")
     )
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_running_user_totals_stateful(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+    from dataplatform_cdc_pipeline_spark.streaming.stateful import running_user_totals
+
+    tmp = tempfile.mkdtemp(prefix="stateful_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    # two landings — state must carry across micro-batches
+    ev.filter("event_id % 2 = 0").write.parquet(f"{tmp}/src")
+    running_user_totals(spark, f"{tmp}/src", checkpoint_path=f"{tmp}/ckpt")
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(f"{tmp}/src")
+    out = running_user_totals(spark, f"{tmp}/src", checkpoint_path=f"{tmp}/ckpt")
+
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in out.collect()}
+    exp = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == exp
