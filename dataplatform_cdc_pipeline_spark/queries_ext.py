@@ -73,7 +73,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.rollup("event_type", "event_date")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2).alias("total_value"))
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             F.coalesce("event_date", F.lit("ALL")).alias("event_date"),
@@ -87,7 +87,7 @@ SQL_EVENTS_ROLLUP = """
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(event_date, 'ALL') AS event_date,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       round(sum(CAST(value AS DECIMAL(25,6)))::DOUBLE, 2) AS total_value
 FROM (SELECT event_type, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS event_date, value FROM events)
 GROUP BY ROLLUP (event_type, event_date)
 """
@@ -215,13 +215,13 @@ def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi), "left"
     )
     return joined.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+        F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_value")
     )
 
 
 SQL_VALUE_BAND_JOIN = f"""
 WITH bands(lo, hi, band) AS (VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in VALUE_BANDS)})
-SELECT band, count(*) AS n, round(avg(value), 4) AS avg_value
+SELECT band, count(*) AS n, round(sum(CAST(value AS DECIMAL(25,6)))::DOUBLE / count(*), 4) AS avg_value
 FROM events LEFT JOIN bands ON value >= lo AND value < hi
 GROUP BY band
 """
@@ -316,12 +316,12 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
 SQL_SMALL_QUANTITY_REVENUE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE / 7.0, 2) AS avg_yearly
 FROM lineitem l1
 WHERE l_quantity < (
   SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
@@ -386,7 +386,7 @@ SQL_STREAM_WINDOWED_COUNTS = """
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)) AS window_start_us,
        event_type,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       round(sum(CAST(value AS DECIMAL(25,6)))::DOUBLE, 2) AS total_value
 FROM events
 GROUP BY 1, 2
 """
