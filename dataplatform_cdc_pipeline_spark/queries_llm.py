@@ -444,6 +444,86 @@ ORDER BY id_a, id_b
 SQL_EMBEDDING_NEAR_DUP = _near_dup_sql()
 
 # ---------------------------------------------------------------------------
+# capstone: full training-data pipeline (filter → dedup → pack)
+# ---------------------------------------------------------------------------
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data pipeline over documents:
+
+    1. quality filter (keep score ≥ 0.5)
+    2. near-dup removal — only cluster canonicals survive (MinHash-LSH →
+       connected components)
+    3. concat-and-chunk packing: surviving docs in doc_id order are
+       concatenated and split into 512-token chunks — `chunk_id =
+       (cumulative_tokens_before) // 512`, the standard pretraining
+       packing layout, as a single window cumsum (one shuffle).
+    """
+    from dataplatform_cdc_pipeline_spark.operators.packing import concat_and_chunk
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.withColumn("q", quality_score_expr("text")).filter(F.col("q") >= 0.5)
+    pairs = minhash_dedup_pairs(docs, threshold=0.9)
+    clusters = dedup_clusters(pairs, docs)
+    keep = quality.join(clusters, "doc_id").filter(F.col("doc_id") == F.col("canonical_id"))
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return concat_and_chunk(keep, toks, order_col="doc_id", chunk_tokens=512).select(
+        "doc_id", "n_tokens", "chunk_id", "chunk_offset"
+    )
+
+
+_CLUSTERS_SQL_INNER = None  # built below from the clusters oracle
+
+
+def _training_mix_sql() -> str:
+    # reuse the quality + cluster oracles; pack with a window cumsum
+    quality_filter = f"""
+  SELECT doc_id FROM (
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             least(len(toks) / 100.0, 1.0) AS lc,
+             least(({_stop_count_sql(LANG_PROFILES["en"])} * 1.0 / len(toks)) * 10.0, 1.0) AS sc,
+             1.0 - least((len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text)) * 20.0, 1.0) AS pc,
+             CASE WHEN round((length(text) - len(toks) + 1) / len(toks), 4) BETWEEN 3.0 AND 10.0
+                  THEN 1.0 ELSE 0.0 END AS lo
+      FROM t)
+    SELECT doc_id FROM c WHERE round(lc * 0.4 + sc * 0.3 + pc * 0.2 + lo * 0.1, 4) >= 0.5)
+"""
+    pairs_sql = SQL_DEDUP_MINHASH_LSH.replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node),
+qual AS ({quality_filter}),
+keep AS (
+  SELECT d.doc_id, len({TOKS}) AS n_tokens
+  FROM documents d
+  JOIN qual USING (doc_id)
+  LEFT JOIN comp ON d.doc_id = comp.node
+  WHERE coalesce(comp.canonical, d.doc_id) = d.doc_id),
+packed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM keep)
+SELECT doc_id, n_tokens,
+       (tokens_before // 512)::BIGINT AS chunk_id,
+       tokens_before % 512 AS chunk_offset
+FROM packed
+"""
+
+
+SQL_TRAINING_MIX = _training_mix_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -457,6 +537,7 @@ LLM_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "training_mix": q_training_mix,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -474,6 +555,7 @@ LLM_ORACLES = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "training_mix": SQL_TRAINING_MIX,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_ann_lsh": SQL_EMBEDDING_ANN_LSH,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,

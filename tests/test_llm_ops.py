@@ -136,3 +136,17 @@ def test_hyperplane_signs_deterministic():
     b = hyperplane_signs(4, 16)
     assert a == b
     assert {v for row in a for v in row} == {-1, 1}
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from dataplatform_cdc_pipeline_spark.operators.packing import global_running_sum
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("v")
+    )
+    fast = global_running_sum(df, "k", F.col("v"), "run", num_partitions=16)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    slow = df.withColumn("run", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
