@@ -19,9 +19,21 @@ idiomatically on Spark DataFrames / Spark SQL / Structured Streaming:
   analysis, multimodal column plumbing.
 """
 
-from dataplatform_cdc_pipeline_spark.config import MergeConfig, load_config
+from dataplatform_cdc_pipeline_spark.config import MergeConfig, load_config, lookup_config
+from dataplatform_cdc_pipeline_spark.engine import MergeResult, run_merge
+from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
 from dataplatform_cdc_pipeline_spark.session import get_spark
 
-__all__ = ["MergeConfig", "load_config", "get_spark"]
+__all__ = [
+    "MergeConfig",
+    "MergeResult",
+    "ParquetMergeTarget",
+    "WatermarkStore",
+    "get_spark",
+    "load_config",
+    "lookup_config",
+    "run_merge",
+]
 
 __version__ = "0.1.0"

@@ -61,6 +61,14 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def floor6(x: Column) -> Column:
+    """Truncate to 6 decimals — deterministic across engines for
+    bit-identical inputs, unlike round() whose half-up boundary handling
+    differs between Spark (shortest-decimal BigDecimal) and DuckDB
+    (std::round on the binary value)."""
+    return F.floor(x * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
 def lsh_bucket_expr(vec: Column, signs: list[list[int]]) -> Column:
     """Sign-bit bucket key: one char per hyperplane ('1' if dot ≥ 0)."""
     bits = []
@@ -92,8 +100,8 @@ def brute_force_topk(
     scored = corpus.join(F.broadcast(qs), F.col("query_id") != F.col("nbr_id")).select(
         "query_id",
         "nbr_id",
-        F.round(
-            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm")), 6
+        floor6(
+            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
@@ -136,8 +144,8 @@ def lsh_topk(
     ).select(
         "query_id",
         "nbr_id",
-        F.round(
-            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm")), 6
+        floor6(
+            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
@@ -211,8 +219,8 @@ def ivf_topk(
     ).select(
         "query_id",
         "nbr_id",
-        F.round(
-            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm")), 6
+        floor6(
+            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
@@ -245,8 +253,8 @@ def cosine_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(
-                dot_expr(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            floor6(
+                dot_expr(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

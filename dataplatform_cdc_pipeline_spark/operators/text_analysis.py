@@ -52,9 +52,11 @@ def token_stats_columns(text: Column | str = "text") -> dict[str, Column]:
     return {
         "n_tokens": n_tokens,
         "n_chars_measured": n_chars,
-        "avg_token_len": F.round(
-            (n_chars - n_tokens + 1).cast("double") / n_tokens.cast("double"), 4
-        ),
+        # floor-scaled, not rounded — see quality_score_expr for why
+        "avg_token_len": F.floor(
+            (n_chars - n_tokens + 1).cast("double") / n_tokens.cast("double") * F.lit(10000.0)
+        )
+        / F.lit(10000.0),
         "punct_count": F.size(F.regexp_extract_all(c, F.lit(PUNCT_PATTERN), 0)),
         "digit_count": F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0)),
         "stopword_count": stopword_hits(toks, LANG_PROFILES["en"]),
@@ -75,12 +77,19 @@ def quality_score_expr(text: Column | str = "text") -> Column:
     stop_component = F.least(stop_ratio * F.lit(10.0), F.lit(1.0))
     punct_ratio = s["punct_count"].cast("double") / s["n_chars_measured"].cast("double")
     punct_component = F.lit(1.0) - F.least(punct_ratio * F.lit(20.0), F.lit(1.0))
-    len_ok = (
-        (s["avg_token_len"] >= F.lit(3.0)) & (s["avg_token_len"] <= F.lit(10.0))
-    ).cast("double")
-    return F.round(
-        length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1, 4
+    # compare the RAW ratio (the rounded display value would add a second
+    # cross-engine rounding boundary)
+    raw_avg_len = (s["n_chars_measured"] - s["n_tokens"] + 1).cast("double") / n_tokens
+    len_ok = ((raw_avg_len >= F.lit(3.0)) & (raw_avg_len <= F.lit(10.0))).cast("double")
+    score = (
+        length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1
     )
+    # floor-scaling, NOT round: the unrounded double is bit-identical across
+    # engines (pure IEEE per-row arithmetic), so floor(x*1e4) is too —
+    # whereas round() half-up boundaries differ between Spark's
+    # shortest-decimal BigDecimal and DuckDB's std::round (seen: 8/5000
+    # docs flipping 0.8372 vs 0.8373 at sf0.1)
+    return F.floor(score * F.lit(10000.0)) / F.lit(10000.0)
 
 
 def language_scores(text: Column | str = "text") -> dict[str, Column]:

@@ -256,7 +256,9 @@ def minhash_dedup_pairs(
         joined.select(
             "id_a",
             "id_b",
-            F.round(jaccard_expr(F.col("set_a"), F.col("set_b")), 6).alias("jaccard"),
+            # floor-truncation, not round: cross-engine-stable (see similarity.floor6)
+            (F.floor(jaccard_expr(F.col("set_a"), F.col("set_b")) * F.lit(1000000.0))
+             / F.lit(1000000.0)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -106,3 +106,26 @@ class WatermarkStore:
 
     def history(self) -> DataFrame:
         return self._read().orderBy(F.col("insert_timestamp").desc())
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the audit table into ``target_files`` files.
+
+        Each run appends a one-row file; a long-running deployment calls
+        this periodically (the small-file problem of append-only audit
+        tables). Returns the number of rows compacted. Staged write + dir
+        swap, same commit shape as the merge target.
+        """
+        import shutil
+        import uuid as _uuid
+
+        if not os.path.isdir(self.path):
+            return 0
+        df = self._read()
+        n = df.count()
+        staging = f"{self.path}.compact-{_uuid.uuid4().hex[:8]}"
+        df.coalesce(target_files).write.parquet(staging)
+        old = f"{self.path}.old-{_uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return n

@@ -79,7 +79,7 @@ WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_tokens,
        length(text) AS n_chars_measured,
-       round((length(text) - len(toks) + 1) / len(toks), 4) AS avg_token_len,
+       floor((length(text) - len(toks) + 1) / len(toks) * 10000.0) / 10000.0 AS avg_token_len,
        len(regexp_extract_all(text, '[.,!?;:]')) AS punct_count,
        len(regexp_extract_all(text, '[0-9]')) AS digit_count,
        {_stop_count_sql(LANG_PROFILES["en"])} AS stopword_count
@@ -103,12 +103,12 @@ c AS (
          least(len(toks) / 100.0, 1.0) AS length_component,
          least(({_stop_count_sql(LANG_PROFILES["en"])} * 1.0 / len(toks)) * 10.0, 1.0) AS stop_component,
          1.0 - least((len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text)) * 20.0, 1.0) AS punct_component,
-         CASE WHEN round((length(text) - len(toks) + 1) / len(toks), 4) BETWEEN 3.0 AND 10.0
+         CASE WHEN (length(text) - len(toks) + 1) * 1.0 / len(toks) BETWEEN 3.0 AND 10.0
               THEN 1.0 ELSE 0.0 END AS len_ok
   FROM t)
 SELECT doc_id,
-       round(length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1, 4) AS quality_score,
-       round(length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1, 4) >= 0.5 AS keep
+       floor((length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1) * 10000.0) / 10000.0 AS quality_score,
+       floor((length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1) * 10000.0) / 10000.0 >= 0.5 AS keep
 FROM c ORDER BY doc_id
 """
 
@@ -225,8 +225,8 @@ cand AS (
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 v AS (
   SELECT id_a, id_b,
-         round(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
-               len(list_distinct(list_concat(sa.shset, sb.shset))), 6) AS jaccard
+         floor(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+               len(list_distinct(list_concat(sa.shset, sb.shset))) * 1000000.0) / 1000000.0 AS jaccard
   FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
             JOIN sig sb ON cand.id_b = sb.doc_id)
 SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.9 ORDER BY id_a, id_b
@@ -310,8 +310,8 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COS = (
-    "round(list_dot_product(q.vec, c.vec) / "
-    "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6)"
+    "floor(list_dot_product(q.vec, c.vec) / "
+    "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))) * 1000000.0) / 1000000.0"
 )
 SQL_EMBEDDING_TOPK = f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
@@ -394,9 +394,9 @@ routed AS (
     FROM q CROSS JOIN cent c) WHERE rk = 1),
 scored AS (
   SELECT r.query_id, c.vec_id AS nbr_id,
-         round(list_dot_product(r.q_vec, c.vec) /
+         floor(list_dot_product(r.q_vec, c.vec) /
                (sqrt(list_dot_product(r.q_vec, r.q_vec)) *
-                sqrt(list_dot_product(c.vec, c.vec))), 6) AS cosine
+                sqrt(list_dot_product(c.vec, c.vec))) * 1000000.0) / 1000000.0 AS cosine
   FROM routed r JOIN v c ON r.cell = c.cell AND r.query_id != c.vec_id),
 ranked AS (
   SELECT query_id, nbr_id, cosine,
@@ -439,8 +439,8 @@ def _near_dup_sql() -> str:
         for row in signs
     )
     cos = (
-        "round(list_dot_product(a.vec, b.vec) / "
-        "(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)"
+        "floor(list_dot_product(a.vec, b.vec) / "
+        "(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) * 1000000.0) / 1000000.0"
     )
     return f"""
 WITH v AS (
@@ -498,10 +498,10 @@ def _training_mix_sql() -> str:
              least(len(toks) / 100.0, 1.0) AS lc,
              least(({_stop_count_sql(LANG_PROFILES["en"])} * 1.0 / len(toks)) * 10.0, 1.0) AS sc,
              1.0 - least((len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text)) * 20.0, 1.0) AS pc,
-             CASE WHEN round((length(text) - len(toks) + 1) / len(toks), 4) BETWEEN 3.0 AND 10.0
+             CASE WHEN (length(text) - len(toks) + 1) * 1.0 / len(toks) BETWEEN 3.0 AND 10.0
                   THEN 1.0 ELSE 0.0 END AS lo
       FROM t)
-    SELECT doc_id FROM c WHERE round(lc * 0.4 + sc * 0.3 + pc * 0.2 + lo * 0.1, 4) >= 0.5)
+    SELECT doc_id FROM c WHERE floor((lc * 0.4 + sc * 0.3 + pc * 0.2 + lo * 0.1) * 10000.0) / 10000.0 >= 0.5)
 """
     pairs_sql = SQL_DEDUP_MINHASH_LSH.replace("ORDER BY id_a, id_b", "")
     return f"""

@@ -206,3 +206,24 @@ def test_bronze_source_formats(spark, tmp_path):
         df = read_cdc_batch(spark, path, schema="data string, load_ts timestamp")
         got = sorted((r["data"], r["load_ts"]) for r in df.collect())
         assert got == expected, path
+
+
+# audit-table compaction: run files collapse, content + watermark preserved
+def test_audit_compaction(spark):
+    import glob
+
+    cfg, target, audit = pipeline(spark)
+    for i in range(4):
+        run_merge(spark, cfg, target, audit,
+                  raw=bronze(spark, [("u", i + 1, i + 1, 1, float(i))]),
+                  window=(None, None), deterministic_audit=True)
+    before_rows = sorted((r["id"], r["run_status"]) for r in audit.history().collect())
+    wm_before = audit.read_watermark(cfg.cdc_table, cfg.target_table)
+    files_before = len(glob.glob(f"{audit.path}/*.parquet"))
+
+    n = audit.compact()
+    assert n == 4
+    files_after = len(glob.glob(f"{audit.path}/*.parquet"))
+    assert files_after < files_before and files_after == 1
+    assert sorted((r["id"], r["run_status"]) for r in audit.history().collect()) == before_rows
+    assert audit.read_watermark(cfg.cdc_table, cfg.target_table) == wm_before
