@@ -377,17 +377,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal sums: exact and partition-order-independent — a plain
             # double sum drifts ~1e-4 with partition count, enough to flip
             # round(,2) between environments (see SCALE.md)
-            F.round(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double"), 2).alias("sum_base_price"),
+            # round in the DECIMAL domain (exact; both engines HALF_UP) and
+            # only then cast to double — round(double) has cross-engine
+            # half-boundary divergence; averages floor-scale the
+            # IEEE-identical double quotient
+            F.round(F.sum(F.col("l_quantity").cast("decimal(25,6)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")), 2).cast("double").alias("sum_base_price"),
             F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")).cast("double"), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_disc"),
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 2
+            ).cast("double").alias("sum_disc_price"),
+            (F.floor(
+                F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)) * 10000.0
+            ) / 10000.0).alias("avg_qty"),
+            (F.floor(
+                F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)) * 10000.0
+            ) / 10000.0).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         
@@ -396,11 +400,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE, 2) AS sum_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE, 2) AS sum_base_price,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))::DOUBLE, 2) AS sum_disc_price,
-       round(sum(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE / count(*), 4) AS avg_qty,
-       round(sum(CAST(l_discount AS DECIMAL(25,6)))::DOUBLE / count(*), 4) AS avg_disc,
+       round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2)::DOUBLE AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS sum_disc_price,
+       floor(sum(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE / count(*) * 10000.0) / 10000.0 AS avg_qty,
+       floor(sum(CAST(l_discount AS DECIMAL(25,6)))::DOUBLE / count(*) * 10000.0) / 10000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -424,8 +428,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")).cast("double"), 2
-            ).alias("revenue"),
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 2
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         
@@ -434,7 +438,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REVENUE_BY_NATION = """
 SELECT r_name, n_name,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))::DOUBLE, 2) AS revenue,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

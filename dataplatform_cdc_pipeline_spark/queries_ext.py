@@ -73,7 +73,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.rollup("event_type", "event_date")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2).cast("double").alias("total_value"))
         .select(
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             F.coalesce("event_date", F.lit("ALL")).alias("event_date"),
@@ -87,7 +87,7 @@ SQL_EVENTS_ROLLUP = """
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(event_date, 'ALL') AS event_date,
        count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(25,6)))::DOUBLE, 2) AS total_value
+       round(sum(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS total_value
 FROM (SELECT event_type, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS event_date, value FROM events)
 GROUP BY ROLLUP (event_type, event_date)
 """
@@ -215,13 +215,13 @@ def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi), "left"
     )
     return joined.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_value")
+        F.count(F.lit(1)).alias("n"), (F.floor(F.sum(F.col("value").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)) * 10000.0) / 10000.0).alias("avg_value")
     )
 
 
 SQL_VALUE_BAND_JOIN = f"""
 WITH bands(lo, hi, band) AS (VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in VALUE_BANDS)})
-SELECT band, count(*) AS n, round(sum(CAST(value AS DECIMAL(25,6)))::DOUBLE / count(*), 4) AS avg_value
+SELECT band, count(*) AS n, floor(sum(CAST(value AS DECIMAL(25,6)))::DOUBLE / count(*) * 10000.0) / 10000.0 AS avg_value
 FROM events LEFT JOIN bands ON value >= lo AND value < hi
 GROUP BY band
 """
@@ -263,7 +263,7 @@ def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
-        F.round(F.avg("k"), 4).alias("avg_k"),
+        (F.floor(F.sum("k").cast("double") / F.count("k") * 10000.0) / 10000.0).alias("avg_k"),
         F.max("k").alias("max_k"),
         F.countDistinct("k").alias("distinct_k"),
     )
@@ -271,7 +271,7 @@ def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PROPS_STATS = """
 SELECT event_type,
-       round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+       floor(sum(json_extract_string(props, '$.k')::INT)::DOUBLE / count(json_extract_string(props, '$.k')::INT) * 10000.0) / 10000.0 AS avg_k,
        max(json_extract_string(props, '$.k')::INT) AS max_k,
        count(DISTINCT json_extract_string(props, '$.k')::INT) AS distinct_k
 FROM events GROUP BY event_type
@@ -316,12 +316,12 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
+        .agg((F.floor(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / 7.0 * 100.0) / 100.0).alias("avg_yearly"))
     )
 
 
 SQL_SMALL_QUANTITY_REVENUE = """
-SELECT round(sum(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE / 7.0, 2) AS avg_yearly
+SELECT floor(sum(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE / 7.0 * 100.0) / 100.0 AS avg_yearly
 FROM lineitem l1
 WHERE l_quantity < (
   SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
@@ -386,7 +386,7 @@ SQL_STREAM_WINDOWED_COUNTS = """
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)) AS window_start_us,
        event_type,
        count(*) AS n,
-       round(sum(CAST(value AS DECIMAL(25,6)))::DOUBLE, 2) AS total_value
+       round(sum(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS total_value
 FROM events
 GROUP BY 1, 2
 """

@@ -37,7 +37,7 @@ def stream_tumbling_counts(
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_len).alias("w"), F.col(group_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2).cast("double").alias("total_value"))
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             group_col,

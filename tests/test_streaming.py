@@ -65,7 +65,7 @@ def test_stream_tumbling_counts_equals_batch(spark, sf_dir):
     )
     batch = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2).cast("double").alias("total_value"))
         .select(F.unix_micros("w.start").alias("window_start_us"), "event_type", "n", "total_value")
     )
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
