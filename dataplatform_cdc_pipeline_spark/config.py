@@ -84,6 +84,10 @@ class MergeConfig:
     # Mirror the reference's literal two-stream plan (log_v_i / log_v_d + J2
     # survivorship join, merge.sql:306-349) instead of the unified dedup.
     two_stream_fidelity: bool = False
+    # W1 dedup physical strategy: 'agg' (groupBy + max(struct) — map-side
+    # partial aggregation, minimal shuffle; the scale default) or 'window'
+    # (ranked window — shuffles every row, exact reference plan shape).
+    dedup_strategy: str = "agg"
 
     # --- envelope ---
     ts_ns_encoding: str = "auto"  # 'nanos' (step-6:311) | 'iso' (step-5:300) | 'auto'
@@ -121,6 +125,8 @@ class MergeConfig:
             raise ValueError("config requires at least one primary-key column")
         if self.ts_ns_encoding not in ("auto", "nanos", "iso"):
             raise ValueError(f"bad ts_ns_encoding: {self.ts_ns_encoding}")
+        if self.dedup_strategy not in ("agg", "window"):
+            raise ValueError(f"bad dedup_strategy: {self.dedup_strategy}")
 
     @classmethod
     def from_dict(cls, raw: dict) -> "MergeConfig":

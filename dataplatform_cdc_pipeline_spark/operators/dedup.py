@@ -54,3 +54,45 @@ def latest_per_key(
     w = Window.partitionBy(*keys).orderBy(*order_cols)
     out = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return out if keep_rn else out.drop("rn")
+
+
+def latest_per_key_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    pos_col: str,
+    carry_cols: list[str],
+) -> DataFrame:
+    """W1 dedup via aggregation instead of a ranked window.
+
+    ``groupBy(pk).agg(max(struct(ts, pos, carry…)))`` — semantically the
+    same "latest (ts, pos) wins" (struct comparison is field-order
+    lexicographic), but with MAP-SIDE PARTIAL AGGREGATION: each input
+    partition ships at most one candidate row per key through the shuffle,
+    vs the window form which shuffles EVERY row and sorts within groups.
+    For CDC batches with hot keys (many updates per key) this reduces
+    shuffle volume by the per-key update factor — the right default at
+    scale.
+
+    Tie behavior at exactly equal (ts, pos): the lexicographically largest
+    carry wins (deterministic); the window form keeps an arbitrary
+    partition-order row (the reference's ORDER BY leaves this undefined
+    too, SURVEY.md §7 risk register).
+
+    ``carry_cols`` must be orderable types (no maps) — carry the raw JSON
+    string through the shuffle and re-parse only the winners.
+    """
+    packed = F.max(
+        F.struct(
+            F.col(ts_col).alias("__ts"),
+            F.col(pos_col).alias("__pos"),
+            *[F.col(c).alias(c) for c in carry_cols],
+        )
+    ).alias("__best")
+    out = df.groupBy(*[F.col(k) for k in key_cols]).agg(packed)
+    return out.select(
+        *key_cols,
+        F.col("__best.__ts").alias(ts_col),
+        F.col("__best.__pos").alias(pos_col),
+        *[F.col(f"__best.{c}").alias(c) for c in carry_cols],
+    )

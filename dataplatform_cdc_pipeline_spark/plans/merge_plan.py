@@ -21,7 +21,7 @@ from dataplatform_cdc_pipeline_spark.functions.envelope import (
     parse_payload,
     payload_value,
 )
-from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
+from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key, latest_per_key_agg
 from dataplatform_cdc_pipeline_spark.plans.cast_rules import cast_expr, typed_projection
 
 
@@ -87,23 +87,45 @@ def build_changes(
     sides kept only rn=1 (proof in SURVEY.md §7). One shuffle total.
     """
     env = envelope_columns("__payload", cfg.ts_ns_encoding)
-    # project to exactly what the dedup + typed projection need BEFORE the
-    # shuffle: the raw `data` string and transport metadata columns would
-    # otherwise ride through the exchange (~2× shuffle bytes for nothing)
-    keyed = windowed.select(
-        F.col("__op"),
-        F.col("__payload"),
-        F.col(cfg.load_ts_col),
-        env["source_ts_ns_order"].alias("__event_ts"),
-        env["pos"].alias("__pos"),
-        *[e.alias(f"__pk_{i}") for i, e in enumerate(_pk_exprs(cfg, target_schema))],
-    )
-    deduped = latest_per_key(
-        keyed,
-        [f"__pk_{i}" for i in range(len(cfg.pk))],
-        ts_col="__event_ts",
-        pos_col="__pos",
-    )
+    pk_aliases = [f"__pk_{i}" for i in range(len(cfg.pk))]
+    if cfg.dedup_strategy == "agg":
+        # agg-dedup: groupBy(pk).max(struct(ts, pos, raw json)) — map-side
+        # partial aggregation ships ≤1 candidate per key per partition
+        # through the shuffle (the map column is not orderable, so the raw
+        # string rides the struct and winners re-parse — a per-KEY parse,
+        # not per-event)
+        keyed = windowed.select(
+            F.col("data"),
+            F.col(cfg.load_ts_col),
+            env["source_ts_ns_order"].alias("__event_ts"),
+            env["pos"].alias("__pos"),
+            *[e.alias(a) for a, e in zip(pk_aliases, _pk_exprs(cfg, target_schema))],
+        )
+        deduped = latest_per_key_agg(
+            keyed, pk_aliases, "__event_ts", "__pos", ["data", cfg.load_ts_col]
+        )
+        deduped = deduped.withColumn("__payload", parse_payload("data")).withColumn(
+            "__op", payload_value(F.col("__payload"), "__op")
+        )
+    else:
+        # window-dedup: exact reference plan shape (ranked window, rn=1);
+        # project to exactly what the dedup + typed projection need BEFORE
+        # the shuffle — the raw `data` string and transport metadata would
+        # otherwise ride the exchange for nothing
+        keyed = windowed.select(
+            F.col("__op"),
+            F.col("__payload"),
+            F.col(cfg.load_ts_col),
+            env["source_ts_ns_order"].alias("__event_ts"),
+            env["pos"].alias("__pos"),
+            *[e.alias(a) for a, e in zip(pk_aliases, _pk_exprs(cfg, target_schema))],
+        )
+        deduped = latest_per_key(
+            keyed,
+            pk_aliases,
+            ts_col="__event_ts",
+            pos_col="__pos",
+        )
     proj = typed_projection(target_schema, cfg, deterministic_audit=deterministic_audit)
     # __load_ts rides along so the merge can derive window stats + the next
     # watermark from the SAME cached frame (one agg job — the reference also

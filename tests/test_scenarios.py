@@ -227,3 +227,17 @@ def test_audit_compaction(spark):
     assert files_after < files_before and files_after == 1
     assert sorted((r["id"], r["run_status"]) for r in audit.history().collect()) == before_rows
     assert audit.read_watermark(cfg.cdc_table, cfg.target_table) == wm_before
+
+
+# physical dedup strategies agree: agg (map-side combine) vs window (ranked)
+def test_dedup_strategy_equivalence(spark):
+    rows = []
+    pos = 0
+    for uid in range(1, 30):
+        for j in range(uid % 7 + 1):  # varying updates per key
+            pos += 1
+            op = "d" if (uid + j) % 11 == 0 else ("c" if j == 0 else "u")
+            rows.append((op, pos * 10, pos, uid, float(pos)))
+    _, t_agg, _ = merge(spark, rows, dedup_strategy="agg")
+    _, t_win, _ = merge(spark, rows, dedup_strategy="window")
+    assert state(t_agg) == state(t_win)
