@@ -238,8 +238,10 @@ def q_events_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("distinct_users"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
-        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+        # floor-scaled: cross-engine percentiles are bit-identical (verified),
+        # and floor of identical doubles cannot hit round-half divergence
+        (F.floor(F.percentile("value", F.lit(0.5)) * 10000.0) / 10000.0).alias("median_value"),
+        (F.floor(F.percentile("value", F.lit(0.9)) * 10000.0) / 10000.0).alias("p90_value"),
     )
 
 
@@ -247,8 +249,8 @@ SQL_EVENTS_DISTINCT_STATS = """
 SELECT event_type,
        count(DISTINCT user_id) AS distinct_users,
        count(*) AS n,
-       round(quantile_cont(value, 0.5), 4) AS median_value,
-       round(quantile_cont(value, 0.9), 4) AS p90_value
+       floor(quantile_cont(value, 0.5) * 10000.0) / 10000.0 AS median_value,
+       floor(quantile_cont(value, 0.9) * 10000.0) / 10000.0 AS p90_value
 FROM events GROUP BY event_type
 """
 
