@@ -327,6 +327,45 @@ def q_cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_MERGE_INCREMENTAL = SQL_CDC_MERGE_FULL
 
 
+def q_cdc_merge_multi_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-PK merge (step-7 parity): latest state per (user_id, event_type)
+    composite key through the full lifecycle."""
+    import tempfile as _tf
+
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config(pk="user_id,event_type")
+    tmp = _tf.mkdtemp(prefix="cdc_mpk_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, None), deterministic_audit=True)
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_MERGE_MULTI_PK = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, {OP_SQL} AS op, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked WHERE rn = 1 AND op != 'd'
+"""
+
+
 def q_cdc_watermark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: window stats — min/max load_ts + upsert/delete candidate counts."""
     raw = cdc_feed(spark, sf_dir)
@@ -487,6 +526,7 @@ QUERIES: dict[str, callable] = {
     "cdc_delete_survivorship": q_cdc_delete_survivorship,
     "cdc_merge_full": q_cdc_merge_full,
     "cdc_merge_incremental": q_cdc_merge_incremental,
+    "cdc_merge_multi_pk": q_cdc_merge_multi_pk,
     "cdc_watermark_stats": q_cdc_watermark_stats,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -500,6 +540,7 @@ ORACLES: dict[str, str] = {
     "cdc_delete_survivorship": SQL_CDC_DELETE_SURVIVORSHIP,
     "cdc_merge_full": SQL_CDC_MERGE_FULL,
     "cdc_merge_incremental": SQL_CDC_MERGE_INCREMENTAL,
+    "cdc_merge_multi_pk": SQL_CDC_MERGE_MULTI_PK,
     "cdc_watermark_stats": SQL_CDC_WATERMARK_STATS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
