@@ -45,13 +45,21 @@ def stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
 
 def token_stats_columns(text: Column | str = "text") -> dict[str, Column]:
     """Token/char statistics: the building blocks of quality scoring."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import shingles_expr
+
     c = F.col(text) if isinstance(text, str) else text
     toks = tokens_expr(c)
     n_tokens = F.size(toks)
     n_chars = F.length(c)
+    sh = shingles_expr(c, 3)
+    # Gopher-style repetition signal: duplicate word-3gram fraction
+    rep_ratio = F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh).cast(
+        "double"
+    )
     return {
         "n_tokens": n_tokens,
         "n_chars_measured": n_chars,
+        "rep_ratio": F.floor(rep_ratio * F.lit(10000.0)) / F.lit(10000.0),
         # floor-scaled, not rounded — see quality_score_expr for why
         "avg_token_len": F.floor(
             (n_chars - n_tokens + 1).cast("double") / n_tokens.cast("double") * F.lit(10000.0)

@@ -68,6 +68,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_chars_measured",
         "avg_token_len",
+        "rep_ratio",
         "punct_count",
         "digit_count",
         "stopword_count",
@@ -75,15 +76,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TEXT_STATS = f"""
-WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+s AS (SELECT *, {SHINGLES} AS sh FROM t)
 SELECT doc_id,
        len(toks) AS n_tokens,
        length(text) AS n_chars_measured,
        floor((length(text) - len(toks) + 1) / len(toks) * 10000.0) / 10000.0 AS avg_token_len,
+       floor((1.0 - len(list_distinct(sh)) * 1.0 / len(sh)) * 10000.0) / 10000.0 AS rep_ratio,
        len(regexp_extract_all(text, '[.,!?;:]')) AS punct_count,
        len(regexp_extract_all(text, '[0-9]')) AS digit_count,
        {_stop_count_sql(LANG_PROFILES["en"])} AS stopword_count
-FROM t ORDER BY doc_id
+FROM s ORDER BY doc_id
 """
 
 
