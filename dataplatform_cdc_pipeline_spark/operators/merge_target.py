@@ -121,7 +121,9 @@ class ParquetMergeTarget:
             if not affected:
                 return stats
 
-            t = self.read(buckets=affected).alias("t")
+            # explicit presence marker — inferring presence from a PK column's
+            # null-ness would misjudge rows whose PK value is legitimately null
+            t = self.read(buckets=affected).withColumn("__t_present", F.lit(True)).alias("t")
             s_a = s.alias("s")
             cond = None
             for c in pk:
@@ -130,7 +132,7 @@ class ParquetMergeTarget:
             j = s_a.join(t, cond, "full_outer")
 
             s_present = F.col("s.__op").isNotNull()  # __op is non-null on every change row
-            t_present = t[pk[0]].isNotNull()
+            t_present = F.col("t.__t_present").isNotNull()
             is_del = s_present & (F.col("s.__op") == "d")
 
             take_s = s_present & ~is_del

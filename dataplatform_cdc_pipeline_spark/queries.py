@@ -52,7 +52,7 @@ _FEED_CACHE: dict[str, DataFrame] = {}
 
 
 def cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = f"{id(spark)}:{sf_dir}"
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _FEED_CACHE:
         _FEED_CACHE[key] = synthesize_cdc_from_events(load_table(spark, sf_dir, "events")).persist()
     return _FEED_CACHE[key]

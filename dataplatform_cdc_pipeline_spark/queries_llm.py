@@ -193,7 +193,7 @@ _PAIRS_CACHE: dict[str, DataFrame] = {}
 
 
 def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = f"{id(spark)}:{sf_dir}"
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _PAIRS_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         _PAIRS_CACHE[key] = minhash_dedup_pairs(docs, threshold=0.0).persist()
