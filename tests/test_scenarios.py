@@ -241,3 +241,16 @@ def test_dedup_strategy_equivalence(spark):
     _, t_agg, _ = merge(spark, rows, dedup_strategy="agg")
     _, t_win, _ = merge(spark, rows, dedup_strategy="window")
     assert state(t_agg) == state(t_win)
+
+
+# S1 via parquet-format config table
+def test_config_table_lookup_parquet(spark, tmp_path):
+    from dataplatform_cdc_pipeline_spark.config import lookup_config
+
+    spark.createDataFrame(
+        [("bronze.w", "silver", "widgets", "id", 1, "created_s")],
+        "cdc_table string, target_database string, target_table string, "
+        "pk string, is_active int, epoc_cols string",
+    ).write.parquet(f"{tmp_path}/cfg")
+    cfg = lookup_config(spark, f"{tmp_path}/cfg", "silver", "widgets")
+    assert cfg.pk == ("id",) and cfg.epoc_cols == ("created_s",) and cfg.is_active

@@ -95,3 +95,43 @@ def test_running_user_totals_stateful(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_dedup_within_watermark_drops_replays(spark):
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.sources.cdc import user_state_config
+    from dataplatform_cdc_pipeline_spark.streaming import streaming_dedup_within_watermark
+
+    tmp = tempfile.mkdtemp(prefix="wmdedup_")
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:00:00", 1.0),  # exact replay → dropped
+        (1, "2024-01-01 10:05:00", 2.0),  # same key, new event ts → kept
+        (2, "2024-01-01 10:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("source_ts_ns_order"), "value"
+    )
+    df.write.parquet(f"{tmp}/src")
+    stream = spark.readStream.schema(
+        "user_id long, source_ts_ns_order timestamp, value double"
+    ).parquet(f"{tmp}/src")
+    cfg = user_state_config(pk="user_id")
+    deduped = streaming_dedup_within_watermark(stream, cfg)
+    name = f"wm_{_uuid.uuid4().hex[:6]}"
+    q = (
+        deduped.writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", f"{tmp}/ckpt").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = sorted((r["user_id"], str(r["source_ts_ns_order"]), r["value"])
+                 for r in spark.table(name).collect())
+    assert out == [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:05:00", 2.0),
+        (2, "2024-01-01 10:00:00", 3.0),
+    ]
