@@ -1,0 +1,70 @@
+"""Plan-quality regression guards: the physical plans the engine depends on
+(pushdown, broadcast, map-side dedup) must not silently regress."""
+
+from pyspark.sql import functions as F
+
+
+def fmt_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries import q_pricing_summary
+
+    plan = fmt_plan(q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed  # the date predicate reached the scan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries import q_pricing_summary
+
+    plan = fmt_plan(q_pricing_summary(spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # 6 of lineitem's 11 columns needed; the scan must not read the rest
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries import q_revenue_by_nation
+
+    plan = fmt_plan(q_revenue_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # all four dims broadcast
+    assert "SortMergeJoin" not in plan  # the fact table never shuffle-joins
+
+
+def test_dedup_has_single_shuffle(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import build_changes, window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        synthesize_cdc_from_events,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    raw = synthesize_cdc_from_events(load_table(spark, sf_dir, "events"))
+    for strategy in ("agg", "window"):
+        cfg = user_state_config(dedup_strategy=strategy)
+        ch = build_changes(window_scan(raw, cfg, None, None), USER_STATE_SCHEMA, cfg, True)
+        simple = ch._jdf.queryExecution().executedPlan().toString()
+        assert simple.count("Exchange") <= 2, strategy
+        if strategy == "agg":
+            # map-side partial aggregation before the shuffle
+            assert "partial_max" in simple or "HashAggregate" in simple
+
+
+def test_merge_reads_only_affected_bucket_partitions(spark):
+    from tests.helpers import bronze, pipeline
+
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+
+    cfg, target, audit = pipeline(spark)
+    run_merge(spark, cfg, target, audit,
+              raw=bronze(spark, [("c", i, i, i, float(i)) for i in range(1, 20)]),
+              window=(None, None), deterministic_audit=True)
+    pruned = target.read(buckets=[0, 1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
