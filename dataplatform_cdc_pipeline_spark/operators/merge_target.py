@@ -170,6 +170,10 @@ class ParquetMergeTarget:
         commit — accepted for the local engine.)
         """
         staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+        # repartition to ~one task per affected bucket: without it every
+        # shuffle partition writes a sliver of every bucket (#partitions ×
+        # #buckets small files — measured 40% slower merges at local[32])
+        merged = merged.repartition(max(len(affected), 1), F.col(BUCKET_COL))
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
         try:
             os.makedirs(self.path, exist_ok=True)
