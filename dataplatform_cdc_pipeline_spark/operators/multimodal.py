@@ -45,7 +45,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("asset_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("content_sha1", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
     ]
 )
@@ -60,10 +60,18 @@ def real_decode(payload: bytes, media_type: str):  # pragma: no cover - env stub
     )
 
 
+def content_hash(payload: bytes | None) -> str:
+    """Deterministic content digest: SHA-256 over the payload's lowercase hex
+    encoding. Hashing the hex (rather than the raw bytes) keeps the digest
+    reproducible by SQL oracles whose hash functions only accept text."""
+    return hashlib.sha256((payload or b"").hex().encode("ascii")).hexdigest()
+
+
 def fake_feature_extractor(payload: bytes, media_type: str) -> list[float]:
     """Deterministic stand-in for a model feature extractor: FEATURE_DIM
-    floats derived from the SHA1 of the bytes (stable across runs/engines)."""
-    h = hashlib.sha1(payload or b"").digest()
+    floats derived from the content hash of the bytes (stable across
+    runs/engines; the digest doubles as the cross-engine oracle anchor)."""
+    h = bytes.fromhex(content_hash(payload))
     return [
         int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0 for i in range(FEATURE_DIM)
     ]
@@ -87,9 +95,7 @@ def extract_features(
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "content_sha1": payloads.map(
-                        lambda b: hashlib.sha1(b or b"").hexdigest()
-                    ),
+                    "content_hash": payloads.map(content_hash),
                     "features": [
                         decode(b, m) for b, m in zip(payloads, pdf["media_type"])
                     ],

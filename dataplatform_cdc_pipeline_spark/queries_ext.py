@@ -55,8 +55,8 @@ g AS (
                 OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
 SELECT event_id, user_id,
-       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+       (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
 FROM g
 """
 

@@ -410,8 +410,10 @@ SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (rows-only check: the binary decode
-    is a deterministic stub — not SQL-expressible, no oracle entry)."""
+    """Multimodal plumbing end-to-end. The decode stub hashes the payload's
+    hex encoding (multimodal.content_hash), so the full pipeline — synthetic
+    payload bytes → mapInPandas Arrow batches → digest + float32 feature —
+    is reproducible by the DuckDB oracle below and hash-gated."""
     from dataplatform_cdc_pipeline_spark.operators.multimodal import (
         extract_features,
         synthesize_assets,
@@ -423,9 +425,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         "media_type",
         "n_bytes",
-        "content_sha1",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        "content_hash",
+        # float32 feature, bit-identical cross-engine: IEEE double divide
+        # then float cast are both exactly specified
+        F.element_at("features", 1).alias("f0"),
     )
+
+
+# Oracle rebuilds the synthetic assets (multimodal.synthesize_assets) and the
+# stub extractor (multimodal.content_hash / fake_feature_extractor) in pure
+# SQL: payload hex = repeat(sha256('asset'||i), i%5+1), digest = sha256(hex),
+# f0 = first two digest bytes / 65535 as float32.
+SQL_MULTIMODAL_FEATURES = """
+WITH ids AS (SELECT unnest(range(128)) AS asset_id),
+a AS (
+  SELECT asset_id,
+         ['image','audio','video'][(asset_id % 3)::INT + 1] AS media_type,
+         repeat(sha256('asset' || asset_id), (asset_id % 5)::INT + 1) AS payload_hex
+  FROM ids),
+f AS (
+  SELECT asset_id, media_type,
+         (length(payload_hex) // 2)::BIGINT AS n_bytes,
+         sha256(payload_hex) AS content_hash
+  FROM a)
+SELECT asset_id, media_type, n_bytes, content_hash,
+       (('0x' || substring(content_hash, 1, 4))::BIGINT / 65535.0)::FLOAT AS f0
+FROM f
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,12 +551,12 @@ keep AS (
   WHERE coalesce(comp.canonical, d.doc_id) = d.doc_id),
 packed AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+         (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS tokens_before
   FROM keep)
 SELECT doc_id, n_tokens,
        (tokens_before // 512)::BIGINT AS chunk_id,
-       tokens_before % 512 AS chunk_offset
+       (tokens_before % 512)::BIGINT AS chunk_offset
 FROM packed
 """
 
@@ -575,6 +601,5 @@ LLM_ORACLES = {
     "embedding_ann_lsh": SQL_EMBEDDING_ANN_LSH,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-    # multimodal_features: deliberately no oracle — binary decode stub is
-    # not SQL-expressible; driver records the rows-only check
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

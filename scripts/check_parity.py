@@ -74,6 +74,16 @@ def main() -> int:
         s_rows, o_rows = normalize(sdf), normalize(odf)
         cols_s, cols_o = sorted(sdf.columns), sorted(odf.columns)
         ok = True
+        # The driver's value hash is dtype-sensitive: a DuckDB HUGEINT window
+        # sum comes back as float64 while Spark yields int64, and "432.0" vs
+        # "432" hash-mismatch even though %.9g-normalized strings agree.
+        # Flag any numeric-kind mismatch (int vs float) as a failure locally.
+        if cols_s == cols_o:
+            for c in cols_s:
+                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+                if {ks, ko} == {"i", "f"} or {ks, ko} == {"u", "f"}:
+                    print(f"{name}: DTYPE MISMATCH col={c} spark={sdf[c].dtype} oracle={odf[c].dtype} (driver hash would differ)")
+                    ok = False
         if cols_s != cols_o:
             print(f"{name}: SCHEMA MISMATCH spark={cols_s} oracle={cols_o}")
             ok = False

@@ -19,10 +19,10 @@ def test_extract_features_plumbing(spark):
     for r in feats:
         assert len(r["features"]) == FEATURE_DIM
         assert all(0.0 <= v <= 1.0 for v in r["features"])
-        assert r["n_bytes"] > 0 and len(r["content_sha1"]) == 40
+        assert r["n_bytes"] > 0 and len(r["content_hash"]) == 64
     # deterministic: same payload → same features
     again = extract_features(synthesize_assets(spark, n=32)).collect()
-    assert sorted(r["content_sha1"] for r in feats) == sorted(r["content_sha1"] for r in again)
+    assert sorted(r["content_hash"] for r in feats) == sorted(r["content_hash"] for r in again)
 
 
 def test_payload_not_in_feature_schema(spark):
