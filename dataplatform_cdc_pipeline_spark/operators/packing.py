@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def global_running_sum(
@@ -45,9 +46,20 @@ def global_running_sum(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(offset_expr)
+    # broadcast-join the (pid, offset) map instead of building a chained
+    # CASE per partition id: a thousands-deep `when` expression blows up
+    # Catalyst analysis/codegen at cluster partition counts, while the
+    # broadcast hash join keeps plan size constant in num_partitions
+    off_df = df.sparkSession.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        T.StructType(
+            [
+                T.StructField("__pid", T.IntegerType(), False),
+                T.StructField("__offset", T.LongType(), False),
+            ]
+        ),
+    )
+    part = part.join(F.broadcast(off_df), "__pid", "left")
 
     # pass 2: within-partition exclusive cumsum + partition offset
     w = (
@@ -57,9 +69,10 @@ def global_running_sum(
     )
     return (
         part.withColumn(
-            out_col, offset_expr + F.coalesce(F.sum("__val").over(w), F.lit(0))
+            out_col,
+            F.coalesce("__offset", F.lit(0)) + F.coalesce(F.sum("__val").over(w), F.lit(0)),
         )
-        .drop("__pid", "__val")
+        .drop("__pid", "__val", "__offset")
     )
 
 

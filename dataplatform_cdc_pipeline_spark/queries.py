@@ -366,6 +366,125 @@ FROM ranked WHERE rn = 1 AND op != 'd'
 """
 
 
+def q_cdc_merge_op_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/J4: ``update_only_op_u`` — matched targets update only from
+    ``__op = 'u'`` rows (step-6:431-438); a matched 'c' leaves the target
+    row untouched while unmatched rows still insert (step-6:441-451).
+
+    Phase 1 seeds the target with the pre-split window under default
+    semantics; phase 2 replays the post-split window with the gate on, so
+    keys whose latest post-split change is a matched 'c' keep their phase-1
+    state — the distinguishing observable of this rule.
+    """
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    split = datetime.datetime(2024, 1, 15)
+    raw = cdc_feed(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc_opu_")
+    cfg = user_state_config()
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, split), deterministic_audit=True)
+
+    cfg_u = user_state_config(update_only_op_u=True)
+    target_u = ParquetMergeTarget(spark, f"{tmp}/t", cfg_u, USER_STATE_SCHEMA)
+    run_merge(spark, cfg_u, target_u, audit, raw=raw, window=(split, None), deterministic_audit=True)
+    return target_u.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+_OPU_SPLIT = "2024-01-15 00:00:00"
+
+SQL_CDC_MERGE_OP_U = f"""
+WITH typed AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos, ts
+  FROM events
+), s1 AS (
+  -- target state after the default-semantics phase-1 merge (ts <= split)
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_ts_us DESC, pos DESC) AS rn
+    FROM typed WHERE ts <= TIMESTAMP '{_OPU_SPLIT}') WHERE rn = 1 AND op != 'd'
+), w2 AS (
+  -- deduped phase-2 change set (ts > split)
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_ts_us DESC, pos DESC) AS rn
+    FROM typed WHERE ts > TIMESTAMP '{_OPU_SPLIT}') WHERE rn = 1
+)
+SELECT
+  CASE WHEN w2.user_id IS NULL OR (w2.op = 'c' AND s1.user_id IS NOT NULL)
+       THEN s1.user_id ELSE w2.user_id END AS user_id,
+  CASE WHEN w2.user_id IS NULL OR (w2.op = 'c' AND s1.user_id IS NOT NULL)
+       THEN s1.event_type ELSE w2.event_type END AS event_type,
+  CASE WHEN w2.user_id IS NULL OR (w2.op = 'c' AND s1.user_id IS NOT NULL)
+       THEN s1.value ELSE w2.value END AS value,
+  CASE WHEN w2.user_id IS NULL OR (w2.op = 'c' AND s1.user_id IS NOT NULL)
+       THEN s1.k ELSE w2.k END AS k,
+  CASE WHEN w2.user_id IS NULL OR (w2.op = 'c' AND s1.user_id IS NOT NULL)
+       THEN s1.event_ts_us ELSE w2.event_ts_us END AS event_ts_us,
+  CASE WHEN w2.user_id IS NULL OR (w2.op = 'c' AND s1.user_id IS NOT NULL)
+       THEN s1.pos ELSE w2.pos END AS pos
+FROM s1 FULL JOIN w2 ON s1.user_id = w2.user_id
+WHERE w2.op IS NULL OR w2.op != 'd'
+ORDER BY user_id
+"""
+
+
+def q_cdc_rowkey_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: ``row_key_timestamp`` — ISO timestamp payload key decoded to unix
+    seconds in the ``rowkeynum`` column (merge.sql:236-243), through the real
+    window-scan → dedup → cast pipeline."""
+    events = load_table(spark, sf_dir, "events")
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.to_json(
+        F.struct(
+            op_expr().alias("__op"),
+            (F.unix_micros("ts") * F.lit(1000)).cast("string").alias("__ts_ns"),
+            F.col("event_id").cast("string").alias("__source_pos"),
+            F.col("user_id"),
+            iso.alias("rk"),
+        )
+    )
+    raw = events.select(payload.alias("data"), F.col("ts").alias("load_ts"))
+    cfg = MergeConfig.from_dict(
+        {
+            "cdc_table": "demo",
+            "target_table": "rk_demo",
+            "pk": "user_id",
+            "row_key_timestamp": "rk",
+            "ts_ns_encoding": "nanos",
+        }
+    )
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("Rowkeynum", T.LongType())]
+    )
+    changes = build_changes(window_scan(raw, cfg, None, None), schema, cfg, True)
+    return changes.select("user_id", F.col("Rowkeynum").alias("rowkeynum"))
+
+
+SQL_CDC_ROWKEY_TIMESTAMP = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, (ts_us // 1000000)::BIGINT AS rowkeynum
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def q_cdc_watermark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: window stats — min/max load_ts + upsert/delete candidate counts."""
     raw = cdc_feed(spark, sf_dir)
@@ -527,6 +646,8 @@ QUERIES: dict[str, callable] = {
     "cdc_merge_full": q_cdc_merge_full,
     "cdc_merge_incremental": q_cdc_merge_incremental,
     "cdc_merge_multi_pk": q_cdc_merge_multi_pk,
+    "cdc_merge_op_u": q_cdc_merge_op_u,
+    "cdc_rowkey_timestamp": q_cdc_rowkey_timestamp,
     "cdc_watermark_stats": q_cdc_watermark_stats,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -541,6 +662,8 @@ ORACLES: dict[str, str] = {
     "cdc_merge_full": SQL_CDC_MERGE_FULL,
     "cdc_merge_incremental": SQL_CDC_MERGE_INCREMENTAL,
     "cdc_merge_multi_pk": SQL_CDC_MERGE_MULTI_PK,
+    "cdc_merge_op_u": SQL_CDC_MERGE_OP_U,
+    "cdc_rowkey_timestamp": SQL_CDC_ROWKEY_TIMESTAMP,
     "cdc_watermark_stats": SQL_CDC_WATERMARK_STATS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

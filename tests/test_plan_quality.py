@@ -56,6 +56,31 @@ def test_dedup_has_single_shuffle(spark, sf_dir):
             assert "partial_max" in simple or "HashAggregate" in simple
 
 
+def test_packing_offset_plan_independent_of_partition_count(spark):
+    """The partition-offset map must broadcast-join, not expand into a
+    per-partition CASE chain whose expression depth grows with
+    defaultParallelism (the 100 TB plan-bloat hazard)."""
+    from dataplatform_cdc_pipeline_spark.operators.packing import global_running_sum
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n"))
+    sizes = {}
+    for p in (4, 64):
+        out = global_running_sum(df, "doc_id", F.col("n"), num_partitions=p)
+        plan = out._jdf.queryExecution()
+        sizes[p] = len(plan.optimizedPlan().toString())
+        assert "BroadcastHashJoin" in plan.executedPlan().toString(), p
+    # 16× the partitions must not noticeably grow the plan (CASE-chain would 16×)
+    assert sizes[64] < sizes[4] * 1.5, sizes
+
+    # and the prefix sum stays correct at the higher partition count
+    rows = global_running_sum(df, "doc_id", F.col("n"), num_partitions=64).collect()
+    acc, expect = 0, {}
+    for i in range(1000):
+        expect[i] = acc
+        acc += i % 7
+    assert all(r["running_before"] == expect[r["doc_id"]] for r in rows)
+
+
 def test_merge_reads_only_affected_bucket_partitions(spark):
     from tests.helpers import bronze, pipeline
 
