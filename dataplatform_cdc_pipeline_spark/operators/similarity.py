@@ -238,15 +238,24 @@ def cosine_near_dup_pairs(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 5000,  # lsh_guard.DEFAULT_MAX_BUCKET
 ) -> DataFrame:
     """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) found
     within LSH buckets — near-identical vectors land in the same bucket
-    with high probability; bucketing bounds the pairwise work."""
+    with high probability; bucketing bounds the pairwise work.
+
+    Degenerate buckets larger than ``max_bucket_size`` — e.g. thousands of
+    zero/constant vectors sharing one sign pattern — are dropped (and
+    logged) before the self-join; ``None`` disables the guard.
+    """
+    from dataplatform_cdc_pipeline_spark.operators.lsh_guard import cap_buckets
+
     vecs = (
         embeddings.select(F.col(id_col), as_double_vec(vec_col).alias("vec"))
         .withColumn("bucket", lsh_bucket_expr(F.col("vec"), hyperplane_signs(planes, dims)))
         .withColumn("nrm", norm_expr(F.col("vec")))
     )
+    vecs = cap_buckets(vecs, "bucket", max_bucket_size, "embedding-near-dup")
     a, b = vecs.alias("a"), vecs.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+from dataplatform_cdc_pipeline_spark.operators.lsh_guard import DEFAULT_MAX_BUCKET, cap_buckets
 
 DEFAULT_MINHASH_K = 8
 DEFAULT_BANDS = 4  # rows-per-band r = K / BANDS = 2
@@ -184,16 +185,19 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = DEFAULT_BANDS,
     k: int = DEFAULT_MINHASH_K,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band bucket.
 
     One explode (×bands) + one shuffle on the band key. The self-join is
     per-bucket, so cost is Σ bucket² — the LSH guarantee keeps buckets
-    small for non-duplicate content.
+    small for non-duplicate content; degenerate keys are dropped (and
+    logged) by the ``max_bucket_size`` guard.
     """
     exploded = sigs.select(
         F.col(id_col), F.explode(band_keys_expr(F.col("minhash_sig"), bands, k)).alias("band_key")
     )
+    exploded = cap_buckets(exploded, "band_key", max_bucket_size, "minhash-lsh")
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -435,10 +439,12 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     bands: int = SIMHASH_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: banded bit-slices generate candidates
     (a pair within hamming ≤ bands-1 must share ≥1 identical slice),
-    verified with bit_count(a XOR b) ≤ max_hamming."""
+    verified with bit_count(a XOR b) ≤ max_hamming. Degenerate slice keys
+    are dropped (and logged) by the ``max_bucket_size`` guard."""
     sh = simhash64(df, text_col, id_col, bits)
     width = bits // bands
     mask = (1 << width) - 1
@@ -451,6 +457,7 @@ def simhash_near_pairs(
         ]
     )
     exploded = sh.select(F.col(id_col), F.col("simhash"), F.explode(slices).alias("slice_key"))
+    exploded = cap_buckets(exploded, "slice_key", max_bucket_size, "simhash")
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(b, (F.col("a.slice_key") == F.col("b.slice_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

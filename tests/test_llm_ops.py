@@ -150,3 +150,43 @@ def test_global_running_sum_matches_single_partition_window(spark):
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
     slow = df.withColumn("run", F.coalesce(F.sum("v").over(w), F.lit(0)))
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_bucket_cap_bounds_degenerate_corpus(spark, caplog):
+    """1k identical docs = one degenerate LSH bucket per band: without the
+    guard that is ~500k pairs per band; with the cap the bucket is dropped,
+    logged, and the pair count stays bounded."""
+    import logging
+
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import lsh_candidate_pairs
+
+    df = docs_df(spark, [(i, "same boilerplate text every time") for i in range(1000)]
+                 + [(2000, "unique text one here"), (2001, "unique text one here")])
+    sigs = with_minhash(df)
+    with caplog.at_level(logging.WARNING, logger="dataplatform_cdc_pipeline_spark.lsh_guard"):
+        capped = lsh_candidate_pairs(sigs, max_bucket_size=100).collect()
+    # the 1000-doc bucket is gone; the small duplicate pair survives
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(2000, 2001)}
+    assert any("dropped" in r.message and "minhash-lsh" in r.message for r in caplog.records)
+
+    # guard disabled → the quadratic bucket comes back (1000 choose 2 pairs)
+    uncapped = lsh_candidate_pairs(sigs, max_bucket_size=None)
+    assert uncapped.count() == (1000 * 999) // 2 + 1
+
+
+def test_bucket_cap_simhash_and_embeddings(spark, caplog):
+    import logging
+
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import simhash_near_pairs
+
+    df = docs_df(spark, [(i, "same boilerplate text every time") for i in range(300)])
+    with caplog.at_level(logging.WARNING, logger="dataplatform_cdc_pipeline_spark.lsh_guard"):
+        assert simhash_near_pairs(df, max_bucket_size=50).count() == 0
+    assert any("simhash" in r.message for r in caplog.records)
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    with caplog.at_level(logging.WARNING, logger="dataplatform_cdc_pipeline_spark.lsh_guard"):
+        assert cosine_near_dup_pairs(emb, dims=8, max_bucket_size=50).count() == 0
+    assert any("embedding-near-dup" in r.message for r in caplog.records)
