@@ -61,6 +61,7 @@ def run_merge(
     (step-8:493 semantics).
     """
     # Phase 1-2: gates + watermark (merge.sql:90-94, 111-115)
+    etl_start_time = datetime.datetime.utcnow()  # v_etl_start_time, step-8:150
     if not cfg.is_active:
         return MergeResult(status="SKIPPED_INACTIVE", records_inserted=0, records_deleted=0)
     if raw is None:
@@ -102,13 +103,24 @@ def run_merge(
         cdc_start_ts = stats.pop("cdc_start_ts", None)
         cdc_end_ts = stats.pop("cdc_end_ts", None)
 
-        # Phase 8: audit epilogue
+        # Phase 8: audit epilogue — BOTH tables, like step-8:572-626
         run_id = audit.append_run(
             cfg.cdc_table,
             cfg.target_database,
             cfg.target_table,
             cdc_start_ts,
             cdc_end_ts,
+            "SUCCESS",
+            records_inserted=stats["records_inserted"],
+            records_deleted=stats["records_deleted"],
+        )
+        audit.append_job_log(
+            run_id,
+            "sp_cdc_merge_job",
+            cfg.target_database,
+            cfg.target_table,
+            etl_start_time,
+            datetime.datetime.utcnow(),
             "SUCCESS",
             records_inserted=stats["records_inserted"],
             records_deleted=stats["records_deleted"],
@@ -121,12 +133,22 @@ def run_merge(
             **stats,
         )
     except Exception as exc:  # noqa: BLE001 — reference logs then RESIGNALs
-        audit.append_run(
+        run_id = audit.append_run(
             cfg.cdc_table,
             cfg.target_database,
             cfg.target_table,
             None,
             None,
+            "FAILED",
+            error_msg=str(exc)[:2000],
+        )
+        audit.append_job_log(
+            run_id,
+            "sp_cdc_merge_job",
+            cfg.target_database,
+            cfg.target_table,
+            etl_start_time,
+            datetime.datetime.utcnow(),
             "FAILED",
             error_msg=str(exc)[:2000],
         )

@@ -1,16 +1,29 @@
-"""S3 / K5 / A2 — persisted watermark + run-audit log.
+"""S3 / K5 / A2 — persisted watermark + run-audit logs.
 
-The reference tracks incremental progress in
-``etl_job_log_incremental_date`` — one row per run with the processed window
-``[cdc_start_ts, cdc_end_ts]``, counts, and status (DDL
-incremental-date.sql:1-14, etl_job_log_incremental_date_mysql.sql:17-35).
-The next window starts at ``COALESCE(MAX(cdc_end_ts), '1970-01-01')``
-(merge.sql:111-115; step-5.sql:155-163). Run ids are UUIDs — step-8 replaced
-``MAX(id)+1`` with ``UUID()`` as "concurrency-safe" (step-8:169-179).
+The reference tracks TWO audit tables, both written in the run epilogue
+(step-8:572-626):
 
-Spark design: an append-only parquet audit table. In streaming mode the
-Structured Streaming checkpoint supersedes the watermark (offsets ARE the
-watermark); the audit table is still appended per batch for parity.
+- ``etl_job_log_incremental_date`` — one row per run with the processed
+  window ``[cdc_start_ts, cdc_end_ts]``, counts, and status (DDL
+  incremental-date.sql:1-14, etl_job_log_incremental_date_mysql.sql:17-35).
+  The next window starts at ``COALESCE(MAX(cdc_end_ts), '1970-01-01')``
+  (merge.sql:111-115; step-5.sql:155-163).
+- ``etl_job_log`` — per-run job timing/status: ``(run_id, proc_name,
+  target db/table, start_time, end_time, run_status, error_msg, counts)``
+  (tables_list.sql:38-51; written step-8:598-626 with ON DUPLICATE KEY
+  UPDATE — run ids here are fresh UUIDs, so append-only is equivalent).
+
+Run ids are UUIDs — step-8 replaced ``MAX(id)+1`` with ``UUID()`` as
+"concurrency-safe" (step-8:169-179).
+
+Spark design: append-only parquet tables. One shared store serves every
+pipeline, keyed by (cdc_table_name, target_table) columns — the reference
+instead creates one incremental-date table *per source*
+(``ETL_JOB_LOG_INCREMENTAL_DATE_<prefix>_<table>``, merge.sql:460, 520-521);
+a single partitionable table is the idiomatic warehouse layout (documented
+design change, COVERAGE.md §2.6). In streaming mode the Structured
+Streaming checkpoint supersedes the watermark (offsets ARE the watermark);
+the audit tables are still appended per batch for parity.
 """
 
 from __future__ import annotations
@@ -42,12 +55,34 @@ AUDIT_SCHEMA = T.StructType(
 )
 
 
-class WatermarkStore:
-    """Parquet-backed watermark/audit table (one per engine deployment)."""
+#: ``etl_job_log`` — per-run timing/status (tables_list.sql:38-51)
+JOB_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("proc_name", T.StringType()),
+        T.StructField("target_database", T.StringType()),
+        T.StructField("target_table", T.StringType()),
+        T.StructField("start_time", T.TimestampType()),
+        T.StructField("end_time", T.TimestampType()),
+        T.StructField("run_status", T.StringType()),
+        T.StructField("error_msg", T.StringType()),
+        T.StructField("records_inserted", T.LongType()),
+        T.StructField("records_deleted", T.LongType()),
+    ]
+)
 
-    def __init__(self, spark: SparkSession, path: str):
+
+class WatermarkStore:
+    """Parquet-backed watermark/audit tables (one per engine deployment).
+
+    ``path`` holds the incremental-date table; the run-timing ``etl_job_log``
+    twin lives at ``job_log_path`` (default: sibling ``<path>_job_log``).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, job_log_path: str | None = None):
         self.spark = spark
         self.path = path
+        self.job_log_path = job_log_path or f"{path}_job_log"
 
     def _read(self) -> DataFrame:
         if not os.path.isdir(self.path):
@@ -103,6 +138,43 @@ class WatermarkStore:
             self.path
         )
         return run_id
+
+    def append_job_log(
+        self,
+        run_id: str,
+        proc_name: str,
+        target_database: str,
+        target_table: str,
+        start_time: datetime.datetime,
+        end_time: datetime.datetime,
+        run_status: str,
+        error_msg: str | None = None,
+        records_inserted: int = 0,
+        records_deleted: int = 0,
+    ) -> None:
+        """Append the per-run timing row (etl_job_log, step-8:598-626)."""
+        row = [
+            (
+                run_id,
+                proc_name,
+                target_database,
+                target_table,
+                start_time,
+                end_time,
+                run_status,
+                error_msg,
+                records_inserted,
+                records_deleted,
+            )
+        ]
+        self.spark.createDataFrame(row, JOB_LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.job_log_path)
+
+    def job_log(self) -> DataFrame:
+        if not os.path.isdir(self.job_log_path):
+            return self.spark.createDataFrame([], JOB_LOG_SCHEMA)
+        return self.spark.read.schema(JOB_LOG_SCHEMA).parquet(self.job_log_path)
 
     def history(self) -> DataFrame:
         return self._read().orderBy(F.col("insert_timestamp").desc())

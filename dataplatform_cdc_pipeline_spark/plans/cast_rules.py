@@ -86,18 +86,30 @@ def _iso_ts_expr(raw: Column) -> Column:
     return F.to_timestamp(F.replace(F.replace(raw, F.lit("T"), F.lit(" ")), F.lit("Z"), F.lit("")))
 
 
-def cast_expr(field: T.StructField, cfg: MergeConfig, payload: Column | str = "__payload") -> Column:
+def cast_expr(
+    field: T.StructField,
+    cfg: MergeConfig,
+    payload: Column | str | None = "__payload",
+    raw: Column | None = None,
+) -> Column:
     """Build the cast expression for one target column (first match wins).
 
     ``payload`` is the parsed ``map<string,string>`` column
     (functions/envelope.parse_payload) — the JSON document is parsed once
-    per row, not once per column.
+    per row, not once per column. Callers that pre-extracted the raw string
+    (e.g. the window scan's json_tuple PK columns) pass it via ``raw`` with
+    ``payload=None``; only the row-key rules P2/P3 — which read a *different*
+    payload key — still require the map.
     """
-    payload = F.col(payload) if isinstance(payload, str) else payload
+    if payload is not None:
+        payload = F.col(payload) if isinstance(payload, str) else payload
     name = field.name
     # P19: json key override (step-7:310 reads $.place for column PLACE)
     json_key = cfg.json_key_overrides.get(name, name)
-    raw = payload_value(payload, json_key)
+    if raw is None:
+        if payload is None:
+            raise ValueError(f"cast_expr({name}): need either payload or raw")
+        raw = payload_value(payload, json_key)
     dt = field.dataType
 
     # P1 — SysEndTime sentinel (merge.sql:224-225)
@@ -106,8 +118,12 @@ def cast_expr(field: T.StructField, cfg: MergeConfig, payload: Column | str = "_
     # P2/P3 — row-key decode into the `rowkeynum` column (merge.sql:227-243);
     # config holds the *JSON key* carrying the row key.
     elif cfg.row_key_binary and name.lower() == "rowkeynum":
+        if payload is None:
+            raise ValueError("row_key_binary cast needs the payload map")
         expr = _rowkey_binary_expr(payload, cfg.row_key_binary).cast(dt)
     elif cfg.row_key_timestamp and name.lower() == "rowkeynum":
+        if payload is None:
+            raise ValueError("row_key_timestamp cast needs the payload map")
         expr = _rowkey_timestamp_expr(payload, cfg.row_key_timestamp).cast(dt)
     # P4 — epoch nanos → timestamp (merge.sql:245-247: TIMESTAMP_MICROS(DIV(x,1000)))
     elif name in cfg.epoc_nano_cols:

@@ -17,9 +17,8 @@ from pyspark.sql import types as T
 
 from dataplatform_cdc_pipeline_spark.config import MergeConfig
 from dataplatform_cdc_pipeline_spark.functions.envelope import (
-    envelope_columns,
+    event_ts_from_raw,
     parse_payload,
-    payload_value,
 )
 from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key, latest_per_key_agg
 from dataplatform_cdc_pipeline_spark.plans.cast_rules import cast_expr, typed_projection
@@ -39,21 +38,44 @@ def window_scan(
     (SURVEY.md §2.8). The load_ts range predicate is what partition-prunes a
     date-partitioned bronze table (automatic in Spark — the reference needed
     an explicit PARTITION list, step-8:352-377).
+
+    Output = input columns + the extracted envelope:
+    ``__op`` (validity-filtered), ``__event_ts`` (timestamp), ``__pos``
+    (long), and ``__pk_raw_<i>`` (raw PK strings, 'null'-mapped). All come
+    from ONE ``json_tuple`` pass: a Generate node materializes the parsed
+    values once, whereas a ``from_json`` map column gets re-inlined by
+    Catalyst into every consumer expression (filter, ts, pos, each PK) and
+    re-parses the document per consumer — measured 3.7× slower on the
+    sf0.1 cast-projection path. The full payload map is parsed *post-dedup*
+    on the winners only (plan builders below).
     """
-    out = raw.withColumn("__payload", parse_payload("data"))
-    out = out.withColumn("__op", payload_value(F.col("__payload"), "__op")).filter(
-        F.col("__op").isNotNull()
-    )
     lt = F.col(cfg.load_ts_col)
+    out = raw
     if start is not None:
         out = out.filter(lt > F.lit(start))
     if end is not None:
         out = out.filter(lt <= F.lit(end))
+    pk_keys = [cfg.json_key_overrides.get(k, k) for k in cfg.pk]
+    names = ["__op_r", "__ts_r", "__pos_r"] + [f"__pk_raw_{i}" for i in range(len(pk_keys))]
+    out = out.select(
+        "*",
+        F.json_tuple(F.col("data"), "__op", "__ts_ns", "__source_pos", *pk_keys).alias(*names),
+    )
+    nn = lambda c: F.nullif(c, F.lit("null"))  # noqa: E731 — P16 'null'-string
+    out = (
+        out.withColumn("__op", nn(F.col("__op_r")))
+        .filter(F.col("__op").isNotNull())
+        .withColumn("__event_ts", event_ts_from_raw(nn(F.col("__ts_r")), cfg.ts_ns_encoding))
+        .withColumn("__pos", nn(F.col("__pos_r")).cast("long"))
+        .drop("__op_r", "__ts_r", "__pos_r")
+    )
+    for i in range(len(pk_keys)):
+        out = out.withColumn(f"__pk_raw_{i}", nn(F.col(f"__pk_raw_{i}")))
     return out
 
 
-def _pk_exprs(cfg: MergeConfig, target_schema: T.StructType, payload: str = "__payload") -> list[Column]:
-    """Typed PK extraction expressions from the JSON payload.
+def _pk_exprs(cfg: MergeConfig, target_schema: T.StructType) -> list[Column]:
+    """Typed PK extraction from the window scan's pre-extracted raw strings.
 
     Default: cast PKs to their declared type *before* dedup (intentional
     fix of the reference's string-form-dedup hazard, SURVEY.md §4 — e.g.
@@ -63,13 +85,12 @@ def _pk_exprs(cfg: MergeConfig, target_schema: T.StructType, payload: str = "__p
     """
     by_name = {f.name: f for f in target_schema.fields}
     exprs = []
-    for k in cfg.pk:
-        json_key = cfg.json_key_overrides.get(k, k)
-        raw = payload_value(F.col(payload), json_key)
+    for i, k in enumerate(cfg.pk):
+        raw = F.col(f"__pk_raw_{i}")
         if cfg.string_pk_dedup or k not in by_name:
             exprs.append(raw.alias(k))
         else:
-            exprs.append(cast_expr(by_name[k], cfg, payload))
+            exprs.append(cast_expr(by_name[k], cfg, payload=None, raw=raw))
     return exprs
 
 
@@ -86,46 +107,33 @@ def build_changes(
     predicate ``i.pk IS NULL OR i.ts < d.ts`` (merge.sql:348) given both
     sides kept only rn=1 (proof in SURVEY.md §7). One shuffle total.
     """
-    env = envelope_columns("__payload", cfg.ts_ns_encoding)
     pk_aliases = [f"__pk_{i}" for i in range(len(cfg.pk))]
+    # project to exactly what the dedup needs BEFORE the shuffle: the raw
+    # `data` string rides the exchange (maps are not orderable anyway) and
+    # ONLY the per-key winners re-parse into the payload map below
+    keyed = windowed.select(
+        F.col("__op"),
+        F.col("data"),
+        F.col(cfg.load_ts_col),
+        F.col("__event_ts"),
+        F.col("__pos"),
+        *[e.alias(a) for a, e in zip(pk_aliases, _pk_exprs(cfg, target_schema))],
+    )
     if cfg.dedup_strategy == "agg":
-        # agg-dedup: groupBy(pk).max(struct(ts, pos, raw json)) — map-side
+        # agg-dedup: groupBy(pk).max(struct(ts, pos, carry…)) — map-side
         # partial aggregation ships ≤1 candidate per key per partition
-        # through the shuffle (the map column is not orderable, so the raw
-        # string rides the struct and winners re-parse — a per-KEY parse,
-        # not per-event)
-        keyed = windowed.select(
-            F.col("data"),
-            F.col(cfg.load_ts_col),
-            env["source_ts_ns_order"].alias("__event_ts"),
-            env["pos"].alias("__pos"),
-            *[e.alias(a) for a, e in zip(pk_aliases, _pk_exprs(cfg, target_schema))],
-        )
         deduped = latest_per_key_agg(
-            keyed, pk_aliases, "__event_ts", "__pos", ["data", cfg.load_ts_col]
-        )
-        deduped = deduped.withColumn("__payload", parse_payload("data")).withColumn(
-            "__op", payload_value(F.col("__payload"), "__op")
+            keyed, pk_aliases, "__event_ts", "__pos", ["data", cfg.load_ts_col, "__op"]
         )
     else:
-        # window-dedup: exact reference plan shape (ranked window, rn=1);
-        # project to exactly what the dedup + typed projection need BEFORE
-        # the shuffle — the raw `data` string and transport metadata would
-        # otherwise ride the exchange for nothing
-        keyed = windowed.select(
-            F.col("__op"),
-            F.col("__payload"),
-            F.col(cfg.load_ts_col),
-            env["source_ts_ns_order"].alias("__event_ts"),
-            env["pos"].alias("__pos"),
-            *[e.alias(a) for a, e in zip(pk_aliases, _pk_exprs(cfg, target_schema))],
-        )
+        # window-dedup: exact reference plan shape (ranked window, rn=1)
         deduped = latest_per_key(
             keyed,
             pk_aliases,
             ts_col="__event_ts",
             pos_col="__pos",
         )
+    deduped = deduped.withColumn("__payload", parse_payload("data"))
     proj = typed_projection(target_schema, cfg, deterministic_audit=deterministic_audit)
     # __load_ts rides along so the merge can derive window stats + the next
     # watermark from the SAME cached frame (one agg job — the reference also
@@ -154,18 +162,19 @@ def build_two_stream(
     pk_names = list(cfg.pk)
 
     def ranked(df: DataFrame) -> DataFrame:
-        env = envelope_columns("__payload", cfg.ts_ns_encoding)
         keyed = df.select(
             F.col("__op"),
-            F.col("__payload"),
+            F.col("data"),
             F.col(cfg.load_ts_col),
-            env["source_ts_ns_order"].alias("__event_ts"),
-            env["pos"].alias("__pos"),
+            F.col("__event_ts"),
+            F.col("__pos"),
             *[e.alias(f"__pk_{i}") for i, e in enumerate(_pk_exprs(cfg, target_schema))],
         )
-        return latest_per_key(
+        out = latest_per_key(
             keyed, [f"__pk_{i}" for i in range(len(pk_names))], ts_col="__event_ts", pos_col="__pos"
         )
+        # winners only re-parse the payload map for the typed projection
+        return out.withColumn("__payload", parse_payload("data"))
 
     upserts_raw = ranked(windowed.filter(F.col("__op") != "d"))
     deletes_raw = ranked(windowed.filter(F.col("__op") == "d"))

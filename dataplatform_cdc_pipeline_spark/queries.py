@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataplatform_cdc_pipeline_spark.config import MergeConfig
-from dataplatform_cdc_pipeline_spark.functions.envelope import envelope_columns
 from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
 from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
     build_changes,
@@ -67,11 +66,10 @@ def q_cdc_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = cdc_feed(spark, sf_dir)
     cfg = user_state_config()
     w = window_scan(raw, cfg, WIN_START, WIN_END)
-    env = envelope_columns("__payload", cfg.ts_ns_encoding)
     return w.select(
         F.col("__op").alias("op"),
-        env["pos"].alias("pos"),
-        F.unix_micros(env["source_ts_ns_order"]).alias("event_ts_us"),
+        F.col("__pos").alias("pos"),
+        F.unix_micros("__event_ts").alias("event_ts_us"),
         F.unix_micros(F.col("load_ts")).alias("load_ts_us"),
     )
 
@@ -92,14 +90,13 @@ def q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = cdc_feed(spark, sf_dir)
     cfg = user_state_config()
     w = window_scan(raw, cfg, None, None)
-    env = envelope_columns("__payload", cfg.ts_ns_encoding)
     keyed = w.select(
         F.col("__op"),
-        F.element_at("__payload", "user_id").cast("long").alias("user_id"),
-        F.element_at("__payload", "event_type").alias("event_type"),
-        F.element_at("__payload", "value").cast("double").alias("value"),
-        env["source_ts_ns_order"].alias("source_ts_ns_order"),
-        env["pos"].alias("pos"),
+        F.col("__pk_raw_0").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        F.col("__event_ts").alias("source_ts_ns_order"),
+        F.col("__pos").alias("pos"),
     )
     out = latest_per_key(keyed, ["user_id"])
     return out.select(

@@ -254,3 +254,38 @@ def test_config_table_lookup_parquet(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/cfg")
     cfg = lookup_config(spark, f"{tmp_path}/cfg", "silver", "widgets")
     assert cfg.pk == ("id",) and cfg.epoc_cols == ("created_s",) and cfg.is_active
+
+
+def test_dual_audit_tables(spark):
+    """The epilogue writes BOTH reference audit tables (step-8:572-626):
+    etl_job_log_incremental_date (window/counts) and etl_job_log (run
+    timing/status), linked by run_id."""
+    import pytest
+
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+
+    cfg, target, audit = pipeline(spark)
+    res = run_merge(spark, cfg, target, audit,
+                    raw=bronze(spark, [("c", 1, 1, 1, 1.0), ("d", 2, 2, 2, 2.0)]),
+                    window=(None, None), deterministic_audit=True)
+    inc = audit.history().collect()
+    jl = audit.job_log().collect()
+    assert len(inc) == 1 and len(jl) == 1
+    assert jl[0]["run_id"] == inc[0]["id"] == res["run_id"]
+    assert jl[0]["proc_name"] == "sp_cdc_merge_job"
+    assert jl[0]["run_status"] == "SUCCESS"
+    assert jl[0]["start_time"] <= jl[0]["end_time"]
+    assert (jl[0]["records_inserted"], jl[0]["records_deleted"]) == (1, 1)
+    assert (inc[0]["records_inserted"], inc[0]["records_deleted"]) == (1, 1)
+
+    # failed run -> FAILED row in both tables, error_msg captured
+    bad = bronze(spark, [("c", 1, 3, 3, 3.0)]).selectExpr(
+        "replace(data, '\"value\": 3.0', '\"value\": \"boom\"') AS data", "load_ts")
+    with pytest.raises(Exception):
+        run_merge(spark, cfg, target, audit, raw=bad, window=(None, None),
+                  deterministic_audit=True)
+    jl2 = {r["run_status"] for r in audit.job_log().collect()}
+    inc2 = {r["run_status"] for r in audit.history().collect()}
+    assert jl2 == {"SUCCESS", "FAILED"} and inc2 == {"SUCCESS", "FAILED"}
+    failed = [r for r in audit.job_log().collect() if r["run_status"] == "FAILED"][0]
+    assert failed["error_msg"] and "boom" in failed["error_msg"]
