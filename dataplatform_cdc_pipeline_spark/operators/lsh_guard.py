@@ -31,30 +31,34 @@ def cap_buckets(
     """Filter ``exploded`` down to rows whose ``key`` bucket holds at most
     ``max_bucket_size`` rows; log a summary of dropped buckets.
 
-    One extra aggregation job on the (narrow) key projection — the same
-    shuffle key the candidate self-join uses next, so AQE can reuse the
-    exchange. ``None`` disables the guard entirely.
+    Cost shape: one aggregation job over ``exploded`` computes per-bucket
+    sizes (map-side combined; output = #distinct keys, small) and collects
+    the over-cap keys. In the common case — NO degenerate buckets — the
+    input plan is returned **unchanged**, so the candidate self-join keeps
+    exactly its unguarded shape. Only when drops exist does the result gain
+    a broadcast anti-join against the (tiny) over-cap key set. Callers
+    persist their signature frame upstream so the guard's extra pass reads
+    the materialized signatures rather than recomputing the hash work.
+    ``None`` disables the guard entirely.
     """
     if max_bucket_size is None:
         return exploded
-    sizes = exploded.groupBy(key).agg(F.count(F.lit(1)).alias("__bsz")).persist()
-    over = (
-        sizes.filter(F.col("__bsz") > max_bucket_size)
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.max("__bsz").alias("largest"),
-            F.sum("__bsz").alias("rows_dropped"),
-        )
-        .first()
+    sizes = exploded.groupBy(key).agg(F.count(F.lit(1)).alias("__bsz"))
+    over = sizes.filter(F.col("__bsz") > max_bucket_size)
+    stats = over.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("__bsz").alias("largest"),
+        F.sum("__bsz").alias("rows_dropped"),
+    ).first()
+    if not stats["n_buckets"]:
+        return exploded
+    logger.warning(
+        "%s: dropped %d bucket(s) over cap=%d (largest=%d rows, %d rows dropped) — "
+        "degenerate keys would make the bucket self-join quadratic",
+        what,
+        stats["n_buckets"],
+        max_bucket_size,
+        stats["largest"],
+        stats["rows_dropped"],
     )
-    if over["n_buckets"]:
-        logger.warning(
-            "%s: dropped %d bucket(s) over cap=%d (largest=%d rows, %d rows dropped) — "
-            "degenerate keys would make the bucket self-join quadratic",
-            what,
-            over["n_buckets"],
-            max_bucket_size,
-            over["largest"],
-            over["rows_dropped"],
-        )
-    return exploded.join(sizes.filter(F.col("__bsz") <= max_bucket_size).select(key), key)
+    return exploded.join(F.broadcast(over.select(key)), key, "left_anti")

@@ -124,20 +124,34 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthesize_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake asset table for tests (payload = seeded bytes)."""
-    rows = []
-    for i in range(n):
-        mt = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(f"asset{i}".encode()).digest() * (i % 5 + 1)
-        rows.append(
-            (
-                i,
-                mt,
-                bytearray(payload),
-                64 + i if mt == "image" else None,
-                48 + i if mt == "image" else None,
-                1000 * (i % 7 + 1) if mt != "image" else None,
-                {"image": "png", "audio": "pcm", "video": "h264"}[mt],
-            )
-        )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    """Deterministic fake asset table for tests (payload = seeded bytes).
+
+    Built as a pure-JVM plan over ``spark.range`` — payload bytes derive
+    from ``sha2`` in the JVM (identical to the former Python
+    ``hashlib.sha256(f"asset{i}").digest() * (i % 5 + 1)``), so no
+    Python-backed local relation rides into downstream actions.
+    """
+    i = F.col("id")
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (i % 3).cast("int") + F.lit(1)
+    )
+    hex_payload = F.expr("repeat(sha2(concat('asset', cast(id as string)), 256), cast(id % 5 + 1 as int))")
+    is_image = mt == "image"
+    return spark.range(n).select(
+        i.alias("asset_id"),
+        mt.alias("media_type"),
+        F.unhex(hex_payload).alias("payload"),
+        F.when(is_image, (F.lit(64) + i).cast("int")).alias("width"),
+        F.when(is_image, (F.lit(48) + i).cast("int")).alias("height"),
+        F.when(~is_image, (F.lit(1000) * ((i % 7).cast("int") + F.lit(1))).cast("int")).alias(
+            "duration_ms"
+        ),
+        F.element_at(
+            F.create_map(
+                F.lit("image"), F.lit("png"),
+                F.lit("audio"), F.lit("pcm"),
+                F.lit("video"), F.lit("h264"),
+            ),
+            mt,
+        ).alias("codec"),
+    )

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def global_running_sum(
@@ -49,16 +48,32 @@ def global_running_sum(
     # broadcast-join the (pid, offset) map instead of building a chained
     # CASE per partition id: a thousands-deep `when` expression blows up
     # Catalyst analysis/codegen at cluster partition counts, while the
-    # broadcast hash join keeps plan size constant in num_partitions
-    off_df = df.sparkSession.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()],
-        T.StructType(
-            [
-                T.StructField("__pid", T.IntegerType(), False),
-                T.StructField("__offset", T.LongType(), False),
+    # broadcast hash join keeps the plan flat.
+    # Small P: explode of literal structs — a pure-JVM plan (createDataFrame
+    # would spin a Python worker on every downstream action, ~5 s at
+    # local[32]). Large P: a local relation, whose plan size is CONSTANT in
+    # P (literals would grow the plan linearly); the one-off Python-worker
+    # cost is noise at that scale.
+    if offsets and len(offsets) <= 256:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(int(pid)).cast("int").alias("__pid"),
+                    F.lit(int(off)).cast("long").alias("__offset"),
+                )
+                for pid, off in offsets.items()
             ]
-        ),
-    )
+        )
+        off_df = (
+            df.sparkSession.range(1)
+            .select(F.explode(pairs).alias("__po"))
+            .select(F.col("__po.__pid").alias("__pid"), F.col("__po.__offset").alias("__offset"))
+        )
+    else:
+        off_df = df.sparkSession.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()],
+            "__pid int, __offset long",
+        )
     part = part.join(F.broadcast(off_df), "__pid", "left")
 
     # pass 2: within-partition exclusive cumsum + partition offset

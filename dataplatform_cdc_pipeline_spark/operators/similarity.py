@@ -78,6 +78,46 @@ def lsh_bucket_expr(vec: Column, signs: list[list[int]]) -> Column:
     return F.concat(*bits)
 
 
+def vec_stats_udf(signs: list[list[int]]):
+    """Arrow-batched (bucket, norm) — bit-identical to
+    ``lsh_bucket_expr`` + ``norm_expr`` but vectorized in numpy: the
+    higher-order array folds evaluate interpreted per element, which is the
+    dominant per-row cost of the bucketing stage at any scale.
+
+    Bit-exactness: the accumulation loops run SEQUENTIALLY OVER DIMENSIONS
+    (vectorized over rows), i.e. the same left-fold order as the Column
+    twin and DuckDB's ``list_dot_product`` — NOT ``np.dot``, whose
+    pairwise/BLAS summation could flip the sign of near-zero dots and
+    re-bucket a vector. Pinned by a differential test.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(signs, dtype=np.float64)  # (P, D)
+
+    @F.pandas_udf(
+        T.StructType(
+            [T.StructField("bucket", T.StringType()), T.StructField("nrm", T.DoubleType())]
+        )
+    )
+    def vs(emb):  # (pd.Series) -> pd.DataFrame; hints omitted — the string
+        # annotations from `from __future__ import annotations` defeat
+        # pyspark's eval-type inference for locally-imported pandas
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])  # (N, D)
+        n, d = mat.shape
+        dots = np.zeros((n, planes.shape[0]))
+        sq = np.zeros(n)
+        for j in range(d):
+            dots += mat[:, j : j + 1] * planes[:, j]
+            sq += mat[:, j] * mat[:, j]
+        bits = (dots >= 0).astype(np.uint8)
+        buckets = ["".join("1" if b else "0" for b in row) for row in bits]
+        return pd.DataFrame({"bucket": buckets, "nrm": np.sqrt(sq)})
+
+    return vs
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -239,6 +279,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 5000,  # lsh_guard.DEFAULT_MAX_BUCKET
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (a < b, cosine ≥ threshold) found
     within LSH buckets — near-identical vectors land in the same bucket
@@ -250,11 +291,21 @@ def cosine_near_dup_pairs(
     """
     from dataplatform_cdc_pipeline_spark.operators.lsh_guard import cap_buckets
 
-    vecs = (
-        embeddings.select(F.col(id_col), as_double_vec(vec_col).alias("vec"))
-        .withColumn("bucket", lsh_bucket_expr(F.col("vec"), hyperplane_signs(planes, dims)))
-        .withColumn("nrm", norm_expr(F.col("vec")))
-    )
+    # persisted: bucket + norm computed once (Arrow fast path by default)
+    # for the guard pass and both self-join sides
+    signs = hyperplane_signs(planes, dims)
+    if use_arrow:
+        stats = vec_stats_udf(signs)(F.col(vec_col)).alias("__s")
+        vecs = embeddings.select(
+            F.col(id_col), as_double_vec(vec_col).alias("vec"), stats
+        ).select(id_col, "vec", F.col("__s.bucket").alias("bucket"), F.col("__s.nrm").alias("nrm"))
+    else:
+        vecs = (
+            embeddings.select(F.col(id_col), as_double_vec(vec_col).alias("vec"))
+            .withColumn("bucket", lsh_bucket_expr(F.col("vec"), signs))
+            .withColumn("nrm", norm_expr(F.col("vec")))
+        )
+    vecs = vecs.persist()
     vecs = cap_buckets(vecs, "bucket", max_bucket_size, "embedding-near-dup")
     a, b = vecs.alias("a"), vecs.alias("b")
     return (

@@ -445,7 +445,9 @@ def simhash_near_pairs(
     (a pair within hamming ≤ bands-1 must share ≥1 identical slice),
     verified with bit_count(a XOR b) ≤ max_hamming. Degenerate slice keys
     are dropped (and logged) by the ``max_bucket_size`` guard."""
-    sh = simhash64(df, text_col, id_col, bits)
+    # persisted: (id, simhash) is tiny and feeds the guard pass + both
+    # self-join sides — the signature UDF runs once total
+    sh = simhash64(df, text_col, id_col, bits).persist()
     width = bits // bands
     mask = (1 << width) - 1
     slices = F.array(

@@ -122,6 +122,33 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 """
 
 
+def q_cdc_dedup_latest_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 via the two-phase SALTED dedup (the window-skew escape hatch for
+    hot keys — operators/dedup.latest_per_key(salt_buckets=8)). "Latest" is
+    associative, so the result must be identical to the unsalted form;
+    gated by the same oracle as ``cdc_dedup_latest``."""
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, None, None)
+    keyed = w.select(
+        F.col("__op"),
+        F.col("__pk_raw_0").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        F.col("__event_ts").alias("source_ts_ns_order"),
+        F.col("__pos").alias("pos"),
+    )
+    out = latest_per_key(keyed, ["user_id"], salt_buckets=8)
+    return out.select(
+        "user_id",
+        F.col("__op").alias("op"),
+        "event_type",
+        "value",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
 #: Wide target schema exercising the cast-rule engine end-to-end.
 CAST_DEMO_SCHEMA = T.StructType(
     [
@@ -482,6 +509,101 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 """
 
 
+def _late_replay_state(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
+    """Two-batch merge over a feed where 'view' events arrive 10 days LATE.
+
+    Batch 2 can then carry an event-time-OLDER change for a key already
+    merged from batch 1 — the SURVEY §2.8 cross-batch replay hazard:
+
+    - default (reference fidelity): the late older event OVERWRITES the
+      newer target state (merge.sql has no recency guard);
+    - ``strict_ts_guard``: updates apply only when
+      ``source.ts >= target.ts``, so the newer state survives.
+    """
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    events = load_table(spark, sf_dir, "events")
+    # +30 days puts EVERY late view in batch 2 by itself (events span one
+    # month), so most keys' batch-2 winner is event-time-older than their
+    # batch-1 state — the discriminating shape for the guard
+    late_lt = F.when(
+        F.col("event_type") == "view", F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    ).otherwise(F.col("ts"))
+    raw = synthesize_cdc_from_events(events, load_ts=late_lt)
+    split = datetime.datetime(2024, 2, 1)
+    cfg = user_state_config(strict_ts_guard=strict)
+    tmp = tempfile.mkdtemp(prefix="cdc_late_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, split), deterministic_audit=True)
+    run_merge(spark, cfg, target, audit, raw=raw, window=(split, None), deterministic_audit=True)
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+def q_cdc_merge_late_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 replay, reference fidelity: late older events overwrite."""
+    return _late_replay_state(spark, sf_dir, strict=False)
+
+
+def q_cdc_merge_late_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 replay with ``strict_ts_guard``: newer target state survives."""
+    return _late_replay_state(spark, sf_dir, strict=True)
+
+
+_LATE_SPLIT = "2024-02-01 00:00:00"
+
+
+def _late_replay_sql(strict: bool) -> str:
+    # guarded: a non-delete batch-2 winner only replaces a surviving
+    # batch-1 row when its event time is >= (deletes are unconditional)
+    keep_s1 = (
+        "w2.user_id IS NULL OR (w2.op != 'd' AND s1.user_id IS NOT NULL AND w2.e < s1.e)"
+        if strict
+        else "w2.user_id IS NULL"
+    )
+    return f"""
+WITH typed AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS e, event_id AS pos,
+         CASE WHEN event_type = 'view' THEN ts::TIMESTAMP + INTERVAL 30 DAY
+              ELSE ts::TIMESTAMP END AS load_ts
+  FROM events
+), s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY e DESC, pos DESC) AS rn
+    FROM typed WHERE load_ts <= TIMESTAMP '{_LATE_SPLIT}') WHERE rn = 1 AND op != 'd'
+), w2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY e DESC, pos DESC) AS rn
+    FROM typed WHERE load_ts > TIMESTAMP '{_LATE_SPLIT}') WHERE rn = 1
+)
+SELECT
+  CASE WHEN {keep_s1} THEN s1.user_id ELSE w2.user_id END AS user_id,
+  CASE WHEN {keep_s1} THEN s1.event_type ELSE w2.event_type END AS event_type,
+  CASE WHEN {keep_s1} THEN s1.value ELSE w2.value END AS value,
+  CASE WHEN {keep_s1} THEN s1.k ELSE w2.k END AS k,
+  CASE WHEN {keep_s1} THEN s1.e ELSE w2.e END AS event_ts_us,
+  CASE WHEN {keep_s1} THEN s1.pos ELSE w2.pos END AS pos
+FROM s1 FULL JOIN w2 ON s1.user_id = w2.user_id
+WHERE (w2.op IS NULL OR w2.op != 'd')
+ORDER BY user_id
+"""
+
+
+SQL_CDC_MERGE_LATE_REPLAY = _late_replay_sql(False)
+SQL_CDC_MERGE_LATE_GUARDED = _late_replay_sql(True)
+
+
 def q_cdc_watermark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: window stats — min/max load_ts + upsert/delete candidate counts."""
     raw = cdc_feed(spark, sf_dir)
@@ -638,12 +760,15 @@ ORDER BY o_custkey, rk
 QUERIES: dict[str, callable] = {
     "cdc_window_scan": q_cdc_window_scan,
     "cdc_dedup_latest": q_cdc_dedup_latest,
+    "cdc_dedup_latest_salted": q_cdc_dedup_latest_salted,
     "cdc_cast_projection": q_cdc_cast_projection,
     "cdc_delete_survivorship": q_cdc_delete_survivorship,
     "cdc_merge_full": q_cdc_merge_full,
     "cdc_merge_incremental": q_cdc_merge_incremental,
     "cdc_merge_multi_pk": q_cdc_merge_multi_pk,
     "cdc_merge_op_u": q_cdc_merge_op_u,
+    "cdc_merge_late_replay": q_cdc_merge_late_replay,
+    "cdc_merge_late_guarded": q_cdc_merge_late_guarded,
     "cdc_rowkey_timestamp": q_cdc_rowkey_timestamp,
     "cdc_watermark_stats": q_cdc_watermark_stats,
     "pricing_summary": q_pricing_summary,
@@ -654,12 +779,15 @@ QUERIES: dict[str, callable] = {
 ORACLES: dict[str, str] = {
     "cdc_window_scan": SQL_CDC_WINDOW_SCAN,
     "cdc_dedup_latest": SQL_CDC_DEDUP_LATEST,
+    "cdc_dedup_latest_salted": SQL_CDC_DEDUP_LATEST,
     "cdc_cast_projection": SQL_CDC_CAST_PROJECTION,
     "cdc_delete_survivorship": SQL_CDC_DELETE_SURVIVORSHIP,
     "cdc_merge_full": SQL_CDC_MERGE_FULL,
     "cdc_merge_incremental": SQL_CDC_MERGE_INCREMENTAL,
     "cdc_merge_multi_pk": SQL_CDC_MERGE_MULTI_PK,
     "cdc_merge_op_u": SQL_CDC_MERGE_OP_U,
+    "cdc_merge_late_replay": SQL_CDC_MERGE_LATE_REPLAY,
+    "cdc_merge_late_guarded": SQL_CDC_MERGE_LATE_GUARDED,
     "cdc_rowkey_timestamp": SQL_CDC_ROWKEY_TIMESTAMP,
     "cdc_watermark_stats": SQL_CDC_WATERMARK_STATS,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -210,7 +210,24 @@ def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi range join against a small band table → broadcast nested
     loop (the right plan: bands are tiny, events never shuffle)."""
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(VALUE_BANDS, "lo double, hi double, band string")
+    # literal-struct explode: pure-JVM plan for the tiny dim (createDataFrame
+    # would spin a Python worker on every action over the broadcast side)
+    bands = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lo).alias("lo"), F.lit(hi).alias("hi"), F.lit(b).alias("band")
+                        )
+                        for lo, hi, b in VALUE_BANDS
+                    ]
+                )
+            ).alias("__b")
+        )
+        .select("__b.lo", "__b.hi", "__b.band")
+    )
     joined = ev.join(
         F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi), "left"
     )

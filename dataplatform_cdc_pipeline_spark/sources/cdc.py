@@ -61,8 +61,14 @@ def op_expr(event_type=None):
 OP_SQL = "CASE WHEN event_type = 'error' THEN 'd' WHEN event_type = 'signup' THEN 'c' ELSE 'u' END"
 
 
-def synthesize_cdc_from_events(events: DataFrame) -> DataFrame:
-    """events table → bronze CDC frame ``(data, load_ts, publish_time, …)``."""
+def synthesize_cdc_from_events(events: DataFrame, load_ts=None) -> DataFrame:
+    """events table → bronze CDC frame ``(data, load_ts, publish_time, …)``.
+
+    ``load_ts`` overrides the arrival time (default: the event time itself);
+    pass a shifted Column to model LATE-ARRIVING data — events whose
+    arrival batch is later than their event time (SURVEY §2.8 replay
+    semantics).
+    """
     payload = F.to_json(
         F.struct(
             op_expr().alias("__op"),
@@ -74,10 +80,11 @@ def synthesize_cdc_from_events(events: DataFrame) -> DataFrame:
             F.get_json_object("props", "$.k").cast("int").alias("k"),
         )
     )
+    lt = load_ts if load_ts is not None else F.col("ts")
     return events.select(
         payload.alias("data"),
-        F.col("ts").alias("load_ts"),
-        F.col("ts").alias("publish_time"),
+        lt.alias("load_ts"),
+        lt.alias("publish_time"),
         F.concat(F.lit("m-"), F.col("event_id")).alias("message_id"),
         F.lit("demo.events").alias("source_db_table"),
         F.lit("sub-events").alias("subscription_name"),

@@ -190,3 +190,40 @@ def test_bucket_cap_simhash_and_embeddings(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="dataplatform_cdc_pipeline_spark.lsh_guard"):
         assert cosine_near_dup_pairs(emb, dims=8, max_bucket_size=50).count() == 0
     assert any("embedding-near-dup" in r.message for r in caplog.records)
+
+
+def test_vec_stats_udf_matches_column_twin(spark, sf_dir):
+    """The Arrow (bucket, norm) fast path must be bit-identical to the
+    Column folds (dim-sequential accumulation, not np.dot)."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        hyperplane_signs,
+        lsh_bucket_expr,
+        norm_expr,
+        vec_stats_udf,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    signs = hyperplane_signs(8, 64)
+    both = emb.select(
+        "vec_id",
+        vec_stats_udf(signs)(F.col("embedding")).alias("u"),
+        lsh_bucket_expr(as_double_vec("embedding"), signs).alias("cb"),
+        norm_expr(as_double_vec("embedding")).alias("cn"),
+    )
+    bad = both.filter(
+        (F.col("u.bucket") != F.col("cb")) | (F.col("u.nrm") != F.col("cn"))
+    ).count()
+    assert bad == 0
+
+
+def test_cosine_near_dup_arrow_column_equivalence(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(500)
+    a = {tuple(r) for r in cosine_near_dup_pairs(emb, threshold=0.4, use_arrow=True).collect()}
+    b = {tuple(r) for r in cosine_near_dup_pairs(emb, threshold=0.4, use_arrow=False).collect()}
+    assert a == b

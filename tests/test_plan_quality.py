@@ -59,26 +59,29 @@ def test_dedup_has_single_shuffle(spark, sf_dir):
 def test_packing_offset_plan_independent_of_partition_count(spark):
     """The partition-offset map must broadcast-join, not expand into a
     per-partition CASE chain whose expression depth grows with
-    defaultParallelism (the 100 TB plan-bloat hazard)."""
+    defaultParallelism (the 100 TB plan-bloat hazard). Above the literal
+    threshold the offsets ride a local relation, so plan size is CONSTANT
+    in partition count."""
     from dataplatform_cdc_pipeline_spark.operators.packing import global_running_sum
 
-    df = spark.range(1000).select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n"))
+    df = spark.range(2000).select(F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n"))
     sizes = {}
-    for p in (4, 64):
+    for p in (64, 320, 640):
         out = global_running_sum(df, "doc_id", F.col("n"), num_partitions=p)
         plan = out._jdf.queryExecution()
         sizes[p] = len(plan.optimizedPlan().toString())
         assert "BroadcastHashJoin" in plan.executedPlan().toString(), p
-    # 16× the partitions must not noticeably grow the plan (CASE-chain would 16×)
-    assert sizes[64] < sizes[4] * 1.5, sizes
+    # 2× the partitions in the scale regime must not grow the plan
+    assert sizes[640] < sizes[320] * 1.1, sizes
 
-    # and the prefix sum stays correct at the higher partition count
-    rows = global_running_sum(df, "doc_id", F.col("n"), num_partitions=64).collect()
+    # and the prefix sum stays correct across regimes
     acc, expect = 0, {}
-    for i in range(1000):
+    for i in range(2000):
         expect[i] = acc
         acc += i % 7
-    assert all(r["running_before"] == expect[r["doc_id"]] for r in rows)
+    for p in (64, 320):
+        rows = global_running_sum(df, "doc_id", F.col("n"), num_partitions=p).collect()
+        assert all(r["running_before"] == expect[r["doc_id"]] for r in rows), p
 
 
 def test_merge_reads_only_affected_bucket_partitions(spark):

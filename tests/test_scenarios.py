@@ -289,3 +289,40 @@ def test_dual_audit_tables(spark):
     assert jl2 == {"SUCCESS", "FAILED"} and inc2 == {"SUCCESS", "FAILED"}
     failed = [r for r in audit.job_log().collect() if r["run_status"] == "FAILED"][0]
     assert failed["error_msg"] and "boom" in failed["error_msg"]
+
+
+def test_commit_manifest_crash_detection(spark):
+    """The bucket-swap commit writes a manifest before the first swap and
+    removes it after the last: a mid-swap crash is detectable via
+    pending_commit() and flagged (then reconverged) on the next merge."""
+    import json
+    import logging
+    import os
+
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+
+    cfg, target, audit = pipeline(spark)
+    run_merge(spark, cfg, target, audit,
+              raw=bronze(spark, [("c", 1, 1, 1, 1.0)]), window=(None, None),
+              deterministic_audit=True)
+    assert target.pending_commit() is None  # clean commit removed it
+
+    # simulate a crash that left the manifest behind
+    with open(os.path.join(target.path, target.MANIFEST), "w") as f:
+        json.dump({"staging": "gone", "buckets": [0]}, f)
+    assert target.pending_commit() == {"staging": "gone", "buckets": [0]}
+
+    logger = logging.getLogger("dataplatform_cdc_pipeline_spark.merge_target")
+    records = []
+    h = logging.Handler()
+    h.emit = records.append
+    logger.addHandler(h)
+    try:
+        run_merge(spark, cfg, target, audit,
+                  raw=bronze(spark, [("u", 2, 2, 1, 9.0)]), window=(None, None),
+                  deterministic_audit=True)
+    finally:
+        logger.removeHandler(h)
+    assert any("crashed mid-swap" in r.getMessage() for r in records)
+    assert target.pending_commit() is None  # reconverged, manifest cleared
+    assert state(target) == [(1, 9.0)]
