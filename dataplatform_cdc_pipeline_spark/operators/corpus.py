@@ -1,0 +1,89 @@
+"""Corpus-curation operators: deterministic stratified sampling and
+train/eval contamination detection — the selection layer of a training-data
+pipeline, downstream of quality scoring and dedup.
+
+Scale design:
+- **Stratified sampling** is a pure Column filter (language-ID + MD5 slot
+  arithmetic): no shuffle, scan-speed, reproducible run-to-run and
+  engine-to-engine (no RNG state — the sample is a FUNCTION of the id).
+- **Contamination check** joins hashed n-gram fingerprints: grams explode
+  ×O(tokens), hash-join on the 60-bit gram hash (benchmark side is
+  typically small → broadcast), then a per-pair count. Never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+from dataplatform_cdc_pipeline_spark.operators.text_analysis import language_id_expr
+from dataplatform_cdc_pipeline_spark.operators.text_dedup import shingles_expr
+
+
+def sample_slot_expr(id_col: Column | str, salt: str = "sample") -> Column:
+    """Deterministic [0,100) slot from the document id (MD5-derived, so any
+    engine reproduces the exact sample membership)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(md5_long(c.cast("string"), salt), F.lit(100))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ``rates_pct[lang]`` percent of each predicted-language stratum
+    (``default_pct`` for unlisted languages) — the standard move for
+    rebalancing overrepresented languages in a pretraining mix.
+
+    Returns (id, lang_pred, sample_slot) for kept docs. The rate CASE is
+    bounded by the language-profile count, not the data.
+    """
+    lang = language_id_expr(text_col)
+    slot = sample_slot_expr(id_col, salt)
+    rate = F.lit(default_pct)
+    for lg, pct in rates_pct.items():
+        rate = F.when(lang == lg, F.lit(pct)).otherwise(rate)
+    return (
+        df.select(F.col(id_col), lang.alias("lang_pred"), slot.alias("sample_slot"), rate.alias("__rate"))
+        .filter(F.col("sample_slot") < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(train_id, bench_id, shared_ngrams): training docs sharing ≥
+    ``min_shared`` distinct word ``n``-grams with a held-out benchmark doc
+    — the standard eval-contamination screen before training.
+
+    Both sides reduce to (id, 60-bit gram hash) before the join, so only
+    ids + hashes shuffle; the benchmark side is usually small enough that
+    AQE broadcasts it.
+    """
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        sh = F.array_distinct(shingles_expr(text_col, n))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.transform(sh, lambda s: md5_long(s))).alias("g"),
+        )
+
+    t = grams(train, "train_id")
+    b = grams(bench, "bench_id")
+    out = (
+        t.join(b, "g")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return out.filter(F.col("shared_ngrams") >= min_shared)

@@ -71,6 +71,24 @@ def token_stats_columns(text: Column | str = "text") -> dict[str, Column]:
     }
 
 
+#: GPT-2-style pre-tokenizer, simplified to the subset expressible in BOTH
+#: Java regex (Spark) and RE2 (DuckDB): contraction suffixes, then
+#: optionally-space-prefixed letter runs / digit runs / symbol runs, then
+#: residual whitespace. (The original's `\s+(?!\S)` lookahead is not RE2-
+#: expressible; the practical effect on token COUNTS is nil because the
+#: residual `\s+` alternative still consumes the gap as one token.)
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_expr(text: Column | str = "text") -> Column:
+    """Approximate LLM token count: matches of the BPE-ish pre-tokenizer
+    (the standard cheap stand-in for a real tokenizer when budgeting a
+    corpus — whitespace token counts undercount code/punctuation-heavy
+    text). Pure Column expression, scan-speed at 100 TB."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def quality_score_expr(text: Column | str = "text") -> Column:
     """Composite [0,1] quality score from length / stopword / punct ratios.
 

@@ -411,6 +411,42 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (data-driven gap windows, F.session_window)
+    whose drained result must equal batch gap-based sessionization."""
+    from dataplatform_cdc_pipeline_spark.streaming.windowed import stream_session_windows
+
+    tmp = tempfile.mkdtemp(prefix="cdc_sstream_")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev.write.parquet(f"{tmp}/src")
+    return stream_session_windows(
+        spark, f"{tmp}/src", "user_id long, ts timestamp, value double"
+    )
+
+
+# session_window semantics: start = first event, end = last event + gap; a
+# new session begins when the inter-event gap is >= 30 min (intervals are
+# half-open, so an exactly-gap-sized difference splits)
+SQL_STREAM_SESSION_WINDOWS = """
+WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING))::BIGINT AS sid
+  FROM g)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -427,6 +463,7 @@ EXT_QUERIES = {
     "order_priority_check": q_order_priority_check,
     "small_quantity_revenue": q_small_quantity_revenue,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_session_windows": q_stream_session_windows,
     "stream_merge_state": q_stream_merge_state,
 }
 
@@ -442,6 +479,7 @@ EXT_ORACLES = {
     "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
+    "stream_session_windows": SQL_STREAM_SESSION_WINDOWS,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

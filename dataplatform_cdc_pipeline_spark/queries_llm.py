@@ -125,7 +125,9 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
+def _langid_fragments() -> tuple[str, str]:
+    """(per-language count columns, argmax CASE) SQL fragments — shared by
+    the langid oracle and the stratified-sample oracle."""
     counts = ",\n         ".join(
         f"{_stop_count_sql(words)} AS c_{lang}" for lang, words in LANG_PROFILES.items()
     )
@@ -134,6 +136,11 @@ def _langid_sql() -> str:
     case = "CASE " + " ".join(
         f"WHEN c_{l} > 0 AND c_{l} = {best} THEN '{l}'" for l in langs
     ) + " ELSE 'und' END"
+    return counts, case
+
+
+def _langid_sql() -> str:
+    counts, case = _langid_fragments()
     return f"""
 WITH t AS (SELECT doc_id, lang, text, {TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, lang,
@@ -565,6 +572,126 @@ SQL_TRAINING_MIX = _training_mix_sql()
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: token budgeting, stratified sampling, contamination
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens vs the BPE-ish pre-tokenizer
+    count (text_analysis.bpe_token_count_expr — the cheap stand-in for a
+    real tokenizer when sizing a corpus)."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import bpe_token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("ws_tokens"),
+        bpe_token_count_expr("text").alias("bpe_tokens"),
+    )
+
+
+# same pattern text: expressible in both Java regex and RE2 (SQL-escaped ')
+_BPE_SQL_PATTERN = r"''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len({TOKS}) AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}')) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+#: stratum → keep percentage (en downsampled; everything else kept)
+SAMPLE_RATES = {"en": 40}
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: keep 40% of predicted-English docs,
+    100% of other strata — MD5-slot membership, no RNG state."""
+    from dataplatform_cdc_pipeline_spark.operators.corpus import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, SAMPLE_RATES)
+
+
+def _corpus_sample_sql() -> str:
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long_sql
+
+    counts, case = _langid_fragments()
+    slot = f"{md5_long_sql('doc_id::VARCHAR', 'sample')} % 100"
+    rate = "CASE " + " ".join(
+        f"WHEN lang_pred = '{lg}' THEN {pct}" for lg, pct in SAMPLE_RATES.items()
+    ) + " ELSE 100 END"
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {counts} FROM t),
+l AS (SELECT doc_id, {case} AS lang_pred FROM s),
+h AS (SELECT doc_id, lang_pred, ({slot})::BIGINT AS sample_slot FROM l)
+SELECT doc_id, lang_pred, sample_slot FROM h
+WHERE sample_slot < {rate}
+ORDER BY doc_id
+"""
+
+
+SQL_CORPUS_SAMPLE = _corpus_sample_sql()
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination screen: training docs sharing ≥1 distinct
+    word 5-gram with the held-out benchmark slice (doc_id % 20 == 0)."""
+    from dataplatform_cdc_pipeline_spark.operators.corpus import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_pairs(train, bench, n=5)
+
+
+# 5-gram shingles: i ranges over max(len-4, 1) starts (short docs → 1)
+_SHINGLES5 = (
+    "list_transform(range(1, greatest(len(toks) - 4, 1) + 1), "
+    "i -> array_to_string(toks[i:i+4], ' '))"
+)
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform({_SHINGLES5}, s -> {MD5L.format(x="s")})) AS gh
+      FROM t),
+e AS (SELECT doc_id, unnest(gh) AS g FROM g),
+b AS (SELECT doc_id AS bench_id, g FROM e WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id AS train_id, g FROM e WHERE doc_id % 20 != 0)
+SELECT train_id, bench_id, count(*) AS shared_ngrams
+FROM tr JOIN b USING (g)
+GROUP BY train_id, bench_id
+HAVING count(*) >= 1
+ORDER BY train_id, bench_id
+"""
+
+
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (pure relational sequence + explode; the
+    per-frame decode would run in extract_features afterward)."""
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, n=128)
+    return frame_sample_plan(assets, every_ms=1000).select(
+        "asset_id", F.col("sample_ms").cast("long").alias("sample_ms")
+    )
+
+
+SQL_MULTIMODAL_FRAME_PLAN = """
+WITH ids AS (SELECT unnest(range(128)) AS asset_id),
+v AS (SELECT asset_id, 1000 * ((asset_id % 7)::INT + 1) AS duration_ms
+      FROM ids WHERE (asset_id % 3) = 2)
+SELECT asset_id, unnest(range(0, duration_ms, 1000))::BIGINT AS sample_ms FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -584,6 +711,10 @@ LLM_QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
+    "token_counts": q_token_counts,
+    "corpus_sample": q_corpus_sample,
+    "contamination_check": q_contamination_check,
 }
 
 LLM_ORACLES = {
@@ -602,4 +733,8 @@ LLM_ORACLES = {
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frame_plan": SQL_MULTIMODAL_FRAME_PLAN,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "corpus_sample": SQL_CORPUS_SAMPLE,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
 }

@@ -54,3 +54,47 @@ def stream_tumbling_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation over a streamed directory:
+    a session = consecutive events per key with < ``gap`` between them
+    (``F.session_window`` — dynamic, data-driven windows; state merges as
+    late events bridge sessions). Complete-mode availableNow drain, so the
+    result equals batch gap-based sessionization — which is exactly what
+    the DuckDB oracle recomputes (session end = last event + gap).
+    """
+    name = f"wss_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -227,3 +227,43 @@ def test_cosine_near_dup_arrow_column_equivalence(spark, sf_dir):
     a = {tuple(r) for r in cosine_near_dup_pairs(emb, threshold=0.4, use_arrow=True).collect()}
     b = {tuple(r) for r in cosine_near_dup_pairs(emb, threshold=0.4, use_arrow=False).collect()}
     assert a == b
+
+
+def test_corpus_sample_deterministic_and_stratified(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.operators.corpus import stratified_sample
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, {"en": 40}).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, {"en": 40}).collect())
+    assert a == b  # sample membership is a function of the id, not RNG
+    kept = stratified_sample(docs, {"en": 40})
+    en_kept = kept.filter("lang_pred = 'en'").count()
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import language_id_expr
+    en_total = docs.select(language_id_expr("text").alias("l")).filter("l = 'en'").count()
+    assert en_total > 0 and 0.25 < en_kept / en_total < 0.55  # ~40% of the stratum
+    # non-en strata fully kept
+    assert kept.filter("lang_pred != 'en'").count() == docs.count() - en_total
+
+
+def test_contamination_pairs_known_overlap(spark):
+    from dataplatform_cdc_pipeline_spark.operators.corpus import contamination_pairs
+
+    shared = "alpha beta gamma delta epsilon"
+    train = docs_df(spark, [(1, f"{shared} zeta eta"), (2, "totally different words here now friend")])
+    bench = docs_df(spark, [(100, f"intro {shared} outro")])
+    out = {(r["train_id"], r["bench_id"]): r["shared_ngrams"]
+           for r in contamination_pairs(train, bench, n=5).collect()}
+    assert (1, 100) in out and out[(1, 100)] >= 1
+    assert (2, 100) not in out
+
+
+def test_bpe_token_count_exceeds_whitespace_on_punct(spark):
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import bpe_token_count_expr
+
+    df = docs_df(spark, [(1, "it's a test, isn't it? x=y+1;")])
+    row = df.select(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("ws"),
+        bpe_token_count_expr("text").alias("bpe"),
+    ).first()
+    assert row["bpe"] > row["ws"]  # punctuation splits into extra tokens
