@@ -52,21 +52,23 @@ MAX_LONG = (1 << 63) - 1
 def minhash_signature_expr(shingles: Column, k: int = DEFAULT_MINHASH_K) -> Column:
     """Array of k MinHash values in ONE pass over the shingles.
 
-    Families come in pairs from each salted digest: family 2j = hex chars
-    1-15 of md5('mh{j}|shingle'), family 2j+1 = chars 17-31 — two
-    independent 60-bit values per digest, so k families cost k/2 MD5
-    evaluations per shingle. The per-shingle family array feeds a single
-    fold keeping all k running minima (vs k separate array_min traversals).
+    Families come in FOURS from each salted digest: family f = hex chars
+    ``1 + 8*(f%4) .. +8`` of md5('mh{f//4}|shingle') — four independent
+    32-bit values per digest, so k families cost k/4 MD5 evaluations per
+    shingle (MD5 dominates signature cost; 32-bit family values are ample
+    for banding — a band key still carries r×32 bits). The per-shingle
+    family array feeds a single fold keeping all k running minima (vs k
+    separate array_min traversals).
     """
-    assert k % 2 == 0, "k must be even (two families per digest)"
+    assert k % 4 == 0, "k must be a multiple of 4 (four families per digest)"
     digests = F.transform(
-        shingles, lambda s: F.array(*[F.md5(F.concat(F.lit(f"mh{j}|"), s)) for j in range(k // 2)])
+        shingles, lambda s: F.array(*[F.md5(F.concat(F.lit(f"mh{j}|"), s)) for j in range(k // 4)])
     )
     fams = F.transform(
         digests,
         lambda d: F.array(
             *[
-                F.conv(F.substring(F.element_at(d, f // 2 + 1), 1 + 16 * (f % 2), 15), 16, 10).cast(
+                F.conv(F.substring(F.element_at(d, f // 4 + 1), 1 + 8 * (f % 4), 8), 16, 10).cast(
                     "long"
                 )
                 for f in range(k)
@@ -119,11 +121,11 @@ def minhash_signature_udf(k: int = DEFAULT_MINHASH_K, n: int = 3):
             mins = [MAX_LONG] * k
             for s in shingles:
                 sb = s.encode()
-                for j in range(k // 2):
+                for j in range(k // 4):
                     d = hashlib.md5(b"mh%d|" % j + sb).hexdigest()
-                    for half in range(2):
-                        v = int(d[16 * half : 16 * half + 15], 16)
-                        f = 2 * j + half
+                    for q in range(4):
+                        v = int(d[8 * q : 8 * q + 8], 16)
+                        f = 4 * j + q
                         if v < mins[f]:
                             mins[f] = v
             out.append(mins)

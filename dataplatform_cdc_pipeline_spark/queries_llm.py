@@ -211,11 +211,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
 
 
-# family f: digest = md5('mh{f//2}|' || g), 60-bit window at hex offset
-# 1 or 17 (two families per digest — mirrors minhash_signature_expr)
+# family f: digest = md5('mh{f//4}|' || g), 32-bit window at hex offset
+# 1 + 8*(f%4) (four families per digest — mirrors minhash_signature_expr)
 _MINHASH_FAMILY = (
-    "('0x' || substring(md5('mh' || (f // 2)::VARCHAR || '|' || g), "
-    "1 + 16 * (f % 2), 15))::BIGINT"
+    "('0x' || substring(md5('mh' || (f // 4)::VARCHAR || '|' || g), "
+    "1 + 8 * (f % 4), 8))::BIGINT"
 )
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
