@@ -203,16 +203,19 @@ def ivf_topk(
     cell_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize by cell centroid, probe one cell.
+    """IVF-style ANN: coarse-quantize by cell centroid, probe ``nprobe``
+    cells.
 
     The inverted-file index here uses a deterministic coarse quantizer —
     cell = the provided partition column (a prior clustering / routing
-    key), centroids = per-cell mean vectors. A query probes ONLY the cell
-    whose centroid is nearest (nprobe=1): centroids are tiny and broadcast;
-    the corpus is scanned with a cell filter, so at scale the probe reads
-    1/cells of the data (with the corpus physically partitioned by cell,
-    that is partition pruning, not just a filter).
+    key), centroids = per-cell mean vectors. A query probes only the
+    ``nprobe`` cells whose centroids are nearest: centroids are tiny and
+    broadcast; the corpus is scanned with a cell filter, so at scale the
+    probe reads nprobe/cells of the data (with the corpus physically
+    partitioned by cell, that is partition pruning, not just a filter).
+    Raising nprobe is the standard recall/cost lever.
     """
     from pyspark.sql import Window
 
@@ -250,7 +253,7 @@ def ivf_topk(
                 Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
             ),
         )
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= nprobe)
         .select("query_id", "q_vec", "q_norm", "cell")
     )
 

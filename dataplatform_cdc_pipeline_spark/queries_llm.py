@@ -381,7 +381,8 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5)
 
 
-SQL_EMBEDDING_IVF_TOPK = f"""
+def _ivf_topk_sql(nprobe: int) -> str:
+    return f"""
 WITH v AS (
   SELECT vec_id, label AS cell, list_transform(embedding, x -> x::DOUBLE) AS vec
   FROM embeddings),
@@ -401,7 +402,7 @@ routed AS (
                       (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
                        sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
                       c.cell ASC) AS rk
-    FROM q CROSS JOIN cent c) WHERE rk = 1),
+    FROM q CROSS JOIN cent c) WHERE rk <= {nprobe}),
 scored AS (
   SELECT r.query_id, c.vec_id AS nbr_id,
          floor(list_dot_product(r.q_vec, c.vec) /
@@ -414,6 +415,20 @@ ranked AS (
   FROM scored)
 SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5
 """
+
+
+SQL_EMBEDDING_IVF_TOPK = _ivf_topk_sql(1)
+SQL_EMBEDDING_IVF_NPROBE2 = _ivf_topk_sql(2)
+
+
+def q_embedding_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): the recall/cost lever — probes the two
+    nearest cells, reading 2/cells of the corpus instead of 1/cells."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, nprobe=2)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,6 +505,42 @@ ORDER BY id_a, id_b
 
 
 SQL_EMBEDDING_NEAR_DUP = _near_dup_sql()
+
+
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup clustering: connected components over cosine
+    near-dup pairs (threshold 0.4 on the synthetic embeddings) — the same
+    canonical-per-cluster machinery the text dedup uses, applied to the
+    embedding modality. Output (vec_id, canonical_id) for the whole corpus."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(emb, threshold=0.4, planes=_ANN_PLANES, dims=_ANN_DIMS)
+    return dedup_clusters(pairs, emb, id_col="vec_id").select(
+        "vec_id", "canonical_id"
+    )
+
+
+def _emb_clusters_sql() -> str:
+    pairs_sql = SQL_EMBEDDING_NEAR_DUP.replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node)
+SELECT vec_id, coalesce(comp.canonical, vec_id) AS canonical_id
+FROM embeddings LEFT JOIN comp ON vec_id = comp.node
+ORDER BY vec_id
+"""
+
+
+SQL_EMBEDDING_DUP_CLUSTERS = _emb_clusters_sql()
 
 # ---------------------------------------------------------------------------
 # capstone: full training-data pipeline (filter → dedup → pack)
@@ -709,7 +760,9 @@ LLM_QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_nprobe2": q_embedding_ivf_nprobe2,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "token_counts": q_token_counts,
@@ -731,7 +784,9 @@ LLM_ORACLES = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_ann_lsh": SQL_EMBEDDING_ANN_LSH,
     "embedding_ivf_topk": SQL_EMBEDDING_IVF_TOPK,
+    "embedding_ivf_nprobe2": SQL_EMBEDDING_IVF_NPROBE2,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_dup_clusters": SQL_EMBEDDING_DUP_CLUSTERS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_frame_plan": SQL_MULTIMODAL_FRAME_PLAN,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -267,3 +267,20 @@ def test_bpe_token_count_exceeds_whitespace_on_punct(spark):
         bpe_token_count_expr("text").alias("bpe"),
     ).first()
     assert row["bpe"] > row["ws"]  # punctuation splits into extra tokens
+
+
+def test_ivf_nprobe_improves_recall(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_topk
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id < 10")
+    truth = {(r["query_id"], r["nbr_id"]) for r in brute_force_topk(emb, qs, k=5).collect()}
+
+    def recall(nprobe):
+        got = {(r["query_id"], r["nbr_id"]) for r in ivf_topk(emb, qs, k=5, nprobe=nprobe).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1  # more probes can only widen the candidate set
+    assert recall(100) == 1.0  # probing every cell == exact
