@@ -288,10 +288,18 @@ def dedup_clusters(
 
     Returns (id, canonical_id).
     """
+    # localCheckpoint (NOT just persist): every label-propagation iteration
+    # joins against edges, and each action re-ANALYZES the full lineage even
+    # when execution hits the cache — with an LSH+verify pair pipeline
+    # upstream (wide fold expression trees) that is ~1 s of pure Catalyst
+    # planning per iteration. Checkpointing truncates the lineage so each
+    # iteration plans against a leaf. (Unpersisted edges were worse still:
+    # the pair pipeline re-EXECUTED per iteration — 32 s at sf0.1.)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # labels over nodes that appear in any edge
     labels = (
