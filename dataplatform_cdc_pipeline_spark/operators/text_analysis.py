@@ -89,6 +89,86 @@ def bpe_token_count_expr(text: Column | str = "text") -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0))
 
 
+def text_stats_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", use_arrow: bool = True
+) -> DataFrame:
+    """(id, token/char statistics) — Arrow fast path by default.
+
+    The Column formulation is canonical (token_stats_columns, used inside
+    quality_score_expr), but its 3-gram repetition signal evaluates as an
+    interpreted higher-order fold; the Arrow twin computes the identical
+    values (same split/shingle rules as the other UDF twins, floor-scaled
+    doubles are plain IEEE arithmetic in both runtimes) in one batched
+    pass. Pinned bit-identical by a differential test.
+    """
+    if not use_arrow:
+        out = df.select(F.col(id_col), F.col(text_col))
+        for name, col in token_stats_columns(text_col).items():
+            out = out.withColumn(name, col)
+        return out.drop(text_col)
+
+    import math
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    punct_re = _re.compile(r"[.,!?;:]")
+    digit_re = _re.compile(r"[0-9]")
+    stop = frozenset(LANG_PROFILES["en"])
+    schema = T.StructType(
+        [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("n_chars_measured", T.IntegerType()),
+            T.StructField("rep_ratio", T.DoubleType()),
+            T.StructField("avg_token_len", T.DoubleType()),
+            T.StructField("punct_count", T.IntegerType()),
+            T.StructField("digit_count", T.IntegerType()),
+            T.StructField("stopword_count", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def ts(texts):
+        rows = []
+        for t in texts:
+            t = t or ""
+            words = t.strip().lower().split()
+            if not words:
+                words = [""]  # split("\\s+") of empty text yields [""] in Spark
+            n_tok = len(words)
+            n_chars = len(t)
+            if n_tok >= 3:
+                grams = [" ".join(words[i : i + 3]) for i in range(n_tok - 2)]
+            else:
+                grams = [" ".join(words)]
+            rep = 1.0 - len(set(grams)) / len(grams)
+            rows.append(
+                (
+                    n_tok,
+                    n_chars,
+                    math.floor(rep * 10000.0) / 10000.0,
+                    math.floor((n_chars - n_tok + 1) / n_tok * 10000.0) / 10000.0,
+                    len(punct_re.findall(t)),
+                    len(digit_re.findall(t)),
+                    sum(1 for w in words if w in stop),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_tokens",
+                "n_chars_measured",
+                "rep_ratio",
+                "avg_token_len",
+                "punct_count",
+                "digit_count",
+                "stopword_count",
+            ],
+        )
+
+    return df.select(F.col(id_col), ts(F.col(text_col)).alias("_s")).select(id_col, "_s.*")
+
+
 def quality_score_expr(text: Column | str = "text") -> Column:
     """Composite [0,1] quality score from length / stopword / punct ratios.
 

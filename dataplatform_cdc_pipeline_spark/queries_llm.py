@@ -21,7 +21,6 @@ from dataplatform_cdc_pipeline_spark.operators.similarity import (
 )
 from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
     LANG_PROFILES,
-    analyze_documents,
     language_id_expr,
     quality_score_expr,
 )
@@ -61,9 +60,10 @@ def _stop_count_sql(words) -> str:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import text_stats_frame
+
     docs = load_table(spark, sf_dir, "documents")
-    out = analyze_documents(docs)
-    return out.select(
+    return text_stats_frame(docs).select(
         "doc_id",
         "n_tokens",
         "n_chars_measured",

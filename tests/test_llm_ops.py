@@ -284,3 +284,17 @@ def test_ivf_nprobe_improves_recall(spark, sf_dir):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1  # more probes can only widen the candidate set
     assert recall(100) == 1.0  # probing every cell == exact
+
+
+def test_text_stats_arrow_column_equivalence(spark, sf_dir):
+    """The Arrow text-stats fast path must be value-identical to the
+    canonical Column formulation (floor-scaled doubles included)."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import text_stats_frame
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    cols = ["doc_id", "n_tokens", "n_chars_measured", "rep_ratio",
+            "avg_token_len", "punct_count", "digit_count", "stopword_count"]
+    a = sorted(tuple(r) for r in text_stats_frame(docs, use_arrow=True).select(cols).collect())
+    b = sorted(tuple(r) for r in text_stats_frame(docs, use_arrow=False).select(cols).collect())
+    assert a == b
