@@ -55,6 +55,35 @@ def stratified_sample(
     )
 
 
+def gram_hashes_udf(n: int = 5):
+    """Arrow-batched distinct word n-gram 60-bit hashes — bit-identical to
+    ``transform(array_distinct(shingles_expr(text, n)), md5_long)`` (same
+    split/shingle rules and MD5 window as the other UDF twins) but one
+    batched pass instead of interpreted array folds."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def gh(texts):
+        out = []
+        for t in texts:
+            words = (t or "").strip().lower().split()
+            if len(words) >= n:
+                grams = dict.fromkeys(
+                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+                )
+            else:
+                grams = {" ".join(words): None}
+            out.append(
+                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+            )
+        return pd.Series(out)
+
+    return gh
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,
@@ -62,6 +91,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     min_shared: int = 1,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(train_id, bench_id, shared_ngrams): training docs sharing ≥
     ``min_shared`` distinct word ``n``-grams with a held-out benchmark doc
@@ -73,10 +103,15 @@ def contamination_pairs(
     """
 
     def grams(df: DataFrame, out_id: str) -> DataFrame:
-        sh = F.array_distinct(shingles_expr(text_col, n))
+        if use_arrow:
+            hashes = gram_hashes_udf(n)(F.col(text_col))
+        else:
+            hashes = F.transform(
+                F.array_distinct(shingles_expr(text_col, n)), lambda s: md5_long(s)
+            )
         return df.select(
             F.col(id_col).alias(out_id),
-            F.explode(F.transform(sh, lambda s: md5_long(s))).alias("g"),
+            F.explode(hashes).alias("g"),
         )
 
     t = grams(train, "train_id")

@@ -298,3 +298,15 @@ def test_text_stats_arrow_column_equivalence(spark, sf_dir):
     a = sorted(tuple(r) for r in text_stats_frame(docs, use_arrow=True).select(cols).collect())
     b = sorted(tuple(r) for r in text_stats_frame(docs, use_arrow=False).select(cols).collect())
     assert a == b
+
+
+def test_contamination_arrow_column_equivalence(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.operators.corpus import contamination_pairs
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    bench = docs.filter("doc_id % 20 = 0")
+    train = docs.filter("doc_id % 20 != 0")
+    a = sorted(tuple(r) for r in contamination_pairs(train, bench, use_arrow=True).collect())
+    b = sorted(tuple(r) for r in contamination_pairs(train, bench, use_arrow=False).collect())
+    assert a == b
