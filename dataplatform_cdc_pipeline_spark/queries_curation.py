@@ -1,0 +1,204 @@
+"""Curation-layer query inventory: PII redaction, quality funnel,
+train/val/test split, domain-mix rebalancing — each with a DuckDB oracle
+(same conventions as queries_llm.py: floor-scaled doubles, BIGINT-cast
+aggregates, MD5-derived determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long_sql
+from dataplatform_cdc_pipeline_spark.operators.curation import (
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    SPLIT_BOUNDS,
+    assign_split,
+    domain_mix_apply,
+    domain_mix_plan,
+    quality_funnel,
+    redact_pii,
+    synthesize_pii_text,
+)
+from dataplatform_cdc_pipeline_spark.queries_llm import TOKS
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = synthesize_pii_text(docs)
+    return redact_pii(dirty).select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted_text").alias("redacted_md5")
+    )
+
+
+SQL_PII_REDACTION = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+                   lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ELSE '' END
+         AS dirty_text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(dirty_text, '{EMAIL_PATTERN}')) AS n_emails,
+       len(regexp_extract_all(dirty_text, '{PHONE_PATTERN}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(dirty_text, '{EMAIL_PATTERN}', '[EMAIL]', 'g'),
+                          '{PHONE_PATTERN}', '[PHONE]', 'g')) AS redacted_md5
+FROM dirty ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# quality funnel
+# ---------------------------------------------------------------------------
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_funnel(docs)
+
+
+_FUNNEL_FLAGS = """
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) - len(toks) + 1 AS chars_sum,
+         len(list_distinct({sh})) AS d,
+         len({sh}) AS g,
+         len(list_filter(toks, x -> list_contains(
+           ['the','a','and','of','to','in','is','it','you','that'], x))) AS stop
+  FROM t),
+f AS (
+  SELECT count(*) AS total,
+         sum((n_tok >= 20)::INT)::BIGINT AS min_tokens,
+         sum((n_tok <= 1000)::INT)::BIGINT AS max_tokens,
+         sum((chars_sum >= 3 * n_tok AND chars_sum <= 10 * n_tok)::INT)::BIGINT AS avg_len_ok,
+         sum((5 * d >= 4 * g)::INT)::BIGINT AS low_repetition,
+         sum((20 * stop >= n_tok)::INT)::BIGINT AS stopword_ratio,
+         sum((n_tok >= 20 AND n_tok <= 1000
+              AND chars_sum >= 3 * n_tok AND chars_sum <= 10 * n_tok
+              AND 5 * d >= 4 * g AND 20 * stop >= n_tok)::INT)::BIGINT AS all_rules
+  FROM s)
+"""
+
+SQL_QUALITY_FUNNEL = (
+    _FUNNEL_FLAGS.format(
+        toks=TOKS,
+        sh="list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+        "i -> array_to_string(toks[i:i+2], ' '))",
+    )
+    + "\n".join(
+        f"SELECT '{r}' AS rule, {r} AS n_pass, total - {r} AS n_fail FROM f"
+        + (" UNION ALL" if i < 5 else "")
+        for i, r in enumerate(
+            ["min_tokens", "max_tokens", "avg_len_ok", "low_repetition", "stopword_ratio", "all_rules"]
+        )
+    )
+)
+
+# ---------------------------------------------------------------------------
+# train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_split(docs).select("doc_id", "split_slot", "split")
+
+
+def _split_sql() -> str:
+    slot = f"{md5_long_sql('doc_id::VARCHAR', 'split')} % 100"
+    case = "CASE " + " ".join(
+        f"WHEN split_slot < {bound} THEN '{name}'" for name, bound in SPLIT_BOUNDS
+    ) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, ({slot})::BIGINT AS split_slot FROM documents)
+SELECT doc_id, split_slot, {case} AS split FROM s ORDER BY doc_id
+"""
+
+
+SQL_CORPUS_SPLIT = _split_sql()
+
+# ---------------------------------------------------------------------------
+# domain-mix rebalancing
+# ---------------------------------------------------------------------------
+
+#: target token mix, ppm: src0 and src1 up-weighted, the rest share evenly.
+MIX_WEIGHTS_PPM = {"src0": 150_000, "src1": 100_000}
+MIX_DEFAULT_PPM = 41_666
+
+
+def q_domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_plan(docs, MIX_WEIGHTS_PPM, MIX_DEFAULT_PPM)
+
+
+def _mix_weight_case() -> str:
+    return "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIX_WEIGHTS_PPM.items()
+    ) + f" ELSE {MIX_DEFAULT_PPM} END"
+
+
+_MIX_PLAN_CTE = f"""
+per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({TOKS}))::BIGINT AS tokens,
+         ({_mix_weight_case()})::BIGINT AS w_ppm
+  FROM documents GROUP BY source),
+capped AS (
+  SELECT *, (tokens * 1000000) // w_ppm AS cap FROM per_source),
+budget AS (SELECT min(cap) AS budget_t FROM capped),
+plan AS (
+  SELECT source, n_docs, tokens, w_ppm,
+         ((w_ppm * budget_t) // 1000000)::BIGINT AS keep_tokens,
+         (((w_ppm * budget_t) // 1000000) * 1000000 // tokens)::BIGINT AS rate_ppm
+  FROM capped, budget)
+"""
+
+SQL_DOMAIN_MIX_PLAN = f"""
+WITH {_MIX_PLAN_CTE}
+SELECT source, n_docs, tokens, w_ppm, keep_tokens, rate_ppm FROM plan ORDER BY source
+"""
+
+
+def q_domain_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_apply(docs, MIX_WEIGHTS_PPM, MIX_DEFAULT_PPM)
+
+
+SQL_DOMAIN_MIX_APPLY = f"""
+WITH {_MIX_PLAN_CTE}
+SELECT doc_id, d.source,
+       ({md5_long_sql('doc_id::VARCHAR', 'mix')} % 1000000)::BIGINT AS mix_slot
+FROM documents d JOIN plan USING (source)
+WHERE {md5_long_sql('doc_id::VARCHAR', 'mix')} % 1000000 < rate_ppm
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+CURATION_QUERIES = {
+    "pii_redaction": q_pii_redaction,
+    "quality_funnel": q_quality_funnel,
+    "corpus_split": q_corpus_split,
+    "domain_mix_plan": q_domain_mix_plan,
+    "domain_mix_apply": q_domain_mix_apply,
+}
+
+CURATION_ORACLES = {
+    "pii_redaction": SQL_PII_REDACTION,
+    "quality_funnel": SQL_QUALITY_FUNNEL,
+    "corpus_split": SQL_CORPUS_SPLIT,
+    "domain_mix_plan": SQL_DOMAIN_MIX_PLAN,
+    "domain_mix_apply": SQL_DOMAIN_MIX_APPLY,
+}
