@@ -122,3 +122,81 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
     return out.filter(F.col("shared_ngrams") >= min_shared)
+
+
+def cross_corpus_near_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Near-duplicate screen of a training corpus AGAINST a reference
+    corpus (new-crawl-vs-existing-data dedup): MinHash band keys on both
+    sides, candidates from the band-key equi-join (reference side is
+    typically small → AQE broadcasts it), exact Jaccard verify over
+    shingle sets computed only for candidate docs.
+
+    Same asymptotics as the self-join dedup (one narrow signature scan
+    per side + one band-key shuffle), but the join is bipartite — a pair
+    within one corpus is never a candidate.
+    """
+    from dataplatform_cdc_pipeline_spark.operators.lsh_guard import (
+        DEFAULT_MAX_BUCKET,
+        cap_buckets,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import (
+        band_keys_expr,
+        jaccard_expr,
+        minhash_signature_expr,
+        minhash_signature_udf,
+        shingle_set_udf,
+        shingles_expr,
+    )
+
+    def sig_frame(df: DataFrame, out_id: str) -> DataFrame:
+        sig = (
+            minhash_signature_udf(k, n)(F.col(text_col))
+            if use_arrow
+            else minhash_signature_expr(shingles_expr(text_col, n), k)
+        )
+        return df.select(F.col(id_col).alias(out_id), sig.alias("minhash_sig"))
+
+    def band_frame(sigs: DataFrame, out_id: str, label: str) -> DataFrame:
+        exploded = sigs.select(
+            out_id, F.explode(band_keys_expr(F.col("minhash_sig"), bands, k)).alias("band_key")
+        )
+        return cap_buckets(exploded, "band_key", DEFAULT_MAX_BUCKET, label)
+
+    t_bands = band_frame(sig_frame(train, "train_id"), "train_id", "xcorpus-train")
+    b_bands = band_frame(sig_frame(bench, "bench_id"), "bench_id", "xcorpus-ref")
+    cands = t_bands.join(b_bands, "band_key").select("train_id", "bench_id").distinct().persist()
+
+    shingle_col = (
+        shingle_set_udf(n)(F.col(text_col))
+        if use_arrow
+        else F.array_distinct(shingles_expr(text_col, n))
+    )
+
+    def sets_for(df: DataFrame, out_id: str) -> DataFrame:
+        ids = cands.select(out_id).distinct().withColumnRenamed(out_id, id_col)
+        return df.join(ids, id_col, "left_semi").select(
+            F.col(id_col).alias(out_id), shingle_col.alias(f"set_{out_id}")
+        )
+
+    joined = (
+        cands.join(sets_for(train, "train_id"), "train_id")
+        .join(sets_for(bench, "bench_id"), "bench_id")
+    )
+    return joined.select(
+        "train_id",
+        "bench_id",
+        (
+            F.floor(jaccard_expr(F.col("set_train_id"), F.col("set_bench_id")) * F.lit(1000000.0))
+            / F.lit(1000000.0)
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

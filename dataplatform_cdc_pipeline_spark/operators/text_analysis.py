@@ -283,6 +283,51 @@ def fingerprint_frame(
     return df.select(F.col(id_col), fp(F.col(text_col)).alias("_fp")).select(id_col, "_fp.*")
 
 
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count — the LM-count /
+    vocabulary-mining primitive.
+
+    Shape at scale: explode (narrow, ×tokens) → ONE groupBy shuffle with
+    map-side partial counts (hot n-grams combine before the exchange) →
+    top-k via TakeOrderedAndProject (per-partition heaps, no global sort).
+    The (count DESC, gram ASC) order is total, so the k-boundary is
+    deterministic across engines.
+    """
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import shingles_expr
+
+    grams = df.select(F.explode(shingles_expr(text_col, n)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def doc_frequency(
+    df: DataFrame, top: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Vocabulary document-frequency stats: for the ``top`` most common
+    tokens, (token, df, idf_ppm) where ``idf_ppm = N·10⁶ div df`` — the
+    inverse-document-frequency in exact BIGINT ppm (no cross-engine libm
+    log discrepancies). Distinct-per-doc explode → one count shuffle; the
+    corpus size N joins in as a broadcast 1-row aggregate."""
+    tokens = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("token")
+    )
+    dfreq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_ppm", F.expr("(n_docs * 1000000) div df"))
+        .select("token", "df", "idf_ppm")
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(top)
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column set to a documents frame."""
     out = df

@@ -184,6 +184,98 @@ ORDER BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# corpus statistics: n-gram LM counts, vocabulary document frequency
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=50)
+
+
+# 2-gram shingles: starts 1..max(len-1, 1), inclusive slice toks[i:i+1]
+_SHINGLES2 = (
+    "list_transform(range(1, greatest(len(toks) - 1, 1) + 1), "
+    "i -> array_to_string(toks[i:i+1], ' '))"
+)
+
+SQL_NGRAM_TOP_BIGRAMS = f"""
+WITH t AS (SELECT {TOKS} AS toks FROM documents),
+g AS (SELECT unnest({_SHINGLES2}) AS gram FROM t)
+SELECT gram, count(*)::BIGINT AS n_occurrences
+FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC LIMIT 50
+"""
+
+
+def q_vocab_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import doc_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_frequency(docs, top=100)
+
+
+SQL_VOCAB_DF_STATS = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+d AS (SELECT token, count(*)::BIGINT AS df FROM e GROUP BY token),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT token, df, ((n_docs * 1000000) // df)::BIGINT AS idf_ppm
+FROM d, n
+ORDER BY df DESC, token ASC LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup (new crawl vs existing training data)
+# ---------------------------------------------------------------------------
+
+
+def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screen of the training slice against the held-out
+    reference slice (doc_id % 20 == 0), MinHash-banded, Jaccard ≥ 0.5."""
+    from dataplatform_cdc_pipeline_spark.operators.corpus import cross_corpus_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return cross_corpus_near_pairs(train, bench, threshold=0.5)
+
+
+def _cross_corpus_sql() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import _MINHASH_FAMILY, SHINGLES
+
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+sig AS (
+  SELECT doc_id, list_distinct(sh) AS shset,
+         list_transform(range(0, 8), f ->
+           list_min(list_transform(sh, g -> {_MINHASH_FAMILY}))) AS mh
+  FROM s),
+bands AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, 4), b ->
+           b::VARCHAR || '_' || mh[2*b + 1]::VARCHAR || '_' || mh[2*b + 2]::VARCHAR)) AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+  FROM bands a JOIN bands b ON a.band_key = b.band_key
+  WHERE a.doc_id % 20 != 0 AND b.doc_id % 20 = 0),
+v AS (
+  SELECT train_id, bench_id,
+         floor(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+               len(list_distinct(list_concat(sa.shset, sb.shset))) * 1000000.0) / 1000000.0 AS jaccard
+  FROM cand JOIN sig sa ON cand.train_id = sa.doc_id
+            JOIN sig sb ON cand.bench_id = sb.doc_id)
+SELECT train_id, bench_id, jaccard FROM v WHERE jaccard >= 0.5 ORDER BY train_id, bench_id
+"""
+
+
+SQL_CROSS_CORPUS_DEDUP = _cross_corpus_sql()
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -193,6 +285,9 @@ CURATION_QUERIES = {
     "corpus_split": q_corpus_split,
     "domain_mix_plan": q_domain_mix_plan,
     "domain_mix_apply": q_domain_mix_apply,
+    "ngram_top_bigrams": q_ngram_top_bigrams,
+    "vocab_df_stats": q_vocab_df_stats,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
 }
 
 CURATION_ORACLES = {
@@ -201,4 +296,7 @@ CURATION_ORACLES = {
     "corpus_split": SQL_CORPUS_SPLIT,
     "domain_mix_plan": SQL_DOMAIN_MIX_PLAN,
     "domain_mix_apply": SQL_DOMAIN_MIX_APPLY,
+    "ngram_top_bigrams": SQL_NGRAM_TOP_BIGRAMS,
+    "vocab_df_stats": SQL_VOCAB_DF_STATS,
+    "cross_corpus_dedup": SQL_CROSS_CORPUS_DEDUP,
 }

@@ -79,6 +79,49 @@ def test_split_stable_under_corpus_growth(spark, docs):
         assert full[doc_id] == split
 
 
+def test_top_ngrams_counts_and_order(spark, docs):
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import top_ngrams
+
+    rows = top_ngrams(docs, n=2, k=10).collect()
+    assert len(rows) == 10
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # exact check against a driver-side recount
+    texts = [r.text for r in docs.select("text").collect()]
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        w = t.strip().lower().split()
+        grams = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)] if len(w) >= 2 else [" ".join(w)]
+        c.update(grams)
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.gram, r.n_occurrences) for r in rows] == expected
+
+
+def test_doc_frequency_idf(spark, docs):
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import doc_frequency
+
+    n = docs.count()
+    for r in doc_frequency(docs, top=20).collect():
+        assert 0 < r.df <= n
+        assert r.idf_ppm == (n * 1_000_000) // r.df
+
+
+def test_cross_corpus_finds_planted_dup(spark):
+    from dataplatform_cdc_pipeline_spark.operators.corpus import cross_corpus_near_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [(i, base if i in (3, 40) else f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(30)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") % 20 == 0)   # contains 40
+    train = docs.filter(F.col("doc_id") % 20 != 0)   # contains 3
+    out = cross_corpus_near_pairs(train, bench, threshold=0.5).collect()
+    assert [(r.train_id, r.bench_id) for r in out] == [(3, 40)]
+    assert out[0].jaccard == 1.0
+
+
 WEIGHTS = {"src0": 150_000, "src1": 100_000}
 DEFAULT = 41_666
 
