@@ -26,17 +26,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dataplatform_cdc_pipeline_spark.queries import QUERIES
+    from dataplatform_cdc_pipeline_spark.queries_analytic import ANALYTIC_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_curation import CURATION_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_ext import EXT_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_QUERIES
 
-    return {**QUERIES, **LLM_QUERIES, **CURATION_QUERIES, **EXT_QUERIES}
+    return {**QUERIES, **LLM_QUERIES, **CURATION_QUERIES, **ANALYTIC_QUERIES, **EXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     from dataplatform_cdc_pipeline_spark.queries import ORACLES
+    from dataplatform_cdc_pipeline_spark.queries_analytic import ANALYTIC_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_curation import CURATION_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_ext import EXT_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_ORACLES
 
-    return {**ORACLES, **LLM_ORACLES, **CURATION_ORACLES, **EXT_ORACLES}
+    return {**ORACLES, **LLM_ORACLES, **CURATION_ORACLES, **ANALYTIC_ORACLES, **EXT_ORACLES}

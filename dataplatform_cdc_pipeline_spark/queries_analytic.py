@@ -1,0 +1,413 @@
+"""Analytic query shapes over the TPC-H-ish tables: the classic decision-
+support patterns (case-aggregation, scalar/correlated subqueries, group-
+having join-back, disjunctive-predicate joins, anti-join cohorts, argmax
+per group, market-share ratios, window deciles) — each with a DuckDB
+oracle.
+
+Numeric conventions follow queries.py: per-row arithmetic in double (bit-
+identical across engines), SUMs in DECIMAL(25,6) (exact, partition-order-
+independent), displayed via round-in-decimal or floor-scaling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+DEC = "decimal(25,6)"
+
+
+def _dec_sum(col: F.Column) -> F.Column:
+    return F.sum(col.cast(DEC))
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: join + CASE aggregation (shipping priority mix)
+# ---------------------------------------------------------------------------
+
+
+def q_shipping_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per line status, how many lineitems belong to high- vs low-priority
+    orders. One shuffle join on the order key (both sides large at scale —
+    no broadcast), then a map-side-combined CASE aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY_MIX = """
+SELECT l_linestatus,
+       sum((o_orderpriority IN ('1-URGENT', '2-HIGH'))::INT)::BIGINT AS high_line_count,
+       sum((o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))::INT)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# Q14 shape: broadcast dim join + conditional ratio (promo revenue share)
+# ---------------------------------------------------------------------------
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROMO-part revenue share of 1996 shipments. The part table is ~30×
+    smaller than lineitem → broadcast join; the ratio is one 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _rev().cast(DEC)).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return j.agg(
+        (
+            F.floor(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / _dec_sum(_rev()).cast("double") * 10000.0
+            )
+            / 10000.0
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT floor(100.0 *
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                  ELSE CAST(0 AS DECIMAL(25,6)) END)::DOUBLE /
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))::DOUBLE
+       * 10000.0) / 10000.0 AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1996
+"""
+
+# ---------------------------------------------------------------------------
+# Q18 shape: group-HAVING then join back (large-volume customers)
+# ---------------------------------------------------------------------------
+
+LARGE_QTY_THRESHOLD = 150
+
+
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds the threshold, joined back to
+    order + customer detail. The HAVING aggregate runs FIRST (one shuffle
+    on the fact's own key, map-side combine), so only qualifying keys —
+    a tiny fraction — reach the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(_dec_sum(F.col("l_quantity")), 2).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > LARGE_QTY_THRESHOLD)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMER = f"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE > {LARGE_QTY_THRESHOLD})
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+"""
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive-predicate join (discounted revenue)
+# ---------------------------------------------------------------------------
+
+BRAND_BANDS = (("Brand#11", 1, 11), ("Brand#12", 10, 20), ("Brand#13", 20, 30))
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across the part join — the classic case where
+    the common join key still lets the engine hash-join first and apply
+    the disjunction as a post-join filter (vs a cartesian per disjunct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pred = None
+    for brand, lo, hi in BRAND_BANDS:
+        c = (F.col("p_brand") == brand) & F.col("l_quantity").between(lo, hi)
+        pred = c if pred is None else pred | c
+    return j.filter(pred).agg(
+        F.round(_dec_sum(_rev()), 2).cast("double").alias("revenue")
+    )
+
+
+SQL_DISCOUNTED_REVENUE = f"""
+SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(f"(p_brand = '{b}' AND l_quantity BETWEEN {lo} AND {hi})" for b, lo, hi in BRAND_BANDS)}
+"""
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar-avg subquery + anti join (idle high-balance customers)
+# ---------------------------------------------------------------------------
+
+
+RECENT_CUTOFF = "2000-01-01"
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average (positive) balance and no RECENT
+    orders (lapsed high-value accounts): broadcast the 1-row average,
+    anti-join the recent-orders keys, aggregate by segment. The date
+    filter pushes to the orders scan; the anti join shuffles only the
+    filtered custkey projection."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= RECENT_CUTOFF)
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((_dec_sum(F.col("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(_dec_sum(F.col("c_acctbal")), 2).cast("double").alias("total_acctbal"),
+    )
+
+
+SQL_SALES_OPPORTUNITY = f"""
+WITH avg_bal AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(25,6)))::DOUBLE / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2)::DOUBLE AS total_acctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '{RECENT_CUTOFF}')
+GROUP BY c_mktsegment
+"""
+
+# ---------------------------------------------------------------------------
+# Q15 shape: argmax via scalar subquery (top supplier by revenue)
+# ---------------------------------------------------------------------------
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum lineitem revenue: per-supplier agg →
+    broadcast 1-row MAX → equality filter (ties all surface; the decimal-
+    rounded revenue makes the equality engine-portable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = li.groupBy("l_suppkey").agg(
+        F.round(_dec_sum(_rev()), 2).cast("double").alias("total_revenue")
+    )
+    mx = per.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH per AS (
+  SELECT l_suppkey,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS total_revenue
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM per JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM per)
+"""
+
+# ---------------------------------------------------------------------------
+# Q2 shape: min-cost supplier per part (argmin per group w/ tie-break)
+# ---------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every part, the supplier observed offering the lowest lineitem
+    price (suppkey breaks ties): per-(part, supp) MIN → per-part
+    row_number — two map-side-combinable aggs, dims broadcast in last."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.col("best_price").asc(), F.col("l_suppkey").asc())
+    best = offer.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("s_suppkey"),
+            "s_name",
+            F.col("n_name").alias("supplier_nation"),
+            "best_price",
+        )
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_partkey
+                               ORDER BY best_price ASC, l_suppkey ASC) AS rk
+  FROM offer)
+SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name AS supplier_nation, best_price
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+"""
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share (conditional ratio per year within a region)
+# ---------------------------------------------------------------------------
+
+SHARE_REGION = "ASIA"
+SHARE_NATION = "NATION_2"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2 suppliers' share of revenue from ASIA customers, per order
+    year. Fact-to-fact joins shuffle on their keys; all four dims
+    broadcast. The share is a conditional decimal sum over total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    cust_nat = nation.alias("cn")
+    supp_nat = nation.alias("sn")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .filter(region.r_name == SHARE_REGION)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), supp.s_nationkey == F.col("sn.n_nationkey"))
+    )
+    nat_rev = F.when(
+        F.col("sn.n_name") == SHARE_NATION, _rev().cast(DEC)
+    ).otherwise(F.lit(0).cast(DEC))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(nat_rev).cast("double") / _dec_sum(_rev()).cast("double") * 1000000.0
+                )
+                / 1000000.0
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_MARKET_SHARE = f"""
+SELECT year(o_orderdate) AS o_year,
+       floor(sum(CASE WHEN sn.n_name = '{SHARE_NATION}'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                      ELSE CAST(0 AS DECIMAL(25,6)) END)::DOUBLE /
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))::DOUBLE
+             * 1000000.0) / 1000000.0 AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = '{SHARE_REGION}'
+GROUP BY year(o_orderdate)
+"""
+
+# ---------------------------------------------------------------------------
+# window deciles: customer lifetime-value distribution
+# ---------------------------------------------------------------------------
+
+
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into LTV deciles (ntile over a total order), then
+    per-decile count + average. ntile needs a global sort — correct here
+    because it runs on the CUSTOMER aggregate (orders of magnitude smaller
+    than the fact table); never decile a fact table this way."""
+    orders = load_table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.round(_dec_sum(F.col("o_totalprice")), 2).cast("double").alias("ltv")
+    )
+    w = Window.orderBy(F.col("ltv").desc(), F.col("o_custkey").asc())
+    return (
+        ltv.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.floor(_dec_sum(F.col("ltv")).cast("double") / F.count(F.lit(1)) * 100.0) / 100.0
+            ).alias("avg_ltv"),
+        )
+    )
+
+
+SQL_CUSTOMER_VALUE_DECILES = """
+WITH ltv AS (
+  SELECT o_custkey, round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE AS ltv
+  FROM orders GROUP BY o_custkey),
+d AS (
+  SELECT o_custkey, ltv, ntile(10) OVER (ORDER BY ltv DESC, o_custkey ASC) AS decile
+  FROM ltv)
+SELECT decile, count(*) AS n_customers,
+       floor(sum(CAST(ltv AS DECIMAL(25,6)))::DOUBLE / count(*) * 100.0) / 100.0 AS avg_ltv
+FROM d GROUP BY decile
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+ANALYTIC_QUERIES = {
+    "shipping_priority_mix": q_shipping_priority_mix,
+    "promo_revenue": q_promo_revenue,
+    "large_volume_customer": q_large_volume_customer,
+    "discounted_revenue": q_discounted_revenue,
+    "sales_opportunity": q_sales_opportunity,
+    "top_supplier": q_top_supplier,
+    "min_cost_supplier": q_min_cost_supplier,
+    "market_share": q_market_share,
+    "customer_value_deciles": q_customer_value_deciles,
+}
+
+ANALYTIC_ORACLES = {
+    "shipping_priority_mix": SQL_SHIPPING_PRIORITY_MIX,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "large_volume_customer": SQL_LARGE_VOLUME_CUSTOMER,
+    "discounted_revenue": SQL_DISCOUNTED_REVENUE,
+    "sales_opportunity": SQL_SALES_OPPORTUNITY,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+    "market_share": SQL_MARKET_SHARE,
+    "customer_value_deciles": SQL_CUSTOMER_VALUE_DECILES,
+}

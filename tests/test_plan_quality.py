@@ -96,3 +96,36 @@ def test_merge_reads_only_affected_bucket_partitions(spark):
     pruned = target.read(buckets=[0, 1])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_market_share_all_dims_broadcast_no_cartesian(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries_analytic import q_market_share
+
+    plan = fmt_plan(q_market_share(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # nation ×2, region, supplier
+    # the region filter must prune before the fact joins (pushed to a scan)
+    assert "PushedFilters" in plan
+
+
+def test_sales_opportunity_anti_join_and_date_pushdown(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries_analytic import q_sales_opportunity
+
+    plan = fmt_plan(q_sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the recent-orders date filter reaches the orders parquet scan
+    assert any(
+        "o_orderdate" in seg.split("]", 1)[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    )
+
+
+def test_top_ngrams_uses_partial_agg_and_topk(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import top_ngrams
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = top_ngrams(docs, n=2, k=10)._jdf.queryExecution().executedPlan().toString()
+    # top-k must run as per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1  # one count shuffle, nothing else
