@@ -308,6 +308,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
     )
     prev_sum = None
+    prev_labels = None
     for _ in range(max_iterations):
         # candidate label for each node: min over neighbors' labels + own
         neighbor_labels = (
@@ -320,12 +321,20 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # the new checkpoint is materialized (eager) — the previous
+        # iteration's checkpoint blocks are dead; release them instead of
+        # letting every iteration's RDD pile up until session end
+        if prev_labels is not None:
+            prev_labels.unpersist()
+        prev_labels = labels
         # min-labels only ever decrease → Σlabel strictly decreases until
         # fixpoint; one cheap agg replaces a join-based change check
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # edges fed only the loop; the final labels checkpoint is self-contained
+    edges.unpersist()
     return (
         all_ids.select(F.col(id_col))
         .join(labels.withColumnRenamed("node", id_col), id_col, "left")

@@ -447,6 +447,62 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ← same-user clicks within the
+    preceding hour) whose drained result must equal the batch interval
+    join (the oracle)."""
+    from dataplatform_cdc_pipeline_spark.streaming.joins import stream_click_purchase_join
+
+    tmp = tempfile.mkdtemp(prefix="cdc_ssj_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    ev.write.parquet(f"{tmp}/src")
+    return stream_click_purchase_join(
+        spark, f"{tmp}/src", "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+SQL_STREAM_CLICK_ATTRIBUTION = """
+WITH ev AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts FROM events)
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_ts_us
+FROM ev p JOIN ev c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup of an at-least-once feed: the events table
+    written TWICE into the stream source; dropDuplicatesWithinWatermark
+    must recover exactly one row per event_id (the oracle is the clean
+    events table)."""
+    from dataplatform_cdc_pipeline_spark.streaming.joins import stream_distinct_events
+
+    tmp = tempfile.mkdtemp(prefix="cdc_sdd_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.write.parquet(f"{tmp}/src")
+    ev.write.mode("append").parquet(f"{tmp}/src")  # the replay
+    out = stream_distinct_events(
+        spark,
+        f"{tmp}/src",
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+        key_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+
+
+SQL_STREAM_DEDUP_EVENTS = """
+SELECT event_id, epoch_us(ts::TIMESTAMP) AS ts_us, user_id, event_type, value
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -464,6 +520,8 @@ EXT_QUERIES = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_session_windows": q_stream_session_windows,
+    "stream_click_attribution": q_stream_click_attribution,
+    "stream_dedup_events": q_stream_dedup_events,
     "stream_merge_state": q_stream_merge_state,
 }
 
@@ -480,6 +538,8 @@ EXT_ORACLES = {
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
     "stream_session_windows": SQL_STREAM_SESSION_WINDOWS,
+    "stream_click_attribution": SQL_STREAM_CLICK_ATTRIBUTION,
+    "stream_dedup_events": SQL_STREAM_DEDUP_EVENTS,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

@@ -1,0 +1,112 @@
+"""Stream-stream join + streaming dedup (beyond-reference streaming
+surface): watermarked interval joins and exact dedup over a replayed feed.
+
+Both run as bounded ``availableNow`` drains into a memory sink so the
+result is comparable to the equivalent batch query — which is what the
+DuckDB oracles recompute. A continuous deployment would use the same plan
+against a real sink; the watermarks bound the join/dedup state either way.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_click_purchase_join(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: every purchase matched to the
+    same user's clicks in the preceding ``attribution_window``.
+
+    Both sides carry watermarks + the time-range predicate, so Spark can
+    bound join state (a click older than purchase-watermark − window is
+    provably unmatchable and gets evicted). Inner-join rows emit as they
+    match — no holdback — so the availableNow drain equals the batch
+    interval join.
+    """
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = click_user AND
+            click_ts >= purchase_ts - INTERVAL {attribution_window} AND
+            click_ts <= purchase_ts
+            """
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_distinct_events(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup of a replayed/at-least-once feed:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key with state
+    bounded by the watermark (a key older than the watermark can never
+    recur within delivery skew, so its dedup state is evicted) — unlike
+    plain ``dropDuplicates``, whose state grows forever on a stream."""
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

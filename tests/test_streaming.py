@@ -135,3 +135,52 @@ def test_dedup_within_watermark_drops_replays(spark):
         (1, "2024-01-01 10:05:00", 2.0),
         (2, "2024-01-01 10:00:00", 3.0),
     ]
+
+
+def test_stream_click_purchase_join_equals_batch(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+    from dataplatform_cdc_pipeline_spark.streaming.joins import stream_click_purchase_join
+
+    tmp = tempfile.mkdtemp(prefix="ssj_t_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    ev.write.parquet(f"{tmp}/src")
+    streamed = stream_click_purchase_join(
+        spark, f"{tmp}/src", "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    batch = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (c.cts >= p.pts - F.expr("INTERVAL 1 HOUR"))
+        & (c.cts <= p.pts),
+    ).select(
+        "purchase_id", "user_id", F.unix_micros("pts").alias("purchase_ts_us"),
+        "click_id", F.unix_micros("cts").alias("click_ts_us"),
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+    assert streamed.count() > 0
+
+
+def test_stream_distinct_events_drops_replay(spark, sf_dir):
+    import tempfile
+
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+    from dataplatform_cdc_pipeline_spark.streaming.joins import stream_distinct_events
+
+    tmp = tempfile.mkdtemp(prefix="sdd_t_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    ev.write.parquet(f"{tmp}/src")
+    ev.write.mode("append").parquet(f"{tmp}/src")
+    out = stream_distinct_events(
+        spark, f"{tmp}/src", "event_id long, ts timestamp, value double", ["event_id"]
+    )
+    assert out.count() == ev.count()
