@@ -44,7 +44,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs executors inside the driver JVM: an undersized heap
+        # turns long multi-query sessions into GC-pause roulette (observed
+        # 1.5 s queries spiking to 30 s). Size for the machine; a cluster
+        # deployment sizes spark.executor.memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # long-lived sessions: cap listener/plan retention and let the
+        # ContextCleaner GC broadcast/shuffle remnants between query groups
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
