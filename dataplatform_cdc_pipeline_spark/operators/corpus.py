@@ -174,7 +174,16 @@ def cross_corpus_near_pairs(
 
     t_bands = band_frame(sig_frame(train, "train_id"), "train_id", "xcorpus-train")
     b_bands = band_frame(sig_frame(bench, "bench_id"), "bench_id", "xcorpus-ref")
-    cands = t_bands.join(b_bands, "band_key").select("train_id", "bench_id").distinct().persist()
+    # eager localCheckpoint, not persist(): the small candidate frame feeds
+    # three downstream scans; a persist would pin the plan in the SQL cache
+    # manager with no safe unpersist point (the returned frame is lazy) —
+    # checkpoint RDDs are ContextCleaner-reclaimed once callers drop refs
+    cands = (
+        t_bands.join(b_bands, "band_key")
+        .select("train_id", "bench_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     shingle_col = (
         shingle_set_udf(n)(F.col(text_col))

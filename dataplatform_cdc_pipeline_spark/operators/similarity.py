@@ -294,8 +294,11 @@ def cosine_near_dup_pairs(
     """
     from dataplatform_cdc_pipeline_spark.operators.lsh_guard import cap_buckets
 
-    # persisted: bucket + norm computed once (Arrow fast path by default)
-    # for the guard pass and both self-join sides
+    # materialized once (Arrow fast path by default) for the guard pass and
+    # both self-join sides — eager localCheckpoint, not persist(): a persist
+    # pins the plan in the SQL cache manager until explicit unpersist, and
+    # the returned frame's laziness means no safe unpersist point exists in
+    # this function; checkpoint RDDs are ContextCleaner-reclaimed instead
     signs = hyperplane_signs(planes, dims)
     if use_arrow:
         stats = vec_stats_udf(signs)(F.col(vec_col)).alias("__s")
@@ -308,7 +311,7 @@ def cosine_near_dup_pairs(
             .withColumn("bucket", lsh_bucket_expr(F.col("vec"), signs))
             .withColumn("nrm", norm_expr(F.col("vec")))
         )
-    vecs = vecs.persist()
+    vecs = vecs.localCheckpoint(eager=True)
     vecs = cap_buckets(vecs, "bucket", max_bucket_size, "embedding-near-dup")
     a, b = vecs.alias("a"), vecs.alias("b")
     return (

@@ -238,8 +238,19 @@ def minhash_dedup_pairs(
         sig_col = minhash_signature_udf(k, n)(F.col(text_col))
     else:
         sig_col = minhash_signature_expr(shingles_expr(text_col, n), k)
+    # Session hygiene: persist() pins the plan in the SQL cache manager
+    # until an explicit unpersist — in a long multi-query session those
+    # pins accumulate and decay everything (measured 2.8× across-the-board
+    # in round 2). Pattern: persist the wide signature frame ONLY long
+    # enough to materialize the (small, bucket-capped) candidate-pair frame
+    # via an eager localCheckpoint, then release it. The checkpoint RDD is
+    # not cache-manager-pinned; the ContextCleaner reclaims it once the
+    # returned frame is dropped.
     sigs = df.select(F.col(id_col), sig_col.alias("minhash_sig")).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, bands, k).persist()
+    try:
+        cands = lsh_candidate_pairs(sigs, id_col, bands, k).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -464,9 +475,11 @@ def simhash_near_pairs(
     (a pair within hamming ≤ bands-1 must share ≥1 identical slice),
     verified with bit_count(a XOR b) ≤ max_hamming. Degenerate slice keys
     are dropped (and logged) by the ``max_bucket_size`` guard."""
-    # persisted: (id, simhash) is tiny and feeds the guard pass + both
-    # self-join sides — the signature UDF runs once total
-    sh = simhash64(df, text_col, id_col, bits).persist()
+    # eager localCheckpoint, not persist(): (id, simhash) is tiny, feeds the
+    # guard pass + both self-join sides (signature UDF runs once total), and
+    # unlike a persist it is not cache-manager-pinned — the ContextCleaner
+    # reclaims it once the returned frame is dropped (session hygiene)
+    sh = simhash64(df, text_col, id_col, bits).localCheckpoint(eager=True)
     width = bits // bands
     mask = (1 << width) - 1
     slices = F.array(

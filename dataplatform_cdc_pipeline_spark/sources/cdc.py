@@ -68,7 +68,14 @@ def synthesize_cdc_from_events(events: DataFrame, load_ts=None) -> DataFrame:
     pass a shifted Column to model LATE-ARRIVING data — events whose
     arrival batch is later than their event time (SURVEY §2.8 replay
     semantics).
+
+    Robust to TIMESTAMP_NTZ input: callers may hand a frame read outside
+    :func:`~dataplatform_cdc_pipeline_spark.sources.tables.load_table`
+    (e.g. unadjusted-to-UTC parquet); epoch arithmetic below requires TZ.
     """
+    from dataplatform_cdc_pipeline_spark.sources.tables import normalize_ntz
+
+    events = normalize_ntz(events)
     payload = F.to_json(
         F.struct(
             op_expr().alias("__op"),

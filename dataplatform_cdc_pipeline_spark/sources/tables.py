@@ -1,11 +1,20 @@
 """Canonical loader for the driver's synthetic tables (TESTDATA.md).
 
-Handles one environment quirk: ``events.parquet`` stores ``ts`` as parquet
-``TIMESTAMP(NANOS)``, which Spark's vectorized reader rejects by default.
-``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) reads it as
-epoch-nanos LongType; the loader converts to TimestampType at microsecond
-precision (floor), matching DuckDB's ``ts::TIMESTAMP`` truncation so
-oracles line up exactly.
+Handles two environment quirks in the landing parquet, mirroring the
+reference's posture that the bronze scan works on whatever the landing zone
+wrote (merge.sql:307-326 has no type ceremony):
+
+- ``TIMESTAMP(NANOS)``: Spark's vectorized reader rejects it by default;
+  ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) reads it as
+  epoch-nanos LongType and the loader converts to TimestampType at
+  microsecond precision (floor), matching DuckDB's ``ts::TIMESTAMP``.
+- ``timestamp[us]`` WITHOUT the adjusted-to-UTC flag: Spark 4 infers
+  ``TIMESTAMP_NTZ``, which analysis-fails every ``unix_micros`` call site.
+  The loader disables NTZ inference (reads as TIMESTAMP, interpreting the
+  stored micros as epoch-UTC) and additionally casts any NTZ column that
+  still appears to TimestampType — the session timezone is pinned UTC, so
+  both paths are wall-clock-preserving and agree with the UTC-naive DuckDB
+  oracle exactly.
 """
 
 from __future__ import annotations
@@ -27,9 +36,48 @@ TABLES = (
     "embeddings",
 )
 
+#: Load-time schema contract: column → required Spark type, per table.
+#: Environment drift (a regenerated testdata file changing a type the
+#: normalization doesn't already absorb) fails HERE with a named column,
+#: in the builder's own loop — not downstream in the driver's oracle run.
+EXPECTED_TYPES: dict[str, dict[str, type]] = {
+    "events": {"ts": T.TimestampType, "event_id": T.LongType, "user_id": T.LongType},
+    "orders": {"o_orderdate": T.TimestampType, "o_orderkey": T.LongType},
+    "lineitem": {"l_shipdate": T.TimestampType, "l_orderkey": T.LongType},
+    "documents": {"doc_id": T.LongType, "text": T.StringType},
+    "embeddings": {"vec_id": T.LongType, "embedding": T.ArrayType},
+}
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (session tz is UTC, so
+    the cast preserves the wall clock). Safe no-op on already-TZ frames —
+    call this on any externally-supplied frame before epoch arithmetic."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
+def _check_contract(name: str, df: DataFrame) -> None:
+    expected = EXPECTED_TYPES.get(name)
+    if not expected:
+        return
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    for col, want in expected.items():
+        if col not in actual:
+            raise TypeError(f"schema contract: table '{name}' is missing column '{col}'")
+        if not isinstance(actual[col], want):
+            raise TypeError(
+                f"schema contract: {name}.{col} is {actual[col].simpleString()}, "
+                f"expected {want.__name__} — testdata drifted; extend the loader"
+            )
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # read unadjusted-to-UTC parquet timestamps as TIMESTAMP, not NTZ
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # The driver's verify harness supplies ITS OWN SparkSession — pin the
     # session timezone at runtime so ISO-timestamp parsing and epoch
     # conversions match the UTC-naive DuckDB oracle regardless of the
@@ -49,6 +97,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.call_function("div", F.col("ts"), F.lit(1000)))
             )
+    df = normalize_ntz(df)
+    _check_contract(name, df)
     return df
 
 
