@@ -21,6 +21,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from dataplatform_cdc_pipeline_spark.session import get_spark
 
+#: Headline set: the §2 CDC core, every query that regressed ≥2× in round 2
+#: (so recovery is measurable round-over-round), and one representative per
+#: LLM-operator / analytic family. The long tail of near-duplicate variants
+#: stays out of the timed session — 69 sequential queries in one JVM was
+#: itself a measured perf hazard (r2 session decay); set
+#: SPARK_GRAFT_BENCH_FULL=1 to time every registered query instead.
+HEADLINE = [
+    "cdc_window_scan", "cdc_dedup_latest", "cdc_dedup_latest_salted",
+    "cdc_cast_projection", "cdc_delete_survivorship", "cdc_merge_full",
+    "cdc_merge_incremental", "cdc_merge_multi_pk", "cdc_merge_op_u",
+    "cdc_merge_late_replay", "cdc_merge_late_guarded", "cdc_rowkey_timestamp",
+    "cdc_watermark_stats",
+    "dedup_minhash_lsh", "dedup_clusters", "embedding_near_dup",
+    "embedding_ivf_topk", "embedding_ann_lsh", "dedup_ngram_jaccard",
+    "text_quality", "multimodal_features", "top_orders_per_customer",
+    "training_mix", "pricing_summary", "stream_windowed_counts",
+    "dedup_exact", "dedup_simhash", "embedding_topk", "text_stats",
+    "token_counts", "corpus_sample", "pii_redaction", "quality_funnel",
+    "domain_mix_plan", "revenue_by_nation", "sessionize_events",
+    "asof_prior_click", "stream_merge_state",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,6 +51,8 @@ def main() -> None:
 
     spark = get_spark("cdc-engine-bench")
     queries = entrymod.queries()
+    if not os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        queries = {k: queries[k] for k in HEADLINE}
 
     # warmup: JVM/codegen spin-up + file-listing so the first timed query
     # isn't charged for session initialization
