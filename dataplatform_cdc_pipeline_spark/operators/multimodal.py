@@ -137,7 +137,12 @@ def synthesize_assets(spark, n: int = 64) -> DataFrame:
     )
     hex_payload = F.expr("repeat(sha2(concat('asset', cast(id as string)), 256), cast(id % 5 + 1 as int))")
     is_image = mt == "image"
-    return spark.range(n).select(
+    # size partitions to the row count (≥32 rows per Arrow batch): a tiny
+    # asset table split across every core pays one Python-worker round-trip
+    # per near-empty partition in downstream mapInPandas stages — task
+    # overhead, not compute, dominated the measured time
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 32))
+    return spark.range(0, n, 1, n_parts).select(
         i.alias("asset_id"),
         mt.alias("media_type"),
         F.unhex(hex_payload).alias("payload"),

@@ -196,6 +196,35 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF coarse-quantizer index: per-cell mean vector + norm.
+
+    This is an INDEX ARTIFACT, not a per-query computation — at scale you
+    build it once (or maintain it incrementally as the corpus grows), write
+    it next to the corpus, and broadcast it into every probe. Callers that
+    issue multiple IVF queries should materialize the returned frame (e.g.
+    ``.localCheckpoint(eager=True)``) and pass it to :func:`ivf_topk`.
+
+    Returns (cell, centroid array<double>, c_norm).
+    """
+    dims_df = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(as_double_vec(vec_col)).alias("pos", "x"),
+    )
+    return (
+        dims_df.groupBy("cell", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+        .withColumn("c_norm", norm_expr(F.col("centroid")))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -204,6 +233,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize by cell centroid, probe ``nprobe``
     cells.
@@ -216,6 +246,10 @@ def ivf_topk(
     probe reads nprobe/cells of the data (with the corpus physically
     partitioned by cell, that is partition pruning, not just a filter).
     Raising nprobe is the standard recall/cost lever.
+
+    ``centroids``: a precomputed :func:`ivf_centroids` frame. When omitted
+    the index is (re)built from the corpus — fine for one-shot use, but
+    repeated callers should precompute.
     """
     from pyspark.sql import Window
 
@@ -225,16 +259,8 @@ def ivf_topk(
         as_double_vec(vec_col).alias("nbr_vec"),
     ).withColumn("nbr_norm", norm_expr(F.col("nbr_vec")))
 
-    # centroids: element-wise mean per cell (posexplode + avg per position)
-    dims_df = vecs.select("cell", F.posexplode("nbr_vec").alias("pos", "x"))
-    centroids = (
-        dims_df.groupBy("cell", "pos")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
-        .withColumn("c_norm", norm_expr(F.col("centroid")))
-    )
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, cell_col, vec_col)
 
     qs = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")

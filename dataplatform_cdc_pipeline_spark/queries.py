@@ -639,6 +639,114 @@ SELECT (SELECT max(ts_us) FROM win) AS max_load_ts_us,
        (SELECT count(*) FROM latest WHERE op = 'd') AS records_deleted
 """
 
+def q_cdc_bucket_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: partition-pruned target read — the Spark analogue of the
+    reference's explicit ``PARTITION (pNNN)`` scan list (step-8:352-377).
+
+    After a full merge, reads ONLY the hash-bucket partitions containing
+    ``user_id <= 30`` (the bucket list is computed exactly as the merge
+    computes its affected-bucket set). The oracle is the final state for
+    those keys — if pruning read the wrong bucket set, rows would be
+    missing and the value hash would diverge, so the pruned read path
+    itself is what this query gates. ``test_bucket_pruning`` separately
+    pins that the physical plan carries PartitionFilters.
+    """
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+        bucket_expr,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_prune_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, None), deterministic_audit=True)
+
+    # bucket ids for the probed keys — a driver-side list of ≤ n_buckets
+    # ints, same shape as the merge's own collect_set of affected buckets
+    buckets = [
+        r["b"]
+        for r in target.read()
+        .filter(F.col("user_id") <= 30)
+        .select(bucket_expr(["user_id"], cfg.n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    return (
+        target.read(buckets=buckets)
+        .filter(F.col("user_id") <= 30)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            "k",
+            F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+            "pos",
+        )
+    )
+
+
+SQL_CDC_BUCKET_PRUNED_READ = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked WHERE rn = 1 AND op != 'd' AND user_id <= 30 ORDER BY user_id
+"""
+
+
+def q_cdc_job_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5b: the ``etl_job_log`` run-timing twin (tables_list.sql:38-51,
+    written step-8:598-626) — deterministic columns only (run id and
+    wall-clock timestamps excluded; counts/status/identity are the
+    oracle-checkable contract)."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_joblog_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, None), deterministic_audit=True)
+    return audit.job_log().select(
+        "proc_name",
+        "target_database",
+        "target_table",
+        "run_status",
+        F.col("error_msg").cast("string").alias("error_msg"),
+        "records_inserted",
+        "records_deleted",
+    )
+
+
+SQL_CDC_JOB_LOG = f"""
+WITH latest AS (
+  SELECT * FROM (
+    SELECT user_id, {OP_SQL} AS op,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT 'sp_cdc_merge_job' AS proc_name,
+       'silver' AS target_database,
+       'user_state' AS target_table,
+       'SUCCESS' AS run_status,
+       NULL::VARCHAR AS error_msg,
+       (SELECT count(*) FROM latest WHERE op != 'd')::BIGINT AS records_inserted,
+       (SELECT count(*) FROM latest WHERE op = 'd')::BIGINT AS records_deleted
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational operator surface (scan/join/agg/window/sort over the star schema)
 # ---------------------------------------------------------------------------
@@ -771,6 +879,8 @@ QUERIES: dict[str, callable] = {
     "cdc_merge_late_guarded": q_cdc_merge_late_guarded,
     "cdc_rowkey_timestamp": q_cdc_rowkey_timestamp,
     "cdc_watermark_stats": q_cdc_watermark_stats,
+    "cdc_bucket_pruned_read": q_cdc_bucket_pruned_read,
+    "cdc_job_log": q_cdc_job_log,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -790,6 +900,8 @@ ORACLES: dict[str, str] = {
     "cdc_merge_late_guarded": SQL_CDC_MERGE_LATE_GUARDED,
     "cdc_rowkey_timestamp": SQL_CDC_ROWKEY_TIMESTAMP,
     "cdc_watermark_stats": SQL_CDC_WATERMARK_STATS,
+    "cdc_bucket_pruned_read": SQL_CDC_BUCKET_PRUNED_READ,
+    "cdc_job_log": SQL_CDC_JOB_LOG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -373,12 +373,28 @@ SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5 ORDER BY query_id,
 SQL_EMBEDDING_ANN_LSH = _ann_lsh_sql()
 
 
+#: Precomputed IVF centroid index per sf_dir — the index-artifact pattern:
+#: built once (eager localCheckpoint: tiny, cells × dims, not
+#: cache-manager-pinned), broadcast into every subsequent probe.
+_IVF_CENTROID_CACHE: dict[str, DataFrame] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_centroids
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _IVF_CENTROID_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_CENTROID_CACHE[key] = ivf_centroids(emb).localCheckpoint(eager=True)
+    return _IVF_CENTROID_CACHE[key]
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5)
+    return ivf_topk(emb, queries, k=5, centroids=_ivf_index(spark, sf_dir))
 
 
 def _ivf_topk_sql(nprobe: int) -> str:
@@ -428,7 +444,7 @@ def q_embedding_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, nprobe=2)
+    return ivf_topk(emb, queries, k=5, nprobe=2, centroids=_ivf_index(spark, sf_dir))
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
