@@ -84,28 +84,72 @@ JOB_LOG_SCHEMA = T.StructType(
 )
 
 
+def _sanitize(name: str) -> str:
+    """Table-name-safe form of a source/table identifier."""
+    return "".join(c if c.isalnum() else "_" for c in name).strip("_")
+
+
 class WatermarkStore:
     """Parquet-backed watermark/audit tables (one per engine deployment).
 
     ``path`` holds the incremental-date table; the run-timing ``etl_job_log``
     twin lives at ``job_log_path`` (default: sibling ``<path>_job_log``).
+
+    ``per_source_naming=True`` replicates the reference EXACTLY: one
+    incremental-date table per source, named
+    ``ETL_JOB_LOG_INCREMENTAL_DATE_<prefix>_<table>`` (merge.sql:460,
+    520-521 CONCATs the table name per source; step-8 likewise) — laid out
+    as one subdirectory per source under ``path``. Default False keeps the
+    engine's single keyed table (the idiomatic partitionable-warehouse
+    layout, COVERAGE.md §2.6); both spellings serve the same reads, and
+    ``history()`` unions every per-source table when the flag is on.
     """
 
-    def __init__(self, spark: SparkSession, path: str, job_log_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        job_log_path: str | None = None,
+        per_source_naming: bool = False,
+    ):
         self.spark = spark
         self.path = path
         self.job_log_path = job_log_path or f"{path}_job_log"
+        self.per_source_naming = per_source_naming
 
-    def _read(self) -> DataFrame:
-        if not os.path.isdir(self.path):
+    def _table_dir(self, cdc_table: str | None, target_table: str | None) -> str:
+        if not self.per_source_naming or cdc_table is None:
+            return self.path
+        return (
+            f"{self.path}/ETL_JOB_LOG_INCREMENTAL_DATE_"
+            f"{_sanitize(cdc_table)}_{_sanitize(target_table or '')}"
+        )
+
+    def _read(self, cdc_table: str | None = None, target_table: str | None = None) -> DataFrame:
+        if self.per_source_naming and cdc_table is None:
+            # union every per-source table (history() over the deployment)
+            dirs = (
+                [
+                    f"{self.path}/{e}"
+                    for e in sorted(os.listdir(self.path))
+                    if e.startswith("ETL_JOB_LOG_INCREMENTAL_DATE_")
+                ]
+                if os.path.isdir(self.path)
+                else []
+            )
+            if not dirs:
+                return self.spark.createDataFrame([], AUDIT_SCHEMA)
+            return self.spark.read.schema(AUDIT_SCHEMA).parquet(*dirs)
+        d = self._table_dir(cdc_table, target_table)
+        if not os.path.isdir(d):
             return self.spark.createDataFrame([], AUDIT_SCHEMA)
-        return self.spark.read.schema(AUDIT_SCHEMA).parquet(self.path)
+        return self.spark.read.schema(AUDIT_SCHEMA).parquet(d)
 
     def read_watermark(self, cdc_table: str, target_table: str) -> datetime.datetime:
         """``COALESCE(MAX(cdc_end_ts), epoch)`` for this pipeline
         (merge.sql:111-115). Only SUCCESS runs advance the watermark."""
         row = (
-            self._read()
+            self._read(cdc_table, target_table)
             .filter(
                 (F.col("cdc_table_name") == cdc_table)
                 & (F.col("target_table") == target_table)
@@ -147,7 +191,7 @@ class WatermarkStore:
                 "records_inserted": records_inserted,
                 "records_deleted": records_deleted,
             },
-        ).coalesce(1).write.mode("append").parquet(self.path)
+        ).coalesce(1).write.mode("append").parquet(self._table_dir(cdc_table, target_table))
         return run_id
 
     def append_job_log(
@@ -200,14 +244,25 @@ class WatermarkStore:
         import shutil
         import uuid as _uuid
 
+        def _compact_dir(d: str) -> int:
+            if not os.path.isdir(d):
+                return 0
+            df = self.spark.read.schema(AUDIT_SCHEMA).parquet(d)
+            n = df.count()
+            staging = f"{d}.compact-{_uuid.uuid4().hex[:8]}"
+            df.coalesce(target_files).write.parquet(staging)
+            old = f"{d}.old-{_uuid.uuid4().hex[:8]}"
+            os.rename(d, old)
+            os.rename(staging, d)
+            shutil.rmtree(old, ignore_errors=True)
+            return n
+
+        if not self.per_source_naming:
+            return _compact_dir(self.path)
         if not os.path.isdir(self.path):
             return 0
-        df = self._read()
-        n = df.count()
-        staging = f"{self.path}.compact-{_uuid.uuid4().hex[:8]}"
-        df.coalesce(target_files).write.parquet(staging)
-        old = f"{self.path}.old-{_uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(staging, self.path)
-        shutil.rmtree(old, ignore_errors=True)
-        return n
+        return sum(
+            _compact_dir(f"{self.path}/{e}")
+            for e in sorted(os.listdir(self.path))
+            if e.startswith("ETL_JOB_LOG_INCREMENTAL_DATE_")
+        )

@@ -326,3 +326,41 @@ def test_commit_manifest_crash_detection(spark):
     assert any("crashed mid-swap" in r.getMessage() for r in records)
     assert target.pending_commit() is None  # reconverged, manifest cleared
     assert state(target) == [(1, 9.0)]
+
+
+def test_per_source_audit_naming(spark, tmp_path):
+    """Reference fidelity flag: one incremental-date table PER SOURCE, named
+    ETL_JOB_LOG_INCREMENTAL_DATE_<prefix>_<table> (merge.sql:460, 520-521),
+    vs the engine's default single keyed table (COVERAGE.md §2.6)."""
+    import os
+
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA, user_state_config
+
+    base = str(tmp_path / "audit")
+    audit = WatermarkStore(spark, base, per_source_naming=True)
+
+    for src in ("events_cdc", "orders_cdc"):
+        cfg = user_state_config(cdc_table=src)
+        target = ParquetMergeTarget(spark, str(tmp_path / f"t_{src}"), cfg, USER_STATE_SCHEMA)
+        run_merge(spark, cfg, target, audit,
+                  raw=bronze(spark, [("c", 1, 1, 1, 1.0)]),
+                  window=(None, None), deterministic_audit=True)
+
+    dirs = sorted(e for e in os.listdir(base) if e.startswith("ETL_JOB_LOG_INCREMENTAL_DATE_"))
+    assert dirs == [
+        "ETL_JOB_LOG_INCREMENTAL_DATE_events_cdc_user_state",
+        "ETL_JOB_LOG_INCREMENTAL_DATE_orders_cdc_user_state",
+    ]
+    # per-source watermark reads route to the right table; history unions all
+    import datetime as _dt
+
+    assert audit.read_watermark("events_cdc", "user_state") > _dt.datetime(1970, 1, 1)
+    assert audit.history().count() == 2
+    # a source with no table yet falls back to epoch
+    assert audit.read_watermark("missing_cdc", "user_state") == _dt.datetime(1970, 1, 1)
+    # compact() walks every per-source table
+    assert audit.compact() == 2
+    assert audit.read_watermark("events_cdc", "user_state") > _dt.datetime(1970, 1, 1)
