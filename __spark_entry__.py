@@ -42,8 +42,9 @@ _PRIORITY = [
     "cdc_merge_incremental", "cdc_merge_multi_pk", "cdc_merge_op_u",
     "cdc_merge_late_replay", "cdc_merge_late_guarded", "cdc_rowkey_timestamp",
     "cdc_watermark_stats",
-    # §2 items newly oracle-gated in r3 (S6 pruned read, K5b job log)
-    "cdc_bucket_pruned_read", "cdc_job_log",
+    # §2 items newly oracle-gated in r3 (S6 pruned read, K5b job log),
+    # plus the r3 Gopher repetition filters
+    "cdc_bucket_pruned_read", "cdc_job_log", "gopher_repetition",
     # never driver-checked (added late in r2)
     "top_supplier", "min_cost_supplier", "market_share",
     "customer_value_deciles", "stream_session_windows",

@@ -338,3 +338,117 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, col in fingerprint_columns(text_col).items():
         out = out.withColumn(name, col)
     return out
+
+
+def repetition_stats_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (beyond the 3-gram ``rep_ratio``):
+    line-level duplication and top/duplicate n-gram character coverage —
+    the standard signals for dropping boilerplate/spam from an LLM corpus.
+
+    Per document (fractions floor-scaled to 4 decimals):
+
+    - ``n_lines``            non-empty lines
+    - ``dup_line_frac``      1 − distinct_lines / lines
+    - ``dup_line_char_frac`` chars in lines occurring >1× / total chars
+    - ``top_2gram_char_frac`` maximal char coverage over word 2-grams
+      (max of count × gram length) / total chars
+    - ``dup_5gram_char_frac`` chars covered by word 5-grams occurring >1×
+      / total chars
+    - ``keep``               Gopher-ish thresholds (≤0.30 dup lines by
+      count and chars, ≤0.20 top-2-gram, ≤0.15 dup-5-gram coverage)
+
+    Scale shape: three explode→groupBy legs, each shuffling on
+    ``(doc_id, line|gram)`` then re-keying to ``doc_id`` — partial
+    aggregation applies map-side, nothing is corpus-pairwise, and the
+    final assembly is three co-keyed joins on ``doc_id``. No Python on
+    the hot path.
+    """
+    words = tokens_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit("")).alias("lines"),
+        words.alias("words"),
+    )
+
+    def grams(n: int):
+        # one gram per window start: concat_ws(' ', slice(words, i, n));
+        # guarded — sequence(1, 0) would DESCEND, not return empty
+        return F.when(
+            F.size("words") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("words", i, F.lit(n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    line_counts = (
+        base.select(id_col, F.explode("lines").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    line_stats = line_counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.sum(F.when(F.col("cnt") > 1, F.length("line") * F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_line_chars"
+        ),
+    )
+    top2 = (
+        base.select(id_col, F.explode(grams(2)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.length("gram") * F.col("cnt")).alias("top_2gram_chars"))
+    )
+    dup5 = (
+        base.select(id_col, F.explode(grams(5)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.length("gram") * F.col("cnt")).otherwise(F.lit(0))
+            ).alias("dup_5gram_chars")
+        )
+    )
+
+    def frac(num, den):
+        return F.floor(
+            F.coalesce(num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), F.lit(0.0))
+            * F.lit(10000.0)
+        ) / F.lit(10000.0)
+
+    out = (
+        base.select(id_col, "n_chars")
+        .join(line_stats, id_col, "left")
+        .join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            frac(
+                F.coalesce(F.col("n_lines") - F.col("n_distinct_lines"), F.lit(0)),
+                F.coalesce("n_lines", F.lit(0)),
+            ).alias("dup_line_frac"),
+            frac(F.coalesce("dup_line_chars", F.lit(0)), F.col("n_chars")).alias(
+                "dup_line_char_frac"
+            ),
+            frac(F.coalesce("top_2gram_chars", F.lit(0)), F.col("n_chars")).alias(
+                "top_2gram_char_frac"
+            ),
+            frac(F.coalesce("dup_5gram_chars", F.lit(0)), F.col("n_chars")).alias(
+                "dup_5gram_char_frac"
+            ),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_line_frac") <= 0.30)
+            & (F.col("dup_line_char_frac") <= 0.30)
+            & (F.col("top_2gram_char_frac") <= 0.20)
+            & (F.col("dup_5gram_char_frac") <= 0.15),
+        )
+    )
+    return out

@@ -758,6 +758,74 @@ SELECT asset_id, unnest(range(0, duration_ms, 1000))::BIGINT AS sample_ms FROM v
 """
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: line duplication + n-gram character
+    coverage, with a composite keep flag (operators.text_analysis.
+    repetition_stats_frame)."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import repetition_stats_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats_frame(docs)
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         list_filter(string_split(text, chr(10)), l -> l != '') AS lines,
+         {TOKS} AS words
+  FROM documents
+),
+line_counts AS (
+  SELECT doc_id, line, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(lines) AS line FROM base)
+  GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct_lines,
+         sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END) AS dup_line_chars
+  FROM line_counts GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, max(length(gram) * cnt) AS top_2gram_chars FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT b.doc_id, array_to_string(b.words[i:i+1], ' ') AS gram
+      FROM base b, UNNEST(range(1, len(b.words))) AS t(i))
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN length(gram) * cnt ELSE 0 END) AS dup_5gram_chars
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT b.doc_id, array_to_string(b.words[i:i+4], ' ') AS gram
+      FROM base b, UNNEST(range(1, len(b.words) - 3)) AS t(i))
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id,
+         coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+         floor(coalesce((ls.n_lines - ls.n_distinct_lines) * 1.0 / nullif(ls.n_lines, 0), 0.0)
+               * 10000.0) / 10000.0 AS dup_line_frac,
+         floor(coalesce(ls.dup_line_chars * 1.0 / nullif(b.n_chars, 0), 0.0)
+               * 10000.0) / 10000.0 AS dup_line_char_frac,
+         floor(coalesce(g2.top_2gram_chars * 1.0 / nullif(b.n_chars, 0), 0.0)
+               * 10000.0) / 10000.0 AS top_2gram_char_frac,
+         floor(coalesce(g5.dup_5gram_chars * 1.0 / nullif(b.n_chars, 0), 0.0)
+               * 10000.0) / 10000.0 AS dup_5gram_char_frac
+  FROM base b
+  LEFT JOIN line_stats ls ON b.doc_id = ls.doc_id
+  LEFT JOIN g2 ON b.doc_id = g2.doc_id
+  LEFT JOIN g5 ON b.doc_id = g5.doc_id
+)
+SELECT *,
+       (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.30
+        AND top_2gram_char_frac <= 0.20 AND dup_5gram_char_frac <= 0.15) AS keep
+FROM j ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -784,6 +852,7 @@ LLM_QUERIES = {
     "token_counts": q_token_counts,
     "corpus_sample": q_corpus_sample,
     "contamination_check": q_contamination_check,
+    "gopher_repetition": q_gopher_repetition,
 }
 
 LLM_ORACLES = {
@@ -808,4 +877,5 @@ LLM_ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "corpus_sample": SQL_CORPUS_SAMPLE,
     "contamination_check": SQL_CONTAMINATION_CHECK,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
 }

@@ -310,3 +310,34 @@ def test_contamination_arrow_column_equivalence(spark, sf_dir):
     a = sorted(tuple(r) for r in contamination_pairs(train, bench, use_arrow=True).collect())
     b = sorted(tuple(r) for r in contamination_pairs(train, bench, use_arrow=False).collect())
     assert a == b
+
+
+def test_repetition_stats_edges(spark):
+    """Gopher repetition metrics: duplicated lines/grams measured, empty and
+    tiny docs fall back to zero fractions instead of erroring."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import repetition_stats_frame
+
+    rows = [
+        # 4 lines, 2 identical → dup_line_frac 1-3/4=0.25; "spam spam spam"
+        (1, "spam spam spam\nunique line one\nspam spam spam\nunique line two"),
+        (2, ""),          # empty doc
+        (3, "word"),      # single word: no 2-grams, no 5-grams
+        (4, "a b c d e a b c d e a b c d e"),  # heavy 5-gram repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats_frame(df).collect()}
+
+    assert out[1]["n_lines"] == 4
+    assert abs(out[1]["dup_line_frac"] - 0.25) < 1e-9
+    assert out[1]["dup_line_char_frac"] > 0.4  # 28 of 61 chars in dup lines
+    assert out[1]["top_2gram_char_frac"] > 0.0
+
+    assert out[2]["n_lines"] == 0
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_5gram_char_frac"] == 0.0
+
+    assert out[3]["top_2gram_char_frac"] == 0.0 and out[3]["dup_5gram_char_frac"] == 0.0
+    assert out[3]["keep"] is True
+
+    assert out[4]["dup_5gram_char_frac"] > 0.15 and out[4]["keep"] is False
