@@ -129,3 +129,35 @@ def test_top_ngrams_uses_partial_agg_and_topk(spark, sf_dir):
     # top-k must run as per-partition heaps, not a global sort
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 1  # one count shuffle, nothing else
+
+
+def test_ivf_uses_broadcast_and_reused_centroids(spark, sf_dir):
+    """The IVF probe broadcasts both the centroid routing table and the
+    routed queries — the corpus side must never shuffle-join, and a
+    precomputed centroid frame must be reused as-is (checkpoint leaf),
+    not rebuilt via posexplode+avg inside the probe plan."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_centroids, ivf_topk
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb).localCheckpoint(eager=True)
+    plan = fmt_plan(ivf_topk(emb, queries, k=5, centroids=cents))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the precomputed index enters as a scan of the checkpoint, not a rebuild
+    assert "posexplode" not in plan.lower()
+
+
+def test_repetition_stats_partial_agg_no_cartesian(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import repetition_stats_frame
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = fmt_plan(repetition_stats_frame(docs))
+    assert "CartesianProduct" not in plan
+    # every gram/line count aggregates map-side before its shuffle
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 6
+    # doc_id/text are the only columns the scans need
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
