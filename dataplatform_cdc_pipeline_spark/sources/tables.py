@@ -90,13 +90,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # normalize any nanos-as-long timestamp columns back to TimestampType
     for f_ in df.schema.fields:
         if name == "events" and f_.name == "ts" and isinstance(f_.dataType, T.LongType):
-            # integer `div` — float division corrupts the last µs digit at ns scale
+            # epoch-integer timestamp: pick the unit by magnitude (nanos
+            # ≈1.7e18, micros ≈1.7e15, millis ≈1.7e12, secs ≈1.7e9 for
+            # 2020s dates) — the driver has already shipped this column as
+            # TIMESTAMP(NANOS) (r1) and unadjusted micros (r2); absorb any
+            # integer spelling. Integer `div` — float division corrupts
+            # the last µs digit at ns scale.
+            c = F.col("ts")
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.call_function("div", F.col("ts"), F.lit(1000)))
+                "ts",
+                F.when(c >= F.lit(10**17), F.timestamp_micros(F.call_function("div", c, F.lit(1000))))
+                .when(c >= F.lit(10**14), F.timestamp_micros(c))
+                .when(c >= F.lit(10**11), F.timestamp_millis(c))
+                .otherwise(F.timestamp_seconds(c)),
             )
+        elif isinstance(f_.dataType, T.DateType) and f_.name in EXPECTED_TYPES.get(name, {}):
+            # a date-typed spelling of an expected-timestamp column (e.g.
+            # o_orderdate as date32) widens losslessly at midnight UTC
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     df = normalize_ntz(df)
     _check_contract(name, df)
     return df

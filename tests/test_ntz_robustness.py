@@ -99,3 +99,55 @@ def test_schema_contract_flags_drift(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "events.parquet"))
     with pytest.raises(TypeError, match="events.ts"):
         load_table(spark, str(tmp_path), "events")
+
+
+def _write_events(path, ts_array):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(path / "events.parquet"))
+
+
+@pytest.mark.parametrize(
+    "unit,scale",
+    [("ns", 1_000_000_000), ("us", 1_000_000), ("ms", 1_000), ("s", 1)],
+)
+def test_load_table_absorbs_epoch_integer_timestamps(spark, tmp_path, unit, scale):
+    """Drift guard: an events.ts shipped as a plain epoch int (any unit)
+    converts by magnitude — the driver has already changed this column's
+    physical type twice across rounds."""
+    d = tmp_path / unit
+    d.mkdir()
+    epoch_s = int(
+        datetime.datetime(2024, 3, 1, 6, 30, tzinfo=datetime.timezone.utc).timestamp()
+    )
+    _write_events(d, pa.array([epoch_s * scale, (epoch_s + 60) * scale], pa.int64()))
+    df = load_table(spark, str(d), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = [r["us"] for r in df.orderBy("event_id").select(F.unix_micros("ts").alias("us")).collect()]
+    assert got == [epoch_s * 1_000_000, (epoch_s + 60) * 1_000_000]
+
+
+def test_load_table_widens_date_to_timestamp(spark, tmp_path):
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderstatus": pa.array(["O"], pa.string()),
+            "o_totalprice": pa.array([10.0], pa.float64()),
+            "o_orderdate": pa.array([datetime.date(1995, 6, 1)], pa.date32()),
+            "o_orderpriority": pa.array(["1-URGENT"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    df = load_table(spark, str(tmp_path), "orders")
+    assert isinstance(df.schema["o_orderdate"].dataType, T.TimestampType)
+    row = df.select(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("d")).first()
+    assert row["d"] == "1995-06-01 00:00:00"
