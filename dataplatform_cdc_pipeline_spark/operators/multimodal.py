@@ -160,3 +160,71 @@ def synthesize_assets(spark, n: int = 64) -> DataFrame:
             mt,
         ).alias("codec"),
     )
+
+
+def fake_resize(payload: bytes, width: int | None, height: int | None,
+                target_w: int, target_h: int) -> bytes:
+    """Deterministic stand-in for a codec-backed image resize (codecs are
+    not installed here): the 'resized' payload is the SHA-256 digest of the
+    original payload's hex encoding concatenated with the target geometry —
+    stable across runs/engines, so SQL oracles can replay it from text."""
+    seed = (payload or b"").hex() + f"x{target_w}x{target_h}"
+    return hashlib.sha256(seed.encode("ascii")).digest()
+
+
+def resize_images(
+    assets: DataFrame,
+    target_w: int,
+    target_h: int,
+    resize: Callable[[bytes, int | None, int | None, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Arrow-batched image resize over the binary column (map-only).
+
+    Only image assets are transformed; the decode/re-encode runs inside a
+    ``mapInPandas`` iterator so media bytes never leave the map stage —
+    the returned frame carries the new payload plus before/after geometry
+    for downstream bookkeeping. Aspect-preserving fit in EXACT integer
+    arithmetic (floor, never upscale): width-bound → (tw, h·tw div w),
+    height-bound → (w·th div h, th) — float scaling would make the output
+    geometry depend on engine rounding, breaking cross-engine oracles.
+    ``resize`` accepts any per-cell callable; the default is the
+    deterministic env stub (real codecs unavailable — see fake_resize).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("old_width", T.IntegerType()),
+            T.StructField("old_height", T.IntegerType()),
+            T.StructField("new_width", T.IntegerType()),
+            T.StructField("new_height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, w, h, payload in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                w = None if pd.isna(w) else int(w)
+                h = None if pd.isna(h) else int(h)
+                if w and h:
+                    if w <= target_w and h <= target_h:
+                        nw, nh = w, h
+                    elif w * target_h >= h * target_w:  # width-bound
+                        nw, nh = target_w, max(1, h * target_w // w)
+                    else:  # height-bound
+                        nw, nh = max(1, w * target_h // h), target_h
+                else:
+                    nw, nh = target_w, target_h
+                rows.append((aid, w, h, nw, nh, resize(payload, w, h, nw, nh)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "old_width", "old_height",
+                    "new_width", "new_height", "payload",
+                ],
+            )
+
+    return assets.filter(F.col("media_type") == "image").mapInPandas(run, out_schema)

@@ -758,6 +758,49 @@ SELECT asset_id, unnest(range(0, duration_ms, 1000))::BIGINT AS sample_ms FROM v
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing end-to-end: aspect-preserving integer fit into
+    a 96×96 box over the image subset, Arrow-batched map-only transform.
+    The stub 'resize' emits sha256(payload_hex || geometry), replayable by
+    the DuckDB oracle (real codecs absent — multimodal.fake_resize)."""
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import (
+        resize_images,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, n=128)
+    return resize_images(assets, 96, 96).select(
+        "asset_id",
+        "old_width",
+        "old_height",
+        "new_width",
+        "new_height",
+        F.lower(F.hex("payload")).alias("resized_hash"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH ids AS (SELECT unnest(range(128)) AS asset_id),
+a AS (
+  SELECT asset_id,
+         repeat(sha256('asset' || asset_id), (asset_id % 5)::INT + 1) AS payload_hex,
+         (64 + asset_id)::INT AS w, (48 + asset_id)::INT AS h
+  FROM ids WHERE (asset_id % 3) = 0),
+g AS (
+  SELECT asset_id, w AS old_width, h AS old_height, payload_hex,
+         CASE WHEN w <= 96 AND h <= 96 THEN w
+              WHEN w * 96 >= h * 96 THEN 96
+              ELSE greatest(1, (w * 96) // h) END::INT AS new_width,
+         CASE WHEN w <= 96 AND h <= 96 THEN h
+              WHEN w * 96 >= h * 96 THEN greatest(1, (h * 96) // w)
+              ELSE 96 END::INT AS new_height
+  FROM a)
+SELECT asset_id, old_width, old_height, new_width, new_height,
+       sha256(payload_hex || 'x' || new_width || 'x' || new_height) AS resized_hash
+FROM g ORDER BY asset_id
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: line duplication + n-gram character
     coverage, with a composite keep flag (operators.text_analysis.
@@ -853,6 +896,7 @@ LLM_QUERIES = {
     "corpus_sample": q_corpus_sample,
     "contamination_check": q_contamination_check,
     "gopher_repetition": q_gopher_repetition,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 LLM_ORACLES = {
@@ -878,4 +922,5 @@ LLM_ORACLES = {
     "corpus_sample": SQL_CORPUS_SAMPLE,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "gopher_repetition": SQL_GOPHER_REPETITION,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
 }

@@ -50,3 +50,34 @@ def test_real_decode_is_stubbed():
 def test_fake_extractor_deterministic():
     assert fake_feature_extractor(b"abc", "image") == fake_feature_extractor(b"abc", "image")
     assert fake_feature_extractor(b"abc", "image") != fake_feature_extractor(b"abd", "image")
+
+
+def test_resize_images_geometry_and_determinism(spark):
+    """Aspect-preserving integer fit: no upscale, width/height-bound cases,
+    null geometry falls back to the target box; payload transform is
+    deterministic and media bytes stay in the map stage (image rows only)."""
+    from pyspark.sql import types as T
+
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        fake_resize,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"aa", 50, 40, None, "png"),     # fits → unchanged
+        (2, "image", b"bb", 200, 50, None, "png"),    # width-bound → (96, 24)
+        (3, "image", b"cc", 50, 200, None, "png"),    # height-bound → (24, 96)
+        (4, "image", b"dd", None, None, None, "png"), # no geometry → target box
+        (5, "video", b"ee", None, None, 5000, "h264"),  # filtered out
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in resize_images(df, 96, 96).collect()}
+
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["new_width"], out[1]["new_height"]) == (50, 40)
+    assert (out[2]["new_width"], out[2]["new_height"]) == (96, 24)
+    assert (out[3]["new_width"], out[3]["new_height"]) == (24, 96)
+    assert (out[4]["new_width"], out[4]["new_height"]) == (96, 96)
+    assert out[2]["payload"] == fake_resize(b"bb", 200, 50, 96, 24)
+    assert len(out[2]["payload"]) == 32  # sha256 digest bytes
