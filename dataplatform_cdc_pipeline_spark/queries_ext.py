@@ -503,6 +503,32 @@ FROM events
 """
 
 
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, total) maintained in the state store across
+    micro-batches, drained with availableNow.
+
+    Registered WITHOUT an oracle (rows-only driver check): the state store
+    accumulates rounded floats batch-by-batch, so the exact totals depend
+    on micro-batch boundaries — inherently not SQL-replayable, which is
+    precisely the class of operator the state store exists for. Cross-batch
+    accumulation and checkpoint-resume semantics are pinned by
+    tests/test_streaming.py instead.
+    """
+    from dataplatform_cdc_pipeline_spark.streaming.stateful import running_user_totals
+
+    tmp = tempfile.mkdtemp(prefix="cdc_sut_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    ev.write.parquet(f"{tmp}/src")
+    return running_user_totals(
+        spark,
+        f"{tmp}/src",
+        "event_id long, ts timestamp, user_id long, value double",
+        checkpoint_path=f"{tmp}/ckpt",
+        output_path=f"{tmp}/out",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -523,6 +549,8 @@ EXT_QUERIES = {
     "stream_click_attribution": q_stream_click_attribution,
     "stream_dedup_events": q_stream_dedup_events,
     "stream_merge_state": q_stream_merge_state,
+    # no oracle (rows-only driver check) — see the docstring
+    "stream_user_totals": q_stream_user_totals,
 }
 
 EXT_ORACLES = {

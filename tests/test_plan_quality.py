@@ -161,3 +161,25 @@ def test_repetition_stats_partial_agg_no_cartesian(spark, sf_dir):
     # doc_id/text are the only columns the scans need
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_ivf_probe_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """SCALE.md's IVF claim, proven: with the corpus physically partitioned
+    by cell, the probe's cell-equijoin against the (broadcast) routed
+    queries triggers dynamic partition pruning — the scan reads nprobe
+    cells' partitions, not the corpus."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_centroids, ivf_topk
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.write.partitionBy("label").parquet(str(tmp_path / "corpus"))
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    cents = ivf_centroids(corpus).localCheckpoint(eager=True)
+    queries = corpus.filter(F.col("vec_id") < 10)
+    plan = (
+        ivf_topk(corpus, queries, k=5, centroids=cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
