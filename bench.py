@@ -41,6 +41,8 @@ HEADLINE = [
     "token_counts", "corpus_sample", "pii_redaction", "quality_funnel",
     "domain_mix_plan", "revenue_by_nation", "sessionize_events",
     "asof_prior_click", "stream_merge_state",
+    # r3 additions (no prior-round comparator; establishes their record)
+    "gopher_repetition", "multimodal_resize",
 ]
 
 
