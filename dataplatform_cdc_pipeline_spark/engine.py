@@ -52,6 +52,7 @@ def run_merge(
     raw: DataFrame | None = None,
     window: tuple[datetime.datetime | None, datetime.datetime | None] | None = None,
     deterministic_audit: bool = False,
+    dry_run: bool = False,
 ) -> MergeResult:
     """Run one incremental CDC merge batch.
 
@@ -59,6 +60,12 @@ def run_merge(
     defaults to ``(watermark, None]`` — scan everything newer than the last
     successful run, then advance the watermark to MAX(load_ts) processed
     (step-8:493 semantics).
+
+    ``dry_run=True`` is the reference's step-5 variant (§3.3): run phases
+    1-5 — config gate, watermark read, plan synthesis, upsert view, delete
+    view — but NO DML and NO audit writes; the result carries the two
+    views (``log_v_i`` / ``log_v_d``) and their counts for inspection,
+    exactly what step-5.sql:332-336, 377-380 SELECTs back as debug output.
     """
     # Phase 1-2: gates + watermark (merge.sql:90-94, 111-115)
     etl_start_time = datetime.datetime.utcnow()  # v_etl_start_time, step-8:150
@@ -71,6 +78,23 @@ def run_merge(
         end = None
     else:
         start, end = window
+
+    if dry_run:
+        # §3.3 step-5 variant: materialize both views, touch nothing.
+        windowed = window_scan(raw, cfg, start, end)
+        log_v_i, log_v_d = build_two_stream(
+            windowed, target.schema, cfg, deterministic_audit=deterministic_audit
+        )
+        return MergeResult(
+            status="DRY_RUN",
+            window=(start, end),
+            log_v_i=log_v_i,
+            log_v_d=log_v_d,
+            upsert_candidates=log_v_i.count(),
+            delete_candidates=log_v_d.count(),
+            records_inserted=0,
+            records_deleted=0,
+        )
 
     try:
         # Phase 3-5: plan synthesis + change-set build
@@ -153,3 +177,63 @@ def run_merge(
             error_msg=str(exc)[:2000],
         )
         raise
+
+
+def run_all_pipelines(
+    spark: SparkSession,
+    config_table: str,
+    base_path: str,
+    schemas: dict[str, T.StructType],
+    raw_frames: dict[str, DataFrame] | None = None,
+    deterministic_audit: bool = False,
+) -> dict[str, MergeResult | Exception]:
+    """Orchestrator loop: one ``run_merge`` per config row (the reference
+    invokes ``CALL sp_cdc_merge_job(db, table, cdc_table)`` per table from
+    an external scheduler — this is that loop, in-process).
+
+    - ``config_table``: parquet/JSON(L) path, one row per pipeline
+      (config_file5 mirror; see config.lookup_config).
+    - ``base_path``: targets land at ``<base>/<db>/<table>``, audits share
+      one keyed store at ``<base>/_audit`` (or per-source via
+      WatermarkStore's fidelity flag by the caller).
+    - ``schemas``: target_table → silver StructType (the reference reads
+      these from INFORMATION_SCHEMA; Spark's catalog equivalent).
+    - ``raw_frames``: optional cdc_table → pre-built bronze frame (tests);
+      defaults to reading ``cfg.cdc_table`` as a path.
+
+    A failing pipeline logs its FAILED audit row inside run_merge and the
+    loop CONTINUES (the reference's scheduler treats each CALL
+    independently; its per-table handler RESIGNALs to the scheduler, not
+    to sibling tables). Inactive rows come back SKIPPED_INACTIVE.
+    Returns {target_table: MergeResult | the raised exception}.
+    """
+    from dataplatform_cdc_pipeline_spark.config import MergeConfig
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    reader = spark.read
+    cfg_df = (
+        reader.json(config_table)
+        if config_table.endswith((".json", ".jsonl"))
+        else reader.parquet(config_table)
+    )
+    audit = WatermarkStore(spark, f"{base_path}/_audit")
+    results: dict[str, MergeResult | Exception] = {}
+    for row in cfg_df.collect():  # config rows: one per pipeline, tiny
+        cfg = MergeConfig.from_dict({k: v for k, v in row.asDict().items() if v is not None})
+        if cfg.target_table not in schemas:
+            results[cfg.target_table] = KeyError(f"no schema for {cfg.target_table}")
+            continue
+        target = ParquetMergeTarget(
+            spark,
+            f"{base_path}/{cfg.target_database}/{cfg.target_table}",
+            cfg,
+            schemas[cfg.target_table],
+        )
+        raw = (raw_frames or {}).get(cfg.cdc_table)
+        try:
+            results[cfg.target_table] = run_merge(
+                spark, cfg, target, audit, raw=raw, deterministic_audit=deterministic_audit
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate per-table failures
+            results[cfg.target_table] = exc
+    return results

@@ -364,3 +364,66 @@ def test_per_source_audit_naming(spark, tmp_path):
     # compact() walks every per-source table
     assert audit.compact() == 2
     assert audit.read_watermark("events_cdc", "user_state") > _dt.datetime(1970, 1, 1)
+
+
+def test_dry_run_materializes_views_touches_nothing(spark):
+    """§3.3 step-5 variant: phases 1-5 only — both views come back with
+    counts, the target is never created, and no audit row is written."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+
+    cfg, target, audit = pipeline(spark)
+    res = run_merge(
+        spark, cfg, target, audit,
+        raw=bronze(spark, [("c", 1, 1, 1, 1.0), ("u", 2, 2, 1, 2.0), ("d", 3, 3, 2, 0.0)]),
+        window=(None, None), deterministic_audit=True, dry_run=True,
+    )
+    assert res["status"] == "DRY_RUN"
+    assert res["upsert_candidates"] == 1 and res["delete_candidates"] == 1
+    assert {r["user_id"] for r in res["log_v_i"].collect()} == {1}
+    assert {r["user_id"] for r in res["log_v_d"].collect()} == {2}
+    assert not target.exists()
+    assert audit.history().count() == 0 and audit.job_log().count() == 0
+
+    # and the dry-run views agree with what a real merge then applies
+    real = run_merge(spark, cfg, target, audit,
+                     raw=bronze(spark, [("c", 1, 1, 1, 1.0), ("u", 2, 2, 1, 2.0), ("d", 3, 3, 2, 0.0)]),
+                     window=(None, None), deterministic_audit=True)
+    assert real["status"] == "SUCCESS"
+    assert state(target) == [(1, 2.0)]
+
+
+def test_run_all_pipelines_isolates_failures(spark, tmp_path):
+    """The orchestrator loop runs every config row; a failing pipeline logs
+    FAILED and does not stop siblings; inactive rows are skipped."""
+    import json as _json
+
+    from dataplatform_cdc_pipeline_spark.engine import run_all_pipelines
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA
+
+    rows = [
+        {"cdc_table": "good_cdc", "target_table": "t_good", "target_database": "silver",
+         "pk": "user_id", "ts_ns_encoding": "nanos"},
+        {"cdc_table": "bad_cdc", "target_table": "t_bad", "target_database": "silver",
+         "pk": "user_id", "ts_ns_encoding": "nanos"},
+        {"cdc_table": "off_cdc", "target_table": "t_off", "target_database": "silver",
+         "pk": "user_id", "is_active": False},
+    ]
+    cfg_path = tmp_path / "config.jsonl"
+    cfg_path.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    bad = bronze(spark, [("c", 1, 1, 7, 7.0)]).selectExpr(
+        "replace(data, '\"value\": 7.0', '\"value\": \"boom\"') AS data", "load_ts")
+    results = run_all_pipelines(
+        spark, str(cfg_path), str(tmp_path / "lake"),
+        schemas={"t_good": USER_STATE_SCHEMA, "t_bad": USER_STATE_SCHEMA, "t_off": USER_STATE_SCHEMA},
+        raw_frames={"good_cdc": bronze(spark, [("c", 1, 1, 1, 1.0)]), "bad_cdc": bad,
+                    "off_cdc": bronze(spark, [])},
+        deterministic_audit=True,
+    )
+    assert results["t_good"]["status"] == "SUCCESS"
+    assert isinstance(results["t_bad"], Exception)
+    assert results["t_off"]["status"] == "SKIPPED_INACTIVE"
+    audit = WatermarkStore(spark, str(tmp_path / "lake" / "_audit"))
+    statuses = {(r["target_table"], r["run_status"]) for r in audit.history().collect()}
+    assert ("t_good", "SUCCESS") in statuses and ("t_bad", "FAILED") in statuses
