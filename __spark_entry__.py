@@ -45,7 +45,7 @@ _PRIORITY = [
     # §2 items newly oracle-gated in r3 (S6 pruned read, K5b job log),
     # plus the r3 Gopher repetition filters
     "cdc_bucket_pruned_read", "cdc_job_log", "gopher_repetition",
-    "multimodal_resize", "stream_user_totals",
+    "multimodal_resize", "multimodal_audio_segments", "stream_user_totals",
     # never driver-checked (added late in r2)
     "top_supplier", "min_cost_supplier", "market_share",
     "customer_value_deciles", "stream_session_windows",

@@ -62,6 +62,16 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    # ... and the Python-worker pool: each core's worker pays a
+    # pandas/pyarrow import on first use (~2 s across the pool), which
+    # otherwise lands on whichever Arrow-UDF query runs first
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 4096, 1, spark.sparkContext.defaultParallelism).mapInPandas(
+        _noop, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

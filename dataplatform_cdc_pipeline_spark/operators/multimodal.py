@@ -123,6 +123,36 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def audio_segment_plan(
+    assets: DataFrame, segment_ms: int = 2000, hop_ms: int = 1000
+) -> DataFrame:
+    """Audio segmentation *plan*: one row per (asset, window) for
+    fixed-length overlapping windows — ``segment_ms`` long every
+    ``hop_ms`` (hop < segment ⇒ overlap), the standard shape for audio
+    feature extraction. Pure relational (sequence + explode), mirroring
+    :func:`frame_sample_plan`; only planned segments would ever hit a
+    decoder. When the duration isn't hop-aligned, a final window anchored
+    at ``duration − segment`` guarantees the tail is covered (full-length,
+    overlapping the previous window — the usual inference convention);
+    audio shorter than one segment yields a single partial window.
+    """
+    dur = F.col("duration_ms")
+    last_start = F.greatest(dur - F.lit(segment_ms), F.lit(0))
+    # aligned starts 0, hop, 2·hop, … ≤ last_start, plus the tail anchor
+    starts = F.array_distinct(
+        F.concat(F.sequence(F.lit(0), last_start, F.lit(hop_ms)), F.array(last_start))
+    )
+    return (
+        assets.filter(F.col("media_type") == "audio")
+        .select("asset_id", dur.alias("duration_ms"), F.explode(starts).alias("start_ms"))
+        .select(
+            "asset_id",
+            "start_ms",
+            F.least(F.col("start_ms") + F.lit(segment_ms), F.col("duration_ms")).alias("end_ms"),
+        )
+    )
+
+
 def synthesize_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fake asset table for tests (payload = seeded bytes).
 

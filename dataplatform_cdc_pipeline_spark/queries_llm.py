@@ -801,6 +801,34 @@ FROM g ORDER BY asset_id
 """
 
 
+def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation plan: 2500 ms windows every 1000 ms (overlapping)
+    with a tail-anchored final window — pure relational, decoder-free
+    (multimodal.audio_segment_plan). 2500/1000 deliberately exercises the
+    non-hop-aligned tail anchor."""
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import (
+        audio_segment_plan,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, n=128)
+    return audio_segment_plan(assets, segment_ms=2500, hop_ms=1000)
+
+
+SQL_MULTIMODAL_AUDIO_SEGMENTS = """
+WITH ids AS (SELECT unnest(range(128)) AS asset_id),
+v AS (SELECT asset_id, 1000 * ((asset_id % 7)::INT + 1) AS dur
+      FROM ids WHERE (asset_id % 3) = 1),
+s AS (SELECT asset_id, dur, greatest(dur - 2500, 0) AS last_start FROM v),
+st AS (
+  SELECT asset_id, dur,
+         unnest(list_distinct(list_append(range(0, last_start + 1, 1000), last_start))) AS start_ms
+  FROM s)
+SELECT asset_id, start_ms::INT AS start_ms, least(start_ms + 2500, dur)::INT AS end_ms
+FROM st ORDER BY asset_id, start_ms
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: line duplication + n-gram character
     coverage, with a composite keep flag (operators.text_analysis.
@@ -897,6 +925,7 @@ LLM_QUERIES = {
     "contamination_check": q_contamination_check,
     "gopher_repetition": q_gopher_repetition,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio_segments": q_multimodal_audio_segments,
 }
 
 LLM_ORACLES = {
@@ -923,4 +952,5 @@ LLM_ORACLES = {
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_audio_segments": SQL_MULTIMODAL_AUDIO_SEGMENTS,
 }

@@ -81,3 +81,32 @@ def test_resize_images_geometry_and_determinism(spark):
     assert (out[4]["new_width"], out[4]["new_height"]) == (96, 96)
     assert out[2]["payload"] == fake_resize(b"bb", 200, 50, 96, 24)
     assert len(out[2]["payload"]) == 32  # sha256 digest bytes
+
+
+def test_audio_segment_plan_tail_coverage(spark):
+    """Overlapping windows cover the full duration: aligned starts plus a
+    tail-anchored final window; short audio yields one partial window."""
+    from pyspark.sql import types as T
+
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        audio_segment_plan,
+    )
+
+    rows = [
+        (1, "audio", b"x", None, None, 2500, "pcm"),  # tail anchor at 500
+        (2, "audio", b"x", None, None, 1000, "pcm"),  # shorter than segment
+        (3, "audio", b"x", None, None, 4000, "pcm"),  # aligned: 0,1000,1500
+        (4, "image", b"x", 10, 10, None, "png"),      # filtered out
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = audio_segment_plan(df, segment_ms=2000, hop_ms=1000).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], []).append((r["start_ms"], r["end_ms"]))
+    for v in by_asset.values():
+        v.sort()
+    assert by_asset[1] == [(0, 2000), (500, 2500)]
+    assert by_asset[2] == [(0, 1000)]
+    assert by_asset[3] == [(0, 2000), (1000, 3000), (2000, 4000)]
+    assert 4 not in by_asset
