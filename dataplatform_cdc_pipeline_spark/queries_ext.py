@@ -508,12 +508,11 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     running (count, total) maintained in the state store across
     micro-batches, drained with availableNow.
 
-    Registered WITHOUT an oracle (rows-only driver check): the state store
-    accumulates rounded floats batch-by-batch, so the exact totals depend
-    on micro-batch boundaries — inherently not SQL-replayable, which is
-    precisely the class of operator the state store exists for. Cross-batch
-    accumulation and checkpoint-resume semantics are pinned by
-    tests/test_streaming.py instead.
+    Totals are accumulated in integer micro-units (``floor(value*1e6)`` per
+    event, int64 sum) so cross-batch state is exact and associative — the
+    result is independent of micro-batch boundaries and hash-checkable
+    against a plain batch ``GROUP BY`` DuckDB oracle. Checkpoint-resume
+    semantics are additionally pinned by tests/test_streaming.py.
     """
     from dataplatform_cdc_pipeline_spark.streaming.stateful import running_user_totals
 
@@ -549,9 +548,17 @@ EXT_QUERIES = {
     "stream_click_attribution": q_stream_click_attribution,
     "stream_dedup_events": q_stream_dedup_events,
     "stream_merge_state": q_stream_merge_state,
-    # no oracle (rows-only driver check) — see the docstring
     "stream_user_totals": q_stream_user_totals,
 }
+
+SQL_STREAM_USER_TOTALS = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS total_value_micros
+FROM events
+GROUP BY user_id
+"""
 
 EXT_ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
@@ -568,6 +575,7 @@ EXT_ORACLES = {
     "stream_session_windows": SQL_STREAM_SESSION_WINDOWS,
     "stream_click_attribution": SQL_STREAM_CLICK_ATTRIBUTION,
     "stream_dedup_events": SQL_STREAM_DEDUP_EVENTS,
+    "stream_user_totals": SQL_STREAM_USER_TOTALS,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

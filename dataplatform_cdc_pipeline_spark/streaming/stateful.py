@@ -7,6 +7,14 @@ micro-batches in the state store — the canonical shape for any custom
 stateful CDC enrichment (session carts, rate counters, feature snapshots).
 State is bounded by key cardinality; a production deployment adds a
 timeout (``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle keys.
+
+The running total is accumulated in INTEGER MICRO-UNITS
+(``floor(value * 1e6)`` per event, summed as int64): integer addition is
+exact and associative, so the cross-batch state is independent of
+micro-batch boundaries and exactly replayable by a batch
+``GROUP BY user_id`` — which is what lets the driver hash-check this
+operator against a DuckDB oracle despite the state store in the middle.
+(The previous float-accumulating version was only rows-checkable.)
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ from __future__ import annotations
 import uuid
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -23,26 +32,37 @@ OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_value_micros", T.LongType()),
     ]
 )
 
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_micros", T.LongType()),
     ]
 )
 
 
 def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total_micros = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]})
+        # floor(value * 1e6): the same IEEE-754 multiply-then-floor both in
+        # numpy here and in the DuckDB/Spark oracle expressions — bit-equal
+        # per row, exact int64 sum thereafter.
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        vals = vals[~np.isnan(vals)]  # SQL SUM skips NULLs; COUNT(*) does not
+        total_micros += int(np.floor(vals * 1_000_000.0).astype(np.int64).sum())
+    state.update((n, total_micros))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value_micros": [total_micros],
+        }
+    )
 
 
 def running_user_totals(

@@ -87,11 +87,16 @@ def test_running_user_totals_stateful(spark, sf_dir):
     ev.filter("event_id % 2 = 1").write.mode("append").parquet(f"{tmp}/src")
     out = running_user_totals(spark, f"{tmp}/src", checkpoint_path=f"{tmp}/ckpt")
 
-    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in out.collect()}
+    got = {r["user_id"]: (r["n_events"], r["total_value_micros"]) for r in out.collect()}
+    # same floor(value*1e6) per-row integerization as the operator — exact,
+    # micro-batch-boundary-independent equality (no rounding slack needed)
     exp = {
-        r["user_id"]: (r["n"], round(r["t"], 4))
+        r["user_id"]: (r["n"], r["t"])
         for r in ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1_000_000.0).cast("long")).alias("t"),
+        )
         .collect()
     }
     assert got == exp
