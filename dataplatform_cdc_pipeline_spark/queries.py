@@ -604,6 +604,89 @@ SQL_CDC_MERGE_LATE_REPLAY = _late_replay_sql(False)
 SQL_CDC_MERGE_LATE_GUARDED = _late_replay_sql(True)
 
 
+def q_cdc_merge_multi_pk_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity-flag composition: multi-PK (step-7:206-276) ×
+    ``strict_ts_guard`` × ``update_only_op_u`` in ONE two-batch lifecycle.
+
+    Each flag is oracle-verified pairwise elsewhere (`cdc_merge_multi_pk`,
+    `cdc_merge_late_guarded`, `cdc_merge_op_u`); this query pins their
+    interaction. Lateness is keyed on ``event_id % 3`` (not event_type,
+    which under the composite key (user_id, event_type) is constant per
+    group — op would then be constant per group and the guard could never
+    fire on a matched row). At sf0.01 the shape discriminates hard: 146
+    matched groups survive only because the op_u gate blocks a matched 'c',
+    290 only because the guard blocks an event-time-older 'u', 155 updates
+    apply.
+    """
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    events = load_table(spark, sf_dir, "events")
+    late_lt = F.when(
+        F.col("event_id") % 3 == 0, F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    ).otherwise(F.col("ts"))
+    raw = synthesize_cdc_from_events(events, load_ts=late_lt)
+    split = datetime.datetime(2024, 2, 1)
+    cfg = user_state_config(
+        pk="user_id,event_type", strict_ts_guard=True, update_only_op_u=True
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_mpkg_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, split), deterministic_audit=True)
+    run_merge(spark, cfg, target, audit, raw=raw, window=(split, None), deterministic_audit=True)
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+# keep s1 when: no phase-2 change, OR the op_u gate blocks a matched 'c',
+# OR the strict guard blocks an event-time-older matched 'u'; deletes are
+# unconditional (reference step-6 runs DELETE as its own statement).
+_MPKG_KEEP_S1 = (
+    "w2.user_id IS NULL OR (s1.user_id IS NOT NULL AND w2.op != 'd' "
+    "AND (w2.op = 'c' OR w2.e < s1.e))"
+)
+
+SQL_CDC_MERGE_MULTI_PK_GUARDED = f"""
+WITH typed AS (
+  SELECT user_id, event_type, {OP_SQL} AS op, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS e, event_id AS pos,
+         CASE WHEN event_id % 3 = 0 THEN ts::TIMESTAMP + INTERVAL 30 DAY
+              ELSE ts::TIMESTAMP END AS load_ts
+  FROM events
+), s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY e DESC, pos DESC) AS rn
+    FROM typed WHERE load_ts <= TIMESTAMP '{_LATE_SPLIT}') WHERE rn = 1 AND op != 'd'
+), w2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY e DESC, pos DESC) AS rn
+    FROM typed WHERE load_ts > TIMESTAMP '{_LATE_SPLIT}') WHERE rn = 1
+)
+SELECT
+  CASE WHEN {_MPKG_KEEP_S1} THEN s1.user_id ELSE w2.user_id END AS user_id,
+  CASE WHEN {_MPKG_KEEP_S1} THEN s1.event_type ELSE w2.event_type END AS event_type,
+  CASE WHEN {_MPKG_KEEP_S1} THEN s1.value ELSE w2.value END AS value,
+  CASE WHEN {_MPKG_KEEP_S1} THEN s1.k ELSE w2.k END AS k,
+  CASE WHEN {_MPKG_KEEP_S1} THEN s1.e ELSE w2.e END AS event_ts_us,
+  CASE WHEN {_MPKG_KEEP_S1} THEN s1.pos ELSE w2.pos END AS pos
+FROM s1 FULL JOIN w2
+  ON s1.user_id = w2.user_id AND s1.event_type = w2.event_type
+WHERE (w2.op IS NULL OR w2.op != 'd')
+ORDER BY user_id, event_type
+"""
+
+
 def q_cdc_watermark_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: window stats — min/max load_ts + upsert/delete candidate counts."""
     raw = cdc_feed(spark, sf_dir)
@@ -877,6 +960,7 @@ QUERIES: dict[str, callable] = {
     "cdc_merge_op_u": q_cdc_merge_op_u,
     "cdc_merge_late_replay": q_cdc_merge_late_replay,
     "cdc_merge_late_guarded": q_cdc_merge_late_guarded,
+    "cdc_merge_multi_pk_guarded": q_cdc_merge_multi_pk_guarded,
     "cdc_rowkey_timestamp": q_cdc_rowkey_timestamp,
     "cdc_watermark_stats": q_cdc_watermark_stats,
     "cdc_bucket_pruned_read": q_cdc_bucket_pruned_read,
@@ -898,6 +982,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_op_u": SQL_CDC_MERGE_OP_U,
     "cdc_merge_late_replay": SQL_CDC_MERGE_LATE_REPLAY,
     "cdc_merge_late_guarded": SQL_CDC_MERGE_LATE_GUARDED,
+    "cdc_merge_multi_pk_guarded": SQL_CDC_MERGE_MULTI_PK_GUARDED,
     "cdc_rowkey_timestamp": SQL_CDC_ROWKEY_TIMESTAMP,
     "cdc_watermark_stats": SQL_CDC_WATERMARK_STATS,
     "cdc_bucket_pruned_read": SQL_CDC_BUCKET_PRUNED_READ,
