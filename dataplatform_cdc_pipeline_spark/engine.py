@@ -205,7 +205,10 @@ def run_all_pipelines(
     loop CONTINUES (the reference's scheduler treats each CALL
     independently; its per-table handler RESIGNALs to the scheduler, not
     to sibling tables). Inactive rows come back SKIPPED_INACTIVE.
-    Returns {target_table: MergeResult | the raised exception}.
+    Returns {(target_database, target_table, cdc_table): MergeResult | the
+    raised exception} — keyed by the full pipeline identity because one
+    target table fed by two CDC sources is a supported layout (per-source
+    audit naming exists for exactly that) and must not collapse to one key.
     """
     from dataplatform_cdc_pipeline_spark.config import MergeConfig
     from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
@@ -217,11 +220,14 @@ def run_all_pipelines(
         else reader.parquet(config_table)
     )
     audit = WatermarkStore(spark, f"{base_path}/_audit")
-    results: dict[str, MergeResult | Exception] = {}
+    results: dict[tuple[str, str, str], MergeResult | Exception] = {}
     for row in cfg_df.collect():  # config rows: one per pipeline, tiny
         cfg = MergeConfig.from_dict({k: v for k, v in row.asDict().items() if v is not None})
+        key = (cfg.target_database, cfg.target_table, cfg.cdc_table)
+        if key in results:
+            raise ValueError(f"duplicate config row for pipeline {key}")
         if cfg.target_table not in schemas:
-            results[cfg.target_table] = KeyError(f"no schema for {cfg.target_table}")
+            results[key] = KeyError(f"no schema for {cfg.target_table}")
             continue
         target = ParquetMergeTarget(
             spark,
@@ -231,9 +237,9 @@ def run_all_pipelines(
         )
         raw = (raw_frames or {}).get(cfg.cdc_table)
         try:
-            results[cfg.target_table] = run_merge(
+            results[key] = run_merge(
                 spark, cfg, target, audit, raw=raw, deterministic_audit=deterministic_audit
             )
         except Exception as exc:  # noqa: BLE001 — isolate per-table failures
-            results[cfg.target_table] = exc
+            results[key] = exc
     return results

@@ -89,6 +89,15 @@ def _sanitize(name: str) -> str:
     return "".join(c if c.isalnum() else "_" for c in name).strip("_")
 
 
+def _is_source_table_dir(entry: str) -> bool:
+    """A live per-source audit table directory. compact() staging/old dirs
+    are dot-prefixed so they can never match, but keep the explicit
+    exclusion as a second line against leftovers from older layouts."""
+    return entry.startswith("ETL_JOB_LOG_INCREMENTAL_DATE_") and not (
+        ".compact-" in entry or ".old-" in entry
+    )
+
+
 class WatermarkStore:
     """Parquet-backed watermark/audit tables (one per engine deployment).
 
@@ -132,7 +141,7 @@ class WatermarkStore:
                 [
                     f"{self.path}/{e}"
                     for e in sorted(os.listdir(self.path))
-                    if e.startswith("ETL_JOB_LOG_INCREMENTAL_DATE_")
+                    if _is_source_table_dir(e)
                 ]
                 if os.path.isdir(self.path)
                 else []
@@ -249,9 +258,14 @@ class WatermarkStore:
                 return 0
             df = self.spark.read.schema(AUDIT_SCHEMA).parquet(d)
             n = df.count()
-            staging = f"{d}.compact-{_uuid.uuid4().hex[:8]}"
+            # Staging/old live under a dot-prefixed basename so a crash
+            # between the staged write and cleanup can never leave a
+            # directory that the ETL_JOB_LOG_INCREMENTAL_DATE_ listdir scan
+            # (_read/compact) unions into the audit table (double-count).
+            parent, base = os.path.split(d)
+            staging = os.path.join(parent, f".compact-{base}-{_uuid.uuid4().hex[:8]}")
             df.coalesce(target_files).write.parquet(staging)
-            old = f"{d}.old-{_uuid.uuid4().hex[:8]}"
+            old = os.path.join(parent, f".old-{base}-{_uuid.uuid4().hex[:8]}")
             os.rename(d, old)
             os.rename(staging, d)
             shutil.rmtree(old, ignore_errors=True)
@@ -264,5 +278,5 @@ class WatermarkStore:
         return sum(
             _compact_dir(f"{self.path}/{e}")
             for e in sorted(os.listdir(self.path))
-            if e.startswith("ETL_JOB_LOG_INCREMENTAL_DATE_")
+            if _is_source_table_dir(e)
         )

@@ -19,6 +19,8 @@ wrote (merge.sql:307-326 has no type ceremony):
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -106,6 +108,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .when(c >= F.lit(10**11), F.timestamp_millis(c))
                 .otherwise(F.timestamp_seconds(c)),
             )
+            # Magnitude dispatch misreads out-of-range epochs (pre-1973
+            # nanos parse as micros) and would silently "convert" a
+            # non-epoch long column. Fail loudly, like _check_contract,
+            # unless the converted range is plausible. One tiny agg, only
+            # on the rare epoch-integer spelling of the column.
+            lo, hi = datetime.datetime(1990, 1, 1), datetime.datetime(2100, 1, 1)
+            row = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+            if row["lo"] is not None and not (lo <= row["lo"] and row["hi"] < hi):
+                raise TypeError(
+                    f"schema contract: {name}.ts epoch-integer conversion produced "
+                    f"implausible range [{row['lo']}, {row['hi']}] — unit inference "
+                    "misread the column; extend the loader"
+                )
         elif isinstance(f_.dataType, T.DateType) and f_.name in EXPECTED_TYPES.get(name, {}):
             # a date-typed spelling of an expected-timestamp column (e.g.
             # o_orderdate as date32) widens losslessly at midnight UTC

@@ -135,6 +135,14 @@ def test_load_table_absorbs_epoch_integer_timestamps(spark, tmp_path, unit, scal
     assert got == [epoch_s * 1_000_000, (epoch_s + 60) * 1_000_000]
 
 
+def test_load_table_rejects_non_epoch_long_ts(spark, tmp_path):
+    """A long ts column that is NOT an epoch (e.g. a counter) must fail the
+    schema contract, not silently convert to a wrong-era timestamp."""
+    _write_events(tmp_path, pa.array([42, 43], pa.int64()))
+    with pytest.raises(TypeError, match="implausible range"):
+        load_table(spark, str(tmp_path), "events")
+
+
 def test_load_table_widens_date_to_timestamp(spark, tmp_path):
     tbl = pa.table(
         {

@@ -365,6 +365,17 @@ def test_per_source_audit_naming(spark, tmp_path):
     assert audit.compact() == 2
     assert audit.read_watermark("events_cdc", "user_state") > _dt.datetime(1970, 1, 1)
 
+    # a crash mid-compact (leftover staging dir with audit-looking content)
+    # must not be unioned into reads or recompacted — only dot-prefixed
+    # names are ever staged, and the scan also excludes legacy spellings
+    live = f"{base}/ETL_JOB_LOG_INCREMENTAL_DATE_events_cdc_user_state"
+    import shutil as _sh
+
+    _sh.copytree(live, f"{base}/.compact-ETL_JOB_LOG_INCREMENTAL_DATE_events_cdc_user_state-dead")
+    _sh.copytree(live, f"{base}/ETL_JOB_LOG_INCREMENTAL_DATE_events_cdc_user_state.old-dead")
+    assert audit.history().count() == 2  # not 4
+    assert audit.compact() == 2
+
 
 def test_dry_run_materializes_views_touches_nothing(spark):
     """§3.3 step-5 variant: phases 1-5 only — both views come back with
@@ -421,9 +432,11 @@ def test_run_all_pipelines_isolates_failures(spark, tmp_path):
                     "off_cdc": bronze(spark, [])},
         deterministic_audit=True,
     )
-    assert results["t_good"]["status"] == "SUCCESS"
-    assert isinstance(results["t_bad"], Exception)
-    assert results["t_off"]["status"] == "SKIPPED_INACTIVE"
+    # results key = full pipeline identity (db, target, cdc source): two
+    # sources feeding one target must not collapse to one entry
+    assert results[("silver", "t_good", "good_cdc")]["status"] == "SUCCESS"
+    assert isinstance(results[("silver", "t_bad", "bad_cdc")], Exception)
+    assert results[("silver", "t_off", "off_cdc")]["status"] == "SKIPPED_INACTIVE"
     audit = WatermarkStore(spark, str(tmp_path / "lake" / "_audit"))
     statuses = {(r["target_table"], r["run_status"]) for r in audit.history().collect()}
     assert ("t_good", "SUCCESS") in statuses and ("t_bad", "FAILED") in statuses
