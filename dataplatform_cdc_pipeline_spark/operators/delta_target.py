@@ -1,0 +1,128 @@
+"""Engine-native transactional MERGE sink via Delta Lake.
+
+The reference's merge is a real transaction (merge.sql:368-457): update +
+insert (merge.sql:403-418) and delete (merge.sql:428-436) commit atomically.
+``DeltaTable.merge`` is Spark's native equivalent — ONE builder expresses
+all three clauses and the transaction log makes the commit table-atomic,
+replacing :class:`ParquetMergeTarget`'s bucket-directory swap dance.
+
+delta-spark is not installed in this sandbox, so the class degrades to an
+import-guarded skeleton: it is always importable, and the SHARED contract
+suite (tests/test_merge_target_contract.py) runs against it whenever the
+``delta`` package is present — same tests, same semantics, zero call-site
+changes (engine.run_merge only touches the MergeTarget ABC surface).
+
+To deploy: install delta-spark, build the session with
+``configure_spark_with_delta_pip`` (spark.sql.extensions =
+io.delta.sql.DeltaSparkSessionExtension, spark.sql.catalog.spark_catalog =
+org.apache.spark.sql.delta.catalog.DeltaCatalog), and construct
+``DeltaMergeTarget`` where ``ParquetMergeTarget`` is constructed today.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataplatform_cdc_pipeline_spark.config import MergeConfig
+from dataplatform_cdc_pipeline_spark.operators.target_contract import (
+    MergeTarget,
+    augment_schema,
+)
+
+try:  # pragma: no cover - exercised only where delta-spark is installed
+    from delta.tables import DeltaTable
+
+    HAS_DELTA = True
+except ImportError:
+    DeltaTable = None
+    HAS_DELTA = False
+
+
+class DeltaMergeTarget(MergeTarget):
+    """K1-K4 sink backed by a Delta table (native MERGE, atomic commit)."""
+
+    def __init__(self, spark: SparkSession, path: str, cfg: MergeConfig, schema: T.StructType):
+        if not HAS_DELTA:
+            raise ImportError(
+                "DeltaMergeTarget requires the delta-spark package; use "
+                "ParquetMergeTarget in environments without it"
+            )
+        self.spark = spark
+        self.path = path
+        self.cfg = cfg
+        self.schema = augment_schema(schema)
+        self.phase_times: dict[str, float] = {}
+
+    # -- reads ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return DeltaTable.isDeltaTable(self.spark, self.path)
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.format("delta").load(self.path).select(
+            *[f.name for f in self.schema.fields]
+        )
+
+    # -- the merge -----------------------------------------------------------
+
+    def merge(self, changes: DataFrame) -> dict:
+        pk = list(self.cfg.pk)
+        data_cols = [f.name for f in self.schema.fields]
+
+        # ONE agg job yields counts + window stats, same accounting as the
+        # parquet emulation (merge.sql:360-366)
+        aggs = [
+            F.count(F.when(F.col("__op") != "d", 1)).alias("ins"),
+            F.count(F.when(F.col("__op") == "d", 1)).alias("del"),
+        ]
+        has_load_ts = "__load_ts" in changes.columns
+        if has_load_ts:
+            aggs += [F.max("__load_ts").alias("max_lt"), F.min("__load_ts").alias("min_lt")]
+        counts = changes.agg(*aggs).first()
+        stats = {"records_inserted": counts["ins"], "records_deleted": counts["del"]}
+        if has_load_ts:
+            stats["cdc_end_ts"] = counts["max_lt"]
+            stats["cdc_start_ts"] = counts["min_lt"]
+
+        if not self.exists():
+            # first write: unmatched non-deletes insert, deletes are no-ops
+            changes.filter(F.col("__op") != "d").select(*data_cols).write.format(
+                "delta"
+            ).save(self.path)
+            return stats
+
+        update_cond = "s.`__op` != 'd'"
+        if self.cfg.update_only_op_u:
+            # matched 'c' rows leave the target untouched (step-6:431-438)
+            update_cond = "s.`__op` = 'u'"
+        if self.cfg.strict_ts_guard:
+            update_cond += (
+                " AND (s.source_ts_ns_order IS NULL"
+                " OR s.source_ts_ns_order >= t.source_ts_ns_order)"
+            )
+
+        (
+            DeltaTable.forPath(self.spark, self.path)
+            .alias("t")
+            .merge(
+                changes.alias("s"),
+                " AND ".join(f"s.`{c}` <=> t.`{c}`" for c in pk),
+            )
+            .whenMatchedDelete(condition="s.`__op` = 'd'")
+            .whenMatchedUpdate(condition=update_cond, set={c: f"s.`{c}`" for c in data_cols})
+            .whenNotMatchedInsert(
+                condition="s.`__op` != 'd'", values={c: f"s.`{c}`" for c in data_cols}
+            )
+            .execute()
+        )
+        return stats
+
+    # -- commit state --------------------------------------------------------
+
+    def pending_commit(self) -> dict | None:
+        """Delta commits are atomic (transaction log) — never torn."""
+        return None

@@ -38,6 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataplatform_cdc_pipeline_spark.config import MergeConfig
+from dataplatform_cdc_pipeline_spark.operators.target_contract import (
+    MergeTarget,
+    augment_schema,
+)
 
 BUCKET_COL = "__bucket"
 
@@ -47,21 +51,20 @@ def bucket_expr(pk_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)).cast("int")
 
 
-class ParquetMergeTarget:
-    """A mutable typed 'silver' table backed by bucketed parquet (K1-K4)."""
+class ParquetMergeTarget(MergeTarget):
+    """A mutable typed 'silver' table backed by bucketed parquet (K1-K4).
+
+    One of two implementations of the
+    :class:`~dataplatform_cdc_pipeline_spark.operators.target_contract.MergeTarget`
+    contract (the other is DeltaMergeTarget — the production swap-in);
+    tests/test_merge_target_contract.py runs the same suite against both.
+    """
 
     def __init__(self, spark: SparkSession, path: str, cfg: MergeConfig, schema: T.StructType):
         self.spark = spark
         self.path = path
         self.cfg = cfg
-        # Target schema = typed columns + injected audit columns (P18).
-        names = {f.name for f in schema.fields}
-        fields = list(schema.fields)
-        if "source_ts_ns_order" not in names:
-            fields.append(T.StructField("source_ts_ns_order", T.TimestampType()))
-        if "pos" not in names:
-            fields.append(T.StructField("pos", T.LongType()))
-        self.schema = T.StructType(fields)
+        self.schema = augment_schema(schema)
         #: wall-clock seconds per merge phase of the LAST merge() call:
         #: changes = scan+dedup+cast+stats agg (the eager cache job),
         #: resolve_write = outer-join resolve + staging parquet write,
