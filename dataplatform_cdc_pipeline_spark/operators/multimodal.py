@@ -8,6 +8,15 @@ in this environment): ``decode=`` accepts any per-cell function, the
 default ``fake_feature_extractor`` derives deterministic pseudo-features
 from the bytes so tests can assert end-to-end behavior.
 
+THE CODEC SWAP, in one place: to go real, pass ``decode=`` (signature
+``(payload: bytes, media_type: str) -> list[float]``) to
+:func:`extract_features` and/or ``resize=`` (``(payload, w, h, tw, th) ->
+bytes``) to :func:`resize_images` — e.g. a PIL/torchaudio/pyav-backed
+callable. Nothing else changes: the contract tests in
+tests/test_multimodal.py pin that ANY injected callable keeps the output
+schema, runs with no shuffle upstream of the Python stage (payload never
+moves), and survives adversarial payloads (empty/truncated/None bytes).
+
 Scale notes: media bytes dominate row size, so operators here
 (1) keep the binary column out of shuffles — features are computed in a
 map-only stage before any wide operation, (2) iterate Arrow batches (no

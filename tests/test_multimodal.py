@@ -83,6 +83,89 @@ def test_resize_images_geometry_and_determinism(spark):
     assert len(out[2]["payload"]) == 32  # sha256 digest bytes
 
 
+# ---------------------------------------------------------------------------
+# codec seam contract: ANY injected decode/resize callable flows through the
+# oracle-checked pipeline shape — same schema, payload never shuffled, and
+# adversarial payloads (empty/truncated/None bytes) never kill the stage.
+# A real codec drop-in (PIL/pyav) only has to satisfy the callable
+# signature; everything Spark-side is pinned here.
+# ---------------------------------------------------------------------------
+
+
+def _subtree_after(plan: str, node: str) -> str:
+    """Physical-plan text BELOW (deeper than) the first `node` line —
+    executedPlan().toString() prints parents before children, so any
+    Exchange in this slice sits upstream of the Python stage's input."""
+    assert node in plan, plan
+    return plan.split(node, 1)[1]
+
+
+def test_injected_decode_preserves_schema_and_plan(spark):
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import FEATURE_SCHEMA
+
+    def my_decode(payload, media_type):
+        return [float(len(payload or b""))] * FEATURE_DIM
+
+    assets = synthesize_assets(spark, n=32)
+    feats = extract_features(assets, decode=my_decode)
+    assert feats.schema == FEATURE_SCHEMA  # seam does not leak into schema
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert r["features"] == [float(r["n_bytes"])] * FEATURE_DIM
+
+    # media bytes must reach the Python stage WITHOUT an upstream shuffle,
+    # even when a downstream agg adds exchanges above it
+    downstream = feats.groupBy("media_type").count()
+    plan = downstream._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in _subtree_after(plan, "MapInPandas")
+
+
+def test_injected_resize_preserves_schema_and_plan(spark):
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import resize_images
+
+    def my_resize(payload, w, h, tw, th):
+        return bytes([tw % 256, th % 256])
+
+    assets = synthesize_assets(spark, n=32)
+    out = resize_images(assets, 32, 32, resize=my_resize)
+    got = out.collect()
+    assert got and all(r["payload"] == bytes([r["new_width"] % 256, r["new_height"] % 256]) for r in got)
+    plan = out.groupBy("new_width").count()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in _subtree_after(plan, "MapInPandas")
+
+
+def test_adversarial_payloads_flow_through(spark):
+    """Truncated / empty / None payloads (and null geometry) must produce
+    rows, not stage failures — the decode seam sees raw landing bytes."""
+    from pyspark.sql import Row
+
+    from dataplatform_cdc_pipeline_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        content_hash,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"", 10, 10, None, "png"),          # empty bytes
+        (2, "image", b"\x89PN", 10, 10, None, "png"),    # truncated magic
+        (3, "image", None, None, None, None, "png"),     # NULL payload
+        (4, "audio", b"\x00" * 3, None, None, 100, "pcm"),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+
+    feats = {r["asset_id"]: r for r in extract_features(df).collect()}
+    assert set(feats) == {1, 2, 3, 4}
+    assert feats[1]["n_bytes"] == 0 and feats[3]["n_bytes"] == 0
+    assert feats[3]["content_hash"] == content_hash(None)
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats.values())
+
+    resized = {r["asset_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert set(resized) == {1, 2, 3}  # image rows only
+    assert (resized[3]["new_width"], resized[3]["new_height"]) == (8, 8)
+    assert all(r["payload"] is not None for r in resized.values())
+
+
 def test_audio_segment_plan_tail_coverage(spark):
     """Overlapping windows cover the full duration: aligned starts plus a
     tail-anchored final window; short audio yields one partial window."""
