@@ -36,10 +36,18 @@ def latest_per_key(
     by (key, random-salt) and keeps each salt-partition's winner — the hot
     key's rows split across ``salt_buckets`` reducers instead of one.
     Phase 2 runs the normal dedup over the ≤ salt_buckets survivors per
-    key. "Latest" is associative, so the result is identical (tested);
-    shuffle volume on the hot key drops by ~len(key)/salt_buckets. AQE's
-    skew handling covers joins but NOT window functions — this is the
-    window-skew escape hatch.
+    key. "Latest" is associative, so the result is identical (tested).
+    AQE's skew handling covers joins but NOT window functions — this is
+    the window-skew escape hatch.
+
+    MEASURED caveat (SCALE.md "hot-key skew proof"): for THIS rn=1 shape
+    Spark ≥3.5 plans a map-side ``WindowGroupLimit … Partial`` before the
+    exchange, so a 50%-hot key crosses the shuffle as ≤ #map-partitions
+    rows and plain ``window`` is already skew-resistant (0.48 s vs 0.82 s
+    salted on the 1M-row hot-key batch — salting pays an extra shuffle for
+    a problem the optimizer removed). Use ``salt_buckets`` for ranked
+    shapes the rule can't push (full rankings, large rn ≤ k, ``keep_rn``
+    consumers) or engines without the rule.
     """
     order_cols = order_cols or [F.col(ts_col).desc_nulls_last(), F.col(pos_col).desc_nulls_last()]
     keys = [F.col(k) if isinstance(k, str) else k for k in key_cols]

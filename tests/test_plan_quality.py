@@ -56,6 +56,46 @@ def test_dedup_has_single_shuffle(spark, sf_dir):
             assert "partial_max" in simple or "HashAggregate" in simple
 
 
+def test_dedup_window_grouplimit_partial(spark):
+    """The rn=1 window dedup must carry a map-side `WindowGroupLimit …
+    Partial` BEFORE the exchange — the optimizer-provided skew defuser
+    that ships ≤1 candidate per key per input partition (measured: a
+    50%-hot key crosses the shuffle as ≤32 rows; SCALE.md skew proof).
+    If a refactor breaks the rn=1 pushdown shape, hot-key dedup silently
+    re-skews at 100 TB — fail here instead."""
+    from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
+
+    df = spark.range(0, 1000, 1, 4).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1000).alias("source_ts_ns_order"),
+        F.col("id").alias("pos"),
+    )
+    plan = latest_per_key(df, ["user_id"])._jdf.queryExecution().executedPlan().toString()
+    partial = plan.split("Exchange", 1)[1]  # plan text below the shuffle
+    assert "WindowGroupLimit" in partial and "Partial" in partial
+
+
+def test_salted_dedup_two_phase_shape(spark):
+    """salt_buckets must plan the documented two-phase shape: TWO window
+    phases over TWO exchanges (key+salt, then key) — the escape hatch for
+    ranked shapes where the group-limit pushdown doesn't apply."""
+    from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
+
+    df = spark.range(0, 1000, 1, 4).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1000).alias("source_ts_ns_order"),
+        F.col("id").alias("pos"),
+    )
+    plan = (
+        latest_per_key(df, ["user_id"], salt_buckets=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert "__salt" in plan.split("Exchange", 1)[1]  # phase 1 partitions on salt
+
+
 def test_packing_offset_plan_independent_of_partition_count(spark):
     """The partition-offset map must broadcast-join, not expand into a
     per-partition CASE chain whose expression depth grows with
