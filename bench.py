@@ -43,7 +43,17 @@ HEADLINE = [
     "asof_prior_click", "stream_merge_state",
     # r3 additions (no prior-round comparator; establishes their record)
     "gopher_repetition", "multimodal_resize",
+    # r4 additions
+    "cdc_merge_multi_pk_guarded", "stream_user_totals",
 ]
+
+#: Codegen-heavy queries re-timed after the cold loop: the cold number
+#: includes one-time Catalyst/janino compilation (measured ~2 s for the
+#: 20-cast projection); the warm number is the steady-state cost a
+#: long-lived session/cluster actually pays. Reported separately in the
+#: JSON as "warm" — the headline total stays cold-only (comparable to
+#: prior rounds).
+WARM_LANE = ["cdc_cast_projection", "cdc_merge_full", "dedup_minhash_lsh"]
 
 
 def main() -> None:
@@ -83,6 +93,18 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
+    warm: dict[str, float] = {}
+    for name in WARM_LANE:
+        if name not in queries or timings.get(name, -1.0) < 0:
+            continue
+        t0 = time.time()
+        try:
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            warm[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            warm[name] = -1.0
+            print(f"# bench warm error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -91,6 +113,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm": warm,
                 "sf": sf,
             }
         )
