@@ -57,6 +57,31 @@ def test_minhash_signature_shape(spark):
     assert len(row["shingle_set"]) == 3  # 5 words → 3 shingles
 
 
+def test_minhash_formulations_bit_identical(spark):
+    """The three physical formulations of the signature (interpreted expr,
+    Arrow UDF, exploded-JVM agg) are the SAME math — bit-identical outputs
+    (scripts/minhash_bench.py measures their speed; this pins equality,
+    including the short-doc single-shingle edge)."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import (
+        minhash_signature_expr,
+        minhash_signature_udf,
+        minhash_signatures_jvm,
+        shingles_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = docs_df(spark, [(1, "the quick brown fox jumps over the lazy dog"),
+                         (2, "the quick brown fox jumps over a lazy dog"),
+                         (3, "tiny"), (4, "two words")])
+    by_expr = {r["doc_id"]: tuple(r["s"]) for r in df.select(
+        "doc_id", minhash_signature_expr(shingles_expr("text")).alias("s")).collect()}
+    by_arrow = {r["doc_id"]: tuple(r["s"]) for r in df.select(
+        "doc_id", minhash_signature_udf()(F.col("text")).alias("s")).collect()}
+    by_jvm = {r["doc_id"]: tuple(r["minhash_sig"])
+              for r in minhash_signatures_jvm(df).collect()}
+    assert by_expr == by_arrow == by_jvm
+
+
 def test_simhash_similarity_property(spark):
     # rich vocabulary, one word changed → hamming within the banding
     # guarantee (≤ bands-1 = 3 shares a slice by pigeonhole)
