@@ -59,11 +59,14 @@ _PRIORITY = [
     "ngram_top_bigrams", "vocab_df_stats", "cross_corpus_dedup",
     "shipping_priority_mix", "promo_revenue", "large_volume_customer",
     "discounted_revenue", "sales_opportunity",
-    # 43-50: family representatives (green in r3)
+    # 43-44: NEW this round (first driver row needed): quality-argmax keep
+    # policy over dedup clusters; token-window chunking
+    "dedup_keep_best", "doc_chunks",
+    # 45-50: family representatives (green in r3)
     "dedup_minhash_lsh", "embedding_near_dup", "text_quality",
     "training_mix", "stream_merge_state", "multimodal_resize",
-    "sessionize_events", "pricing_summary",
     # 51+: long tail, all green in CORRECTNESS_r03
+    "sessionize_events", "pricing_summary",
     "gopher_repetition", "multimodal_audio_segments", "top_supplier",
     "min_cost_supplier", "market_share", "customer_value_deciles",
     "stream_session_windows", "stream_click_attribution",

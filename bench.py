@@ -45,6 +45,7 @@ HEADLINE = [
     "gopher_repetition", "multimodal_resize",
     # r4 additions
     "cdc_merge_multi_pk_guarded", "stream_user_totals",
+    "dedup_keep_best", "doc_chunks",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -452,3 +452,47 @@ def repetition_stats_frame(
         )
     )
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Token-window chunking: overlapping fixed-size chunks per document —
+    the standard pre-training / RAG segmentation shape.
+
+    Pure relational (sequence + explode + slice), mirroring
+    multimodal.audio_segment_plan: aligned starts ``0, stride, 2·stride …``
+    plus a final window anchored at ``n_tokens − chunk_tokens`` so the tail
+    is always covered by a full-length chunk (documents shorter than one
+    chunk yield a single partial chunk). Exact integer arithmetic — no
+    float boundaries, so a SQL oracle replays the chunking bit-for-bit.
+
+    100 TB posture: map-only (no shuffle); output rows ≈ input tokens /
+    stride, each carrying only its chunk text — the full token array never
+    leaves the stage.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    last_start = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    aligned = F.sequence(F.lit(0), last_start, F.lit(stride))
+    starts = F.array_distinct(F.concat(aligned, F.array(last_start)))
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("__w"),
+            n.alias("__n"),
+            F.explode(starts).alias("start_tok"),
+        )
+        .select(
+            F.col(id_col),
+            "start_tok",
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start_tok")).alias("n_tokens"),
+            F.concat_ws(" ", F.slice("__w", F.col("start_tok") + 1, F.lit(chunk_tokens))).alias(
+                "chunk_text"
+            ),
+        )
+    )

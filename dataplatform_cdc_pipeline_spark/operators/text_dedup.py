@@ -19,7 +19,7 @@ All hashes are MD5-derived (functions/hashing.py) → engine-portable
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
@@ -552,3 +552,41 @@ def simhash_near_pairs(
         "id_b",
         F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "canonical_id",
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """Dedup KEEP policy: from each near-dup cluster keep the
+    highest-quality document (ties → lowest id) — what a production corpus
+    pipeline actually does with dedup clusters (min-id canonicalization
+    keeps an *arbitrary* duplicate; quality-argmax keeps the best one).
+
+    ``clusters``: (id, cluster) e.g. from :func:`dedup_clusters`;
+    ``quality``: (id, score) e.g. ``quality_score_expr``. One broadcast-or-
+    shuffle join on id + one rn=1 window over the cluster key — clusters
+    are small by construction, and the rn=1 shape gets the map-side
+    WindowGroupLimit (SCALE.md skew proof), so this scales like the dedup
+    itself.
+    """
+    j = clusters.join(quality, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    counts = clusters.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .join(counts, cluster_col)
+        .select(
+            F.col(cluster_col),
+            F.col(id_col).alias("keep_doc_id"),
+            "cluster_size",
+            F.col(quality_col).alias("keep_quality"),
+        )
+    )

@@ -308,6 +308,94 @@ FROM documents LEFT JOIN comp ON doc_id = comp.node
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup KEEP policy: per near-dup cluster (CC over MinHash-LSH pairs,
+    τ=0.9) keep the highest-quality doc (tie → lowest id) — the
+    quality-argmax survivorship a production corpus pipeline applies,
+    composing the dedup family with the quality scorer."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import quality_score_expr
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    clusters = dedup_clusters(pairs, docs)
+    quality = docs.select("doc_id", quality_score_expr("text").alias("quality_score"))
+    return keep_best_per_cluster(clusters, quality)
+
+
+_QUALITY_CTE = f"""
+qt AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+qc AS (
+  SELECT doc_id,
+         least(len(toks) / 100.0, 1.0) AS length_component,
+         least(({_stop_count_sql(LANG_PROFILES["en"])} * 1.0 / len(toks)) * 10.0, 1.0) AS stop_component,
+         1.0 - least((len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / length(text)) * 20.0, 1.0) AS punct_component,
+         CASE WHEN (length(text) - len(toks) + 1) * 1.0 / len(toks) BETWEEN 3.0 AND 10.0
+              THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM qt),
+qual AS (
+  SELECT doc_id,
+         floor((length_component * 0.4 + stop_component * 0.3 + punct_component * 0.2 + len_ok * 0.1) * 10000.0) / 10000.0 AS quality_score
+  FROM qc)
+"""
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS ({_PAIRS_SQL_NO_ORDER}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node),
+clusters AS (
+  SELECT doc_id, coalesce(comp.canonical, doc_id) AS canonical_id
+  FROM documents LEFT JOIN comp ON doc_id = comp.node),
+{_QUALITY_CTE},
+j AS (
+  SELECT cl.doc_id, cl.canonical_id, q.quality_score
+  FROM clusters cl JOIN qual q USING (doc_id)),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY canonical_id
+                            ORDER BY quality_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+  FROM j)
+SELECT canonical_id, doc_id AS keep_doc_id, cluster_size, quality_score AS keep_quality
+FROM r WHERE rn = 1 ORDER BY canonical_id
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token chunks, stride 48, tail-anchored) —
+    the pre-training/RAG segmentation pass over the corpus."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+b AS (
+  SELECT doc_id, w, len(w) AS n, greatest(len(w) - 64, 0) AS last_start FROM t),
+s AS (
+  SELECT doc_id, w, n,
+         unnest(list_distinct(list_append(range(0, last_start + 1, 48), last_start))) AS start_tok
+  FROM b)
+SELECT doc_id, start_tok,
+       least(64, n - start_tok) AS n_tokens,
+       array_to_string(w[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+FROM s ORDER BY doc_id, start_tok
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -926,6 +1014,8 @@ LLM_QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_audio_segments": q_multimodal_audio_segments,
+    "dedup_keep_best": q_dedup_keep_best,
+    "doc_chunks": q_doc_chunks,
 }
 
 LLM_ORACLES = {
@@ -953,4 +1043,6 @@ LLM_ORACLES = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_audio_segments": SQL_MULTIMODAL_AUDIO_SEGMENTS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "doc_chunks": SQL_DOC_CHUNKS,
 }

@@ -366,3 +366,41 @@ def test_repetition_stats_edges(spark):
     assert out[3]["keep"] is True
 
     assert out[4]["dup_5gram_char_frac"] > 0.15 and out[4]["keep"] is False
+
+
+def test_chunk_documents_windows(spark):
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = docs_df(spark, [(1, words), (2, "a b"), (3, "")])
+    out = chunk_documents(df, chunk_tokens=4, stride=3)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["start_tok"], r["n_tokens"], r["chunk_text"]))
+    for v in by_doc.values():
+        v.sort()
+    # aligned starts 0,3,6 (≤ last_start=6) + tail anchor 6 (dedup'd)
+    assert by_doc[1] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (3, 4, "w3 w4 w5 w6"),
+        (6, 4, "w6 w7 w8 w9"),
+    ]
+    # shorter than one chunk → single partial chunk
+    assert by_doc[2] == [(0, 2, "a b")]
+    # empty text: split yields [""] → one empty chunk (same as the oracle)
+    assert by_doc[3] == [(0, 1, "")]
+
+
+def test_keep_best_per_cluster_policy(spark):
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, canonical_id long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (9, 0.1)], "doc_id long, quality_score double"
+    )
+    out = {r["canonical_id"]: r for r in keep_best_per_cluster(clusters, quality).collect()}
+    # highest quality wins; tie between 2 and 3 → lowest id; singleton kept
+    assert (out[1]["keep_doc_id"], out[1]["cluster_size"], out[1]["keep_quality"]) == (2, 3, 0.9)
+    assert (out[9]["keep_doc_id"], out[9]["cluster_size"]) == (9, 1)
