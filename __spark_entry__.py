@@ -30,14 +30,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   1-15   the §2 CDC core (incl. S6 bucket-pruned read, K5b job log) —
 #:          every reference-parity line item routes through these; they
 #:          must be oracle-checked every round;
-#:   16-17  new/upgraded this round: the multi-PK × strict-guard × op_u
-#:          composition, and stream_user_totals (integer-micros state —
-#:          first round WITH a hash oracle);
-#:   18-42  rotated IN: all 25 entries whose last driver-green row is r2
+#:   16-18  new/upgraded this round: the bq_partition_field date layout,
+#:          the multi-PK × strict-guard × op_u composition, and
+#:          stream_user_totals (integer-micros state — first round WITH a
+#:          hash oracle);
+#:   19-43  rotated IN: all 25 entries whose last driver-green row is r2
 #:          (they sat outside the r3 window);
-#:   43-50  rotated family representatives from the r3-green set (dedup,
-#:          similarity, text, packing, streaming, multimodal, sessionize,
-#:          TPC-H-ish) so each family keeps a fresh driver row;
+#:   44-45  new operators this round: quality-argmax keep policy,
+#:          token-window chunking;
+#:   46-50  rotated family representatives from the r3-green set so each
+#:          family keeps a fresh driver row;
 #:   51+    long tail — every entry here is green in CORRECTNESS_r03 and
 #:          remains runnable and locally gated by scripts/check_parity.py,
 #:          which checks ALL entries.
@@ -48,9 +50,12 @@ _PRIORITY = [
     "cdc_merge_incremental", "cdc_merge_multi_pk", "cdc_merge_op_u",
     "cdc_merge_late_replay", "cdc_merge_late_guarded", "cdc_rowkey_timestamp",
     "cdc_watermark_stats", "cdc_bucket_pruned_read", "cdc_job_log",
-    # 16-17: new this round
-    "cdc_merge_multi_pk_guarded", "stream_user_totals",
-    # 18-42: last driver-green in r2 — rotated into the window
+    # 16-18: new this round (bq_partition_field date layout; fidelity-flag
+    # composition; integer-micros stateful totals, first round with an
+    # oracle)
+    "cdc_date_partitioned_read", "cdc_merge_multi_pk_guarded",
+    "stream_user_totals",
+    # 19-43: last driver-green in r2 — rotated into the window
     "embedding_ann_lsh", "multimodal_features", "token_counts",
     "corpus_sample", "quality_funnel", "revenue_by_nation", "text_stats",
     "text_langid", "doc_fingerprint", "embedding_ivf_nprobe2",
@@ -59,14 +64,14 @@ _PRIORITY = [
     "ngram_top_bigrams", "vocab_df_stats", "cross_corpus_dedup",
     "shipping_priority_mix", "promo_revenue", "large_volume_customer",
     "discounted_revenue", "sales_opportunity",
-    # 43-44: NEW this round (first driver row needed): quality-argmax keep
+    # 44-45: NEW this round (first driver row needed): quality-argmax keep
     # policy over dedup clusters; token-window chunking
     "dedup_keep_best", "doc_chunks",
-    # 45-50: family representatives (green in r3)
+    # 46-50: family representatives (green in r3)
     "dedup_minhash_lsh", "embedding_near_dup", "text_quality",
-    "training_mix", "stream_merge_state", "multimodal_resize",
+    "training_mix", "stream_merge_state",
     # 51+: long tail, all green in CORRECTNESS_r03
-    "sessionize_events", "pricing_summary",
+    "multimodal_resize", "sessionize_events", "pricing_summary",
     "gopher_repetition", "multimodal_audio_segments", "top_supplier",
     "min_cost_supplier", "market_share", "customer_value_deciles",
     "stream_session_windows", "stream_click_attribution",

@@ -786,6 +786,51 @@ FROM ranked WHERE rn = 1 AND op != 'd' AND user_id <= 30 ORDER BY user_id
 """
 
 
+def q_cdc_date_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout parity for ``bq_partition_field`` (config-file_5.sql:12): the
+    target is laid out bucket × DATE(partition_field), and a date-ranged
+    read prunes the date layer in PartitionFilters — BigQuery partition
+    elimination, re-expressed as parquet partition pruning. The oracle is
+    the final merged state restricted to the date range: a wrong partition
+    layout or pruned read drops/adds rows and diverges the hash.
+    ``test_bucket_pruning`` pins the physical PartitionFilters."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config(partition_field="source_ts_ns_order")
+    tmp = tempfile.mkdtemp(prefix="cdc_dpart_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, None), deterministic_audit=True)
+    return target.read(date_range=("2024-01-01", "2024-01-29")).select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_DATE_PARTITIONED_READ = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked
+WHERE rn = 1 AND op != 'd'
+  AND make_timestamp(event_ts_us)::DATE BETWEEN DATE '2024-01-01' AND DATE '2024-01-29'
+ORDER BY user_id
+"""
+
+
 def q_cdc_job_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5b: the ``etl_job_log`` run-timing twin (tables_list.sql:38-51,
     written step-8:598-626) — deterministic columns only (run id and
@@ -964,6 +1009,7 @@ QUERIES: dict[str, callable] = {
     "cdc_rowkey_timestamp": q_cdc_rowkey_timestamp,
     "cdc_watermark_stats": q_cdc_watermark_stats,
     "cdc_bucket_pruned_read": q_cdc_bucket_pruned_read,
+    "cdc_date_partitioned_read": q_cdc_date_partitioned_read,
     "cdc_job_log": q_cdc_job_log,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -986,6 +1032,7 @@ ORACLES: dict[str, str] = {
     "cdc_rowkey_timestamp": SQL_CDC_ROWKEY_TIMESTAMP,
     "cdc_watermark_stats": SQL_CDC_WATERMARK_STATS,
     "cdc_bucket_pruned_read": SQL_CDC_BUCKET_PRUNED_READ,
+    "cdc_date_partitioned_read": SQL_CDC_DATE_PARTITIONED_READ,
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

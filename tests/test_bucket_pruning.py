@@ -60,3 +60,46 @@ def test_pruned_read_lists_only_requested_buckets(spark):
     rows = pruned.count()
     total = target.read().count()
     assert 0 < rows < total
+
+
+def test_date_partitioned_layout_and_pruned_read(spark):
+    """cfg.partition_field (bq_partition_field parity) adds a DATE layer to
+    the bucket layout; a date_range read prunes it in PartitionFilters and
+    returns exactly the rows whose partition date is inside the range."""
+    import datetime
+
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import PDATE_COL
+
+    cfg, target, audit = pipeline(spark, partition_field="source_ts_ns_order")
+    # events on distinct days: ts offsets are microseconds after 2024-01-01
+    day_us = 86_400_000_000
+    rows = [("c", i * day_us, i, i, float(i)) for i in range(10)]  # Jan 1..10
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, rows),
+              window=(None, None), deterministic_audit=True)
+
+    # the physical layout carries the date layer inside each bucket
+    nested = glob.glob(os.path.join(target.path, f"{BUCKET_COL}=*", f"{PDATE_COL}=*"))
+    assert nested, "expected __bucket=*/__pdate=* directories"
+
+    pruned = target.read(date_range=("2024-01-03", "2024-01-05"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert PDATE_COL in plan.split("PartitionFilters", 1)[1][:300]
+    got = sorted(r["user_id"] for r in pruned.collect())
+    assert got == [2, 3, 4]  # offsets 2,3,4 days → Jan 3,4,5
+
+    # partition columns never leak into the returned schema
+    assert PDATE_COL not in pruned.columns and BUCKET_COL not in pruned.columns
+
+    # full read (no range) still returns everything
+    assert target.read().count() == 10
+
+
+def test_date_range_requires_partition_field(spark):
+    import pytest
+
+    cfg, target, audit = pipeline(spark)
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("c", 0, 1, 1, 1.0)]),
+              window=(None, None), deterministic_audit=True)
+    with pytest.raises(ValueError, match="partition_field"):
+        target.read(date_range=("2024-01-01", "2024-01-02"))
