@@ -45,7 +45,8 @@ HEADLINE = [
     "gopher_repetition", "multimodal_resize",
     # r4 additions
     "cdc_merge_multi_pk_guarded", "stream_user_totals",
-    "dedup_keep_best", "doc_chunks",
+    "dedup_keep_best", "doc_chunks", "bm25_search",
+    "cdc_date_partitioned_read",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -396,6 +396,44 @@ FROM s ORDER BY doc_id, start_tok
 """
 
 
+BM25_TERMS = ("spark", "query", "join")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (operators/search.py): top-20
+    docs for a fixed query-term bag, floored score + doc_id tiebreak so the
+    cut set is engine-identical."""
+    from dataplatform_cdc_pipeline_spark.operators.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, BM25_TERMS, top_k=20)
+
+
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+
+SQL_BM25_SEARCH = f"""
+WITH base AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+qf AS (SELECT * FROM qt WHERE term IN {_BM25_TERMS_SQL}),
+tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM qf GROUP BY doc_id, term, dl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS raw
+  FROM tf JOIN df USING (term), stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, floor(raw * 1000000.0) / 1000000.0 AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1016,6 +1054,7 @@ LLM_QUERIES = {
     "multimodal_audio_segments": q_multimodal_audio_segments,
     "dedup_keep_best": q_dedup_keep_best,
     "doc_chunks": q_doc_chunks,
+    "bm25_search": q_bm25_search,
 }
 
 LLM_ORACLES = {
@@ -1045,4 +1084,5 @@ LLM_ORACLES = {
     "multimodal_audio_segments": SQL_MULTIMODAL_AUDIO_SEGMENTS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "bm25_search": SQL_BM25_SEARCH,
 }

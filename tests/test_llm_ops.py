@@ -404,3 +404,23 @@ def test_keep_best_per_cluster_policy(spark):
     # highest quality wins; tie between 2 and 3 → lowest id; singleton kept
     assert (out[1]["keep_doc_id"], out[1]["cluster_size"], out[1]["keep_quality"]) == (2, 3, 0.9)
     assert (out[9]["keep_doc_id"], out[9]["cluster_size"]) == (9, 1)
+
+
+def test_bm25_ranking_properties(spark):
+    from dataplatform_cdc_pipeline_spark.operators.search import bm25_search
+
+    df = docs_df(spark, [
+        (1, "spark spark spark join fast engine"),   # high tf on rare terms
+        (2, "spark is one word here among many other words entirely"),
+        (3, "nothing relevant at all in this document"),
+        (4, "join join query query spark"),
+    ])
+    out = bm25_search(df, ("spark", "join", "query"), top_k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # no query term → never scored
+    assert set(ids) == {1, 2, 4}
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    # more matching terms / higher tf outranks a single passing mention
+    assert scores[4] > scores[2] and scores[1] > scores[2]
+    # descending by floored score, doc_id tiebreak
+    assert ids == [i for _, i in sorted(((-scores[i], i) for i in ids))]
