@@ -99,10 +99,13 @@ def main() -> None:
     for name in WARM_LANE:
         if name not in queries or timings.get(name, -1.0) < 0:
             continue
-        t0 = time.time()
+        tries = []
         try:
-            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            warm[name] = round(time.time() - t0, 3)
+            for _ in range(2):  # best of 2: one GC pause must not fake a
+                t0 = time.time()  # warm-slower-than-cold result
+                queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                tries.append(time.time() - t0)
+            warm[name] = round(min(tries), 3)
         except Exception as e:  # noqa: BLE001
             warm[name] = -1.0
             print(f"# bench warm error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
