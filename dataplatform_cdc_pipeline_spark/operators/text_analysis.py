@@ -496,3 +496,49 @@ def chunk_documents(
             ),
         )
     )
+
+
+def unigram_logprob_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy scoring: per-doc mean negative log-probability of
+    its tokens under the corpus's own add-one-smoothed unigram model — the
+    cheap relational stand-in for the KenLM perplexity filter (CCNet);
+    high scores = improbable token mix = filter candidates.
+
+        p(t) = (c(t) + 1) / (T + V)      c = corpus count, T = total
+                                          tokens, V = vocabulary size
+        score(d) = mean over tokens of −ln p(t)
+
+    Scale shape: ONE explode feeding BOTH the count agg and the scoring
+    join; the vocabulary frame is (term, count) — broadcast when small,
+    shuffle-join on term otherwise (Spark picks by size); corpus totals
+    ride a broadcast 1-row frame. Per-token −ln p is cast to
+    DECIMAL(28,12) before summing so the per-doc sum is exact and
+    partition-order-independent (float sums would differ across engines in
+    the last ulps); the final mean is floor-scaled at 1e-6.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__term"))
+    vocab = toks.groupBy("__term").agg(F.count(F.lit(1)).alias("__c"))
+    totals = vocab.agg(
+        F.sum("__c").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    scored = toks.join(vocab, "__term").crossJoin(F.broadcast(totals))
+    neg_lp = -F.log(
+        (F.col("__c") + F.lit(1)).cast("double")
+        / (F.col("__T") + F.col("__V")).cast("double")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(neg_lp.cast("decimal(28,12)")).alias("__s"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        (
+            F.floor(F.col("__s").cast("double") / F.col("n_tokens") * F.lit(1_000_000.0))
+            / F.lit(1_000_000.0)
+        ).alias("avg_neg_logprob"),
+    )

@@ -434,6 +434,34 @@ LIMIT 20
 """
 
 
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy curation signal: per-doc mean −ln p(token) under
+    the corpus's add-one-smoothed unigram model (operators/text_analysis.
+    unigram_logprob_frame) — the relational stand-in for a KenLM filter."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+        unigram_logprob_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_frame(docs)
+
+
+SQL_UNIGRAM_PERPLEXITY = f"""
+WITH t AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+totals AS (SELECT sum(c) AS T, count(*) AS V FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(-ln((vocab.c + 1) * 1.0 / (totals.T + totals.V)) AS DECIMAL(28,12)) AS nlp
+  FROM t JOIN vocab USING (term), totals),
+per_doc AS (
+  SELECT doc_id, sum(nlp) AS s, count(*) AS n_tokens FROM scored GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       floor(s::DOUBLE / n_tokens * 1000000.0) / 1000000.0 AS avg_neg_logprob
+FROM per_doc ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1055,6 +1083,7 @@ LLM_QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "doc_chunks": q_doc_chunks,
     "bm25_search": q_bm25_search,
+    "unigram_perplexity": q_unigram_perplexity,
 }
 
 LLM_ORACLES = {
@@ -1085,4 +1114,5 @@ LLM_ORACLES = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "doc_chunks": SQL_DOC_CHUNKS,
     "bm25_search": SQL_BM25_SEARCH,
+    "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
 }

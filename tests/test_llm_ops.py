@@ -424,3 +424,24 @@ def test_bm25_ranking_properties(spark):
     assert scores[4] > scores[2] and scores[1] > scores[2]
     # descending by floored score, doc_id tiebreak
     assert ids == [i for _, i in sorted(((-scores[i], i) for i in ids))]
+
+
+def test_unigram_logprob_properties(spark):
+    import math
+
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+        unigram_logprob_frame,
+    )
+
+    # 'common' appears 8x, 'rare' once → rare-heavy doc scores higher
+    df = docs_df(spark, [
+        (1, "common common common common"),
+        (2, "common common common rare"),
+        (3, "common"),
+    ])
+    out = {r["doc_id"]: r for r in unigram_logprob_frame(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+    assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+    # hand-check doc 3: T=9 tokens, V=2, p(common)=(8+1)/(9+2)
+    expect = math.floor(-math.log(9 / 11) * 1e6) / 1e6
+    assert abs(out[3]["avg_neg_logprob"] - expect) < 1e-9
