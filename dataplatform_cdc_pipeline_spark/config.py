@@ -52,6 +52,12 @@ class MergeConfig:
     # --- windowing / layout ---
     load_ts_col: str = "load_ts"  # bq_load_ts / mysql_load_ts
     partition_field: str | None = None  # bq_partition_field / mysql_partition_field
+    # bq_clustering_field (config-file_5.sql:13): BigQuery clustering =
+    # co-locate rows by these columns inside each partition. Spark analogue:
+    # sortWithinPartitions before the bucketed write, so parquet row-group
+    # min/max stats are narrow and scans filtered on these columns skip
+    # row groups (Delta/Iceberg would call this Z-order's 1-D base case).
+    clustering_fields: tuple[str, ...] = ()
 
     # --- cast-rule column lists (SURVEY.md §2.2; config-file_5.sql:14-28) ---
     epoc_cols: tuple[str, ...] = ()  # epoch seconds → timestamp (P6)
@@ -148,6 +154,7 @@ class MergeConfig:
             "datetime_null",
             "col_value_as_current_time_ist",
             "epoc_datetime_ist",
+            "clustering_fields",
         }
         aliases = {
             "bq_target_table": "target_table",
@@ -156,6 +163,8 @@ class MergeConfig:
             "mysql_target_database": "target_database",
             "bq_partition_field": "partition_field",
             "mysql_partition_field": "partition_field",
+            "bq_clustering_field": "clustering_fields",
+            "mysql_clustering_field": "clustering_fields",
             "source_fp": "cdc_table",
         }
         known = {f.name for f in fields(cls)}

@@ -70,12 +70,14 @@ class ParquetMergeTarget(MergeTarget):
         self.path = path
         self.cfg = cfg
         self.schema = augment_schema(schema)
-        if cfg.partition_field and cfg.partition_field not in {
-            f.name for f in self.schema.fields
-        }:
+        names = {f.name for f in self.schema.fields}
+        if cfg.partition_field and cfg.partition_field not in names:
             raise ValueError(
                 f"partition_field '{cfg.partition_field}' is not a target column"
             )
+        bad = [c for c in cfg.clustering_fields if c not in names]
+        if bad:
+            raise ValueError(f"clustering_fields {bad} are not target columns")
         #: wall-clock seconds per merge phase of the LAST merge() call:
         #: changes = scan+dedup+cast+stats agg (the eager cache job),
         #: resolve_write = outer-join resolve + staging parquet write,
@@ -258,6 +260,15 @@ class ParquetMergeTarget(MergeTarget):
         # #buckets small files — measured 40% slower merges at local[32])
         merged = merged.repartition(max(len(affected), 1), F.col(BUCKET_COL))
         part_cols = [BUCKET_COL] + ([PDATE_COL] if self.cfg.partition_field else [])
+        if self.cfg.clustering_fields:
+            # bq_clustering_field analogue: rows sorted by the clustering
+            # columns inside each (bucket[, date]) file → narrow parquet
+            # row-group min/max stats → scans filtered on these columns
+            # skip row groups. Sort keys lead with the partition dirs so
+            # each output file is internally clustering-sorted.
+            merged = merged.sortWithinPartitions(
+                *part_cols, *[F.col(c) for c in self.cfg.clustering_fields]
+            )
         t0 = time.time()
         merged.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
         self.phase_times["resolve_write"] = round(time.time() - t0, 3)

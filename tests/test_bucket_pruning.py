@@ -103,3 +103,32 @@ def test_date_range_requires_partition_field(spark):
               window=(None, None), deterministic_audit=True)
     with pytest.raises(ValueError, match="partition_field"):
         target.read(date_range=("2024-01-01", "2024-01-02"))
+
+
+def test_clustering_fields_sort_within_files(spark):
+    """bq_clustering_field parity: rows inside each bucket file are sorted
+    by the clustering columns, so parquet row-group min/max stats are
+    narrow (the scan-skipping layout BigQuery clustering provides)."""
+    import pyarrow.parquet as pq
+
+    cfg, target, audit = pipeline(spark, clustering_fields=("value",))
+    rows = [("c", i, i, i, float((i * 37) % 101)) for i in range(1, 60)]
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, rows),
+              window=(None, None), deterministic_audit=True)
+
+    files = glob.glob(os.path.join(target.path, f"{BUCKET_COL}=*", "*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        vals = pq.read_table(f, columns=["value"])["value"].to_pylist()
+        if len(vals) > 1:
+            assert vals == sorted(vals), f
+            checked += 1
+    assert checked > 0  # at least one multi-row file proved the ordering
+
+
+def test_clustering_fields_must_be_target_columns(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="clustering_fields"):
+        pipeline(spark, clustering_fields=("nope",))

@@ -54,9 +54,18 @@ def changes(spark, rows):
 
 
 IMPLEMENTATIONS = [
-    pytest.param(ParquetMergeTarget, id="parquet"),
+    pytest.param((ParquetMergeTarget, {}), id="parquet"),
+    # same contract through the bq_partition_field/bq_clustering_field
+    # layout options — layout must never change merge semantics
     pytest.param(
-        DeltaMergeTarget,
+        (
+            ParquetMergeTarget,
+            {"partition_field": "source_ts_ns_order", "clustering_fields": ("value",)},
+        ),
+        id="parquet-datelayout-clustered",
+    ),
+    pytest.param(
+        (DeltaMergeTarget, {}),
         id="delta",
         marks=pytest.mark.skipif(not HAS_DELTA, reason="delta-spark not installed"),
     ),
@@ -65,10 +74,10 @@ IMPLEMENTATIONS = [
 
 @pytest.fixture(params=IMPLEMENTATIONS)
 def make_target(request, spark):
-    impl = request.param
+    impl, layout_kwargs = request.param
 
     def factory(**cfg_kwargs):
-        cfg = user_state_config(**cfg_kwargs)
+        cfg = user_state_config(**layout_kwargs, **cfg_kwargs)
         d = f"{tempfile.mkdtemp(prefix='mt_contract_')}/{uuid.uuid4().hex[:6]}"
         return impl(spark, f"{d}/t", cfg, USER_STATE_SCHEMA)
 
