@@ -46,7 +46,7 @@ HEADLINE = [
     # r4 additions
     "cdc_merge_multi_pk_guarded", "stream_user_totals",
     "dedup_keep_best", "doc_chunks", "bm25_search",
-    "cdc_date_partitioned_read", "unigram_perplexity",
+    "cdc_date_partitioned_read", "unigram_perplexity", "ann_recall_eval",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -527,6 +527,94 @@ SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5 ORDER BY query_id,
 SQL_EMBEDDING_ANN_LSH = _ann_lsh_sql()
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of the hyperplane-LSH
+    index against the brute-force ground truth — the measurement harness
+    any ANN deployment needs before trusting the approximate path. Both
+    rankings run as their ordinary operators; recall is a two-join
+    relational fold (no collect)."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    e = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    a = lsh_topk(emb, queries, k=5, planes=_ANN_PLANES, dims=_ANN_DIMS).select(
+        "query_id", "nbr_id"
+    )
+    n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    n_hit = (
+        e.join(a, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(n_approx, "query_id", "left")
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.floor(
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("n_exact").cast("double")
+                    * F.lit(1_000_000.0)
+                )
+                / F.lit(1_000_000.0)
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    signs = hyperplane_signs(_ANN_PLANES, _ANN_DIMS)
+    bucket = " || ".join(
+        "(CASE WHEN list_dot_product(vec, ["
+        + ", ".join(f"{s:.1f}" for s in row)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for row in signs
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+b AS (SELECT vec_id, vec, {bucket} AS bucket FROM v),
+q AS (SELECT * FROM b WHERE vec_id < 10),
+e AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS} DESC, c.vec_id ASC) AS rk
+    FROM q, v c WHERE q.vec_id != c.vec_id) WHERE rk <= 5),
+a AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS} DESC, c.vec_id ASC) AS rk
+    FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id) WHERE rk <= 5),
+ne AS (SELECT query_id, count(*) AS n_exact FROM e GROUP BY query_id),
+na AS (SELECT query_id, count(*) AS n_approx FROM a GROUP BY query_id),
+nh AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM e JOIN a ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+  GROUP BY e.query_id)
+SELECT ne.query_id, ne.n_exact,
+       coalesce(na.n_approx, 0) AS n_approx,
+       coalesce(nh.n_hit, 0) AS n_hit,
+       floor(coalesce(nh.n_hit, 0) * 1.0 / ne.n_exact * 1000000.0) / 1000000.0
+         AS recall_at_5
+FROM ne LEFT JOIN na USING (query_id) LEFT JOIN nh ON ne.query_id = nh.query_id
+ORDER BY ne.query_id
+"""
+
+
+SQL_ANN_RECALL_EVAL = _ann_recall_sql()
+
+
 #: Precomputed IVF centroid index per sf_dir — the index-artifact pattern:
 #: built once (eager localCheckpoint: tiny, cells × dims, not
 #: cache-manager-pinned), broadcast into every subsequent probe.
@@ -1084,6 +1172,7 @@ LLM_QUERIES = {
     "doc_chunks": q_doc_chunks,
     "bm25_search": q_bm25_search,
     "unigram_perplexity": q_unigram_perplexity,
+    "ann_recall_eval": q_ann_recall_eval,
 }
 
 LLM_ORACLES = {
@@ -1115,4 +1204,5 @@ LLM_ORACLES = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "bm25_search": SQL_BM25_SEARCH,
     "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
+    "ann_recall_eval": SQL_ANN_RECALL_EVAL,
 }
