@@ -290,3 +290,62 @@ class ParquetMergeTarget(MergeTarget):
         finally:
             shutil.rmtree(staging, ignore_errors=True)
             self.phase_times["swap"] = round(time.time() - t0, 3)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, files_per_partition: int = 1) -> int:
+        """OPTIMIZE-style small-file maintenance: rewrite the whole target
+        through the normal staged-commit path so every (bucket[, date])
+        partition holds ``files_per_partition`` files.
+
+        A plain merge already writes one file per bucket, but
+        date-partitioned targets accumulate one file per (bucket, date,
+        merge) — a long-running deployment compacts periodically, exactly
+        like the audit store. Clustering order is re-applied (a compact is
+        also a re-cluster, as in BigQuery). Returns rows rewritten.
+        Readers keep bucket-level atomicity: each bucket directory is
+        swapped whole, crash-detectable via the same commit manifest.
+        """
+        if not self.exists():
+            return 0
+        current = self.read()
+        n = current.count()
+        all_buckets = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.path)
+            if e.startswith(f"{BUCKET_COL}=")
+        )
+        merged = current.withColumn(BUCKET_COL, bucket_expr(list(self.cfg.pk), self.cfg.n_buckets))
+        if self.cfg.partition_field:
+            merged = merged.withColumn(
+                PDATE_COL, F.to_date(F.col(self.cfg.partition_field))
+            )
+        # localCheckpoint BEFORE the swap: the rewrite reads the very
+        # directories the commit replaces (eager materialization, not
+        # persist — invariant 11)
+        merged = merged.localCheckpoint(eager=True).coalesce(
+            max(len(all_buckets) * files_per_partition, 1)
+        )
+        self._commit(merged, all_buckets)
+        return n
+
+    def vacuum(self) -> list[str]:
+        """Remove orphaned staging directories left by crashed commits.
+
+        A crash AFTER the staged write but BEFORE/DURING the swap leaves
+        ``<path>.staging-*`` trees (the finally-cleanup never ran). They
+        are invisible to readers (outside the target directory) but hold
+        disk; any staging dir named by a live commit manifest is kept (the
+        manifest is evidence the swap may still be replayed/diagnosed).
+        Returns the removed paths.
+        """
+        pending = self.pending_commit()
+        keep = {pending["staging"]} if pending else set()
+        parent, base = os.path.split(self.path.rstrip("/"))
+        removed = []
+        for e in os.listdir(parent or "."):
+            full = os.path.join(parent, e)
+            if e.startswith(f"{base}.staging-") and full not in keep and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed

@@ -132,3 +132,43 @@ def test_clustering_fields_must_be_target_columns(spark):
 
     with pytest.raises(ValueError, match="clustering_fields"):
         pipeline(spark, clustering_fields=("nope",))
+
+
+def test_target_compact_merges_date_files(spark):
+    """Date-partitioned targets accumulate one file per (bucket, date,
+    merge); compact() rewrites to files_per_partition through the staged
+    commit, preserving state byte-for-byte."""
+    cfg, target, audit = pipeline(spark, partition_field="source_ts_ns_order")
+    day_us = 86_400_000_000
+    # two merges over the same days → ≥2 files in some (bucket, date) dirs
+    run_merge(spark, cfg, target, audit,
+              raw=bronze(spark, [("c", i * day_us, i, i, float(i)) for i in range(1, 9)]),
+              window=(None, None), deterministic_audit=True)
+    run_merge(spark, cfg, target, audit,
+              raw=bronze(spark, [("u", i * day_us, 100 + i, i, float(i * 10)) for i in range(1, 9)]),
+              window=(None, None), deterministic_audit=True)
+    before = sorted(state(target))
+
+    n = target.compact()
+    assert n == 8
+    assert sorted(state(target)) == before
+    # every (bucket, date) leaf now holds exactly one parquet file
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import PDATE_COL
+    leaves = glob.glob(os.path.join(target.path, f"{BUCKET_COL}=*", f"{PDATE_COL}=*"))
+    assert leaves
+    for d in leaves:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    assert target.pending_commit() is None
+
+
+def test_target_vacuum_removes_orphan_staging(spark, tmp_path):
+    cfg, target, audit = pipeline(spark, tmpdir=str(tmp_path))
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("c", 0, 1, 1, 1.0)]),
+              window=(None, None), deterministic_audit=True)
+    # fake a crashed commit's leftover staging tree
+    orphan = f"{target.path}.staging-deadbeef"
+    os.makedirs(f"{orphan}/{BUCKET_COL}=0")
+    removed = target.vacuum()
+    assert removed == [orphan] and not os.path.isdir(orphan)
+    assert (1, 1.0) in state(target)  # live data untouched
