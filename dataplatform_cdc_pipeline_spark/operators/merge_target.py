@@ -293,10 +293,10 @@ class ParquetMergeTarget(MergeTarget):
 
     # -- maintenance ---------------------------------------------------------
 
-    def compact(self, files_per_partition: int = 1) -> int:
+    def compact(self) -> int:
         """OPTIMIZE-style small-file maintenance: rewrite the whole target
-        through the normal staged-commit path so every (bucket[, date])
-        partition holds ``files_per_partition`` files.
+        through the normal staged-commit path, which lays out ONE file per
+        (bucket[, date]) partition (``_commit`` runs one task per bucket).
 
         A plain merge already writes one file per bucket, but
         date-partitioned targets accumulate one file per (bucket, date,
@@ -323,10 +323,7 @@ class ParquetMergeTarget(MergeTarget):
         # localCheckpoint BEFORE the swap: the rewrite reads the very
         # directories the commit replaces (eager materialization, not
         # persist — invariant 11)
-        merged = merged.localCheckpoint(eager=True).coalesce(
-            max(len(all_buckets) * files_per_partition, 1)
-        )
-        self._commit(merged, all_buckets)
+        self._commit(merged.localCheckpoint(eager=True), all_buckets)
         return n
 
     def vacuum(self) -> list[str]:
