@@ -36,11 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:          hash oracle);
 #:   19-43  rotated IN: all 25 entries whose last driver-green row is r2
 #:          (they sat outside the r3 window);
-#:   44-48  new operators this round: quality-argmax keep policy,
+#:   44-49  new operators this round: quality-argmax keep policy,
 #:          token-window chunking, BM25 retrieval, unigram perplexity,
-#:          ANN recall evaluation;
-#:   49-50  rotated family representatives from the r3-green set so each
-#:          family keeps a fresh driver row;
+#:          ANN recall evaluation, IVM type counts;
+#:   50     streaming family representative (green in r3);
 #:   51+    long tail — every entry here is green in CORRECTNESS_r03 and
 #:          remains runnable and locally gated by scripts/check_parity.py,
 #:          which checks ALL entries.
@@ -65,16 +64,17 @@ _PRIORITY = [
     "ngram_top_bigrams", "vocab_df_stats", "cross_corpus_dedup",
     "shipping_priority_mix", "promo_revenue", "large_volume_customer",
     "discounted_revenue", "sales_opportunity",
-    # 44-48: NEW this round (first driver row needed): quality-argmax keep
+    # 44-49: NEW this round (first driver row needed): quality-argmax keep
     # policy over dedup clusters; token-window chunking; BM25 retrieval;
-    # unigram perplexity proxy; ANN recall evaluation
+    # unigram perplexity proxy; ANN recall evaluation; IVM counts
     "dedup_keep_best", "doc_chunks", "bm25_search", "unigram_perplexity",
-    "ann_recall_eval",
-    # 49-50: family representatives (green in r3)
-    "dedup_minhash_lsh", "stream_merge_state",
+    "ann_recall_eval", "cdc_ivm_type_counts",
+    # 50: family representative (green in r3)
+    "stream_merge_state",
     # 51+: long tail, all green in CORRECTNESS_r03
-    "embedding_near_dup", "text_quality", "training_mix",
-    "multimodal_resize", "sessionize_events", "pricing_summary",
+    "dedup_minhash_lsh", "embedding_near_dup", "text_quality",
+    "training_mix", "multimodal_resize", "sessionize_events",
+    "pricing_summary",
     "gopher_repetition", "multimodal_audio_segments", "top_supplier",
     "min_cost_supplier", "market_share", "customer_value_deciles",
     "stream_session_windows", "stream_click_attribution",

@@ -47,6 +47,7 @@ HEADLINE = [
     "cdc_merge_multi_pk_guarded", "stream_user_totals",
     "dedup_keep_best", "doc_chunks", "bm25_search",
     "cdc_date_partitioned_read", "unigram_perplexity", "ann_recall_eval",
+    "cdc_ivm_type_counts",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

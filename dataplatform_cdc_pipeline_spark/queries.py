@@ -831,6 +831,43 @@ ORDER BY user_id
 """
 
 
+def q_cdc_ivm_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the merge (operators/ivm.py): a
+    per-event_type user-count view maintained from change DELTAS across a
+    two-batch lifecycle — never recomputed from the target. The oracle is
+    the fresh GROUP BY of the final state: any drift between delta
+    maintenance and recomputation hash-fails."""
+    from dataplatform_cdc_pipeline_spark.operators.ivm import (
+        maintain_counts_through_merge,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_ivm_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    split = datetime.datetime(2024, 1, 15)
+    counts = None
+    for lo, hi in ((None, split), (split, None)):
+        w = window_scan(raw, cfg, lo, hi)
+        changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+        counts, _ = maintain_counts_through_merge(target, changes, counts, "event_type")
+    return counts.select("event_type", F.col("n").alias("n_users"))
+
+
+SQL_CDC_IVM_TYPE_COUNTS = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, count(*) AS n_users
+FROM ranked WHERE rn = 1 AND op != 'd'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_cdc_job_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5b: the ``etl_job_log`` run-timing twin (tables_list.sql:38-51,
     written step-8:598-626) — deterministic columns only (run id and
@@ -1010,6 +1047,7 @@ QUERIES: dict[str, callable] = {
     "cdc_watermark_stats": q_cdc_watermark_stats,
     "cdc_bucket_pruned_read": q_cdc_bucket_pruned_read,
     "cdc_date_partitioned_read": q_cdc_date_partitioned_read,
+    "cdc_ivm_type_counts": q_cdc_ivm_type_counts,
     "cdc_job_log": q_cdc_job_log,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1033,6 +1071,7 @@ ORACLES: dict[str, str] = {
     "cdc_watermark_stats": SQL_CDC_WATERMARK_STATS,
     "cdc_bucket_pruned_read": SQL_CDC_BUCKET_PRUNED_READ,
     "cdc_date_partitioned_read": SQL_CDC_DATE_PARTITIONED_READ,
+    "cdc_ivm_type_counts": SQL_CDC_IVM_TYPE_COUNTS,
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
