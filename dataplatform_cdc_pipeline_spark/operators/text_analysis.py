@@ -470,6 +470,10 @@ def chunk_documents(
     is always covered by a full-length chunk (documents shorter than one
     chunk yield a single partial chunk). Exact integer arithmetic — no
     float boundaries, so a SQL oracle replays the chunking bit-for-bit.
+    Coverage semantics (property-tested): ``stride ≤ chunk_tokens`` covers
+    every token (overlapping windows); ``stride == chunk_tokens`` packs
+    disjoint chunks; ``stride > chunk_tokens`` is sparse SAMPLING and
+    intentionally leaves gaps.
 
     100 TB posture: map-only (no shuffle); output rows ≈ input tokens /
     stride, each carrying only its chunk text — the full token array never

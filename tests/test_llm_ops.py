@@ -445,3 +445,52 @@ def test_unigram_logprob_properties(spark):
     # hand-check doc 3: T=9 tokens, V=2, p(common)=(8+1)/(9+2)
     expect = math.floor(-math.log(9 / 11) * 1e6) / 1e6
     assert abs(out[3]["avg_neg_logprob"] - expect) < 1e-9
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Property (hypothesis): for arbitrary doc lengths and chunk/stride
+    geometry, chunks cover every token, never exceed chunk_tokens, start
+    aligned-or-tail-anchored, and reassembly at stride == chunk_tokens
+    (disjoint chunks) reproduces the document exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import chunk_documents
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n_words=st.integers(min_value=1, max_value=40),
+        chunk=st.integers(min_value=2, max_value=12),
+        data=st.data(),
+    )
+    def check(n_words, chunk, data):
+        # full coverage is only promised for stride ≤ chunk (stride >
+        # chunk is deliberate sparse SAMPLING and leaves gaps by design)
+        stride = data.draw(st.integers(min_value=1, max_value=chunk))
+        text = " ".join(f"w{i}" for i in range(n_words))
+        df = docs_df(spark, [(1, text)])
+        rows = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+        covered = set()
+        for r in rows:
+            assert 1 <= r["n_tokens"] <= chunk
+            toks = r["chunk_text"].split() if r["chunk_text"] else [""]
+            assert len(toks) == r["n_tokens"]
+            assert r["start_tok"] % stride == 0 or r["start_tok"] == max(n_words - chunk, 0)
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(n_words))  # every token in ≥1 chunk
+
+    check()
+
+
+def test_chunk_documents_disjoint_reassembly(spark):
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import chunk_documents
+
+    # chunk-divisible length → stride==chunk chunks are exactly disjoint
+    # and reassemble the document (the packing-mode invariant)
+    text = " ".join(f"w{i}" for i in range(24))
+    df = docs_df(spark, [(1, text)])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=8, stride=8).collect(),
+        key=lambda r: r["start_tok"],
+    )
+    assert [r["start_tok"] for r in rows] == [0, 8, 16]
+    assert " ".join(r["chunk_text"] for r in rows).split() == text.split()
