@@ -221,11 +221,21 @@ def run_all_pipelines(
     )
     audit = WatermarkStore(spark, f"{base_path}/_audit")
     results: dict[tuple[str, str, str], MergeResult | Exception] = {}
-    for row in cfg_df.collect():  # config rows: one per pipeline, tiny
-        cfg = MergeConfig.from_dict({k: v for k, v in row.asDict().items() if v is not None})
+    # validate pipeline identities BEFORE any merge runs: raising mid-loop
+    # would discard results for pipelines whose merges already committed
+    # (and contradict the documented per-table failure isolation)
+    cfgs = [
+        MergeConfig.from_dict({k: v for k, v in row.asDict().items() if v is not None})
+        for row in cfg_df.collect()  # config rows: one per pipeline, tiny
+    ]
+    seen: set[tuple[str, str, str]] = set()
+    for cfg in cfgs:
         key = (cfg.target_database, cfg.target_table, cfg.cdc_table)
-        if key in results:
+        if key in seen:
             raise ValueError(f"duplicate config row for pipeline {key}")
+        seen.add(key)
+    for cfg in cfgs:
+        key = (cfg.target_database, cfg.target_table, cfg.cdc_table)
         if cfg.target_table not in schemas:
             results[key] = KeyError(f"no schema for {cfg.target_table}")
             continue

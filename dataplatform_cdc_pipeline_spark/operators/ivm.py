@@ -2,63 +2,172 @@
 
 The reference recomputes downstream aggregates from the silver table after
 each merge; at 100 TB a grouped aggregate should instead be MAINTAINED
-from the change set — classic delta-based IVM:
+from the change set — classic delta-based IVM for abelian-group
+aggregates (COUNT, SUM, signed counts):
 
-    new_counts(g) = old_counts(g)
-                  − |old target rows for changed keys in group g|
-                  + |post-merge rows for changed keys in group g|
+    new_view(g) = old_view(g)
+                − contrib(old target rows for changed keys in group g)
+                + contrib(post-merge rows for changed keys in group g)
 
 Both correction terms are computed from the (small) change batch and the
-(bucket-pruned) pre-merge state of the affected keys — never from a full
-table scan. COUNT per group is shown here; any abelian-group aggregate
-(SUM, signed counts) maintains the same way.
+(pruned) pre-merge state of the affected keys — never from a full table
+scan. The post-merge contribution is derived with the merge's OWN resolve
+predicate (:func:`~dataplatform_cdc_pipeline_spark.operators.merge_target.
+resolve_changes`), so gated semantics — ``update_only_op_u`` /
+``strict_ts_guard``, where a blocked change keeps the OLD row — maintain
+exactly as the merge applies them; the view cannot drift from the sink.
 
-Scale shape: one semi-join of the affected buckets against change keys
-(both sides pruned), two tiny group-by-G aggs, one full-outer merge of
-(≤|G|)-row frames. The maintained view never scans the target.
+SUM columns: pass exact-additive expressions (integer micros à la
+``floor(value·1e6)``, or DECIMAL) — float sums are not associative and
+would make the maintained total partition-order-dependent. The view always
+carries the group count ``n``; a group leaves the view when n reaches 0,
+and sums are COALESCE(SUM, 0) by definition (maintenance arithmetic cannot
+distinguish 'no non-null contributions' from 'contributions cancel to 0').
+
+Scale shape: one pruned read of the affected keys (bucket-pruned when the
+target supports it, semi-joined otherwise — Delta data skipping serves the
+same role), two tiny group-by-G aggs, one full-outer merge of (≤|G|)-row
+frames. The maintained view never rescans the target.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import inspect
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def group_counts(rows: DataFrame, group_col: str, count_col: str = "n") -> DataFrame:
-    """Bootstrap: (group, count) of the current state."""
-    return rows.groupBy(group_col).agg(F.count(F.lit(1)).alias(count_col))
+def group_contribs(
+    rows: DataFrame,
+    group_col: str,
+    sum_exprs: dict[str, Column] | None = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """(group, n[, sums…]) of a row frame — also the view bootstrap.
+
+    ``sum_exprs`` maps output column name → the per-row additive
+    contribution (evaluated against ``rows``); each group's value is the
+    COALESCE'd sum of contributions (0 when all contributions are null).
+    """
+    sum_exprs = sum_exprs or {}
+    aggs = [F.count(F.lit(1)).alias(count_col)] + [
+        F.coalesce(F.sum(e), F.lit(0)).alias(name) for name, e in sum_exprs.items()
+    ]
+    return rows.groupBy(group_col).agg(*aggs)
 
 
-def apply_count_delta(
-    counts: DataFrame,
+def apply_view_delta(
+    view: DataFrame,
     removed: DataFrame,
     added: DataFrame,
     group_col: str,
+    sum_exprs: dict[str, Column] | None = None,
     count_col: str = "n",
 ) -> DataFrame:
-    """counts − removed-per-group + added-per-group (rows with count 0
-    drop out, so the view matches a fresh GROUP BY exactly)."""
-    minus = removed.groupBy(group_col).agg((-F.count(F.lit(1))).alias("__d_minus"))
-    plus = added.groupBy(group_col).agg(F.count(F.lit(1)).alias("__d_plus"))
-    delta = (
-        minus.join(plus, group_col, "full_outer")
-        .select(
-            group_col,
-            (F.coalesce("__d_minus", F.lit(0)) + F.coalesce("__d_plus", F.lit(0))).alias(
-                "__delta"
-            ),
-        )
+    """view − contrib(removed) + contrib(added), per group; groups whose
+    count reaches 0 drop out, so the view matches a fresh GROUP BY exactly.
+    """
+    sum_exprs = sum_exprs or {}
+    val_cols = [count_col] + list(sum_exprs)
+    rem = group_contribs(removed, group_col, sum_exprs, count_col)
+    add = group_contribs(added, group_col, sum_exprs, count_col)
+    delta = rem.alias("r").join(add.alias("a"), group_col, "full_outer").select(
+        group_col,
+        *[
+            (
+                F.coalesce(f"a.{c}", F.lit(0)) - F.coalesce(f"r.{c}", F.lit(0))
+            ).alias(c)
+            for c in val_cols
+        ],
     )
     return (
-        counts.join(delta, group_col, "full_outer")
+        view.alias("v")
+        .join(delta.alias("d"), group_col, "full_outer")
         .select(
             group_col,
-            (F.coalesce(count_col, F.lit(0)) + F.coalesce("__delta", F.lit(0))).alias(
-                count_col
-            ),
+            *[
+                (F.coalesce(f"v.{c}", F.lit(0)) + F.coalesce(f"d.{c}", F.lit(0))).alias(c)
+                for c in val_cols
+            ],
         )
         .filter(F.col(count_col) != 0)
     )
+
+
+def _changed_key_rows(target, changes: DataFrame) -> DataFrame:
+    """Pre-merge target rows for the change set's keys, read as narrowly as
+    the target allows: bucket-pruned when the target's ``read`` accepts a
+    ``buckets`` list (ParquetMergeTarget), plain read otherwise (Delta's
+    data skipping plays the pruning role there). The semi-join matches PKs
+    null-safely — the same condition ``merge()`` resolves with, so a
+    matched update/delete on a null-PK row is never dropped from the
+    subtraction term.
+    """
+    pk = list(target.cfg.pk)
+    keys = changes.select(*pk).distinct()
+    if "buckets" in inspect.signature(target.read).parameters:
+        from dataplatform_cdc_pipeline_spark.operators.merge_target import bucket_expr
+
+        buckets = [
+            r["b"]
+            for r in keys.select(bucket_expr(pk, target.cfg.n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        pruned = target.read(buckets=buckets)
+    else:
+        pruned = target.read()
+    t, k = pruned.alias("t"), keys.alias("k")
+    cond = None
+    for c in pk:
+        eq = t[c].eqNullSafe(k[c])
+        cond = eq if cond is None else (cond & eq)
+    return t.join(k, cond, "left_semi")
+
+
+def maintain_view_through_merge(
+    target,
+    changes: DataFrame,
+    view: DataFrame | None,
+    group_col: str,
+    sum_exprs: dict[str, Column] | None = None,
+    count_col: str = "n",
+) -> tuple[DataFrame, dict]:
+    """Run ``target.merge(changes)`` while maintaining a grouped
+    (count [+ abelian sums]) view from the delta; returns (new_view,
+    merge_stats).
+
+    ``changes``: deduped change set (build_changes output). The pre-merge
+    contribution of the changed keys is read pruned BEFORE the merge; the
+    post-merge contribution is computed with the merge's own resolve
+    predicate (``resolve_changes``) over exactly those rows, so gated
+    merge modes (``update_only_op_u`` / ``strict_ts_guard``) maintain
+    correctly: a blocked change contributes its OLD row to both terms and
+    nets to zero. Works against any
+    :class:`~dataplatform_cdc_pipeline_spark.operators.target_contract.MergeTarget`;
+    the bootstrap view is derived from ``target.read()`` (typed empty frame
+    when the target does not exist yet), never from a hardcoded schema.
+    """
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import resolve_changes
+
+    data_cols = [f.name for f in target.schema.fields]
+    if group_col not in data_cols:
+        raise ValueError(f"group_col '{group_col}' is not a target column")
+    if view is None:
+        # target.read() returns a correctly-typed empty frame pre-creation,
+        # so the bootstrap inherits the real group/sum column types
+        view = group_contribs(target.read(), group_col, sum_exprs, count_col)
+    old = _changed_key_rows(target, changes)
+    new = resolve_changes(old, changes, target.cfg, data_cols)
+    # evaluate the view delta BEFORE the merge mutates the storage the
+    # pruned read is lazily reading from (eager checkpoint, not persist —
+    # invariant 11)
+    new_view = apply_view_delta(
+        view, old, new, group_col, sum_exprs, count_col
+    ).localCheckpoint(eager=True)
+    stats = target.merge(changes)
+    return new_view, stats
 
 
 def maintain_counts_through_merge(
@@ -67,44 +176,6 @@ def maintain_counts_through_merge(
     counts: DataFrame | None,
     group_col: str,
 ) -> tuple[DataFrame, dict]:
-    """Run ``target.merge(changes)`` while maintaining a (group, n) view
-    from the delta; returns (new_counts, merge_stats).
-
-    ``changes``: deduped change set (build_changes output). The pre-merge
-    contribution of the changed keys is read bucket-pruned BEFORE the
-    merge; the post-merge contribution is the non-delete change rows
-    (matched updates replace, inserts add, deletes remove — exactly the
-    rows the merge writes for those keys).
-    """
-    if target.cfg.update_only_op_u or target.cfg.strict_ts_guard:
-        # with gated updates a blocked change keeps the OLD row — the
-        # "post-merge rows = non-delete winners" identity breaks; the view
-        # would need the merge's own take_s predicate. Fail loudly.
-        raise ValueError(
-            "maintain_counts_through_merge requires default merge semantics"
-        )
-    pk = list(target.cfg.pk)
-    if counts is None:
-        counts = group_counts(target.read(), group_col) if target.exists() else (
-            changes.sparkSession.createDataFrame([], f"{group_col} string, n long")
-        )
-    # pre-merge rows for the changed keys only (bucket-pruned read +
-    # broadcast-able key set: the change batch is small by construction)
-    keys = changes.select(*pk).distinct()
-    from dataplatform_cdc_pipeline_spark.operators.merge_target import bucket_expr
-
-    buckets = [
-        r["b"]
-        for r in keys.select(bucket_expr(pk, target.cfg.n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    ]
-    old = target.read(buckets=buckets).join(keys, pk, "left_semi")
-    new = changes.filter(F.col("__op") != "d")
-    # evaluate the view delta BEFORE the merge mutates the directories the
-    # bucket-pruned read is lazily reading from
-    new_counts = apply_count_delta(
-        counts, old.select(group_col), new.select(group_col), group_col
-    ).localCheckpoint(eager=True)
-    stats = target.merge(changes)
-    return new_counts, stats
+    """COUNT-only convenience wrapper around
+    :func:`maintain_view_through_merge` (view columns: group, ``n``)."""
+    return maintain_view_through_merge(target, changes, counts, group_col)

@@ -56,6 +56,58 @@ def bucket_expr(pk_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)).cast("int")
 
 
+def resolve_changes(
+    target_rows: DataFrame, changes: DataFrame, cfg: MergeConfig, data_cols: list[str]
+) -> DataFrame:
+    """Post-merge rows: full-outer resolve of current target rows against a
+    deduped change set, expressing the K1-K4 clauses as ONE selection.
+
+    This is the single source of truth for the merge predicate — used by
+    ``ParquetMergeTarget.merge`` (over the affected buckets) AND by the
+    IVM delta computation (over the changed-key rows only), so view
+    maintenance can never drift from what the merge actually applies,
+    including under ``update_only_op_u`` / ``strict_ts_guard``.
+
+    Semantics (merge.sql:403-436; step-6:431-462):
+    - matched delete → row dropped; unmatched delete → no-op;
+    - matched non-delete → source row, unless a gate blocks it (then the
+      target row is KEPT unchanged);
+    - unmatched non-delete → source row inserted;
+    - unmatched target rows pass through untouched.
+    """
+    t = target_rows.withColumn("__t_present", F.lit(True)).alias("t")
+    s_a = changes.alias("s")
+    cond = None
+    for c in cfg.pk:
+        # null-safe: a null-valued PK upserts its own slot (contract-tested)
+        eq = s_a[c].eqNullSafe(t[c])
+        cond = eq if cond is None else (cond & eq)
+    j = s_a.join(t, cond, "full_outer")
+
+    s_present = F.col("s.__op").isNotNull()  # __op is non-null on every change row
+    t_present = F.col("t.__t_present").isNotNull()
+    is_del = s_present & (F.col("s.__op") == "d")
+
+    take_s = s_present & ~is_del
+    if cfg.update_only_op_u:
+        # matched 'c' rows do not update the target (step-6:431-438);
+        # unmatched rows still insert (step-6:441-451).
+        take_s = take_s & (~t_present | (F.col("s.__op") == "u"))
+    if cfg.strict_ts_guard:
+        take_s = take_s & (
+            ~t_present
+            | F.col("s.source_ts_ns_order").isNull()
+            | (F.col("s.source_ts_ns_order") >= F.col("t.source_ts_ns_order"))
+        )
+
+    return (
+        # matched deletes drop the target row; unmatched deletes are
+        # no-ops — both vanish with one filter (merge.sql:428-436).
+        j.filter(~is_del)
+        .select(*[F.when(take_s, s_a[c]).otherwise(t[c]).alias(c) for c in data_cols])
+    )
+
+
 class ParquetMergeTarget(MergeTarget):
     """A mutable typed 'silver' table backed by bucketed parquet (K1-K4).
 
@@ -67,7 +119,10 @@ class ParquetMergeTarget(MergeTarget):
 
     def __init__(self, spark: SparkSession, path: str, cfg: MergeConfig, schema: T.StructType):
         self.spark = spark
-        self.path = path
+        # normalized once: a trailing-slash path would otherwise stage to
+        # '<path>/.staging-…' INSIDE the target (a dot-dir readers skip but
+        # vacuum()'s sibling '<base>.staging-*' scan never matches)
+        self.path = path.rstrip("/") or path
         self.cfg = cfg
         self.schema = augment_schema(schema)
         names = {f.name for f in self.schema.fields}
@@ -185,39 +240,9 @@ class ParquetMergeTarget(MergeTarget):
             if not affected:
                 return stats
 
-            # explicit presence marker — inferring presence from a PK column's
-            # null-ness would misjudge rows whose PK value is legitimately null
-            t = self.read(buckets=affected).withColumn("__t_present", F.lit(True)).alias("t")
-            s_a = s.alias("s")
-            cond = None
-            for c in pk:
-                eq = s_a[c].eqNullSafe(t[c])
-                cond = eq if cond is None else (cond & eq)
-            j = s_a.join(t, cond, "full_outer")
-
-            s_present = F.col("s.__op").isNotNull()  # __op is non-null on every change row
-            t_present = F.col("t.__t_present").isNotNull()
-            is_del = s_present & (F.col("s.__op") == "d")
-
-            take_s = s_present & ~is_del
-            if self.cfg.update_only_op_u:
-                # matched 'c' rows do not update the target (step-6:431-438);
-                # unmatched rows still insert (step-6:441-451).
-                take_s = take_s & (~t_present | (F.col("s.__op") == "u"))
-            if self.cfg.strict_ts_guard:
-                take_s = take_s & (
-                    ~t_present
-                    | F.col("s.source_ts_ns_order").isNull()
-                    | (F.col("s.source_ts_ns_order") >= F.col("t.source_ts_ns_order"))
-                )
-
-            merged = (
-                # matched deletes drop the target row; unmatched deletes are
-                # no-ops — both vanish with one filter (merge.sql:428-436).
-                j.filter(~is_del)
-                .select(*[F.when(take_s, s_a[c]).otherwise(t[c]).alias(c) for c in data_cols])
-                .withColumn(BUCKET_COL, bucket_expr(pk, n))
-            )
+            merged = resolve_changes(
+                self.read(buckets=affected), s, self.cfg, data_cols
+            ).withColumn(BUCKET_COL, bucket_expr(pk, n))
             if self.cfg.partition_field:
                 merged = merged.withColumn(
                     PDATE_COL, F.to_date(F.col(self.cfg.partition_field))

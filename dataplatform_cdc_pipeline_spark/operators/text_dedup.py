@@ -107,7 +107,13 @@ def minhash_signatures_jvm(
     than codegen'd md5 over exploded duplicate shingles, and pays no
     shuffle. Decision: ``minhash_dedup_pairs(use_arrow=True)`` remains the
     default; this form is the no-Python-workers fallback.
+
+    Null/empty text: ``shingles_expr`` yields the single shingle ``['']``
+    for null and empty docs alike (concat_ws over a null slice → ''), so
+    the explode KEEPS those rows and all three formulations agree on the
+    edge — pinned by test_minhash_null_text_equivalence.
     """
+    assert k % 4 == 0, "k must be a multiple of 4 (four families per digest)"
     sh = F.explode(shingles_expr(text_col, n)).alias("__sh")
     ex = df.select(F.col(id_col), sh)
     fam_cols = []

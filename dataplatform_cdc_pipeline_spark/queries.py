@@ -868,6 +868,69 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_cdc_ivm_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abelian-aggregate IVM through a GATED merge (the generalization of
+    ``cdc_ivm_type_counts``): a per-event_type (count, Σ value-micros) view
+    maintained from change deltas across a two-phase lifecycle whose second
+    merge runs with ``update_only_op_u`` — blocked matched-'c' changes keep
+    the old target row and must net to zero in the view. The maintenance
+    derives the post-merge contribution from the merge's own resolve
+    predicate (operators/ivm.py + merge_target.resolve_changes); the oracle
+    recomputes the op_u-gated final state and aggregates it fresh, so any
+    drift between delta maintenance and the gated merge hash-fails. Sums
+    use floor(value·1e6) int64 — exact, associative, batch-replayable
+    (the stream_user_totals pattern)."""
+    from dataplatform_cdc_pipeline_spark.operators.ivm import maintain_view_through_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+
+    raw = cdc_feed(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc_ivm_sum_q_")
+    split = datetime.datetime(2024, 1, 15)
+    sums = {"value_micros_sum": F.floor(F.col("value") * F.lit(1e6)).cast("long")}
+    view = None
+    for cfg, (lo, hi) in (
+        (user_state_config(), (None, split)),
+        (user_state_config(update_only_op_u=True), (split, None)),
+    ):
+        target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+        w = window_scan(raw, cfg, lo, hi)
+        changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+        view, _ = maintain_view_through_merge(target, changes, view, "event_type", sums)
+    return view.select("event_type", F.col("n").alias("n_users"), "value_micros_sum")
+
+
+# final state under the two-phase op_u lifecycle = the cdc_merge_op_u
+# oracle's resolve, aggregated fresh per event_type.
+SQL_CDC_IVM_SUM = f"""
+WITH typed AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos, ts
+  FROM events
+), s1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_ts_us DESC, pos DESC) AS rn
+    FROM typed WHERE ts <= TIMESTAMP '{_OPU_SPLIT}') WHERE rn = 1 AND op != 'd'
+), w2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_ts_us DESC, pos DESC) AS rn
+    FROM typed WHERE ts > TIMESTAMP '{_OPU_SPLIT}') WHERE rn = 1
+), final AS (
+  SELECT
+    CASE WHEN w2.user_id IS NULL OR (w2.op = 'c' AND s1.user_id IS NOT NULL)
+         THEN s1.event_type ELSE w2.event_type END AS event_type,
+    CASE WHEN w2.user_id IS NULL OR (w2.op = 'c' AND s1.user_id IS NOT NULL)
+         THEN s1.value ELSE w2.value END AS value
+  FROM s1 FULL JOIN w2 ON s1.user_id = w2.user_id
+  WHERE w2.op IS NULL OR w2.op != 'd'
+)
+SELECT event_type, count(*) AS n_users,
+       coalesce(sum(floor(value * 1000000.0)), 0)::BIGINT AS value_micros_sum
+FROM final GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_cdc_job_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5b: the ``etl_job_log`` run-timing twin (tables_list.sql:38-51,
     written step-8:598-626) — deterministic columns only (run id and
@@ -1048,6 +1111,7 @@ QUERIES: dict[str, callable] = {
     "cdc_bucket_pruned_read": q_cdc_bucket_pruned_read,
     "cdc_date_partitioned_read": q_cdc_date_partitioned_read,
     "cdc_ivm_type_counts": q_cdc_ivm_type_counts,
+    "cdc_ivm_sum": q_cdc_ivm_sum,
     "cdc_job_log": q_cdc_job_log,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1072,6 +1136,7 @@ ORACLES: dict[str, str] = {
     "cdc_bucket_pruned_read": SQL_CDC_BUCKET_PRUNED_READ,
     "cdc_date_partitioned_read": SQL_CDC_DATE_PARTITIONED_READ,
     "cdc_ivm_type_counts": SQL_CDC_IVM_TYPE_COUNTS,
+    "cdc_ivm_sum": SQL_CDC_IVM_SUM,
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -172,3 +172,25 @@ def test_target_vacuum_removes_orphan_staging(spark, tmp_path):
     removed = target.vacuum()
     assert removed == [orphan] and not os.path.isdir(orphan)
     assert (1, 1.0) in state(target)  # live data untouched
+
+
+def test_target_path_trailing_slash_normalized(spark, tmp_path):
+    """A trailing-slash target path must stage SIBLING '<base>.staging-*'
+    dirs (not '<path>/.staging-*' inside the target) so vacuum() finds
+    orphans and readers never scan half-written staging files."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA, user_state_config
+
+    cfg = user_state_config()
+    target = ParquetMergeTarget(spark, str(tmp_path / "t") + "/", cfg, USER_STATE_SCHEMA)
+    assert not target.path.endswith("/")
+    audit = WatermarkStore(spark, str(tmp_path / "a"))
+    run_merge(spark, cfg, target, audit, raw=bronze(spark, [("c", 0, 1, 1, 1.0)]),
+              window=(None, None), deterministic_audit=True)
+    # nothing staged inside the target; a crashed-commit orphan IS found
+    assert not [e for e in os.listdir(target.path) if ".staging-" in e]
+    orphan = f"{target.path}.staging-cafe0000"
+    os.makedirs(f"{orphan}/{BUCKET_COL}=0")
+    assert target.vacuum() == [orphan] and not os.path.isdir(orphan)
+    assert (1, 1.0) in state(target)

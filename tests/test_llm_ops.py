@@ -82,6 +82,36 @@ def test_minhash_formulations_bit_identical(spark):
     assert by_expr == by_arrow == by_jvm
 
 
+def test_minhash_null_text_equivalence(spark):
+    """Null and empty text shingle to [''] in every formulation (the JVM
+    explode KEEPS the row — no dropped docs on the edge), and non-multiple-
+    of-4 k fails fast with the same assert in all forms."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import (
+        minhash_signature_expr,
+        minhash_signature_udf,
+        minhash_signatures_jvm,
+        shingles_expr,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "real text here")],
+                               "doc_id long, text string")
+    by_expr = {r["doc_id"]: tuple(r["s"]) for r in df.select(
+        "doc_id", minhash_signature_expr(shingles_expr("text"), 8).alias("s")).collect()}
+    by_arrow = {r["doc_id"]: tuple(r["s"]) for r in df.select(
+        "doc_id", minhash_signature_udf(8)(F.col("text")).alias("s")).collect()}
+    by_jvm = {r["doc_id"]: tuple(r["minhash_sig"])
+              for r in minhash_signatures_jvm(df, k=8).collect()}
+    assert set(by_jvm) == {1, 2, 3}  # null-text row not dropped
+    assert by_expr == by_arrow == by_jvm
+    with pytest.raises(AssertionError, match="multiple of 4"):
+        minhash_signatures_jvm(df, k=6)
+    with pytest.raises(AssertionError, match="multiple of 4"):
+        df.select(minhash_signature_expr(shingles_expr("text"), 6))
+
+
 def test_simhash_similarity_property(spark):
     # rich vocabulary, one word changed → hamming within the banding
     # guarantee (≤ bands-1 = 3 shares a slice by pigeonhole)

@@ -442,6 +442,36 @@ def test_run_all_pipelines_isolates_failures(spark, tmp_path):
     assert ("t_good", "SUCCESS") in statuses and ("t_bad", "FAILED") in statuses
 
 
+def test_run_all_pipelines_duplicate_config_fails_before_side_effects(spark, tmp_path):
+    """A duplicate (db, table, source) config row aborts BEFORE the first
+    merge runs — no committed merges, no audit rows (the mid-loop raise
+    would have discarded results for already-committed siblings)."""
+    import json as _json
+
+    import pytest
+
+    from dataplatform_cdc_pipeline_spark.engine import run_all_pipelines
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA
+
+    row = {"cdc_table": "c1", "target_table": "t1", "target_database": "silver",
+           "pk": "user_id", "ts_ns_encoding": "nanos"}
+    cfg_path = tmp_path / "config.jsonl"
+    cfg_path.write_text("\n".join(_json.dumps(r) for r in [row, row]))
+    with pytest.raises(ValueError, match="duplicate config row"):
+        run_all_pipelines(
+            spark, str(cfg_path), str(tmp_path / "lake"),
+            schemas={"t1": USER_STATE_SCHEMA},
+            raw_frames={"c1": bronze(spark, [("c", 1, 1, 1, 1.0)])},
+            deterministic_audit=True,
+        )
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "lake" / "silver" / "t1"))
+    audit = WatermarkStore(spark, str(tmp_path / "lake" / "_audit"))
+    assert audit.history().count() == 0
+
+
 def test_ivm_counts_track_merge_deltas(spark):
     """Delta-maintained group counts equal a fresh GROUP BY after every
     batch: insert, type-change update, matched delete, unmatched delete."""
@@ -487,13 +517,118 @@ def test_ivm_counts_track_merge_deltas(spark):
     assert counts.collect() == [] and fresh() == {}
 
 
-def test_ivm_rejects_gated_semantics(spark):
-    import pytest
+def _ivm_fixture(spark, **cfg_kwargs):
+    from pyspark.sql import functions as F
 
-    from dataplatform_cdc_pipeline_spark.operators.ivm import (
-        maintain_counts_through_merge,
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import build_changes, window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA
+
+    cfg, target, audit = pipeline(spark, **cfg_kwargs)
+    sums = {"value_micros": F.floor(F.col("value") * 1e6).cast("long")}
+
+    def batch(rows):
+        w = window_scan(bronze(spark, rows), cfg, None, None)
+        return build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+
+    def fresh():
+        return {
+            r["event_type"]: (r["n"], r["value_micros"])
+            for r in target.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.floor(F.col("value") * 1e6).cast("long")), F.lit(0)).alias(
+                    "value_micros"
+                ),
+            )
+            .collect()
+        }
+
+    def as_dict(view):
+        return {r["event_type"]: (r["n"], r["value_micros"]) for r in view.collect()}
+
+    return target, sums, batch, fresh, as_dict
+
+
+def test_ivm_maintains_sums_under_strict_ts_guard(spark):
+    """Abelian-SUM view maintained through a strict_ts_guard merge: a
+    stale (older-ts) update is blocked by the guard, keeps the OLD row,
+    and must net to zero in the maintained view — the view tracks the
+    merge's own resolve predicate, not the change set."""
+    from dataplatform_cdc_pipeline_spark.operators.ivm import maintain_view_through_merge
+
+    target, sums, batch, fresh, as_dict = _ivm_fixture(spark, strict_ts_guard=True)
+    view, _ = maintain_view_through_merge(
+        target, batch([("c", 10, 1, 1, 1.5), ("c", 10, 2, 2, 2.5)]), None, "event_type", sums
     )
+    assert as_dict(view) == fresh() == {"t": (2, 4_000_000)}
 
-    cfg, target, audit = pipeline(spark, strict_ts_guard=True)
-    with pytest.raises(ValueError, match="default merge semantics"):
-        maintain_counts_through_merge(target, None, None, "event_type")
+    # key 1: ts 5 < 10 → guard blocks, old value 1.5 survives;
+    # key 2: ts 20 → applies (3.5); key 3: unmatched insert applies
+    view, _ = maintain_view_through_merge(
+        target,
+        batch([("u", 5, 3, 1, 9.0), ("u", 20, 4, 2, 3.5), ("c", 20, 5, 3, 7.0)]),
+        view,
+        "event_type",
+        sums,
+    )
+    assert as_dict(view) == fresh() == {"t": (3, 12_000_000)}
+
+
+def test_ivm_maintains_sums_under_update_only_op_u(spark):
+    """op_u gate: a matched 'c' leaves the target row untouched and nets to
+    zero in the view; matched 'u' and unmatched inserts maintain normally;
+    deletes subtract."""
+    from dataplatform_cdc_pipeline_spark.operators.ivm import maintain_view_through_merge
+
+    target, sums, batch, fresh, as_dict = _ivm_fixture(spark, update_only_op_u=True)
+    view, _ = maintain_view_through_merge(
+        target, batch([("c", 10, 1, 1, 1.5), ("c", 10, 2, 2, 2.5)]), None, "event_type", sums
+    )
+    # matched 'c' on key 1 blocked (keeps 1.5); matched 'u' on key 2
+    # applies (3.5); unmatched 'c' key 3 inserts (7.0); delete key 2 after?
+    view, _ = maintain_view_through_merge(
+        target,
+        batch([("c", 20, 3, 1, 9.0), ("u", 20, 4, 2, 3.5), ("c", 20, 5, 3, 7.0)]),
+        view,
+        "event_type",
+        sums,
+    )
+    assert as_dict(view) == fresh() == {"t": (3, 12_000_000)}
+    view, _ = maintain_view_through_merge(
+        target, batch([("d", 30, 6, 3, 0.0)]), view, "event_type", sums
+    )
+    assert as_dict(view) == fresh() == {"t": (2, 5_000_000)}
+
+
+def test_ivm_null_pk_rows_maintained(spark):
+    """A null-PK row is matched null-safely by merge(); the IVM subtraction
+    must use the same eqNullSafe semi-join or the old row is never removed
+    and the count drifts upward."""
+    from dataplatform_cdc_pipeline_spark.operators.ivm import maintain_view_through_merge
+
+    target, sums, batch, fresh, as_dict = _ivm_fixture(spark)
+    view, _ = maintain_view_through_merge(
+        target, batch([("c", 10, 1, None, 1.0)]), None, "event_type", sums
+    )
+    assert as_dict(view) == fresh() == {"t": (1, 1_000_000)}
+    view, _ = maintain_view_through_merge(
+        target, batch([("u", 20, 2, None, 9.0)]), view, "event_type", sums
+    )
+    assert as_dict(view) == fresh() == {"t": (1, 9_000_000)}
+
+
+def test_ivm_bootstrap_schema_derives_from_target(spark):
+    """The bootstrap view inherits real column types from target.read()
+    (no hardcoded string group / 'n' — works for any group column)."""
+    from dataplatform_cdc_pipeline_spark.operators.ivm import maintain_view_through_merge
+
+    cfg, target, audit = pipeline(spark)
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import build_changes, window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA
+
+    w = window_scan(bronze(spark, [("c", 0, 1, 1, 1.0)]), cfg, None, None)
+    changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+    view, _ = maintain_view_through_merge(target, changes, None, "k")
+    assert dict(view.dtypes)["k"] == "int"  # IntegerType from the target schema
+    assert [r["n"] for r in view.collect()] == [1]
