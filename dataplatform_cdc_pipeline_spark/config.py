@@ -94,6 +94,19 @@ class MergeConfig:
     # partial aggregation, minimal shuffle; the scale default) or 'window'
     # (ranked window — shuffles every row, exact reference plan shape).
     dedup_strategy: str = "agg"
+    # Payload schema drift: what to do when the CDC payload presents a key
+    # that is not a target column (the mid-stream new-business-column event).
+    # The reference re-reads the target's INFORMATION_SCHEMA every run
+    # (merge.sql:289-294) and so picks up columns added by out-of-band DDL;
+    # here the policy is explicit:
+    #   'ignore' — drop unknown keys (reference behavior when no DDL ran);
+    #   'fail'   — raise SchemaDriftError → FAILED audit row (ops gate);
+    #   'evolve' — add unknown keys as nullable STRING target columns
+    #              before the merge (the payload lands string-typed until a
+    #              cast rule declares otherwise — rows written before the
+    #              evolution read back NULL). Delta analogue: MERGE
+    #              withSchemaEvolution.
+    schema_drift_policy: str = "ignore"
 
     # --- envelope ---
     ts_ns_encoding: str = "auto"  # 'nanos' (step-6:311) | 'iso' (step-5:300) | 'auto'
@@ -133,6 +146,8 @@ class MergeConfig:
             raise ValueError(f"bad ts_ns_encoding: {self.ts_ns_encoding}")
         if self.dedup_strategy not in ("agg", "window"):
             raise ValueError(f"bad dedup_strategy: {self.dedup_strategy}")
+        if self.schema_drift_policy not in ("ignore", "fail", "evolve"):
+            raise ValueError(f"bad schema_drift_policy: {self.schema_drift_policy}")
 
     @classmethod
     def from_dict(cls, raw: dict) -> "MergeConfig":

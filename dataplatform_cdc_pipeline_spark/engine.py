@@ -99,6 +99,17 @@ def run_merge(
     try:
         # Phase 3-5: plan synthesis + change-set build
         windowed = window_scan(raw, cfg, start, end)
+        if cfg.schema_drift_policy != "ignore":
+            # payload keys with no target column: raise (fail → FAILED
+            # audit row below, like a CAST error) or extend the target
+            # schema before the typed projection (evolve). The reference's
+            # INFORMATION_SCHEMA re-read per run, made an explicit policy
+            # (merge.sql:289-294; operators/schema_drift.py).
+            from dataplatform_cdc_pipeline_spark.operators.schema_drift import (
+                apply_drift_policy,
+            )
+
+            apply_drift_policy(windowed, target, cfg)
         if cfg.two_stream_fidelity:
             log_v_i, log_v_d = build_two_stream(
                 windowed, target.schema, cfg, deterministic_audit=deterministic_audit

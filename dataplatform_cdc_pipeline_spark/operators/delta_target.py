@@ -55,6 +55,17 @@ class DeltaMergeTarget(MergeTarget):
         self.schema = augment_schema(schema)
         self.phase_times: dict[str, float] = {}
 
+    def evolve_schema(self, new_fields: list[T.StructField]) -> None:
+        """Extend the logical schema; the Delta table itself evolves on the
+        next merge via ``withSchemaEvolution`` (schema_drift_policy='evolve')
+        — Delta's native ALTER-on-MERGE, the real form of what the parquet
+        emulation does with null-filled reads."""
+        names = {f.name for f in self.schema.fields}
+        dup = [f.name for f in new_fields if f.name in names]
+        if dup:
+            raise ValueError(f"evolve_schema: columns already exist: {dup}")
+        self.schema = T.StructType(self.schema.fields + list(new_fields))
+
     # -- reads ---------------------------------------------------------------
 
     def exists(self) -> bool:
@@ -105,14 +116,20 @@ class DeltaMergeTarget(MergeTarget):
                 " OR s.source_ts_ns_order >= t.source_ts_ns_order)"
             )
 
-        (
+        builder = (
             DeltaTable.forPath(self.spark, self.path)
             .alias("t")
             .merge(
                 changes.alias("s"),
                 " AND ".join(f"s.`{c}` <=> t.`{c}`" for c in pk),
             )
-            .whenMatchedDelete(condition="s.`__op` = 'd'")
+        )
+        if self.cfg.schema_drift_policy == "evolve" and hasattr(builder, "withSchemaEvolution"):
+            # Delta ≥3.1: MERGE-time schema evolution (new source columns
+            # become nullable target columns, old rows read NULL)
+            builder = builder.withSchemaEvolution()
+        (
+            builder.whenMatchedDelete(condition="s.`__op` = 'd'")
             .whenMatchedUpdate(condition=update_cond, set={c: f"s.`{c}`" for c in data_cols})
             .whenNotMatchedInsert(
                 condition="s.`__op` != 'd'", values={c: f"s.`{c}`" for c in data_cols}

@@ -43,6 +43,21 @@ from dataplatform_cdc_pipeline_spark.operators.target_contract import (
     augment_schema,
 )
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this merge's read and its commit —
+    the parquet emulation of Delta's optimistic-concurrency conflict
+    (``ConcurrentAppendException``). The losing merge leaves the target
+    exactly as the winner committed it; replay the window to reconverge.
+    """
+
+
+class SchemaEnforcementError(TypeError):
+    """The change set's columns don't line up with the target schema —
+    missing target columns or a differently-typed existing column. The
+    parquet emulation of Delta's merge-time schema enforcement: a silent
+    cast/drop here would corrupt the table for every later reader."""
+
+
 BUCKET_COL = "__bucket"
 #: second-level partition directory when cfg.partition_field is set:
 #: the DATE of the configured column (bq_partition_field /
@@ -138,6 +153,75 @@ class ParquetMergeTarget(MergeTarget):
         #: resolve_write = outer-join resolve + staging parquet write,
         #: swap = bucket directory swaps. Diagnostic only.
         self.phase_times: dict[str, float] = {}
+        #: test/ops seam: called after the staged write, before the
+        #: version check + swap (e.g. to snapshot, or — in the contract
+        #: suite — to interleave a conflicting writer deterministically).
+        self.pre_commit_hook = None
+
+    # -- schema management -----------------------------------------------------
+
+    def evolve_schema(self, new_fields: list[T.StructField]) -> None:
+        """Add nullable columns to the target schema (ALTER TABLE ADD
+        COLUMN). Existing files are untouched: reads fill the new columns
+        with NULL (the scan's requested schema is authoritative), and the
+        next merge writes them for the buckets it rewrites."""
+        names = {f.name for f in self.schema.fields}
+        dup = [f.name for f in new_fields if f.name in names]
+        if dup:
+            raise ValueError(f"evolve_schema: columns already exist: {dup}")
+        self.schema = T.StructType(self.schema.fields + list(new_fields))
+
+    def _enforce_changes_schema(self, changes: DataFrame) -> DataFrame:
+        """Delta-style merge-time schema checks (emulated):
+
+        - every target column must be present in the change set (the merge
+          updates/inserts ALL columns — a missing one would silently null
+          out data);
+        - a present column must carry exactly the declared type (no silent
+          casts; ANSI would make some casts throw mid-write, after the
+          staging job already burned cluster time);
+        - EXTRA non-envelope columns follow ``cfg.schema_drift_policy``:
+          ignore → dropped (projection does it), fail → SchemaDriftError,
+          evolve → added to the target schema with the change set's own
+          (already typed) column type.
+        """
+        change_types = {f.name: f for f in changes.schema.fields}
+        missing = [f.name for f in self.schema.fields if f.name not in change_types]
+        if missing:
+            raise SchemaEnforcementError(
+                f"change set is missing target columns {missing} "
+                f"(target {self.path})"
+            )
+        mismatched = [
+            (f.name, str(change_types[f.name].dataType), str(f.dataType))
+            for f in self.schema.fields
+            if change_types[f.name].dataType != f.dataType
+        ]
+        if mismatched:
+            raise SchemaEnforcementError(
+                "change-set column types diverge from the target schema "
+                f"(col, got, want): {mismatched}"
+            )
+        target_names = {f.name for f in self.schema.fields}
+        extras = [
+            c
+            for c in changes.columns
+            if c not in target_names and not c.startswith("__")
+        ]
+        if extras:
+            if self.cfg.schema_drift_policy == "fail":
+                from dataplatform_cdc_pipeline_spark.operators.schema_drift import (
+                    SchemaDriftError,
+                )
+
+                raise SchemaDriftError(
+                    f"change set carries columns with no target column: {extras}"
+                )
+            if self.cfg.schema_drift_policy == "evolve":
+                self.evolve_schema(
+                    [T.StructField(c, change_types[c].dataType, True) for c in extras]
+                )
+        return changes
 
     # -- reads ---------------------------------------------------------------
 
@@ -197,9 +281,14 @@ class ParquetMergeTarget(MergeTarget):
         - ``cfg.strict_ts_guard`` adds ``source.ts >= target.ts`` to the
           update clause (the reference has no guard — SURVEY.md §2.8).
         """
+        self._enforce_changes_schema(changes)
         pk = list(self.cfg.pk)
         n = self.cfg.n_buckets
         data_cols = [f.name for f in self.schema.fields]
+        # optimistic concurrency (Delta's transaction-log conflict check,
+        # emulated): remember the committed version this merge reads from;
+        # _commit refuses the swap if another writer advanced it since
+        v0 = self._read_version()
 
         pending = self.pending_commit()
         if pending:
@@ -247,7 +336,7 @@ class ParquetMergeTarget(MergeTarget):
                 merged = merged.withColumn(
                     PDATE_COL, F.to_date(F.col(self.cfg.partition_field))
                 )
-            self._commit(merged, affected)
+            self._commit(merged, affected, expected_version=v0)
             return stats
         finally:
             s.unpersist()
@@ -255,6 +344,20 @@ class ParquetMergeTarget(MergeTarget):
     # -- storage commit ------------------------------------------------------
 
     MANIFEST = "_commit_manifest.json"
+    VERSION = "_commit_version"
+
+    def _read_version(self) -> int:
+        """Committed version counter (0 before the first commit). Lives in
+        an underscore-prefixed file Spark's parquet scans ignore."""
+        p = os.path.join(self.path, self.VERSION)
+        if os.path.isfile(p):
+            with open(p) as f:
+                return int(f.read().strip() or 0)
+        return 0
+
+    def _write_version(self, v: int) -> None:
+        with open(os.path.join(self.path, self.VERSION), "w") as f:
+            f.write(str(v))
 
     def pending_commit(self) -> dict | None:
         """Manifest left by a commit that crashed mid-swap, else None.
@@ -269,7 +372,9 @@ class ParquetMergeTarget(MergeTarget):
                 return json.load(f)
         return None
 
-    def _commit(self, merged: DataFrame, affected: list[int]) -> None:
+    def _commit(
+        self, merged: DataFrame, affected: list[int], expected_version: int | None = None
+    ) -> None:
         """Write affected buckets to staging, then swap directories.
 
         Emulates the reference's transaction (merge.sql:368-457): readers see
@@ -278,6 +383,14 @@ class ParquetMergeTarget(MergeTarget):
         the last, so a mid-swap crash is detectable (``pending_commit``) and
         replayable — Delta's atomic log commit replaces this whole dance on
         a real deployment.
+
+        ``expected_version``: the version the caller read its inputs at;
+        if another writer committed since, the swap is REFUSED with
+        :class:`ConcurrentWriteError` and the winner's state stands (the
+        single-filesystem emulation of Delta's optimistic concurrency —
+        check-then-swap is not itself atomic across processes, so this
+        detects lost-update races rather than serializing them; run one
+        writer per target in production, as the reference's scheduler does).
         """
         staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
         # repartition to ~one task per affected bucket: without it every
@@ -299,6 +412,14 @@ class ParquetMergeTarget(MergeTarget):
         self.phase_times["resolve_write"] = round(time.time() - t0, 3)
         t0 = time.time()
         try:
+            if self.pre_commit_hook is not None:
+                self.pre_commit_hook()
+            if expected_version is not None and self._read_version() != expected_version:
+                raise ConcurrentWriteError(
+                    f"target {self.path} advanced from version {expected_version} "
+                    f"to {self._read_version()} since this merge read it; "
+                    "replay the window against the new state"
+                )
             os.makedirs(self.path, exist_ok=True)
             manifest = os.path.join(self.path, self.MANIFEST)
             with open(manifest, "w") as f:
@@ -311,6 +432,7 @@ class ParquetMergeTarget(MergeTarget):
                 if os.path.isdir(src):
                     shutil.move(src, dst)
                 # else: bucket emptied by deletes — old dir already removed
+            self._write_version(self._read_version() + 1)
             os.remove(manifest)  # swap complete — commit is clean
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -333,6 +455,7 @@ class ParquetMergeTarget(MergeTarget):
         """
         if not self.exists():
             return 0
+        v0 = self._read_version()
         current = self.read()
         n = current.count()
         all_buckets = sorted(
@@ -348,7 +471,7 @@ class ParquetMergeTarget(MergeTarget):
         # localCheckpoint BEFORE the swap: the rewrite reads the very
         # directories the commit replaces (eager materialization, not
         # persist — invariant 11)
-        self._commit(merged.localCheckpoint(eager=True), all_buckets)
+        self._commit(merged.localCheckpoint(eager=True), all_buckets, expected_version=v0)
         return n
 
     def vacuum(self) -> list[str]:

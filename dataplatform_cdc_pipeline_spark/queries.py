@@ -931,6 +931,77 @@ FROM final GROUP BY event_type ORDER BY event_type
 """
 
 
+_DRIFT_SPLIT = "2024-01-15 00:00:00"
+
+
+def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift lifecycle (operators/schema_drift.py): the CDC payload
+    presents a NEW business key ('region') only after the split date —
+    the mid-stream new-column event. Under ``schema_drift_policy='evolve'``
+    the phase-2 merge adds it as a nullable string column first
+    (merge.sql:289-294's INFORMATION_SCHEMA re-read made explicit), so
+    keys last written in phase 1 read NULL while phase-2 winners carry
+    values. The oracle recomputes the final state with region present iff
+    the winning event is post-split — a wrong policy (drop/duplicate/
+    non-null backfill) hash-fails."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    events = load_table(spark, sf_dir, "events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    payload = F.to_json(
+        F.struct(
+            op_expr().alias("__op"),
+            (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("string").alias("__ts_ns"),
+            F.col("event_id").cast("string").alias("__source_pos"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            # the drifting key: present only post-split (to_json omits nulls)
+            F.when(
+                F.col("ts") > split,
+                F.concat(F.lit("r"), (F.col("user_id") % 5).cast("string")),
+            ).alias("region"),
+        )
+    )
+    raw = events.select(payload.alias("data"), F.col("ts").alias("load_ts"))
+    cfg = user_state_config(schema_drift_policy="evolve")
+    tmp = tempfile.mkdtemp(prefix="cdc_drift_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    sp = datetime.datetime(2024, 1, 15)
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, sp), deterministic_audit=True)
+    run_merge(spark, cfg, target, audit, raw=raw, window=(sp, None), deterministic_audit=True)
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        "region",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_SCHEMA_DRIFT = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k,
+       CASE WHEN ts > TIMESTAMP '{_DRIFT_SPLIT}'
+            THEN 'r' || (user_id % 5)::VARCHAR END AS region,
+       event_ts_us, pos
+FROM ranked WHERE rn = 1 AND op != 'd' ORDER BY user_id
+"""
+
+
 def q_cdc_job_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5b: the ``etl_job_log`` run-timing twin (tables_list.sql:38-51,
     written step-8:598-626) — deterministic columns only (run id and
@@ -1112,6 +1183,7 @@ QUERIES: dict[str, callable] = {
     "cdc_date_partitioned_read": q_cdc_date_partitioned_read,
     "cdc_ivm_type_counts": q_cdc_ivm_type_counts,
     "cdc_ivm_sum": q_cdc_ivm_sum,
+    "cdc_schema_drift": q_cdc_schema_drift,
     "cdc_job_log": q_cdc_job_log,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1137,6 +1209,7 @@ ORACLES: dict[str, str] = {
     "cdc_date_partitioned_read": SQL_CDC_DATE_PARTITIONED_READ,
     "cdc_ivm_type_counts": SQL_CDC_IVM_TYPE_COUNTS,
     "cdc_ivm_sum": SQL_CDC_IVM_SUM,
+    "cdc_schema_drift": SQL_CDC_SCHEMA_DRIFT,
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -193,3 +193,108 @@ def test_merge_is_idempotent_on_replay(spark, make_target):
     first = state(t)
     t.merge(changes(spark, batch))
     assert state(t) == first
+
+
+# -- Delta-parity behaviors (emulated by the parquet sink) --------------------
+
+
+def test_schema_enforcement_missing_column(spark, make_target):
+    """A change set missing a target column is refused up front — the
+    merge updates ALL columns, so a missing one would silently null data
+    (Delta's merge-time schema enforcement)."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        SchemaEnforcementError,
+    )
+
+    t = make_target()
+    bad = changes(spark, [("c", 1, 1.0, 0, 1)]).drop("value")
+    with pytest.raises((SchemaEnforcementError, Exception)) as exc:
+        t.merge(bad)
+    assert "value" in str(exc.value)
+    assert state(t) == []  # nothing committed
+
+
+def test_schema_enforcement_type_mismatch(spark, make_target):
+    """A differently-typed existing column is refused — no silent casts."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        SchemaEnforcementError,
+    )
+
+    t = make_target()
+    bad = changes(spark, [("c", 1, 1.0, 0, 1)]).withColumn(
+        "value", F.col("value").cast("string")
+    )
+    with pytest.raises((SchemaEnforcementError, Exception)) as exc:
+        t.merge(bad)
+    assert "value" in str(exc.value)
+    assert state(t) == []
+
+
+def test_merge_schema_evolution(spark, make_target):
+    """schema_drift_policy='evolve': an extra typed change-set column
+    becomes a nullable target column; rows written before the evolution
+    read back NULL (Delta: MERGE withSchemaEvolution)."""
+    t = make_target(schema_drift_policy="evolve")
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2)]))
+    evolved = changes(spark, [("u", 2, 9.0, 10, 3), ("c", 3, 3.0, 10, 4)]).withColumn(
+        "region", F.concat(F.lit("r"), F.col("user_id"))
+    )
+    t.merge(evolved)
+    got = {
+        (r["user_id"], r["value"], r["region"])
+        for r in t.read().select("user_id", "value", "region").collect()
+    }
+    # key 1 untouched by the evolving merge: read() must fill NULL even
+    # though its bucket file predates the column
+    assert got == {(1, 1.0, None), (2, 9.0, "r2"), (3, 3.0, "r3")}
+    assert [f.name for f in t.schema.fields if f.name == "region"] == ["region"]
+
+
+def test_merge_schema_drift_fail_policy(spark, make_target):
+    from dataplatform_cdc_pipeline_spark.operators.schema_drift import SchemaDriftError
+
+    t = make_target(schema_drift_policy="fail")
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    bad = changes(spark, [("u", 1, 9.0, 10, 2)]).withColumn("surprise", F.lit("x"))
+    with pytest.raises((SchemaDriftError, Exception)) as exc:
+        t.merge(bad)
+    assert "surprise" in str(exc.value)
+    assert state(t) == [(1, 1.0)]
+
+
+def test_merge_schema_drift_ignored_by_default(spark, make_target):
+    """Default policy drops unknown change-set columns (the reference's
+    column-list projection behavior)."""
+    t = make_target()
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1)]).withColumn("surprise", F.lit("x")))
+    assert state(t) == [(1, 1.0)]
+    assert "surprise" not in [f.name for f in t.schema.fields]
+
+
+def test_concurrent_writer_conflict_detected(spark, make_target):
+    """A writer that committed between this merge's read and its commit
+    wins; the losing merge raises ConcurrentWriteError and leaves the
+    winner's state intact (Delta: ConcurrentAppendException from the
+    transaction log; emulated here with a commit-version check)."""
+    t1 = make_target()
+    if not hasattr(t1, "pre_commit_hook"):
+        pytest.skip("native transaction log serializes concurrent writers")
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ConcurrentWriteError,
+        ParquetMergeTarget,
+    )
+
+    t1.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    t2 = ParquetMergeTarget(spark, t1.path, t1.cfg, USER_STATE_SCHEMA)
+
+    def interleave():
+        t1.pre_commit_hook = None  # fire once
+        t2.merge(changes(spark, [("u", 1, 50.0, 5, 2)]))
+
+    t1.pre_commit_hook = interleave
+    with pytest.raises(ConcurrentWriteError):
+        t1.merge(changes(spark, [("u", 1, 9.0, 10, 3)]))
+    # the winner's commit stands; the loser's staging tree is cleaned up
+    assert state(t1) == [(1, 50.0)]
+    assert t1.pending_commit() is None
+    assert t1.vacuum() == []
