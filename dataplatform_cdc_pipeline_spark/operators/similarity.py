@@ -300,6 +300,82 @@ def ivf_topk(
     )
 
 
+def ivf_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k at SEVERAL nprobe settings from ONE probe scan — the
+    recall/cost curve's data side.
+
+    The candidate set of ``nprobe = n`` is a prefix (by probe rank) of the
+    candidate set of ``max(nprobes)``, so the whole curve is derived from a
+    single corpus probe at the widest setting: route queries once keeping
+    the probe rank, scan the probed cells once, materialize the (small,
+    per-query-bounded) candidate frame, then cut+re-rank per nprobe. At
+    scale this replaces |nprobes| corpus scans with one.
+
+    Returns (nprobe, query_id, rk, nbr_id, cosine).
+    """
+    from pyspark.sql import Window
+
+    max_np = max(nprobes)
+    vecs = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(cell_col).alias("cell"),
+        as_double_vec(vec_col).alias("nbr_vec"),
+    ).withColumn("nbr_norm", norm_expr(F.col("nbr_vec")))
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, cell_col, vec_col)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
+    ).withColumn("q_norm", norm_expr(F.col("q_vec")))
+    routed = (
+        qs.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "c_cos",
+            dot_expr(F.col("q_vec"), F.col("centroid")) / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("probe_rank") <= max_np)
+        .select("query_id", "q_vec", "q_norm", "cell", "probe_rank")
+    )
+    cand = vecs.join(
+        F.broadcast(routed), (vecs.cell == routed.cell) & (F.col("query_id") != F.col("nbr_id"))
+    ).select(
+        "query_id",
+        "probe_rank",
+        "nbr_id",
+        floor6(
+            dot_expr(F.col("q_vec"), F.col("nbr_vec")) / (F.col("q_norm") * F.col("nbr_norm"))
+        ).alias("cosine"),
+    )
+    # one probe scan feeds every curve point (eager checkpoint, not
+    # persist — invariant 11); size = probed-cell candidates per query
+    cand = cand.localCheckpoint(eager=True)
+    out = None
+    for np_ in nprobes:
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+        leg = (
+            cand.filter(F.col("probe_rank") <= np_)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.lit(np_).alias("nprobe"), "query_id", "rk", "nbr_id", "cosine")
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -689,6 +689,117 @@ def q_embedding_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, nprobe=2, centroids=_ivf_index(spark, sf_dir))
 
 
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index's tuning interface: recall@5 vs nprobe ∈ {1,2,4}
+    against the brute-force ground truth — the curve an operator reads
+    before picking the probe width at 100 TB. All three settings derive
+    from ONE probe scan at nprobe=4 (similarity.ivf_topk_multi: the
+    nprobe=n candidate set is a probe-rank prefix of the widest one);
+    recall is a relational two-join fold per setting, no collect."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_multi,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    e = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    multi = ivf_topk_multi(
+        emb, queries, k=5, nprobes=(1, 2, 4), centroids=_ivf_index(spark, sf_dir)
+    ).select("nprobe", "query_id", "nbr_id")
+    n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_approx = multi.groupBy("nprobe", "query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    n_hit = (
+        multi.join(e, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    grid = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int").crossJoin(n_exact)
+    return (
+        grid.join(n_approx, ["nprobe", "query_id"], "left")
+        .join(n_hit, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.floor(
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("n_exact").cast("double")
+                    * F.lit(1_000_000.0)
+                )
+                / F.lit(1_000_000.0)
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+SQL_IVF_RECALL_CURVE = """
+WITH v AS (
+  SELECT vec_id, label AS cell, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings),
+u AS (
+  SELECT cell, p.pos, vec[p.pos] AS x
+  FROM v, (SELECT unnest(range(1, 65)) AS pos) p),
+cm AS (SELECT cell, pos, avg(x) AS a FROM u GROUP BY cell, pos),
+cent AS (SELECT cell, list(a ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+q AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id < 10),
+routed AS (
+  SELECT query_id, q_vec, cell, rk AS probe_rank FROM (
+    SELECT q.query_id, q.q_vec, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.q_vec, c.centroid) /
+                      (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                       sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      c.cell ASC) AS rk
+    FROM q CROSS JOIN cent c) WHERE rk <= 4),
+cand AS (
+  SELECT r.query_id, r.probe_rank, c.vec_id AS nbr_id,
+         floor(list_dot_product(r.q_vec, c.vec) /
+               (sqrt(list_dot_product(r.q_vec, r.q_vec)) *
+                sqrt(list_dot_product(c.vec, c.vec))) * 1000000.0) / 1000000.0 AS cosine
+  FROM routed r JOIN v c ON r.cell = c.cell AND r.query_id != c.vec_id),
+approx AS (
+  SELECT nprobe, query_id, nbr_id FROM (
+    SELECT np.nprobe, c.query_id, c.nbr_id,
+           row_number() OVER (PARTITION BY np.nprobe, c.query_id
+                              ORDER BY c.cosine DESC, c.nbr_id ASC) AS rk
+    FROM (SELECT unnest([1, 2, 4]) AS nprobe) np
+    JOIN cand c ON c.probe_rank <= np.nprobe) WHERE rk <= 5),
+e AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.query_id, c.vec_id AS nbr_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY floor(list_dot_product(q.q_vec, c.vec) /
+                                             (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                                              sqrt(list_dot_product(c.vec, c.vec))) *
+                                             1000000.0) / 1000000.0 DESC,
+                                       c.vec_id ASC) AS rk
+    FROM q, v c WHERE q.query_id != c.vec_id) WHERE rk <= 5),
+ne AS (SELECT query_id, count(*) AS n_exact FROM e GROUP BY query_id),
+na AS (SELECT nprobe, query_id, count(*) AS n_approx FROM approx GROUP BY nprobe, query_id),
+nh AS (
+  SELECT a.nprobe, a.query_id, count(*) AS n_hit
+  FROM approx a JOIN e ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id
+  GROUP BY a.nprobe, a.query_id),
+grid AS (
+  SELECT np.nprobe, ne.query_id, ne.n_exact
+  FROM (SELECT unnest([1, 2, 4]) AS nprobe) np CROSS JOIN ne)
+SELECT g.nprobe, g.query_id, g.n_exact,
+       coalesce(na.n_approx, 0) AS n_approx,
+       coalesce(nh.n_hit, 0) AS n_hit,
+       floor(coalesce(nh.n_hit, 0) * 1.0 / g.n_exact * 1000000.0) / 1000000.0
+         AS recall_at_5
+FROM grid g
+LEFT JOIN na ON g.nprobe = na.nprobe AND g.query_id = na.query_id
+LEFT JOIN nh ON g.nprobe = nh.nprobe AND g.query_id = nh.query_id
+ORDER BY g.nprobe, g.query_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end. The decode stub hashes the payload's
     hex encoding (multimodal.content_hash), so the full pipeline — synthetic
@@ -1173,6 +1284,7 @@ LLM_QUERIES = {
     "bm25_search": q_bm25_search,
     "unigram_perplexity": q_unigram_perplexity,
     "ann_recall_eval": q_ann_recall_eval,
+    "ivf_recall_curve": q_ivf_recall_curve,
 }
 
 LLM_ORACLES = {
@@ -1205,4 +1317,5 @@ LLM_ORACLES = {
     "bm25_search": SQL_BM25_SEARCH,
     "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
+    "ivf_recall_curve": SQL_IVF_RECALL_CURVE,
 }

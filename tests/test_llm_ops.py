@@ -341,6 +341,32 @@ def test_ivf_nprobe_improves_recall(spark, sf_dir):
     assert recall(100) == 1.0  # probing every cell == exact
 
 
+def test_ivf_topk_multi_equals_single_probe_runs(spark, sf_dir):
+    """The one-scan curve operator derives each nprobe's result from the
+    widest probe's candidate prefix — must be row-identical to running
+    ivf_topk separately at every setting."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        ivf_topk_multi,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id < 10")
+    cents = ivf_centroids(emb).localCheckpoint(eager=True)
+    multi = ivf_topk_multi(emb, qs, k=5, nprobes=(1, 2, 4), centroids=cents)
+    by_np = {}
+    for r in multi.collect():
+        by_np.setdefault(r["nprobe"], set()).add((r["query_id"], r["rk"], r["nbr_id"], r["cosine"]))
+    for np_ in (1, 2, 4):
+        single = {
+            (r["query_id"], r["rk"], r["nbr_id"], r["cosine"])
+            for r in ivf_topk(emb, qs, k=5, nprobe=np_, centroids=cents).collect()
+        }
+        assert by_np[np_] == single, f"nprobe={np_}"
+
+
 def test_text_stats_arrow_column_equivalence(spark, sf_dir):
     """The Arrow text-stats fast path must be value-identical to the
     canonical Column formulation (floor-scaled doubles included)."""
