@@ -441,27 +441,38 @@ class ParquetMergeTarget(MergeTarget):
     # -- maintenance ---------------------------------------------------------
 
     def compact(self) -> int:
-        """OPTIMIZE-style small-file maintenance: rewrite the whole target
-        through the normal staged-commit path, which lays out ONE file per
-        (bucket[, date]) partition (``_commit`` runs one task per bucket).
+        """OPTIMIZE-style maintenance: rewrite the whole target through the
+        normal staged-commit path, which lays out ONE file per
+        (bucket[, date]) partition (``_commit`` runs one task per bucket)
+        and re-applies the clustering sort (a compact is also a re-cluster,
+        as in BigQuery).
 
-        A plain merge already writes one file per bucket, but
-        date-partitioned targets accumulate one file per (bucket, date,
-        merge) — a long-running deployment compacts periodically, exactly
-        like the audit store. Clustering order is re-applied (a compact is
-        also a re-cluster, as in BigQuery). Returns rows rewritten.
-        Readers keep bucket-level atomicity: each bucket directory is
-        swapped whole, crash-detectable via the same commit manifest.
+        Its main production job is RE-BUCKETING: bucket count scales with
+        table size (pick N so a bucket ≈ 1-4 GB), so a growing table
+        periodically reconstructs the target with a larger ``cfg.n_buckets``
+        — and an over-bucketed small table (N tiny files) shrinks back.
+        ``compact()`` redistributes every row under the CURRENT config's
+        bucket function; subsequent bucket-pruned reads/merges use the same
+        function and stay consistent. Returns rows rewritten. Readers keep
+        bucket-level atomicity: each directory is swapped whole,
+        crash-detectable via the same commit manifest.
         """
         if not self.exists():
             return 0
         v0 = self._read_version()
         current = self.read()
         n = current.count()
+        # swap set = old layout ∪ every possible new bucket id: when
+        # re-bucketing, a staged bucket with no same-id predecessor must
+        # still be moved in (and an emptied old dir removed) — covering
+        # range(n_buckets) costs only no-op loop iterations
         all_buckets = sorted(
-            int(e.split("=", 1)[1])
-            for e in os.listdir(self.path)
-            if e.startswith(f"{BUCKET_COL}=")
+            {
+                int(e.split("=", 1)[1])
+                for e in os.listdir(self.path)
+                if e.startswith(f"{BUCKET_COL}=")
+            }
+            | set(range(self.cfg.n_buckets))
         )
         merged = current.withColumn(BUCKET_COL, bucket_expr(list(self.cfg.pk), self.cfg.n_buckets))
         if self.cfg.partition_field:

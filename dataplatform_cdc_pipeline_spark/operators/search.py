@@ -7,11 +7,15 @@ engine). Okapi BM25 with the Robertson +1 idf:
     idf(t)      = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
     score(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
 
-Scale shape: ONE explode of the tokenized corpus filtered to the query
-terms (predicate applied before the shuffle, so only matching term rows
-move), one groupBy (doc, term) with map-side combine, document-frequency
-and corpus stats broadcast (≤ |query| rows + one stats row). No UDFs —
-whole plan is native Columns; the corpus scan is the only full pass.
+Scale shape: ONE tokenization pass over the corpus, reduced in the same
+projection to (id, doc length, query-term matches) — a few ints + at most
+|query| short strings per doc — and eagerly materialized, so the stats agg
+and the tf/df legs read the tiny reduced frame instead of re-tokenizing
+(two full passes at 100 TB otherwise). The explode runs over the
+query-term matches only (the filter applied before the shuffle, so only
+matching term rows exist at all), one groupBy (doc, term) with map-side
+combine, document-frequency and corpus stats broadcast (≤ |query| rows +
+one stats row). No UDFs — the whole plan is native Columns.
 
 Cross-engine determinism: the score is per-row IEEE arithmetic summed over
 ≤ |query| terms, floor-scaled at 1e-6 (absolute float noise ~1e-15 — far
@@ -40,16 +44,28 @@ def bm25_search(
     top_k: int = 20,
 ) -> DataFrame:
     """Top-k documents by BM25 score for a bag of query terms."""
-    base = docs.select(
-        F.col(id_col), tokens_expr(text_col).alias("__toks")
-    ).select(F.col(id_col), F.size("__toks").alias("__dl"), "__toks")
+    terms = list(query_terms)
+    # ONE tokenization pass: the same projection computes doc length and
+    # keeps only query-term occurrences (duplicates preserved for tf);
+    # eager localCheckpoint (invariant 11 — not persist) materializes the
+    # reduced frame both legs read. Size: one long + one int + the
+    # matched terms per doc — negligible next to the corpus.
+    base = (
+        docs.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").alias("__dl"),
+            F.filter("__toks", lambda t: t.isin(terms)).alias("__qtoks"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
     stats = base.agg(
         F.count(F.lit(1)).alias("__n_docs"), F.avg("__dl").alias("__avgdl")
     )
-    qt = base.select(
-        F.col(id_col), F.col("__dl"), F.explode("__toks").alias("__term")
-    ).filter(F.col("__term").isin(list(query_terms)))
+    qt = base.filter(F.size("__qtoks") > 0).select(
+        F.col(id_col), F.col("__dl"), F.explode("__qtoks").alias("__term")
+    )
     tf = qt.groupBy(id_col, "__term", "__dl").agg(F.count(F.lit(1)).alias("__tf"))
     df_ = qt.groupBy("__term").agg(F.count_distinct(F.col(id_col)).alias("__df"))
 

@@ -135,12 +135,16 @@ def test_clustering_fields_must_be_target_columns(spark):
 
 
 def test_target_compact_merges_date_files(spark):
-    """Date-partitioned targets accumulate one file per (bucket, date,
-    merge); compact() rewrites to files_per_partition through the staged
-    commit, preserving state byte-for-byte."""
+    """compact() on a date-partitioned target preserves state byte-for-byte
+    and guarantees one file per (bucket, date) leaf. (Measured r5: the
+    write path itself never fragments a leaf — each merge swaps whole
+    bucket dirs with one task per bucket — so this pins the invariant
+    compact must restore after any out-of-band writer, while re-bucketing
+    is the lifecycle compaction actually exists for; see the rebucket
+    lifecycle test below.)"""
     cfg, target, audit = pipeline(spark, partition_field="source_ts_ns_order")
     day_us = 86_400_000_000
-    # two merges over the same days → ≥2 files in some (bucket, date) dirs
+    # two merges over the same days
     run_merge(spark, cfg, target, audit,
               raw=bronze(spark, [("c", i * day_us, i, i, float(i)) for i in range(1, 9)]),
               window=(None, None), deterministic_audit=True)
@@ -160,6 +164,62 @@ def test_target_compact_merges_date_files(spark):
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, d
     assert target.pending_commit() is None
+
+
+def test_compact_rebucket_lifecycle_small_files_to_pruned_read(spark):
+    """The maintenance lifecycle compact() actually exists for: bucket
+    count follows table size, so an over-bucketed target (64 buckets of
+    tiny files) is reconstructed under a right-sized config (8) —
+    ``compact()`` redistributes every row with the NEW bucket function,
+    the file count drops, state is byte-identical, and bucket-pruned
+    reads under the new config stay correct (PartitionFilters pinned).
+    Also covers the growth direction (8 → 64): a staged bucket with no
+    same-id predecessor directory must still land (swap-set bug class)."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA, user_state_config
+
+    cfg64, target64, audit = pipeline(spark, n_buckets=64)
+    rows = [("c", i, i, i, float(i)) for i in range(1, 41)]
+    run_merge(spark, cfg64, target64, audit, raw=bronze(spark, rows),
+              window=(None, None), deterministic_audit=True)
+
+    def parquet_files(path):
+        return glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+
+    before_files = len(parquet_files(target64.path))
+    before_state = sorted(state(target64))
+    assert before_files > 20  # over-bucketed: ~one tiny file per key group
+
+    # reconfigure to 8 buckets and compact under the new layout
+    cfg8 = user_state_config(n_buckets=8)
+    target8 = ParquetMergeTarget(spark, target64.path, cfg8, USER_STATE_SCHEMA)
+    assert target8.compact() == 40
+    after_files = len(parquet_files(target8.path))
+    assert after_files <= 8 and after_files < before_files
+    assert sorted(state(target8)) == before_state
+    assert target8.pending_commit() is None
+
+    # bucket-pruned read under the NEW config finds key 7 where the new
+    # bucket function says it lives
+    b7 = (
+        spark.createDataFrame([(7,)], "user_id long")
+        .select(bucket_expr(["user_id"], 8).alias("b"))
+        .first()["b"]
+    )
+    pruned = target8.read(buckets=[b7])
+    assert (7, 7.0) in {(r["user_id"], r["value"]) for r in pruned.select("user_id", "value").collect()}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split("PartitionFilters", 1)[1][:200]
+
+    # growth direction: 8 → 64 must not lose rows whose new bucket id had
+    # no old directory
+    target64b = ParquetMergeTarget(spark, target8.path, cfg64, USER_STATE_SCHEMA)
+    assert target64b.compact() == 40
+    assert sorted(state(target64b)) == before_state
+    # follow-up merge under the new layout keeps working
+    run_merge(spark, cfg64, target64b, audit, raw=bronze(spark, [("u", 50, 50, 7, 777.0)]),
+              window=(None, None), deterministic_audit=True)
+    assert (7, 777.0) in state(target64b)
 
 
 def test_target_vacuum_removes_orphan_staging(spark, tmp_path):

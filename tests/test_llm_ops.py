@@ -482,6 +482,20 @@ def test_bm25_ranking_properties(spark):
     assert ids == [i for _, i in sorted(((-scores[i], i) for i in ids))]
 
 
+def test_bm25_single_tokenization_pass(spark):
+    """The corpus is tokenized ONCE (reduced to (id, dl, query-term
+    matches) and checkpointed); neither the stats agg nor the tf/df legs
+    re-tokenize — at 100 TB a second split() pass is a second full scan."""
+    from dataplatform_cdc_pipeline_spark.operators.search import bm25_search
+
+    df = docs_df(spark, [(1, "spark join fast"), (2, "spark only")])
+    out = bm25_search(df, ("spark", "join"), top_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "split(" not in plan  # tokenization ran at checkpoint time only
+    assert plan.count("Scan ExistingRDD") >= 2  # both legs read the checkpoint
+    assert [r["doc_id"] for r in out.collect()] == [1, 2]
+
+
 def test_unigram_logprob_properties(spark):
     import math
 
