@@ -6,6 +6,17 @@ Data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
 parallelism: local[$SPARK_GRAFT_CPUS] (default all cores).
 Each query is materialized through the `noop` sink — full computation,
 no driver-side collect in the timed path.
+
+Noise control (r5): a single cold pass cannot distinguish a real 1.4×
+regression from a GC pause landing on a random query (r4 idle-run totals
+ranged 81-117 s). The harness therefore runs the WHOLE cold loop
+$SPARK_GRAFT_BENCH_RUNS times (default 3) in SEPARATE PROCESSES — each
+run is genuinely cold (fresh JVM, fresh codegen; an in-session repeat
+would measure warm) — and reports the per-query MEDIAN under "queries"
+(so round-over-round comparisons gate on the median) plus the per-query
+[min, max] spread under "spread". "value" is the sum of medians. The warm
+lane stays: per-query best across all runs' warm retries.
+Set SPARK_GRAFT_BENCH_RUNS=1 for the old single-pass behavior.
 """
 
 from __future__ import annotations
@@ -13,13 +24,12 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import __spark_entry__ as entrymod
-from dataplatform_cdc_pipeline_spark.session import get_spark
 
 #: Headline set: the §2 CDC core, every query that regressed ≥2× in round 2
 #: (so recovery is measurable round-over-round), and one representative per
@@ -48,6 +58,8 @@ HEADLINE = [
     "dedup_keep_best", "doc_chunks", "bm25_search",
     "cdc_date_partitioned_read", "unigram_perplexity", "ann_recall_eval",
     "cdc_ivm_type_counts",
+    # r5 additions
+    "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number
@@ -59,10 +71,10 @@ HEADLINE = [
 WARM_LANE = ["cdc_cast_projection", "cdc_merge_full", "dedup_minhash_lsh"]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
+def run_once(sf_dir: str) -> dict:
+    """One cold pass over the headline set in THIS process (worker mode)."""
+    import __spark_entry__ as entrymod
+    from dataplatform_cdc_pipeline_spark.session import get_spark
 
     spark = get_spark("cdc-engine-bench")
     queries = entrymod.queries()
@@ -111,19 +123,75 @@ def main() -> None:
             warm[name] = -1.0
             print(f"# bench warm error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm": warm,
-                "sf": sf,
-            }
+    return {"queries": timings, "warm": warm}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    if os.environ.get("SPARK_GRAFT_BENCH_WORKER"):
+        print(json.dumps(run_once(sf_dir)))
+        return
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if runs <= 1:
+        result = run_once(sf_dir)
+        timings = result["queries"]
+        total = round(sum(t for t in timings.values() if t >= 0), 3)
+        print(json.dumps({
+            "metric": "headline_queries_total", "value": total, "unit": "sec",
+            "queries": timings, "warm": result["warm"], "runs": 1, "sf": sf,
+        }))
+        return
+
+    # process-isolated repeats: each run pays real cold costs (fresh JVM +
+    # codegen); medians are robust to a GC/contention outlier in one run
+    samples: list[dict] = []
+    for i in range(runs):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_WORKER="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
         )
-    )
+        sys.stderr.write(proc.stderr)
+        line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not line:
+            print(f"# bench run {i} failed (rc={proc.returncode})", file=sys.stderr)
+            continue
+        samples.append(json.loads(line[-1]))
+    if not samples:
+        raise SystemExit("all bench runs failed")
+
+    names: list[str] = list(samples[0]["queries"])
+    queries_med: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in names:
+        vals = [s["queries"].get(name, -1.0) for s in samples]
+        ok = [v for v in vals if v >= 0]
+        if not ok:
+            queries_med[name] = -1.0
+            continue
+        queries_med[name] = round(statistics.median(ok), 3)
+        spread[name] = [round(min(ok), 3), round(max(ok), 3)]
+    warm: dict[str, float] = {}
+    for s in samples:
+        for name, v in s.get("warm", {}).items():
+            if v >= 0 and (name not in warm or v < warm[name]):
+                warm[name] = v
+
+    total = round(sum(t for t in queries_med.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries_med,  # per-query MEDIAN of the cold runs
+        "spread": spread,        # per-query [min, max] across runs
+        "warm": warm,            # best warm retry across runs
+        "runs": len(samples),
+        "sf": sf,
+    }))
 
 
 if __name__ == "__main__":
