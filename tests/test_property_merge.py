@@ -74,6 +74,75 @@ def test_merge_matches_python_simulator(spark_sess, scenarios):
     assert got == expected
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(scenario_st, min_size=1, max_size=6),
+    st.booleans(),  # update_only_op_u
+    st.booleans(),  # strict_ts_guard
+)
+def test_ivm_view_matches_fresh_recompute(spark_sess, scenarios, op_u, guard):
+    """Differential IVM property: a (count, Σ value-micros) view maintained
+    through TWO windowed merges — under randomly drawn gate flags — always
+    equals a fresh GROUP BY of the final target. This is the invariant the
+    resolve-predicate sharing exists to guarantee: blocked updates, late
+    replays, deletes of never-seen keys, ties — whatever hypothesis finds,
+    maintenance and recomputation must agree."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.ivm import maintain_view_through_merge
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import build_changes, window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA
+
+    rows = []
+    for si, events in enumerate(scenarios):
+        for pos, (op, key, ts, value) in enumerate(events):
+            gpos = si * 100 + pos
+            payload = json.dumps(
+                {
+                    "__op": op,
+                    "__ts_ns": str(BASE_NS + ts * 1000),
+                    "__source_pos": str(gpos),
+                    "user_id": si * 1000 + key,
+                    # two groups so the view has real group structure
+                    "event_type": "a" if key % 2 == 0 else "b",
+                    "value": round(float(value), 3),
+                    "k": 1,
+                }
+            )
+            # load_ts tracks gpos → a mid-stream window split is stable
+            rows.append((payload, datetime.datetime(2024, 1, 1)
+                         + datetime.timedelta(seconds=gpos)))
+
+    raw = spark_sess.createDataFrame(rows, "data string, load_ts timestamp")
+    cfg, target, audit = pipeline(
+        spark_sess, update_only_op_u=op_u, strict_ts_guard=guard
+    )
+    sums = {"value_micros": F.floor(F.col("value") * 1e6).cast("long")}
+    split = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=250)
+    view = None
+    for lo, hi in ((None, split), (split, None)):
+        w = window_scan(raw, cfg, lo, hi)
+        changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+        view, _ = maintain_view_through_merge(target, changes, view, "event_type", sums)
+
+    maintained = {
+        r["event_type"]: (r["n"], r["value_micros"]) for r in view.collect()
+    }
+    fresh = {
+        r["event_type"]: (r["n"], r["value_micros"])
+        for r in target.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 1e6).cast("long")), F.lit(0)
+            ).alias("value_micros"),
+        )
+        .collect()
+    }
+    assert maintained == fresh
+
+
 # hypothesis needs a module-scope fixture handle; reuse the session fixture
 import pytest  # noqa: E402
 
