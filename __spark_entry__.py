@@ -29,17 +29,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: of the verification contract. The r5 window is EXACTLY 50 entries and
 #: completes the rotation invariant: every registry entry has a
 #: driver-green row within the last two rounds (r4 or r5).
-#:   1-14   the §2 CDC core — oracle-checked every round. ONE exception to
-#:          the pinned-core rule this round: cdc_dedup_latest_salted
-#:          rotates to the tail (it is r4-green, shares cdc_dedup_latest's
-#:          EXACT oracle SQL, and the salted/unsalted outputs are
-#:          equivalence-pinned by a unit test every pytest run — W1 stays
-#:          driver-gated through the unsalted form in slot 2). The freed
-#:          slot funds a never-verified new query below.
-#:   15-17  NEW this round (first driver row needed): cdc_ivm_sum
+#:   1-13   the §2 CDC core — oracle-checked every round. TWO exceptions
+#:          to the pinned-core rule this round, both funding never-verified
+#:          new queries below and both r4-green (the two-round invariant
+#:          holds through their r4 rows):
+#:          - cdc_dedup_latest_salted → tail (shares cdc_dedup_latest's
+#:            EXACT oracle SQL; salted/unsalted equivalence-pinned by a
+#:            unit test every pytest run — W1 stays driver-gated in slot 2)
+#:          - cdc_merge_late_guarded → tail (strict_ts_guard stays
+#:            driver-gated through the same-lifecycle cdc_merge_late_replay
+#:            in the window; the guard flag itself is pinned by
+#:            test_strict_ts_guard unit tests and composed in the r4-green
+#:            cdc_merge_multi_pk_guarded)
+#:   14-17  NEW this round (first driver row needed): cdc_ivm_sum
 #:          (abelian-SUM IVM through a gated merge), cdc_schema_drift
 #:          (evolve-policy lifecycle), ivf_recall_curve (recall@5 vs
-#:          nprobe from one probe scan);
+#:          nprobe from one probe scan), embedding_kmeans (exact
+#:          integer-space Lloyd's — the learned IVF quantizer);
 #:   18-50  rotated IN: all 33 entries whose last driver-green row is r3
 #:          (the r4 tail) — by end of r5 they would otherwise be two
 #:          rounds stale;
@@ -47,14 +53,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:          window minus the re-pinned core), still runnable and locally
 #:          gated by scripts/check_parity.py / driver_sim.py (ALL entries).
 _PRIORITY = [
-    # 1-14: §2 CDC core (salted-dedup variant rotated to tail, see above)
+    # 1-13: §2 CDC core (salted-dedup + late-guarded variants rotated to
+    # tail, see above)
     "cdc_window_scan", "cdc_dedup_latest",
     "cdc_cast_projection", "cdc_delete_survivorship", "cdc_merge_full",
     "cdc_merge_incremental", "cdc_merge_multi_pk", "cdc_merge_op_u",
-    "cdc_merge_late_replay", "cdc_merge_late_guarded", "cdc_rowkey_timestamp",
+    "cdc_merge_late_replay", "cdc_rowkey_timestamp",
     "cdc_watermark_stats", "cdc_bucket_pruned_read", "cdc_job_log",
-    # 15-17: NEW this round
-    "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve",
+    # 14-17: NEW this round
+    "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
     # 18-50: last driver-green in r3 — rotated into the window
     "dedup_minhash_lsh", "embedding_near_dup", "text_quality",
     "training_mix", "multimodal_resize", "sessionize_events",
@@ -69,7 +76,7 @@ _PRIORITY = [
     "embedding_ivf_topk", "top_orders_per_customer", "dedup_exact",
     "dedup_simhash", "dedup_ngram_jaccard", "embedding_topk",
     # 51+: long tail, all green in CORRECTNESS_r04
-    "cdc_dedup_latest_salted",
+    "cdc_dedup_latest_salted", "cdc_merge_late_guarded",
     "cdc_date_partitioned_read", "cdc_merge_multi_pk_guarded",
     "stream_user_totals",
     "embedding_ann_lsh", "multimodal_features", "token_counts",

@@ -59,7 +59,7 @@ HEADLINE = [
     "cdc_date_partitioned_read", "unigram_perplexity", "ann_recall_eval",
     "cdc_ivm_type_counts",
     # r5 additions
-    "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve",
+    "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1,0 +1,144 @@
+"""K-means clustering over embedding columns — the learned coarse
+quantizer the IVF index wants (similarity.py's `ivf_topk` routes by a
+PRE-EXISTING cell column; real IVF learns its cells).
+
+Exactness design (what makes this hash-oracle-able):
+- Coordinates are quantized ONCE to integer micro-units
+  (``round(x * 1e6) -> bigint``); every distance is then an EXACT
+  64-bit sum of squared integer differences — no float accumulation
+  order to drift between engines, partitions, or runs.
+- Seeding is deterministic: the k points with the smallest
+  ``(md5(id), id)`` become clusters 0..k-1 — no RNG state.
+- The centroid update is ``floor(sum / count)`` per dimension. The only
+  float op in the loop is that one division, and its floor is stable:
+  the true quotient is a rational with denominator ≤ cluster size, so
+  it is either exactly an integer or ≥ 1/count away from one — an IEEE
+  division error (~1e-8 relative) can never cross the floor boundary.
+- Ties (equidistant point, equal-hash seeds) break on the smaller
+  cluster id — total order, both engines.
+
+Scale shape (Lloyd's step on a cluster):
+- Assignment: centroids are an index artifact — k·d integers — collected
+  to the driver and broadcast back as literals (MLlib's KMeans does the
+  same). One corpus scan per iteration; distance is a map-side
+  ``zip_with``/``aggregate`` fold over the broadcast row, no shuffle.
+- Update: one ``posexplode`` → ``groupBy(cluster, pos)`` shuffle of
+  (cluster, pos, partial-sum) pairs — map-side combine reduces it to
+  k·d rows per partition before the exchange.
+- Iterations are driver-side Python over flat lineage (each round reads
+  the quantized corpus, not the previous round's plan), so n_iter does
+  not stack lineage.
+
+Reference parity: the reference has no clustering operator — this is
+beyond-reference surface for the LLM-data pipeline (corpus domain
+discovery, IVF cell learning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000.0
+
+
+def quantized_points(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, v: array<long>) — coordinates in exact integer micro-units."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(MICRO), 0).cast("long"),
+        ).alias("v"),
+    )
+
+
+def seed_centroids(pts: DataFrame, k: int) -> list[tuple[int, list[int]]]:
+    """Clusters 0..k-1 = the k points with the smallest (md5(id), id)."""
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    rows = (
+        pts.withColumn("cluster", F.row_number().over(w) - 1)
+        .filter(F.col("cluster") < k)
+        .select("cluster", "v")
+        .collect()  # k rows — bounded by k, an index artifact
+    )
+    return sorted((r["cluster"], list(r["v"])) for r in rows)
+
+
+def assign(pts: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """(vec_id, cluster, dist2) — nearest centroid by exact squared
+    distance; centroids enter the plan as broadcast literals."""
+    spark = pts.sparkSession
+    cdf = spark.createDataFrame(
+        [(c, m) for c, m in centroids], "cluster int, m array<bigint>"
+    )
+    dist = F.aggregate(
+        F.zip_with("v", "m", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cluster")
+    return (
+        pts.crossJoin(F.broadcast(cdf))
+        .withColumn("dist2", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cluster", "dist2")
+    )
+
+
+def update_centroids(
+    pts: DataFrame, assigned: DataFrame
+) -> list[tuple[int, list[int]]]:
+    """floor(per-dimension mean) of each cluster's members, in micro-units.
+    A cluster that lost every member simply disappears (both engines)."""
+    rows = (
+        pts.join(assigned.select("vec_id", "cluster"), "vec_id")
+        .select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s["m"]).alias("m"))
+        .collect()  # k rows — index artifact
+    )
+    return sorted((r["cluster"], list(r["m"])) for r in rows)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means: seed → n_iter × (assign, update) → final assign.
+
+    Returns (vec_id, cluster, dist2) with dist2 the exact squared
+    micro-distance to the final centroid — an integer, so downstream
+    comparisons (and the driver's value hash) are exact.
+    """
+    pts = quantized_points(embeddings, id_col, vec_col)
+    cents = seed_centroids(pts, k)
+    for _ in range(n_iter):
+        cents = update_centroids(pts, assign(pts, cents))
+    return assign(pts, cents)
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """embeddings + a learned `cell` column — drop-in for `ivf_topk`'s
+    cell_col, turning the label-routed IVF into true learned-quantizer
+    IVF."""
+    a = kmeans_assign(embeddings, k, n_iter, id_col, vec_col)
+    return embeddings.join(
+        a.select(F.col("vec_id").alias(id_col), F.col("cluster").alias("cell")),
+        id_col,
+    )

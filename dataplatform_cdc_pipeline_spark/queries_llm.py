@@ -799,6 +799,65 @@ LEFT JOIN nh ON g.nprobe = nh.nprobe AND g.query_id = nh.query_id
 ORDER BY g.nprobe, g.query_id
 """
 
+_KMEANS_K = 8
+_KMEANS_ITER = 2
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the corpus embeddings — the learned coarse
+    quantizer for IVF (operators/clustering.py). Exact integer micro-space
+    arithmetic makes the assignment AND the squared distance hash-stable:
+    the only float op per iteration is one division whose floor is proven
+    stable (clustering.py docstring). k=8 seeds by (md5(id), id); two
+    Lloyd iterations; output = final (vec_id, cluster, dist2)."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+
+
+# The oracle unrolls the same two Lloyd iterations in SQL:
+# pts (integer micro-units) → c0 (seed centroids) → a1 → c1 → a2 → c2 →
+# final assignment with exact dist2. All arithmetic BIGINT except the
+# centroid mean's floor(SUM/COUNT) — same stability argument as Spark.
+SQL_EMBEDDING_KMEANS = f"""
+WITH pts AS (
+  SELECT vec_id, pos - 1 AS pos,
+         CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+seeds AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cluster
+    FROM embeddings) WHERE cluster < {_KMEANS_K}),
+c0 AS (SELECT s.cluster, p.pos, p.xi AS m FROM seeds s JOIN pts p USING (vec_id)),
+d1 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
+       FROM pts p JOIN c0 c USING (pos) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+         FROM d1) WHERE rk = 1),
+c1 AS (SELECT a.cluster, p.pos, CAST(floor(SUM(p.xi) / COUNT(*)) AS BIGINT) AS m
+       FROM pts p JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+d2 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
+       FROM pts p JOIN c1 c USING (pos) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+         FROM d2) WHERE rk = 1),
+c2 AS (SELECT a.cluster, p.pos, CAST(floor(SUM(p.xi) / COUNT(*)) AS BIGINT) AS m
+       FROM pts p JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+d3 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
+       FROM pts p JOIN c2 c USING (pos) GROUP BY 1, 2)
+SELECT vec_id, cluster, CAST(d AS BIGINT) AS dist2 FROM (
+  SELECT vec_id, cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+  FROM d3) WHERE rk = 1
+ORDER BY vec_id
+"""
+
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end. The decode stub hashes the payload's
@@ -1285,6 +1344,7 @@ LLM_QUERIES = {
     "unigram_perplexity": q_unigram_perplexity,
     "ann_recall_eval": q_ann_recall_eval,
     "ivf_recall_curve": q_ivf_recall_curve,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 LLM_ORACLES = {
@@ -1318,4 +1378,5 @@ LLM_ORACLES = {
     "unigram_perplexity": SQL_UNIGRAM_PERPLEXITY,
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
     "ivf_recall_curve": SQL_IVF_RECALL_CURVE,
+    "embedding_kmeans": SQL_EMBEDDING_KMEANS,
 }

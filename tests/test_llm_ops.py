@@ -564,3 +564,96 @@ def test_chunk_documents_disjoint_reassembly(spark):
     )
     assert [r["start_tok"] for r in rows] == [0, 8, 16]
     assert " ".join(r["chunk_text"] for r in rows).split() == text.split()
+
+
+# ---------------------------------------------------------------------------
+# k-means (learned IVF quantizer)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_assignment_exact_and_total(spark, sf_dir):
+    """Every point gets exactly one cluster; dist2 is the exact integer
+    squared distance to SOME centroid (non-negative, long-typed)."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import kmeans_assign
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=8, n_iter=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    assert all(0 <= r["cluster"] < 8 for r in rows)
+    assert all(r["dist2"] >= 0 for r in rows)
+    assert dict(out.dtypes)["dist2"] == "bigint"
+
+
+def test_kmeans_iterations_do_not_increase_wss(spark, sf_dir):
+    """Lloyd's invariant: total within-cluster squared distance is
+    non-increasing across iterations (exact integers -> exact check,
+    modulo the floor()-quantized centroid which can add at most a
+    1-per-dim rounding slack; the seed step is far from optimal so the
+    drop dominates)."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import kmeans_assign
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def wss(n_iter):
+        return kmeans_assign(emb, k=8, n_iter=n_iter).agg(
+            F.sum("dist2")
+        ).collect()[0][0]
+
+    w0, w1, w2 = wss(0), wss(1), wss(2)
+    assert w1 <= w0
+    assert w2 <= w1
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.operators.clustering import kmeans_assign
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, kmeans_assign(emb, k=4, n_iter=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(emb, k=4, n_iter=2).collect()))
+    assert a == b
+
+
+def test_kmeans_cells_drive_ivf(spark, sf_dir):
+    """The learned cells are a drop-in IVF routing column: probing every
+    learned cell reproduces exact brute-force top-k."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import kmeans_cells
+    from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_topk
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    celled = kmeans_cells(emb, k=4, n_iter=1).localCheckpoint(eager=True)
+    qs = celled.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["rk"], r["nbr_id"], r["cosine"])
+        for r in brute_force_topk(emb, emb.filter("vec_id < 5"), k=3).collect()
+    }
+    all_probe = {
+        (r["query_id"], r["rk"], r["nbr_id"], r["cosine"])
+        for r in ivf_topk(celled, qs, k=3, cell_col="cell", nprobe=100).collect()
+    }
+    assert all_probe == exact
+
+
+def test_kmeans_floor_centroid_negative_means(spark):
+    """floor(sum/count) on a negative mean must floor toward -inf in both
+    engines; pin the Spark side with a hand-computed case."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import (
+        assign,
+        quantized_points,
+        update_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [-0.0000015, 0.0]), (2, [-0.0000026, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pts = quantized_points(df)  # micro-units: (-2, 0), (-3, 0) after rounding
+    assigned = assign(pts, [(0, [0, 0])])
+    cents = update_centroids(pts, assigned)
+    # mean of -2 and -3 micro = -2.5 -> floor = -3 (NOT trunc's -2)
+    assert cents == [(0, [-3, 0])]
