@@ -53,8 +53,15 @@ def run_merge(
     window: tuple[datetime.datetime | None, datetime.datetime | None] | None = None,
     deterministic_audit: bool = False,
     dry_run: bool = False,
+    pre_merge_hook=None,
 ) -> MergeResult:
     """Run one incremental CDC merge batch.
+
+    ``pre_merge_hook``: optional callable invoked with the built change
+    set immediately before ``target.merge`` — the seam downstream
+    maintenance (incremental views, CDC fan-out) attaches to so it sees
+    the EXACT rows the merge will apply, after every engine phase
+    (windowing, drift policy, two-stream survivorship, dedup) has run.
 
     ``raw`` defaults to ``spark.read.parquet(cfg.cdc_table)``; ``window``
     defaults to ``(watermark, None]`` — scan everything newer than the last
@@ -134,6 +141,8 @@ def run_merge(
         # Phase 6+7: atomic merge; window stats come back from the SAME
         # cached change-set agg (merge.sql:360-366 computes stats from the
         # materialized view; step-8:493 MAX(load_ts) → next watermark).
+        if pre_merge_hook is not None:
+            pre_merge_hook(changes)
         stats = target.merge(changes)
         cdc_start_ts = stats.pop("cdc_start_ts", None)
         cdc_end_ts = stats.pop("cdc_end_ts", None)

@@ -149,6 +149,33 @@ def maintain_view_through_merge(
     the bootstrap view is derived from ``target.read()`` (typed empty frame
     when the target does not exist yet), never from a hardcoded schema.
     """
+    new_view = view_delta_for_merge(
+        target, changes, view, group_col, sum_exprs, count_col
+    )
+    stats = target.merge(changes)
+    return new_view, stats
+
+
+def view_delta_for_merge(
+    target,
+    changes: DataFrame,
+    view: DataFrame | None,
+    group_col: str,
+    sum_exprs: dict[str, Column] | None = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """The maintenance half of :func:`maintain_view_through_merge`: the
+    post-merge view, MATERIALIZED (eager localCheckpoint) without running
+    the merge. Callers that need to order the view write BEFORE the merge
+    commit (the streaming exactly-once recipe in
+    ``streaming/stream_merge.py``) use this directly, then invoke
+    ``target.merge(changes)`` themselves.
+
+    Replay safety: recomputing this AFTER the merge has already applied
+    ``changes`` yields a zero delta (``old`` and the resolve output
+    coincide), so a retried batch cannot double-maintain — the same
+    reason the merge itself replays idempotently.
+    """
     from dataplatform_cdc_pipeline_spark.operators.merge_target import resolve_changes
 
     data_cols = [f.name for f in target.schema.fields]
@@ -163,11 +190,9 @@ def maintain_view_through_merge(
     # evaluate the view delta BEFORE the merge mutates the storage the
     # pruned read is lazily reading from (eager checkpoint, not persist —
     # invariant 11)
-    new_view = apply_view_delta(
+    return apply_view_delta(
         view, old, new, group_col, sum_exprs, count_col
     ).localCheckpoint(eager=True)
-    stats = target.merge(changes)
-    return new_view, stats
 
 
 def maintain_counts_through_merge(

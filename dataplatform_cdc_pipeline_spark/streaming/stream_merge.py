@@ -90,3 +90,100 @@ def streaming_dedup_within_watermark(
     return stream.withWatermark(event_ts_col, delay).dropDuplicatesWithinWatermark(
         [*cfg.pk, event_ts_col]
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming merge + incrementally-maintained view
+# ---------------------------------------------------------------------------
+
+_VIEW_TAG = "__view_batch_id"
+
+
+def read_tagged_view(spark: SparkSession, view_path: str):
+    """(view frame without the tag column, last-maintained batch id) —
+    (None, None) before the first batch."""
+    try:
+        df = spark.read.parquet(view_path)
+    except Exception:  # noqa: BLE001 — path does not exist yet
+        return None, None
+    tag = df.select(F.max(_VIEW_TAG)).collect()[0][0]
+    return df.drop(_VIEW_TAG), tag
+
+
+def run_streaming_merge_with_view(
+    spark: SparkSession,
+    cfg: MergeConfig,
+    target: ParquetMergeTarget,
+    audit: WatermarkStore,
+    source_path: str,
+    checkpoint_path: str,
+    view_path: str,
+    group_col: str,
+    sum_exprs=None,
+    count_col: str = "n",
+    bronze_schema: str = "data string, load_ts timestamp, publish_time timestamp, "
+    "message_id string, source_db_table string, subscription_name string",
+    trigger_once: bool = True,
+    deterministic_audit: bool = False,
+):
+    """Streaming CDC merge that also MAINTAINS a grouped aggregate view
+    incrementally — the 100 TB replacement for the reference's
+    recompute-downstream-aggregates-per-batch pattern, fused into the
+    exactly-once streaming front-end.
+
+    Per micro-batch (via ``run_merge``'s ``pre_merge_hook``, so the view
+    sees the exact change set the merge applies, after every engine
+    phase): compute the view delta from the pre-merge state
+    (``ivm.view_delta_for_merge``), persist the new view TAGGED with the
+    batch id, then let the engine run its idempotent merge + audit.
+
+    Crash-window analysis (why the view converges under replay):
+    - crash BEFORE the view write: nothing moved; replay recomputes the
+      same delta from the untouched pre-merge state.
+    - crash AFTER the view write, BEFORE the merge commit: the view
+      transiently leads the target; replay sees the batch's tag, skips
+      maintenance, and redoes only the (idempotent) merge — consistent at
+      batch completion.
+    - crash AFTER the merge commit: replay sees the tag and skips
+      maintenance; and even WITHOUT the tag the recomputed delta would be
+      zero (the changed keys already hold their post-merge rows), so the
+      ordering is belt and the idempotence is suspenders.
+    """
+    from dataplatform_cdc_pipeline_spark.operators.ivm import view_delta_for_merge
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        view, tag = read_tagged_view(spark, view_path)
+
+        def maintain(changes: DataFrame) -> None:
+            if tag is not None and tag >= batch_id:
+                return  # replayed batch: view already maintained
+            new_view = view_delta_for_merge(
+                target, changes, view, group_col, sum_exprs, count_col
+            )  # eagerly checkpointed — safe to overwrite its own input
+            new_view.withColumn(_VIEW_TAG, F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(view_path)
+
+        run_merge(
+            spark,
+            cfg,
+            target,
+            audit,
+            raw=batch_df,
+            window=(None, None),
+            deterministic_audit=deterministic_audit,
+            pre_merge_hook=maintain,
+        )
+
+    stream = spark.readStream.schema(bronze_schema).parquet(source_path)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if trigger_once:
+        q.awaitTermination()
+    return q

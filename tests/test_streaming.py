@@ -189,3 +189,130 @@ def test_stream_distinct_events_drops_replay(spark, sf_dir):
         spark, f"{tmp}/src", "event_id long, ts timestamp, value double", ["event_id"]
     )
     assert out.count() == ev.count()
+
+
+def test_streaming_merge_with_maintained_view(spark):
+    """The streaming front-end maintains a grouped (count, sum) view
+    incrementally across micro-batches; the view always equals a fresh
+    GROUP BY of the target, and checkpoint replay double-maintains
+    nothing."""
+    import pyspark.sql.functions as F
+
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        read_tagged_view,
+        run_streaming_merge_with_view,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_sview_")
+    src, ckpt, vpath = f"{tmp}/bronze", f"{tmp}/ckpt", f"{tmp}/view"
+    cfg, target, audit = pipeline(spark, tmpdir=tmp)
+    sums = {"value_micros": F.floor(F.col("value") * 1e6)}
+
+    def run():
+        run_streaming_merge_with_view(
+            spark, cfg, target, audit, src, ckpt, vpath,
+            group_col="event_type", sum_exprs=sums, deterministic_audit=True,
+        )
+
+    def fresh():
+        return sorted(
+            tuple(r)
+            for r in target.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.floor(F.col("value") * 1e6)), F.lit(0)).alias(
+                    "value_micros"
+                ),
+            )
+            .collect()
+        )
+
+    def maintained():
+        view, _ = read_tagged_view(spark, vpath)
+        return sorted(
+            tuple(r) for r in view.select("event_type", "n", "value_micros").collect()
+        )
+
+    # batch 1: inserts
+    write_bronze(spark, src, [("c", 1, 1, 1, 1.5), ("c", 2, 2, 2, 2.25)])
+    run()
+    assert maintained() == fresh() != []
+
+    # batch 2: update k1, delete k2 — counts AND sums must move
+    write_bronze(spark, src, [("u", 3, 3, 1, 9.0), ("d", 4, 4, 2, 0.0)])
+    run()
+    assert maintained() == fresh()
+    assert state(target) == [(1, 9.0)]
+
+    # replay with the same checkpoint: no new batches -> view untouched
+    before = maintained()
+    run()
+    assert maintained() == before == fresh()
+
+
+def test_streaming_view_replay_tag_skips_maintenance(spark):
+    """Simulate the crash window 'view written, merge not committed':
+    re-running the batch with the tag already present must skip
+    maintenance (no double-subtract) and still converge the target."""
+    import pyspark.sql.functions as F
+
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.ivm import view_delta_for_merge
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
+        build_changes,
+        window_scan,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        _VIEW_TAG,
+        read_tagged_view,
+        run_streaming_merge_with_view,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_sview_crash_")
+    src, ckpt, vpath = f"{tmp}/bronze", f"{tmp}/ckpt", f"{tmp}/view"
+    cfg, target, audit = pipeline(spark, tmpdir=tmp)
+
+    # seed state via batch 0 through the streaming path
+    write_bronze(spark, src, [("c", 1, 1, 1, 1.0), ("c", 2, 2, 2, 2.0)])
+    run_streaming_merge_with_view(
+        spark, cfg, target, audit, src, ckpt, vpath,
+        group_col="event_type", deterministic_audit=True,
+    )
+
+    # hand-build batch 1's change set; write the view (tag=99) WITHOUT
+    # merging — the simulated crash
+    write_bronze(spark, src, [("d", 3, 3, 1, 0.0)])
+    raw = spark.read.parquet(src).filter("message_id = 'm-3'")
+    changes = build_changes(
+        window_scan(raw, cfg, None, None), target.schema, cfg,
+        deterministic_audit=True,
+    )
+    view, _ = read_tagged_view(spark, vpath)
+    new_view = view_delta_for_merge(target, changes, view, "event_type")
+    new_view.withColumn(_VIEW_TAG, F.lit(99)).write.mode("overwrite").parquet(vpath)
+    view_after_crash, tag = read_tagged_view(spark, vpath)
+    assert tag == 99
+    # view leads the target inside the window (documented transient)
+    assert sorted(tuple(r) for r in view_after_crash.collect()) != sorted(
+        tuple(r)
+        for r in target.read().groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+
+    # replay: tag >= batch_id -> maintenance skipped, merge applies
+    view2, tag2 = read_tagged_view(spark, vpath)
+
+    def maintain(ch):
+        assert False, "maintenance must be skipped on replay"
+
+    run_merge(
+        spark, cfg, target, audit, raw=raw, window=(None, None),
+        deterministic_audit=True,
+        pre_merge_hook=(maintain if tag2 is None or tag2 < 99 else None),
+    )
+    assert state(target) == [(2, 2.0)]
+    final_view, _ = read_tagged_view(spark, vpath)
+    assert sorted(tuple(r) for r in final_view.collect()) == sorted(
+        tuple(r)
+        for r in target.read().groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
