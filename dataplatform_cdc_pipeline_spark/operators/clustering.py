@@ -107,6 +107,27 @@ def update_centroids(
     return sorted((r["cluster"], list(r["m"])) for r in rows)
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Lloyd's k-means: seed → n_iter × (assign, update) → final assign.
+
+    Returns (assignments, centroids): assignments = (vec_id, cluster,
+    dist2) with dist2 the exact squared micro-distance to the final
+    centroid — an integer, so downstream comparisons (and the driver's
+    value hash) are exact; centroids = the final integer micro-unit
+    centroid list, the index artifact an IVF probe routes by."""
+    pts = quantized_points(embeddings, id_col, vec_col)
+    cents = seed_centroids(pts, k)
+    for _ in range(n_iter):
+        cents = update_centroids(pts, assign(pts, cents))
+    return assign(pts, cents), cents
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
@@ -114,17 +135,8 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd's k-means: seed → n_iter × (assign, update) → final assign.
-
-    Returns (vec_id, cluster, dist2) with dist2 the exact squared
-    micro-distance to the final centroid — an integer, so downstream
-    comparisons (and the driver's value hash) are exact.
-    """
-    pts = quantized_points(embeddings, id_col, vec_col)
-    cents = seed_centroids(pts, k)
-    for _ in range(n_iter):
-        cents = update_centroids(pts, assign(pts, cents))
-    return assign(pts, cents)
+    """Assignment-only view of :func:`kmeans_fit`."""
+    return kmeans_fit(embeddings, k, n_iter, id_col, vec_col)[0]
 
 
 def kmeans_cells(
@@ -142,3 +154,20 @@ def kmeans_cells(
         a.select(F.col("vec_id").alias(id_col), F.col("cluster").alias("cell")),
         id_col,
     )
+
+
+def centroid_frame(spark, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Integer micro-unit centroids → an `ivf_topk`-shaped centroid frame
+    (cell, centroid array<double>, c_norm). The /1e6 de-quantization is a
+    single exact-input IEEE division per coordinate — deterministic in
+    any engine, so a learned-IVF probe routed by these centroids stays
+    hash-oracle-able end to end."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import norm_expr
+
+    df = spark.createDataFrame(
+        [(c, m) for c, m in centroids], "cell int, m array<bigint>"
+    )
+    return df.select(
+        "cell",
+        F.transform("m", lambda x: x.cast("double") / F.lit(MICRO)).alias("centroid"),
+    ).withColumn("c_norm", norm_expr(F.col("centroid")))

@@ -859,6 +859,104 @@ ORDER BY vec_id
 """
 
 
+def q_embedding_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer, end to end: k-means fits
+    the cells (exact integer micro-space, operators/clustering.py), the
+    final integer centroids become the routing index (de-quantized by one
+    exact /1e6 division — deterministic), and the probe reads nprobe=2
+    cells. This is the production IVF shape — label-routed
+    `embedding_ivf_topk` stands in for a prior clustering; here the index
+    is built by the engine itself, and the whole chain stays
+    hash-oracle-checked."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import (
+        centroid_frame,
+        kmeans_fit,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fit(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
+    celled = emb.join(
+        assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    )
+    queries = celled.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        celled,
+        queries,
+        k=5,
+        cell_col="cell",
+        nprobe=2,
+        centroids=centroid_frame(spark, cents),
+    )
+
+
+# kmeans CTE chain (same as SQL_EMBEDDING_KMEANS) → learned cells (a3) +
+# de-quantized centroids (cent) → the standard IVF probe at nprobe=2.
+SQL_EMBEDDING_IVF_LEARNED = f"""
+WITH pts AS (
+  SELECT vec_id, pos - 1 AS pos,
+         CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+seeds AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cluster
+    FROM embeddings) WHERE cluster < {_KMEANS_K}),
+c0 AS (SELECT s.cluster, p.pos, p.xi AS m FROM seeds s JOIN pts p USING (vec_id)),
+d1 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
+       FROM pts p JOIN c0 c USING (pos) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+         FROM d1) WHERE rk = 1),
+c1 AS (SELECT a.cluster, p.pos, CAST(floor(SUM(p.xi) / COUNT(*)) AS BIGINT) AS m
+       FROM pts p JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+d2 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
+       FROM pts p JOIN c1 c USING (pos) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+         FROM d2) WHERE rk = 1),
+c2 AS (SELECT a.cluster, p.pos, CAST(floor(SUM(p.xi) / COUNT(*)) AS BIGINT) AS m
+       FROM pts p JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+d3 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
+       FROM pts p JOIN c2 c USING (pos) GROUP BY 1, 2),
+a3 AS (SELECT vec_id, cluster AS cell FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+         FROM d3) WHERE rk = 1),
+cent AS (SELECT cluster AS cell, list(CAST(m AS DOUBLE) / 1000000.0 ORDER BY pos)
+           AS centroid
+         FROM c2 GROUP BY cluster),
+v AS (SELECT e.vec_id, a3.cell, list_transform(e.embedding, x -> x::DOUBLE) AS vec
+      FROM embeddings e JOIN a3 USING (vec_id)),
+q AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id < 10),
+routed AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT q.query_id, q.q_vec, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.q_vec, c.centroid) /
+                      (sqrt(list_dot_product(q.q_vec, q.q_vec)) *
+                       sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      c.cell ASC) AS rk
+    FROM q CROSS JOIN cent c) WHERE rk <= 2),
+scored AS (
+  SELECT r.query_id, c.vec_id AS nbr_id,
+         floor(list_dot_product(r.q_vec, c.vec) /
+               (sqrt(list_dot_product(r.q_vec, r.q_vec)) *
+                sqrt(list_dot_product(c.vec, c.vec))) * 1000000.0) / 1000000.0 AS cosine
+  FROM routed r JOIN v c ON r.cell = c.cell AND r.query_id != c.vec_id),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM scored)
+SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end. The decode stub hashes the payload's
     hex encoding (multimodal.content_hash), so the full pipeline — synthetic
@@ -1345,6 +1443,7 @@ LLM_QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "ivf_recall_curve": q_ivf_recall_curve,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_ivf_learned": q_embedding_ivf_learned,
 }
 
 LLM_ORACLES = {
@@ -1379,4 +1478,5 @@ LLM_ORACLES = {
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
     "ivf_recall_curve": SQL_IVF_RECALL_CURVE,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
+    "embedding_ivf_learned": SQL_EMBEDDING_IVF_LEARNED,
 }
