@@ -93,6 +93,46 @@ GROUP BY ROLLUP (event_type, event_date)
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, event_month) with GROUPING() disambiguation: all
+    four aggregation grains in one pass (per-cell, both one-dim margins,
+    grand total). `gid` is the grouping bit-vector — the standard way to
+    tell a subtotal row from a genuinely-NULL dimension value, which the
+    coalesce('ALL') trick in events_rollup cannot. One shuffle: Spark
+    plans CUBE as a single Expand + hash aggregate, not 4 scans."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM").alias("event_month"), "value"
+    )
+    return (
+        ev.cube("event_type", "event_month")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("event_month", F.lit("ALL")).alias("event_month"),
+            "gid",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(event_month, 'ALL') AS event_month,
+       GROUPING(event_type, event_month) AS gid,
+       count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS total_value
+FROM (SELECT event_type, strftime(ts::TIMESTAMP, '%Y-%m') AS event_month, value FROM events)
+GROUP BY CUBE (event_type, event_month)
+"""
+
+
 # ---------------------------------------------------------------------------
 # pivot
 # ---------------------------------------------------------------------------
@@ -535,6 +575,7 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
     "customer_set_ops": q_customer_set_ops,
     "asof_prior_click": q_asof_prior_click,
@@ -563,6 +604,7 @@ GROUP BY user_id
 EXT_ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_cube": SQL_EVENTS_CUBE,
     "events_pivot": SQL_EVENTS_PIVOT,
     "customer_set_ops": SQL_CUSTOMER_SET_OPS,
     "asof_prior_click": SQL_ASOF_PRIOR_CLICK,

@@ -37,6 +37,7 @@ QUERIES = [
     "cdc_dedup_latest", "cdc_cast_projection", "cdc_merge_full",
     "dedup_exact", "dedup_minhash_lsh", "text_quality", "gopher_repetition",
     "doc_chunks", "bm25_search", "embedding_ivf_topk", "training_mix",
+    "embedding_kmeans",
 ]
 
 
