@@ -36,7 +36,7 @@ discovery, IVF cell learning).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000.0
@@ -56,47 +56,73 @@ def quantized_points(
 
 
 def seed_centroids(pts: DataFrame, k: int) -> list[tuple[int, list[int]]]:
-    """Clusters 0..k-1 = the k points with the smallest (md5(id), id)."""
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    """Clusters 0..k-1 = the k points with the smallest (md5(id), id).
+
+    Distributed top-k (``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject: per-partition heads merged on the driver) —
+    NOT a global-window row_number, which would move every row to one
+    partition."""
     rows = (
-        pts.withColumn("cluster", F.row_number().over(w) - 1)
-        .filter(F.col("cluster") < k)
-        .select("cluster", "v")
+        pts.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v")
+        .orderBy("h", "vec_id")
+        .limit(k)
         .collect()  # k rows — bounded by k, an index artifact
     )
-    return sorted((r["cluster"], list(r["v"])) for r in rows)
+    rows.sort(key=lambda r: (r["h"], r["vec_id"]))
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def _best_expr(centroids: list[tuple[int, list[int]]]):
+    """struct(dist2, cluster) of the nearest centroid, as ONE map-side
+    row expression: all k exact distances are computed against literal
+    centroid arrays and folded with array_min (struct comparison is
+    lexicographic — (dist2, cluster) IS the tie-break). Assignment
+    therefore needs NO shuffle and NO join; the plan carries k·d integer
+    literals, fine for coarse-quantizer sizes (k·d ≤ ~100k — beyond
+    that, switch to a broadcast join + min_by aggregation)."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cluster"),
+                F.array(*[F.lit(int(x)) for x in m]).alias("m"),
+            )
+            for c, m in centroids
+        ]
+    )
+    dists = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), s["m"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    return F.array_min(dists)
 
 
 def assign(pts: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
     """(vec_id, cluster, dist2) — nearest centroid by exact squared
-    distance; centroids enter the plan as broadcast literals."""
-    spark = pts.sparkSession
-    cdf = spark.createDataFrame(
-        [(c, m) for c, m in centroids], "cluster int, m array<bigint>"
-    )
-    dist = F.aggregate(
-        F.zip_with("v", "m", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cluster")
-    return (
-        pts.crossJoin(F.broadcast(cdf))
-        .withColumn("dist2", dist)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cluster", "dist2")
+    distance. Map-only: zero shuffles (see :func:`_best_expr`)."""
+    best = _best_expr(centroids)
+    return pts.select(
+        "vec_id", best["cluster"].alias("cluster"), best["dist2"].alias("dist2")
     )
 
 
 def update_centroids(
-    pts: DataFrame, assigned: DataFrame
+    pts: DataFrame, centroids: list[tuple[int, list[int]]]
 ) -> list[tuple[int, list[int]]]:
     """floor(per-dimension mean) of each cluster's members, in micro-units.
-    A cluster that lost every member simply disappears (both engines)."""
+    Assignment is fused into the same scan (map-only expression), so one
+    Lloyd iteration = one corpus scan + one (cluster, pos)-key shuffle of
+    map-combined partials. A cluster that lost every member simply
+    disappears (both engines)."""
+    best = _best_expr(centroids)
     rows = (
-        pts.join(assigned.select("vec_id", "cluster"), "vec_id")
-        .select("cluster", F.posexplode("v").alias("pos", "x"))
+        pts.select(best["cluster"].alias("cluster"), F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
         .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("m"))
         .groupBy("cluster")
@@ -124,7 +150,7 @@ def kmeans_fit(
     pts = quantized_points(embeddings, id_col, vec_col)
     cents = seed_centroids(pts, k)
     for _ in range(n_iter):
-        cents = update_centroids(pts, assign(pts, cents))
+        cents = update_centroids(pts, cents)
     return assign(pts, cents), cents
 
 

@@ -653,7 +653,10 @@ def test_kmeans_floor_centroid_negative_means(spark):
         "vec_id long, embedding array<float>",
     )
     pts = quantized_points(df)  # micro-units: (-2, 0), (-3, 0) after rounding
-    assigned = assign(pts, [(0, [0, 0])])
-    cents = update_centroids(pts, assigned)
+    assert [tuple(r) for r in assign(pts, [(0, [0, 0])]).collect()] == [
+        (1, 0, 4),
+        (2, 0, 9),
+    ]
+    cents = update_centroids(pts, [(0, [0, 0])])
     # mean of -2 and -3 micro = -2.5 -> floor = -3 (NOT trunc's -2)
     assert cents == [(0, [-3, 0])]

@@ -223,3 +223,31 @@ def test_ivf_probe_gets_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_kmeans_assignment_map_only_and_distributed_seed(spark, sf_dir):
+    """The Lloyd step's scale shape, pinned: assignment computes all k
+    distances in one row expression (ZERO exchanges — no join, no window
+    shuffle), and seeding is a distributed top-k (TakeOrderedAndProject),
+    never a global-window row_number that would single-partition the
+    corpus."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import (
+        assign,
+        quantized_points,
+        seed_centroids,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    pts = quantized_points(load_table(spark, sf_dir, "embeddings"))
+    cents = seed_centroids(pts, 8)
+    plan = assign(pts, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    seed_plan = (
+        pts.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v")
+        .orderBy("h", "vec_id")
+        .limit(8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in seed_plan
