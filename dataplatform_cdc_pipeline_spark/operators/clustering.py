@@ -103,9 +103,60 @@ def _best_expr(centroids: list[tuple[int, list[int]]]):
     return F.array_min(dists)
 
 
-def assign(pts: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+def _centroid_arrays(centroids: list[tuple[int, list[int]]]):
+    """(cluster ids ascending, (k, d) int64 matrix) — ascending order makes
+    numpy argmin's first-match tie-break equal the (dist2, cluster) rule."""
+    import numpy as np
+
+    cents = sorted(centroids)
+    ids = np.array([c for c, _ in cents], dtype="int32")
+    mat = np.array([m for _, m in cents], dtype="int64")
+    return ids, mat
+
+
+def _assign_batches(centroids: list[tuple[int, list[int]]]):
+    """mapInPandas kernel: per Arrow batch, the exact (n, k) int64 distance
+    matrix and its argmin. Integer arithmetic → bit-identical to the
+    Column formulation and the DuckDB oracle; no generated-code footprint
+    (the Column form bakes k·d literals into janino source, recompiling
+    every iteration — measured compile-bound, see SCALE.md)."""
+    import numpy as np
+
+    ids, mat = _centroid_arrays(centroids)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype("int64")  # (n, d)
+            diff = v[:, None, :] - mat[None, :, :]  # (n, k, d)
+            d2 = (diff * diff).sum(axis=2)  # exact int64
+            best = d2.argmin(axis=1)  # first match = lowest cluster id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": ids[best],
+                    "dist2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return fn
+
+
+def assign(
+    pts: DataFrame, centroids: list[tuple[int, list[int]]], use_arrow: bool = True
+) -> DataFrame:
     """(vec_id, cluster, dist2) — nearest centroid by exact squared
-    distance. Map-only: zero shuffles (see :func:`_best_expr`)."""
+    distance. Map-only, zero shuffles, in both formulations; Arrow is the
+    default (numpy does the k·d work per batch), the Column form
+    (:func:`_best_expr`) is the no-Python-workers fallback —
+    equivalence-pinned by a unit test."""
+    if use_arrow:
+        return pts.mapInPandas(
+            _assign_batches(centroids), "vec_id long, cluster int, dist2 long"
+        )
     best = _best_expr(centroids)
     return pts.select(
         "vec_id", best["cluster"].alias("cluster"), best["dist2"].alias("dist2")
@@ -116,15 +167,47 @@ def update_centroids(
     pts: DataFrame, centroids: list[tuple[int, list[int]]]
 ) -> list[tuple[int, list[int]]]:
     """floor(per-dimension mean) of each cluster's members, in micro-units.
-    Assignment is fused into the same scan (map-only expression), so one
-    Lloyd iteration = one corpus scan + one (cluster, pos)-key shuffle of
-    map-combined partials. A cluster that lost every member simply
-    disappears (both engines)."""
-    best = _best_expr(centroids)
+
+    Assignment fuses into the scan; each Arrow batch emits k·d partial
+    (cluster, pos, sum, count) rows — manual map-side combine — so one
+    Lloyd iteration is one corpus scan + one (cluster, pos)-key shuffle
+    of partials. A cluster that lost every member simply disappears
+    (both engines)."""
+    import numpy as np
+
+    ids, mat = _centroid_arrays(centroids)
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype("int64")
+            diff = v[:, None, :] - mat[None, :, :]
+            best = (diff * diff).sum(axis=2).argmin(axis=1)
+            out = []
+            for i, c in enumerate(ids):
+                members = v[best == i]
+                if len(members):
+                    s = members.sum(axis=0)  # exact int64 partial
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cluster": int(c),
+                                "pos": np.arange(v.shape[1]),
+                                "s": s,
+                                "c": len(members),
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out)
+
     rows = (
-        pts.select(best["cluster"].alias("cluster"), F.posexplode("v").alias("pos", "x"))
+        pts.mapInPandas(partials, "cluster int, pos int, s long, c long")
         .groupBy("cluster", "pos")
-        .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("m"))
+        .agg(F.floor(F.sum("s") / F.sum("c")).cast("long").alias("m"))
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cluster", F.transform("pm", lambda s: s["m"]).alias("m"))

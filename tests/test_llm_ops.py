@@ -660,3 +660,21 @@ def test_kmeans_floor_centroid_negative_means(spark):
     cents = update_centroids(pts, [(0, [0, 0])])
     # mean of -2 and -3 micro = -2.5 -> floor = -3 (NOT trunc's -2)
     assert cents == [(0, [-3, 0])]
+
+
+def test_kmeans_assign_arrow_column_equivalence(spark, sf_dir):
+    """Arrow (numpy int64) and Column (literal-fold) assignment must be
+    bit-identical — same exact arithmetic, same (dist2, cluster)
+    tie-break."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import (
+        assign,
+        quantized_points,
+        seed_centroids,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    pts = quantized_points(load_table(spark, sf_dir, "embeddings"))
+    cents = seed_centroids(pts, 4)
+    a = sorted(map(tuple, assign(pts, cents, use_arrow=True).collect()))
+    b = sorted(map(tuple, assign(pts, cents, use_arrow=False).collect()))
+    assert a == b
