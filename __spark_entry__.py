@@ -77,7 +77,8 @@ _PRIORITY = [
     "dedup_simhash", "dedup_ngram_jaccard", "embedding_topk",
     # 51+: long tail, all green in CORRECTNESS_r04
     "cdc_dedup_latest_salted", "cdc_merge_late_guarded",
-    "embedding_ivf_learned", "events_cube",  # NEW r5, tail — rotate into the r6 window
+    "embedding_ivf_learned", "events_cube", "stream_ivm_totals",
+    # ^ NEW r5, tail — rotate into the r6 window
     "cdc_date_partitioned_read", "cdc_merge_multi_pk_guarded",
     "stream_user_totals",
     "embedding_ann_lsh", "multimodal_features", "token_counts",

@@ -60,7 +60,7 @@ HEADLINE = [
     "cdc_ivm_type_counts",
     # r5 additions
     "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
-    "embedding_ivf_learned",
+    "embedding_ivf_learned", "stream_ivm_totals", "events_cube",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

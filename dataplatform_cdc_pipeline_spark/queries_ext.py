@@ -426,6 +426,49 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ivm_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge with FUSED incremental view maintenance
+    (streaming/run_streaming_merge_with_view): as each micro-batch merges,
+    the (event_type → count, value-micros sum) view is delta-maintained
+    from the change set and persisted batch-tagged. After the stream
+    drains, the maintained view must equal a fresh GROUP BY of the final
+    merged state — which is exactly what the oracle computes from the raw
+    feed. The target is never rescanned by the view."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        read_tagged_view,
+        run_streaming_merge_with_view,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_sivm_q_")
+    bronze = f"{tmp}/bronze"
+    from dataplatform_cdc_pipeline_spark.queries import cdc_feed
+
+    cdc_feed(spark, sf_dir).write.parquet(bronze)
+    cfg = user_state_config()
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_streaming_merge_with_view(
+        spark,
+        cfg,
+        target,
+        audit,
+        bronze,
+        f"{tmp}/ckpt",
+        f"{tmp}/view",
+        group_col="event_type",
+        sum_exprs={"value_micros": F.floor(F.col("value") * 1e6)},
+        deterministic_audit=True,
+    )
+    view, _ = read_tagged_view(spark, f"{tmp}/view")
+    return view.select("event_type", "n", "value_micros")
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window aggregation (event-time + watermark) whose
     drained result must equal the batch GROUP BY (the oracle)."""
@@ -589,6 +632,7 @@ EXT_QUERIES = {
     "stream_click_attribution": q_stream_click_attribution,
     "stream_dedup_events": q_stream_dedup_events,
     "stream_merge_state": q_stream_merge_state,
+    "stream_ivm_totals": q_stream_ivm_totals,
     "stream_user_totals": q_stream_user_totals,
 }
 
@@ -624,3 +668,14 @@ EXT_ORACLES = {
 from dataplatform_cdc_pipeline_spark.queries import SQL_CDC_MERGE_FULL  # noqa: E402
 
 EXT_ORACLES["stream_merge_state"] = SQL_CDC_MERGE_FULL
+
+# stream_ivm_totals: the maintained view must equal a fresh GROUP BY of
+# the final merged state — the oracle aggregates the batch-merge oracle.
+SQL_STREAM_IVM_TOTALS = f"""
+WITH state AS ({SQL_CDC_MERGE_FULL.replace(chr(10), chr(10) + '  ')})
+SELECT event_type, count(*) AS n,
+       CAST(coalesce(sum(CAST(floor(value * 1000000.0) AS BIGINT)), 0) AS BIGINT)
+         AS value_micros
+FROM state GROUP BY event_type
+"""
+EXT_ORACLES["stream_ivm_totals"] = SQL_STREAM_IVM_TOTALS
