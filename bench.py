@@ -61,6 +61,7 @@ HEADLINE = [
     # r5 additions
     "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
     "embedding_ivf_learned", "stream_ivm_totals", "events_cube",
+    "semantic_dedup",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -19,12 +19,15 @@ Exactness design (what makes this hash-oracle-able):
 
 Scale shape (Lloyd's step on a cluster):
 - Assignment: centroids are an index artifact — k·d integers — collected
-  to the driver and broadcast back as literals (MLlib's KMeans does the
-  same). One corpus scan per iteration; distance is a map-side
-  ``zip_with``/``aggregate`` fold over the broadcast row, no shuffle.
-- Update: one ``posexplode`` → ``groupBy(cluster, pos)`` shuffle of
-  (cluster, pos, partial-sum) pairs — map-side combine reduces it to
-  k·d rows per partition before the exchange.
+  to the driver and shipped to executors in the task closure (MLlib's
+  KMeans does the same). One corpus scan per iteration, ZERO shuffles:
+  the default kernel is mapInPandas + numpy int64 (compile-free; the
+  Column-literal alternative measured janino-compile-bound — SCALE.md
+  "k-means formulation race"), with the Column fold kept as the
+  no-Python-workers fallback.
+- Update: each Arrow batch emits k·d partial (cluster, pos, sum, count)
+  rows — manual map-side combine — so the only exchange per iteration
+  moves k·d-sized partials, not data.
 - Iterations are driver-side Python over flat lineage (each round reads
   the quantized corpus, not the previous round's plan), so n_iter does
   not stack lineage.
@@ -280,3 +283,59 @@ def centroid_frame(spark, centroids: list[tuple[int, list[int]]]) -> DataFrame:
         "cell",
         F.transform("m", lambda x: x.cast("double") / F.lit(MICRO)).alias("centroid"),
     ).withColumn("c_norm", norm_expr(F.col("centroid")))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    k-means, then within each cell drop any vector whose cosine to a
+    LOWER-id in-cell vector reaches ``threshold`` (prune-against-earlier
+    — the common non-iterative reading of the algorithm; a dropped
+    earlier vector still suppresses its later neighbors, so this is the
+    aggressive upper bound on removal).
+
+    Returns (vec_id, cell, kept). Scale shape: the pairwise work is
+    bounded per CELL, not per corpus — one shuffle on the cell key for
+    the self-join; cosine floored to 6 decimals so the τ comparison is
+    engine-portable.
+    """
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        dot_expr,
+        floor6,
+        norm_expr,
+    )
+
+    celled = kmeans_cells(embeddings, k, n_iter, id_col, vec_col)
+    v = (
+        celled.select(
+            F.col(id_col).alias("vid"), "cell", as_double_vec(vec_col).alias("vec")
+        )
+        .withColumn("nrm", norm_expr(F.col("vec")))
+        .localCheckpoint(eager=True)  # feeds both self-join sides
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = floor6(
+        dot_expr(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vid") < F.col("a.vid")),
+        )
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("a.vid"))
+        .distinct()
+    )
+    return v.join(dropped.withColumnRenamed("vid", "d_vid"), v.vid == F.col("d_vid"), "left").select(
+        F.col("vid").alias(id_col),
+        "cell",
+        F.col("d_vid").isNull().alias("kept"),
+    )

@@ -816,12 +816,12 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=_KMEANS_K, n_iter=_KMEANS_ITER)
 
 
-# The oracle unrolls the same two Lloyd iterations in SQL:
-# pts (integer micro-units) → c0 (seed centroids) → a1 → c1 → a2 → c2 →
-# final assignment with exact dist2. All arithmetic BIGINT except the
-# centroid mean's floor(SUM/COUNT) — same stability argument as Spark.
-SQL_EMBEDDING_KMEANS = f"""
-WITH pts AS (
+# Shared kmeans CTE chain (two unrolled Lloyd iterations): pts (integer
+# micro-units) → c0 (seed centroids) → a1 → c1 → a2 → c2 → d3 (final
+# distances). All arithmetic BIGINT except the centroid mean's
+# floor(SUM/COUNT) — same stability argument as Spark
+# (operators/clustering.py). Reused by the three kmeans-family oracles.
+_KMEANS_CTES = f"""pts AS (
   SELECT vec_id, pos - 1 AS pos,
          CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
   FROM (SELECT vec_id, unnest(embedding) AS x,
@@ -850,7 +850,16 @@ a2 AS (SELECT vec_id, cluster FROM (
 c2 AS (SELECT a.cluster, p.pos, CAST(floor(SUM(p.xi) / COUNT(*)) AS BIGINT) AS m
        FROM pts p JOIN a2 a USING (vec_id) GROUP BY 1, 2),
 d3 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
-       FROM pts p JOIN c2 c USING (pos) GROUP BY 1, 2)
+       FROM pts p JOIN c2 c USING (pos) GROUP BY 1, 2)"""
+
+#: final assignment (cells) on top of the chain
+_KMEANS_A3 = """a3 AS (SELECT vec_id, cluster AS cell FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+         FROM d3) WHERE rk = 1)"""
+
+SQL_EMBEDDING_KMEANS = f"""
+WITH {_KMEANS_CTES}
 SELECT vec_id, cluster, CAST(d AS BIGINT) AS dist2 FROM (
   SELECT vec_id, cluster, d,
          row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
@@ -890,43 +899,11 @@ def q_embedding_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# kmeans CTE chain (same as SQL_EMBEDDING_KMEANS) → learned cells (a3) +
-# de-quantized centroids (cent) → the standard IVF probe at nprobe=2.
+# shared kmeans chain → learned cells (a3) + de-quantized centroids
+# (cent) → the standard IVF probe at nprobe=2.
 SQL_EMBEDDING_IVF_LEARNED = f"""
-WITH pts AS (
-  SELECT vec_id, pos - 1 AS pos,
-         CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
-  FROM (SELECT vec_id, unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) AS pos FROM embeddings)),
-seeds AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id,
-           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-             AS cluster
-    FROM embeddings) WHERE cluster < {_KMEANS_K}),
-c0 AS (SELECT s.cluster, p.pos, p.xi AS m FROM seeds s JOIN pts p USING (vec_id)),
-d1 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
-       FROM pts p JOIN c0 c USING (pos) GROUP BY 1, 2),
-a1 AS (SELECT vec_id, cluster FROM (
-         SELECT vec_id, cluster,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
-         FROM d1) WHERE rk = 1),
-c1 AS (SELECT a.cluster, p.pos, CAST(floor(SUM(p.xi) / COUNT(*)) AS BIGINT) AS m
-       FROM pts p JOIN a1 a USING (vec_id) GROUP BY 1, 2),
-d2 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
-       FROM pts p JOIN c1 c USING (pos) GROUP BY 1, 2),
-a2 AS (SELECT vec_id, cluster FROM (
-         SELECT vec_id, cluster,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
-         FROM d2) WHERE rk = 1),
-c2 AS (SELECT a.cluster, p.pos, CAST(floor(SUM(p.xi) / COUNT(*)) AS BIGINT) AS m
-       FROM pts p JOIN a2 a USING (vec_id) GROUP BY 1, 2),
-d3 AS (SELECT p.vec_id, c.cluster, SUM((p.xi - c.m) * (p.xi - c.m)) AS d
-       FROM pts p JOIN c2 c USING (pos) GROUP BY 1, 2),
-a3 AS (SELECT vec_id, cluster AS cell FROM (
-         SELECT vec_id, cluster,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
-         FROM d3) WHERE rk = 1),
+WITH {_KMEANS_CTES},
+{_KMEANS_A3},
 cent AS (SELECT cluster AS cell, list(CAST(m AS DOUBLE) / 1000000.0 ORDER BY pos)
            AS centroid
          FROM c2 GROUP BY cluster),
@@ -954,6 +931,40 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC) AS rk
   FROM scored)
 SELECT query_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 5
+"""
+
+
+_SEMDEDUP_T = 0.4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means cells bound the
+    pairwise work; within a cell a vector is dropped when its cosine to a
+    lower-id cellmate reaches τ=0.4 (prune-against-earlier). Output =
+    every vector with its learned cell and the keep decision — the
+    whole chain (clustering + in-cell pruning) hash-oracle-checked."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, k=_KMEANS_K, n_iter=_KMEANS_ITER, threshold=_SEMDEDUP_T
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_KMEANS_CTES},
+{_KMEANS_A3},
+v AS (SELECT e.vec_id, a3.cell, list_transform(e.embedding, x -> x::DOUBLE) AS vec
+      FROM embeddings e JOIN a3 USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM v a JOIN v b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE floor(list_dot_product(a.vec, b.vec) /
+              (sqrt(list_dot_product(a.vec, a.vec)) *
+               sqrt(list_dot_product(b.vec, b.vec))) * 1000000.0) / 1000000.0
+        >= {_SEMDEDUP_T})
+SELECT v.vec_id, v.cell, d.vec_id IS NULL AS kept
+FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
 """
 
 
@@ -1444,6 +1455,7 @@ LLM_QUERIES = {
     "ivf_recall_curve": q_ivf_recall_curve,
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_ivf_learned": q_embedding_ivf_learned,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 LLM_ORACLES = {
@@ -1479,4 +1491,5 @@ LLM_ORACLES = {
     "ivf_recall_curve": SQL_IVF_RECALL_CURVE,
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "embedding_ivf_learned": SQL_EMBEDDING_IVF_LEARNED,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }

@@ -678,3 +678,23 @@ def test_kmeans_assign_arrow_column_equivalence(spark, sf_dir):
     a = sorted(map(tuple, assign(pts, cents, use_arrow=True).collect()))
     b = sorted(map(tuple, assign(pts, cents, use_arrow=False).collect()))
     assert a == b
+
+
+def test_semantic_dedup_prunes_within_cell_only(spark):
+    """Two near-identical vectors in the same cell: the higher id is
+    dropped; orthogonal vectors survive; nothing is compared across
+    cells."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal -> kept
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(df, k=2, n_iter=1, threshold=0.95).collect()}
+    assert len(out) == 4
+    assert out[2] is False  # pruned against vec 1
+    # every drop has a lower-id justification: vec 1 always survives
+    assert out[1] is True
