@@ -233,8 +233,12 @@ def kmeans_fit(
     centroid — an integer, so downstream comparisons (and the driver's
     value hash) are exact; centroids = the final integer micro-unit
     centroid list, the index artifact an IVF probe routes by."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     pts = quantized_points(embeddings, id_col, vec_col)
     cents = seed_centroids(pts, k)
+    if not cents:
+        raise ValueError("kmeans_fit on an empty corpus (no seed points)")
     for _ in range(n_iter):
         cents = update_centroids(pts, cents)
     return assign(pts, cents), cents

@@ -698,3 +698,16 @@ def test_semantic_dedup_prunes_within_cell_only(spark):
     assert out[2] is False  # pruned against vec 1
     # every drop has a lower-id justification: vec 1 always survives
     assert out[1] is True
+
+
+def test_kmeans_empty_and_bad_k_fail_loudly(spark):
+    import pytest
+
+    from dataplatform_cdc_pipeline_spark.operators.clustering import kmeans_fit
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_fit(empty, k=4)
+    some = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_fit(some, k=0)
