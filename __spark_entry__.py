@@ -78,7 +78,7 @@ _PRIORITY = [
     # 51+: long tail, all green in CORRECTNESS_r04
     "cdc_dedup_latest_salted", "cdc_merge_late_guarded",
     "embedding_ivf_learned", "events_cube", "stream_ivm_totals",
-    "semantic_dedup",
+    "semantic_dedup", "embedding_sq8_topk", "sq8_recall_eval",
     # ^ NEW r5, tail — rotate into the r6 window
     "cdc_date_partitioned_read", "cdc_merge_multi_pk_guarded",
     "stream_user_totals",

@@ -1419,6 +1419,117 @@ FROM j ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization (operators/quantization.py)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-k over the int8-quantized corpus: per-dim scales are
+    an index artifact (d ints), codes are sign·floor(|m|·127/M_d), the
+    score is an exact integer dot of codes with the full-precision query
+    micros. The serving layout that cuts corpus bytes 4× at 100 TB."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sq8_topk(emb, queries, k=5)
+
+
+def q_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the int8 asymmetric index vs the exact-cosine ground
+    truth — the compression loss measured, not assumed (same harness shape
+    as ann_recall_eval). Both rankings run as their ordinary operators;
+    recall is a relational two-join fold."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    e = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    a = sq8_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = (
+        e.join(a, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return n_exact.join(n_hit, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (
+            F.floor(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+                * F.lit(1_000_000.0)
+            )
+            / F.lit(1_000_000.0)
+        ).alias("recall_at_5"),
+    )
+
+
+# Shared SQ8 CTE chain: micros (exploded integer micro-units) → per-dim
+# scales → codes → asymmetric integer-dot scores → ranked top-5. The
+# oracle works in EXPLODED relational form (join on pos) where Spark uses
+# array zip_with — same exact bigint arithmetic, different shapes.
+_SQ8_CTES = """m AS (
+  SELECT vec_id, pos,
+         CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS mv
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+scale AS (SELECT pos, max(abs(mv)) AS mx FROM m GROUP BY pos),
+codes AS (
+  SELECT vec_id, m.pos,
+         CASE WHEN s.mx = 0 THEN 0
+              ELSE (CASE WHEN mv < 0 THEN -1 ELSE 1 END)
+                   * CAST(floor(abs(mv) * 127.0 / s.mx) AS BIGINT) END AS code
+  FROM m JOIN scale s ON m.pos = s.pos),
+q AS (SELECT vec_id AS query_id, pos, mv AS qm FROM m WHERE vec_id < 10),
+s AS (SELECT q.query_id, c.vec_id AS nbr_id,
+             CAST(SUM(c.code * q.qm) AS BIGINT) AS score
+      FROM codes c JOIN q ON c.pos = q.pos AND c.vec_id <> q.query_id
+      GROUP BY 1, 2),
+r AS (SELECT query_id, nbr_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nbr_id) AS rk
+      FROM s)"""
+
+SQL_EMBEDDING_SQ8_TOPK = f"""
+WITH {_SQ8_CTES}
+SELECT query_id, rk, nbr_id, score FROM r WHERE rk <= 5
+ORDER BY query_id, rk
+"""
+
+SQL_SQ8_RECALL_EVAL = f"""
+WITH {_SQ8_CTES},
+approx AS (SELECT query_id, nbr_id FROM r WHERE rk <= 5),
+md AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         floor(list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) *
+                sqrt(list_dot_product(b.vec, b.vec))) * 1000000.0) / 1000000.0
+           AS cosine
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings WHERE vec_id < 10) a
+  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings) b ON a.vec_id <> b.vec_id),
+exact AS (SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, nbr_id) AS rk
+            FROM md) WHERE rk <= 5),
+ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+nh AS (SELECT e.query_id, count(*) AS n_hit
+       FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+       GROUP BY e.query_id)
+SELECT ne.query_id, ne.n_exact, coalesce(nh.n_hit, 0) AS n_hit,
+       floor(coalesce(nh.n_hit, 0) * 1.0 / ne.n_exact * 1000000.0) / 1000000.0
+         AS recall_at_5
+FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
+ORDER BY ne.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1456,6 +1567,8 @@ LLM_QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_ivf_learned": q_embedding_ivf_learned,
     "semantic_dedup": q_semantic_dedup,
+    "embedding_sq8_topk": q_embedding_sq8_topk,
+    "sq8_recall_eval": q_sq8_recall_eval,
 }
 
 LLM_ORACLES = {
@@ -1492,4 +1605,6 @@ LLM_ORACLES = {
     "embedding_kmeans": SQL_EMBEDDING_KMEANS,
     "embedding_ivf_learned": SQL_EMBEDDING_IVF_LEARNED,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "embedding_sq8_topk": SQL_EMBEDDING_SQ8_TOPK,
+    "sq8_recall_eval": SQL_SQ8_RECALL_EVAL,
 }

@@ -711,3 +711,59 @@ def test_kmeans_empty_and_bad_k_fail_loudly(spark):
     some = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="k must be"):
         kmeans_fit(some, k=0)
+
+
+def test_sq8_codes_range_and_zero_dim(spark):
+    """Codes stay within [-127, 127]; a max-magnitude coordinate maps to
+    ±127 exactly; an identically-zero dimension gets scale 0 and code 0."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import (
+        sq8_codes,
+        sq8_scales,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, -0.5]), (2, [-2.0, 0.0, 0.25]), (3, [0.5, 0.0, 0.125])],
+        "vec_id long, embedding array<float>",
+    )
+    scales = sq8_scales(df)
+    assert scales == [2_000_000, 0, 500_000]
+    rows = {r["vec_id"]: r["codes"] for r in sq8_codes(df, scales).collect()}
+    assert rows[2][0] == -127 and rows[1][2] == -127  # max-|x| dims hit the rail
+    assert all(c[1] == 0 for c in rows.values())  # zero dim -> code 0
+    assert all(-127 <= v <= 127 for c in rows.values() for v in c)
+    # half-magnitude coordinate: floor(1e6*127/2e6) = 63
+    assert rows[1][0] == 63
+
+
+def test_sq8_recall_reasonable(spark, sf_dir):
+    """Compression loses some ranking fidelity but must stay far above
+    chance: mean recall@5 of the int8 index vs exact cosine >= 0.5 at
+    test scale (it is ~1.0 in practice; chance is ~5/N)."""
+    from dataplatform_cdc_pipeline_spark.queries_llm import q_sq8_recall_eval
+
+    rows = q_sq8_recall_eval(spark, sf_dir).collect()
+    assert rows, "no queries evaluated"
+    mean_recall = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert mean_recall >= 0.5, mean_recall
+
+
+def test_sq8_score_is_exact_integer_dot(spark):
+    """The asymmetric score equals the hand-computed integer dot of codes
+    with query micros (no float drift anywhere)."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import (
+        sq8_codes,
+        sq8_scales,
+        sq8_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [0.5, 0.5]), (3, [-0.25, 0.75])],
+        "vec_id long, embedding array<float>",
+    )
+    scales = sq8_scales(df)
+    codes = {r["vec_id"]: r["codes"] for r in sq8_codes(df, scales).collect()}
+    micros = {1: [1_000_000, -1_000_000], 2: [500_000, 500_000], 3: [-250_000, 750_000]}
+    out = sq8_topk(df, df.filter("vec_id = 1"), k=2).collect()
+    for r in out:
+        expect = sum(c * q for c, q in zip(codes[r["nbr_id"]], micros[1]))
+        assert r["score"] == expect
