@@ -1,0 +1,122 @@
+"""Mergeable distinct-count sketches — the KMV (k-minimum-values)
+estimator, a bottom-k theta sketch.
+
+Why not HyperLogLog: Spark's `approx_count_distinct` is an HLL whose
+register layout is engine-private — its estimate can't be verified
+against another engine, and two systems' HLLs don't merge. KMV keeps the
+k SMALLEST distinct hash values of the key; that set is
+
+- **deterministic**: hashes come from the shared 60-bit MD5 primitive
+  (functions/hashing.py), identical in Spark and DuckDB — the sketch AND
+  its estimate are hash-oracle-able, bit for bit;
+- **mergeable**: the union's bottom-k is the bottom-k of the union of
+  per-part bottom-k sets (each global minimum lives in some part's
+  bottom-k), so per-partition/per-group sketches combine by "union, keep
+  k smallest" — the property that makes a sketch usable at 100 TB (build
+  per partition, merge tiny states up a tree; same algebra as
+  DataSketches' theta sketch);
+- **tiny**: k int64s per group, independent of data size.
+
+Estimator (Bar-Yossef et al. 2002; Beyer et al. "Distinct-value
+estimation" SIGMOD'07): with U = kth smallest hash / 2^60 an estimate of
+the k-th order statistic of n uniform draws, n̂ = (k-1)/U. When fewer
+than k distinct hashes exist the sketch IS the distinct set and the
+count is exact. Relative std error ≈ 1/sqrt(k-2) (~18% at k=32) —
+bounded by a differential test, and exact twins ride along in the query
+output so the error is visible, not asserted.
+
+Scale shape: distinct-by-(group, hash) is one map-side-combining
+shuffle; the per-group bottom-k window runs with a WindowGroupLimit
+partial top-k BEFORE its exchange (same plan shape as dedup-latest), so
+only ≤ k rows per group per partition shuffle. The merged-total row
+re-ranks the ≤ k·|groups| retained hashes — driver-free throughout.
+
+Reference parity: the reference has no sketch surface (its audit counts
+are exact COUNTs) — beyond-reference operator for corpus analytics where
+exact DISTINCT over 100 TB is its own shuffle-heavy job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+
+#: 16^15 — the size of the 60-bit MD5 hash space (functions/hashing.py).
+HASH_SPACE = 1 << 60
+
+
+def _estimate(n_sketch: Column, kth: Column, k: int) -> Column:
+    """(k-1)/U scaled to the integer hash space; exact when the sketch
+    holds every distinct hash. The bigint→double casts and the one
+    division are identical IEEE ops in Spark and DuckDB, so the floor is
+    engine-stable (result magnitude ~n̂, error ~1e-13 absolute)."""
+    return (
+        F.when(n_sketch < F.lit(k), n_sketch.cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / kth.cast("double")
+            ).cast("long")
+        )
+        .alias("est_distinct")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group KMV sketch rows: (…group_cols, hv, rk) — the k smallest
+    distinct 60-bit hashes of ``key_col``, ranked ascending.
+
+    This is the sketch STATE (what a sink would persist / a coordinator
+    would merge); :func:`kmv_estimate` folds it to counts.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2 (estimator divides by k-1), got {k}")
+    from pyspark.sql import Window
+
+    groups = group_cols or []
+    hashed = df.select(
+        *groups, md5_long(F.col(key_col).cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy(*groups).orderBy(F.col("hv").asc())
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*groups, "hv", "rk")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str] | None, k: int = 32) -> DataFrame:
+    """Fold sketch rows to (…group_cols, n_sketch, kth_hash, est_distinct)."""
+    groups = group_cols or []
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("hv").alias("kth_hash")
+    )
+    return agg.select(
+        *groups,
+        "n_sketch",
+        "kth_hash",
+        _estimate(F.col("n_sketch"), F.col("kth_hash"), k),
+    )
+
+
+def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int = 32) -> DataFrame:
+    """Merge per-group sketches into ONE sketch over the union of their
+    inputs: distinct retained hashes, re-ranked, bottom k. Exactly the
+    sketch :func:`kmv_sketch` would build over the concatenated data when
+    the groups partition it (each global bottom-k hash is in its own
+    group's bottom-k)."""
+    from pyspark.sql import Window
+
+    merged = sketch.select("hv").distinct()
+    w = Window.orderBy(F.col("hv").asc())
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("hv", "rk")
+    )

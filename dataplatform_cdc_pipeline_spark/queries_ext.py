@@ -611,6 +611,63 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py): distinct users
+    per event_type estimated from the 32 smallest MD5 hashes, plus a
+    merged '__ALL__' row proving the sketches union correctly — with the
+    exact COUNT(DISTINCT) twin riding along so the estimator's error is
+    visible in the output. Deterministic hashes make even the approximate
+    path hash-oracle-able."""
+    from dataplatform_cdc_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 32
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", ["event_type"], k)
+    per = kmv_estimate(sk, ["event_type"], k).join(
+        ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct")),
+        "event_type",
+    )
+    merged = kmv_estimate(kmv_merge(sk, ["event_type"], k), None, k).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return per.unionByName(merged.select(F.lit("__ALL__").alias("event_type"), "*"))
+
+
+_KMV_EST = (
+    "CASE WHEN {n} < 32 THEN {n} "
+    "ELSE CAST(floor(31.0 * 1152921504606846976.0 / CAST({kth} AS DOUBLE)) AS BIGINT) END"
+)
+
+SQL_EVENTS_DISTINCT_SKETCH = f"""
+WITH h AS (SELECT DISTINCT event_type,
+                  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+           FROM events),
+rk AS (SELECT event_type, hv,
+              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk FROM h),
+sk AS (SELECT event_type, hv FROM rk WHERE rk <= 32),
+per AS (SELECT event_type, count(*) AS n_sketch, max(hv) AS kth_hash
+        FROM sk GROUP BY event_type),
+exact AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type),
+mrk AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+        FROM (SELECT DISTINCT hv FROM sk)),
+mall AS (SELECT count(*) AS n_sketch, max(hv) AS kth_hash FROM mrk WHERE rk <= 32)
+SELECT p.event_type, p.n_sketch, p.kth_hash,
+       {_KMV_EST.format(n='p.n_sketch', kth='p.kth_hash')} AS est_distinct,
+       e.exact_distinct
+FROM per p JOIN exact e USING (event_type)
+UNION ALL
+SELECT '__ALL__', m.n_sketch, m.kth_hash,
+       {_KMV_EST.format(n='m.n_sketch', kth='m.kth_hash')} AS est_distinct,
+       (SELECT count(DISTINCT user_id) FROM events)
+FROM mall m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -634,6 +691,7 @@ EXT_QUERIES = {
     "stream_merge_state": q_stream_merge_state,
     "stream_ivm_totals": q_stream_ivm_totals,
     "stream_user_totals": q_stream_user_totals,
+    "events_distinct_sketch": q_events_distinct_sketch,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -662,6 +720,7 @@ EXT_ORACLES = {
     "stream_click_attribution": SQL_STREAM_CLICK_ATTRIBUTION,
     "stream_dedup_events": SQL_STREAM_DEDUP_EVENTS,
     "stream_user_totals": SQL_STREAM_USER_TOTALS,
+    "events_distinct_sketch": SQL_EVENTS_DISTINCT_SKETCH,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

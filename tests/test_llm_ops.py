@@ -767,3 +767,58 @@ def test_sq8_score_is_exact_integer_dot(spark):
     for r in out:
         expect = sum(c * q for c, q in zip(codes[r["nbr_id"]], micros[1]))
         assert r["score"] == expect
+
+
+def test_kmv_merge_equals_global_sketch(spark):
+    """Mergeability: unioning per-group bottom-k sketches and re-taking
+    the bottom k yields EXACTLY the sketch built over the whole data —
+    the algebra that lets 100 TB build per-partition and merge up."""
+    from dataplatform_cdc_pipeline_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS key", "CAST(id % 7 AS STRING) AS grp"
+    )
+    k = 16
+    per_group = kmv_sketch(df, "key", ["grp"], k)
+    merged = {(r["hv"], r["rk"]) for r in kmv_merge(per_group, ["grp"], k).collect()}
+    direct = {(r["hv"], r["rk"]) for r in kmv_sketch(df, "key", None, k).collect()}
+    assert merged == direct and len(direct) == k
+
+
+def test_kmv_estimate_error_bound_and_exact_path(spark):
+    """At 5000 distinct keys / k=64 the estimate lands within 3 standard
+    errors (3/sqrt(k-2) ~ 38%); under k distinct keys the count is exact."""
+    from dataplatform_cdc_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    big = spark.range(0, 5000).selectExpr("id AS key")
+    k = 64
+    est = kmv_estimate(kmv_sketch(big, "key", None, k), None, k).collect()[0]
+    assert est["n_sketch"] == k
+    assert abs(est["est_distinct"] - 5000) / 5000 < 0.38, est["est_distinct"]
+
+    small = spark.range(0, 10).selectExpr("id AS key")
+    est2 = kmv_estimate(kmv_sketch(small, "key", None, k), None, k).collect()[0]
+    assert est2["n_sketch"] == 10 and est2["est_distinct"] == 10
+
+
+def test_kmv_duplicates_do_not_bias(spark):
+    """Duplicate keys collapse before ranking: the sketch of a key set is
+    identical no matter how many times each key repeats."""
+    from dataplatform_cdc_pipeline_spark.operators.sketches import kmv_sketch
+
+    import pyspark.sql.functions as F
+
+    base = spark.range(0, 200).selectExpr("id AS key")
+    dup = base.crossJoin(spark.range(0, 5)).select("key")
+    k = 16
+    a = {(r["hv"], r["rk"]) for r in kmv_sketch(base, "key", None, k).collect()}
+    b = {(r["hv"], r["rk"]) for r in kmv_sketch(dup, "key", None, k).collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_sketch(base, "key", None, 1)
