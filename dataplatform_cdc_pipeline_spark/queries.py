@@ -1160,6 +1160,58 @@ ORDER BY o_custkey, rk
 """
 
 
+def q_cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium NESTED envelope → bronze unwrap → W1 dedup-latest: the
+    raw-topic ingestion path (sources/debezium.py). Discriminating bits
+    vs cdc_dedup_latest: deletes read their row image from ``before``,
+    op 'r' (snapshot) maps to 'c', and event time is ms-granular
+    (``ts_ms``·1e6 → __ts_ns), so sub-ms orderings must re-resolve via
+    the pos tiebreak — all pinned by the oracle."""
+    from dataplatform_cdc_pipeline_spark.sources.debezium import (
+        normalize_debezium,
+        synthesize_debezium_from_events,
+    )
+
+    wire = synthesize_debezium_from_events(load_table(spark, sf_dir, "events"))
+    raw = normalize_debezium(wire)
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, None, None)
+    keyed = w.select(
+        F.col("__op"),
+        F.col("__pk_raw_0").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        F.col("__event_ts").alias("source_ts_ns_order"),
+        F.col("__pos").alias("pos"),
+    )
+    out = latest_per_key(keyed, ["user_id"])
+    return out.select(
+        "user_id",
+        F.col("__op").alias("op"),
+        "event_type",
+        "value",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+# event time truncates to Debezium's ms granularity; sub-ms orderings
+# re-resolve on the pos (source position) tiebreak
+SQL_CDC_DEBEZIUM_INGEST = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         (epoch_us(ts::TIMESTAMP) // 1000) * 1000 AS event_ts_us,
+         event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) // 1000 DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, op, event_type, value, event_ts_us, pos
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1185,6 +1237,7 @@ QUERIES: dict[str, callable] = {
     "cdc_ivm_sum": q_cdc_ivm_sum,
     "cdc_schema_drift": q_cdc_schema_drift,
     "cdc_job_log": q_cdc_job_log,
+    "cdc_debezium_ingest": q_cdc_debezium_ingest,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1211,6 +1264,7 @@ ORACLES: dict[str, str] = {
     "cdc_ivm_sum": SQL_CDC_IVM_SUM,
     "cdc_schema_drift": SQL_CDC_SCHEMA_DRIFT,
     "cdc_job_log": SQL_CDC_JOB_LOG,
+    "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,

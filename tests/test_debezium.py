@@ -1,0 +1,102 @@
+"""Debezium envelope adapter (sources/debezium.py): unwrap semantics the
+oracle can't isolate — before-image deletes, snapshot ops, unknown ops,
+envelope-key collisions, ms-granularity tie resolution."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.plans.merge_plan import window_scan
+from dataplatform_cdc_pipeline_spark.sources.cdc import user_state_config
+from dataplatform_cdc_pipeline_spark.sources.debezium import normalize_debezium
+
+
+def _wire(spark, rows):
+    return spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+
+
+def _env(op, ts_ms, pos, before=None, after=None):
+    return {
+        "before": before,
+        "after": after,
+        "op": op,
+        "ts_ms": ts_ms,
+        "source": {"db": "demo", "table": "t", "pos": pos},
+    }
+
+
+def test_delete_reads_before_image_and_r_maps_to_c(spark):
+    raw = normalize_debezium(
+        _wire(
+            spark,
+            [
+                _env("r", 1000, 1, after={"user_id": 1, "event_type": "snap"}),
+                _env("d", 2000, 2, before={"user_id": 2, "event_type": "gone"}),
+            ],
+        )
+    )
+    rows = {
+        r["op"]: r
+        for r in raw.select(
+            F.get_json_object("data", "$.__op").alias("op"),
+            F.get_json_object("data", "$.event_type").alias("event_type"),
+            F.get_json_object("data", "$.__ts_ns").alias("ts_ns"),
+            "message_id",
+            "source_db_table",
+        ).collect()
+    }
+    assert rows["c"]["event_type"] == "snap"  # r -> c
+    assert rows["d"]["event_type"] == "gone"  # delete unwraps before
+    assert rows["c"]["ts_ns"] == "1000000000"  # ms * 1e6
+    assert rows["d"]["message_id"] == "dbz-2"
+    assert rows["c"]["source_db_table"] == "demo.t"
+
+
+def test_unknown_op_dropped_by_f1_gate(spark):
+    raw = normalize_debezium(
+        _wire(
+            spark,
+            [
+                _env("u", 1000, 1, after={"user_id": 1}),
+                _env("x", 1000, 2, after={"user_id": 2}),  # not a CDC op
+            ],
+        )
+    )
+    w = window_scan(raw, user_state_config(), None, None)
+    assert [r["__pos"] for r in w.collect()] == [1]
+
+
+def test_envelope_key_collision_fails_loudly(spark):
+    raw = normalize_debezium(
+        _wire(spark, [_env("u", 1000, 1, after={"user_id": 1, "__op": "evil"})])
+    )
+    with pytest.raises(Exception, match="DUPLICATED_MAP_KEY|duplicate"):
+        raw.collect()
+
+
+def test_ms_truncation_falls_to_pos_tiebreak(spark):
+    """Two versions of one key 400µs apart collapse to the same ms — the
+    higher source pos must win (merge.sql:319 truncation rule), even
+    though their original micro-order says otherwise."""
+    from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
+
+    raw = normalize_debezium(
+        _wire(
+            spark,
+            [
+                _env("u", 5000, 11, after={"user_id": 7, "event_type": "late-pos"}),
+                _env("u", 5000, 10, after={"user_id": 7, "event_type": "early-pos"}),
+            ],
+        )
+    )
+    w = window_scan(raw, user_state_config(), None, None)
+    keyed = w.select(
+        "__op",
+        F.col("__pk_raw_0").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.col("__event_ts").alias("source_ts_ns_order"),
+        F.col("__pos").alias("pos"),
+    )
+    out = latest_per_key(keyed, ["user_id"]).collect()
+    assert len(out) == 1 and out[0]["event_type"] == "late-pos"
