@@ -502,6 +502,76 @@ def chunk_documents(
     )
 
 
+def bigram_logprob_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated-bigram perplexity proxy — one model class up from
+    :func:`unigram_logprob_frame` (the KenLM ladder: unigram → n-gram):
+
+        p(v|u) = λ·(c(uv)+1)/(c(u)+V) + (1−λ)·(c(v)+1)/(T+V)
+        score(d) = mean over adjacent pairs of −ln p(v|u)
+
+    add-one smoothing on both terms; docs with < 2 tokens have no bigram
+    positions and drop out (callers union the unigram score for those).
+
+    Scale shape: ONE posexplode; adjacent pairs come from lag() over
+    (doc, pos) — per-doc window work, no self-join; bigram counts are a
+    (u,v)-keyed agg joined back by key (map-side combined); unigram
+    counts join twice (u and v sides) — Spark broadcasts when small;
+    totals ride a broadcast 1-row frame. Per-pair −ln p goes through
+    DECIMAL(28,12) so per-doc sums are exact and partition-order-
+    independent (same exactness discipline as the unigram scorer).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens_expr(text_col)).alias("__pos", "__v")
+    )
+    pairs = (
+        toks.withColumn(
+            "__u", F.lag("__v").over(Window.partitionBy(id_col).orderBy("__pos"))
+        )
+        .filter(F.col("__u").isNotNull())
+        .select(id_col, "__u", "__v")
+    )
+    uni = toks.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    # NB: Spark resolves case-insensitively — totals columns must not
+    # differ from the token columns by case alone
+    totals = uni.agg(F.sum("__c").alias("__tot_t"), F.count(F.lit(1)).alias("__tot_v"))
+    bi = pairs.groupBy("__u", "__v").agg(F.count(F.lit(1)).alias("__cuv"))
+    scored = (
+        pairs.join(bi, ["__u", "__v"])
+        .join(uni.select(F.col("__v").alias("__u"), F.col("__c").alias("__cu")), "__u")
+        .join(uni.select("__v", F.col("__c").alias("__cv")), "__v")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_bi = (F.col("__cuv") + F.lit(1)).cast("double") / (
+        F.col("__cu") + F.col("__tot_v")
+    ).cast("double")
+    p_uni = (F.col("__cv") + F.lit(1)).cast("double") / (
+        F.col("__tot_t") + F.col("__tot_v")
+    ).cast("double")
+    # (1-λ) is computed IN-ENGINE ((1.0 - 0.7) = 0.30000000000000004, not
+    # the literal 0.3) so an oracle writing `1.0 - 0.7` lands on the same
+    # double
+    neg_lp = -F.log(F.lit(lam) * p_bi + (F.lit(1.0) - F.lit(lam)) * p_uni)
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(neg_lp.cast("decimal(28,12)")).alias("__s"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        (
+            F.floor(F.col("__s").cast("double") / F.col("n_bigrams") * F.lit(1_000_000.0))
+            / F.lit(1_000_000.0)
+        ).alias("avg_neg_logprob"),
+    )
+
+
 def unigram_logprob_frame(
     df: DataFrame,
     text_col: str = "text",

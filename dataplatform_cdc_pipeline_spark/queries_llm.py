@@ -462,6 +462,47 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One model class up the KenLM ladder: per-doc mean −ln p(v|u) under
+    the corpus's interpolated add-one bigram model
+    (operators/text_analysis.bigram_logprob_frame, λ=0.7). Catches
+    shuffled/unnatural word ORDER that the unigram scorer is blind to."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+        bigram_logprob_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_frame(docs)
+
+
+SQL_BIGRAM_PERPLEXITY = f"""
+WITH t AS (SELECT doc_id, unnest({TOKS}) AS v,
+                  generate_subscripts({TOKS}, 1) AS pos FROM documents),
+pairs AS (
+  SELECT doc_id, u, v FROM (
+    SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS u
+    FROM t) WHERE u IS NOT NULL),
+uni AS (SELECT v, count(*) AS c FROM t GROUP BY v),
+totals AS (SELECT sum(c) AS T, count(*) AS V FROM uni),
+bi AS (SELECT u, v, count(*) AS cuv FROM pairs GROUP BY u, v),
+scored AS (
+  SELECT p.doc_id,
+         CAST(-ln(0.7 * ((bi.cuv + 1) * 1.0 / (cu.c + totals.V))
+                  + (1.0 - 0.7) * ((cv.c + 1) * 1.0 / (totals.T + totals.V)))
+              AS DECIMAL(28,12)) AS nlp
+  FROM pairs p
+  JOIN bi ON p.u = bi.u AND p.v = bi.v
+  JOIN uni cu ON p.u = cu.v
+  JOIN uni cv ON p.v = cv.v, totals),
+per_doc AS (
+  SELECT doc_id, sum(nlp) AS s, count(*) AS n_bigrams FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       floor(s::DOUBLE / n_bigrams * 1000000.0) / 1000000.0 AS avg_neg_logprob
+FROM per_doc ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1569,6 +1610,7 @@ LLM_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "embedding_sq8_topk": q_embedding_sq8_topk,
     "sq8_recall_eval": q_sq8_recall_eval,
+    "bigram_perplexity": q_bigram_perplexity,
 }
 
 LLM_ORACLES = {
@@ -1607,4 +1649,5 @@ LLM_ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "embedding_sq8_topk": SQL_EMBEDDING_SQ8_TOPK,
     "sq8_recall_eval": SQL_SQ8_RECALL_EVAL,
+    "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
 }

@@ -822,3 +822,29 @@ def test_kmv_duplicates_do_not_bias(spark):
 
     with _pytest.raises(ValueError, match="k must be >= 2"):
         kmv_sketch(base, "key", None, 1)
+
+
+def test_bigram_logprob_properties(spark):
+    """Model sanity on a controlled corpus: (1) docs with < 2 tokens drop
+    out; (2) a doc made of the corpus's dominant bigram scores LOWER
+    (more probable) than one pairing the same tokens in never-seen order;
+    (3) n_bigrams = n_tokens - 1."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+        bigram_logprob_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat sat the cat sat"),
+            (2, "sat the cat cat the sat"),
+            (3, "cat"),
+            (4, "the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob_frame(docs).collect()}
+    assert 3 not in rows  # single token -> no bigram positions
+    assert rows[4]["n_bigrams"] == 2
+    assert rows[1]["n_bigrams"] == 8
+    # natural order beats shuffled order under the learned model
+    assert rows[4]["avg_neg_logprob"] < rows[2]["avg_neg_logprob"]
