@@ -373,7 +373,11 @@ class ParquetMergeTarget(MergeTarget):
         return None
 
     def _commit(
-        self, merged: DataFrame, affected: list[int], expected_version: int | None = None
+        self,
+        merged: DataFrame,
+        affected: list[int],
+        expected_version: int | None = None,
+        sort_exprs: list | None = None,
     ) -> None:
         """Write affected buckets to staging, then swap directories.
 
@@ -398,7 +402,13 @@ class ParquetMergeTarget(MergeTarget):
         # #buckets small files — measured 40% slower merges at local[32])
         merged = merged.repartition(max(len(affected), 1), F.col(BUCKET_COL))
         part_cols = [BUCKET_COL] + ([PDATE_COL] if self.cfg.partition_field else [])
-        if self.cfg.clustering_fields:
+        if sort_exprs is not None:
+            # maintenance override (compact(zorder_by=...)): sort by the
+            # provided expressions (e.g. a Morton key) instead of the
+            # linear clustering order; expressions are ordering artifacts,
+            # never written as columns
+            merged = merged.sortWithinPartitions(*part_cols, *sort_exprs)
+        elif self.cfg.clustering_fields:
             # bq_clustering_field analogue: rows sorted by the clustering
             # columns inside each (bucket[, date]) file → narrow parquet
             # row-group min/max stats → scans filtered on these columns
@@ -440,12 +450,20 @@ class ParquetMergeTarget(MergeTarget):
 
     # -- maintenance ---------------------------------------------------------
 
-    def compact(self) -> int:
+    def compact(
+        self, zorder_by: tuple[str, ...] | None = None, zorder_bits: int | None = None
+    ) -> int:
         """OPTIMIZE-style maintenance: rewrite the whole target through the
         normal staged-commit path, which lays out ONE file per
         (bucket[, date]) partition (``_commit`` runs one task per bucket)
         and re-applies the clustering sort (a compact is also a re-cluster,
         as in BigQuery).
+
+        ``zorder_by``: numeric target columns to MULTI-DIMENSIONALLY
+        cluster instead of the linear ``clustering_fields`` order —
+        ``OPTIMIZE ... ZORDER BY`` (operators/zorder.py): rows sort by a
+        Morton interleave of per-column quantile bins, so filtered scans
+        on ANY listed column (not just the leading one) skip row groups.
 
         Its main production job is RE-BUCKETING: bucket count scales with
         table size (pick N so a bucket ≈ 1-4 GB), so a growing table
@@ -482,7 +500,22 @@ class ParquetMergeTarget(MergeTarget):
         # localCheckpoint BEFORE the swap: the rewrite reads the very
         # directories the commit replaces (eager materialization, not
         # persist — invariant 11)
-        self._commit(merged.localCheckpoint(eager=True), all_buckets, expected_version=v0)
+        merged = merged.localCheckpoint(eager=True)
+        sort_exprs = None
+        if zorder_by:
+            from dataplatform_cdc_pipeline_spark.operators.zorder import (
+                DEFAULT_BITS,
+                zorder_sort_exprs,
+            )
+
+            names = {f.name for f in self.schema.fields}
+            bad = [c for c in zorder_by if c not in names]
+            if bad:
+                raise ValueError(f"zorder_by {bad} are not target columns")
+            sort_exprs = zorder_sort_exprs(
+                merged, list(zorder_by), zorder_bits or DEFAULT_BITS
+            )
+        self._commit(merged, all_buckets, expected_version=v0, sort_exprs=sort_exprs)
         return n
 
     def vacuum(self) -> list[str]:

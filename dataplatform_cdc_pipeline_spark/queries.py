@@ -786,6 +786,54 @@ FROM ranked WHERE rn = 1 AND op != 'd' AND user_id <= 30 ORDER BY user_id
 """
 
 
+def q_cdc_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER lifecycle: full merge → ``compact(zorder_by=
+    ('k','value'))`` (Morton-interleaved quantile bins, operators/
+    zorder.py) → box-filtered read on BOTH clustered columns. The oracle
+    is the final state under the same box — a maintenance rewrite that
+    lost, duplicated, or reordered-into-wrong-bucket rows diverges the
+    hash. The layout benefit itself (row-group skipping on either
+    column) is pinned by tests/test_zorder.py's measured-overlap test."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_zorder_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(spark, cfg, target, audit, raw=raw, window=(None, None), deterministic_audit=True)
+    target.compact(zorder_by=("k", "value"))
+    return (
+        target.read()
+        .filter((F.col("k") <= 80) & (F.col("value") >= 10.0))
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            "k",
+            F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+            "pos",
+        )
+    )
+
+
+SQL_CDC_ZORDER_READ = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked WHERE rn = 1 AND op != 'd' AND k <= 80 AND value >= 10.0
+ORDER BY user_id
+"""
+
+
 def q_cdc_date_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout parity for ``bq_partition_field`` (config-file_5.sql:12): the
     target is laid out bucket × DATE(partition_field), and a date-ranged
@@ -1238,6 +1286,7 @@ QUERIES: dict[str, callable] = {
     "cdc_schema_drift": q_cdc_schema_drift,
     "cdc_job_log": q_cdc_job_log,
     "cdc_debezium_ingest": q_cdc_debezium_ingest,
+    "cdc_zorder_read": q_cdc_zorder_read,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1265,6 +1314,7 @@ ORACLES: dict[str, str] = {
     "cdc_schema_drift": SQL_CDC_SCHEMA_DRIFT,
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,
+    "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
