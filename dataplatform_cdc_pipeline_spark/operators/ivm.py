@@ -195,6 +195,158 @@ def view_delta_for_merge(
     ).localCheckpoint(eager=True)
 
 
+def minmax_view_delta_for_merge(
+    target,
+    changes: DataFrame,
+    view: DataFrame | None,
+    group_col: str,
+    val_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """MIN/MAX view maintenance — the NON-invertible aggregates, via
+    endangered-group bounded recompute.
+
+    MIN/MAX have no subtraction: removing the row that HOLDS a group's
+    extreme forces a look at the group's surviving rows. The standard IVM
+    answer (same as SQL Server's indexed-view restriction and Materialize's
+    ReduceMinMax plan) splits groups into:
+
+    - **safe**: no removed contribution ties the current extreme — the new
+      extreme is ``least(old_min, min(added))`` / ``greatest(old_max,
+      max(added))``, pure arithmetic on the (≤|G|)-row frames;
+    - **endangered**: some removed row's value equals the group's current
+      extreme (or the group is being emptied) — ONLY these groups rescan
+      their surviving rows: target filtered to the endangered groups,
+      changed keys anti-joined out (null-safe, the merge's own match
+      condition), resolved new rows unioned in.
+
+    The rescan is the inherent price of non-invertibility, and it is
+    bounded by the touched groups, not the table; at scale it leans on a
+    group-clustered layout (``clustering_fields``/``compact(zorder_by=…)``)
+    so the group filter skips row groups. All terms are computed pre-merge
+    (replay-safe for the same reason as the abelian path: after the merge
+    has applied ``changes``, removed and added contributions coincide and
+    every group is either untouched or recomputes to its current state).
+
+    View schema: (group, n, min_v, max_v); NULL values ignore into the
+    extremes as in plain MIN/MAX (a group of all-NULL values carries NULL
+    extremes but a live count).
+    """
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import resolve_changes
+
+    data_cols = [f.name for f in target.schema.fields]
+    for c in (group_col, val_col):
+        if c not in data_cols:
+            raise ValueError(f"'{c}' is not a target column")
+    val = F.col(val_col)
+    if view is None:
+        view = target.read().groupBy(group_col).agg(
+            F.count(F.lit(1)).alias(count_col),
+            F.min(val).alias("min_v"),
+            F.max(val).alias("max_v"),
+        )
+    # old/new feed several downstream branches (extremes, endangered
+    # analysis, rescan union); eager-checkpoint them once so the change
+    # lineage and the pruned read don't re-execute per branch — and, as
+    # everywhere in this module, so every term is materialized BEFORE the
+    # merge mutates the directories the reads lazily reference
+    old = _changed_key_rows(target, changes).localCheckpoint(eager=True)
+    new = resolve_changes(old, changes, target.cfg, data_cols).localCheckpoint(eager=True)
+
+    def ext(rows, prefix):
+        return rows.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias(f"{prefix}_n"),
+            F.min(val).alias(f"{prefix}_min"),
+            F.max(val).alias(f"{prefix}_max"),
+        )
+
+    rem, add = ext(old, "r"), ext(new, "a")
+    merged = (
+        view.alias("v")
+        .join(rem, group_col, "full_outer")
+        .join(add, group_col, "full_outer")
+        .select(
+            group_col,
+            (
+                F.coalesce(F.col(count_col), F.lit(0))
+                - F.coalesce("r_n", F.lit(0))
+                + F.coalesce("a_n", F.lit(0))
+            ).alias(count_col),
+            F.col("min_v"),
+            F.col("max_v"),
+            "r_min",
+            "r_max",
+            "a_min",
+            "a_max",
+            # endangered: a removed value ties the current extreme, or the
+            # group was not in the view at all while carrying removals
+            # (inconsistent bootstrap — recompute is the safe answer)
+            (
+                F.col("r_n").isNotNull()
+                & (
+                    F.col("min_v").isNull()
+                    | F.col("r_min").eqNullSafe(F.col("min_v"))
+                    | F.col("r_max").eqNullSafe(F.col("max_v"))
+                )
+            ).alias("__endangered"),
+        )
+    ).localCheckpoint(eager=True)  # ≤ one row per touched group; feeds 3 branches
+    safe = merged.filter(~F.coalesce("__endangered", F.lit(False))).select(
+        group_col,
+        count_col,
+        F.least("min_v", "a_min").alias("min_v"),
+        F.greatest("max_v", "a_max").alias("max_v"),
+    )
+    endangered = merged.filter(F.coalesce("__endangered", F.lit(False))).select(
+        group_col, count_col
+    )
+    pk = list(target.cfg.pk)
+    keys = changes.select(*pk).distinct()
+    t, k = target.read().alias("t"), keys.alias("k")
+    cond = None
+    for c in pk:
+        eq = t[c].eqNullSafe(k[c])
+        cond = eq if cond is None else (cond & eq)
+    surviving = (
+        t.join(F.broadcast(endangered.select(group_col)), group_col, "left_semi")
+        .join(k, cond, "left_anti")
+        .select(group_col, val.alias("__v"))
+    )
+    contrib = surviving.unionByName(
+        new.join(F.broadcast(endangered.select(group_col)), group_col, "left_semi").select(
+            group_col, val.alias("__v")
+        )
+    )
+    rec = contrib.groupBy(group_col).agg(
+        F.min("__v").alias("min_v"), F.max("__v").alias("max_v")
+    )
+    recomputed = endangered.join(rec, group_col, "left").select(
+        group_col, count_col, "min_v", "max_v"
+    )
+    return (
+        safe.unionByName(recomputed)
+        .filter(F.col(count_col) != 0)
+        .localCheckpoint(eager=True)
+    )
+
+
+def maintain_minmax_through_merge(
+    target,
+    changes: DataFrame,
+    view: DataFrame | None,
+    group_col: str,
+    val_col: str,
+    count_col: str = "n",
+) -> tuple[DataFrame, dict]:
+    """Run ``target.merge(changes)`` while maintaining a per-group
+    (count, min, max) view via :func:`minmax_view_delta_for_merge`."""
+    new_view = minmax_view_delta_for_merge(
+        target, changes, view, group_col, val_col, count_col
+    )
+    stats = target.merge(changes)
+    return new_view, stats
+
+
 def maintain_counts_through_merge(
     target,
     changes: DataFrame,

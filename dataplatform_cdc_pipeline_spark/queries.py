@@ -979,6 +979,59 @@ FROM final GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_cdc_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for the NON-invertible aggregates: a per-event_type
+    (count, min value, max value) view maintained through a two-phase
+    merge lifecycle via endangered-group bounded recompute
+    (operators/ivm.minmax_view_delta_for_merge) — groups whose removed
+    rows tie the current extreme rescan their surviving rows; every other
+    group updates with pure (≤|G|-row) arithmetic. Phase-2 deletes and
+    cross-group updates remove standing extremes, so both paths execute.
+    The oracle aggregates the fresh final state — any drift in the
+    endangered-set analysis or the rescan hash-fails."""
+    from dataplatform_cdc_pipeline_spark.operators.ivm import (
+        maintain_minmax_through_merge,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+
+    raw = cdc_feed(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc_ivm_mm_q_")
+    split = datetime.datetime(2024, 1, 15)
+    cfg = user_state_config()
+    view = None
+    for lo, hi in ((None, split), (split, None)):
+        target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+        w = window_scan(raw, cfg, lo, hi)
+        changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+        view, _ = maintain_minmax_through_merge(
+            target, changes, view, "event_type", "value"
+        )
+    return view.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("min_v").alias("min_value"),
+        F.col("max_v").alias("max_value"),
+    )
+
+
+# two sequential default-mode merges split on ts == one global
+# dedup-latest (phase-2 events of a key always postdate its phase-1
+# events), so the fresh recomputation is the plain final-state aggregate
+SQL_CDC_IVM_MINMAX = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+), final AS (
+  SELECT event_type, value FROM ranked WHERE rn = 1 AND op != 'd'
+)
+SELECT event_type, count(*) AS n_users,
+       min(value) AS min_value, max(value) AS max_value
+FROM final GROUP BY event_type ORDER BY event_type
+"""
+
+
 _DRIFT_SPLIT = "2024-01-15 00:00:00"
 
 
@@ -1283,6 +1336,7 @@ QUERIES: dict[str, callable] = {
     "cdc_date_partitioned_read": q_cdc_date_partitioned_read,
     "cdc_ivm_type_counts": q_cdc_ivm_type_counts,
     "cdc_ivm_sum": q_cdc_ivm_sum,
+    "cdc_ivm_minmax": q_cdc_ivm_minmax,
     "cdc_schema_drift": q_cdc_schema_drift,
     "cdc_job_log": q_cdc_job_log,
     "cdc_debezium_ingest": q_cdc_debezium_ingest,
@@ -1311,6 +1365,7 @@ ORACLES: dict[str, str] = {
     "cdc_date_partitioned_read": SQL_CDC_DATE_PARTITIONED_READ,
     "cdc_ivm_type_counts": SQL_CDC_IVM_TYPE_COUNTS,
     "cdc_ivm_sum": SQL_CDC_IVM_SUM,
+    "cdc_ivm_minmax": SQL_CDC_IVM_MINMAX,
     "cdc_schema_drift": SQL_CDC_SCHEMA_DRIFT,
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,

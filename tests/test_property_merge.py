@@ -150,3 +150,73 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_sess(spark):
     return spark
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(scenario_st, min_size=1, max_size=6),
+    st.booleans(),  # update_only_op_u
+    st.booleans(),  # strict_ts_guard
+)
+def test_ivm_minmax_matches_fresh_recompute(spark_sess, scenarios, op_u, guard):
+    """Differential property for the NON-invertible IVM path: a
+    (count, min, max) view maintained via endangered-group bounded
+    recompute through two windowed merges — under random gate flags —
+    always equals a fresh GROUP BY of the final target. Hypothesis's job
+    here is to find removals that tie extremes, groups that empty, keys
+    that hop groups, and gate-blocked changes."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.ivm import (
+        maintain_minmax_through_merge,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import build_changes, window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA
+
+    rows = []
+    for si, events in enumerate(scenarios):
+        for pos, (op, key, ts, value) in enumerate(events):
+            gpos = si * 100 + pos
+            payload = json.dumps(
+                {
+                    "__op": op,
+                    "__ts_ns": str(BASE_NS + ts * 1000),
+                    "__source_pos": str(gpos),
+                    "user_id": si * 1000 + key,
+                    "event_type": "a" if key % 2 == 0 else "b",
+                    "value": round(float(value), 3),
+                    "k": 1,
+                }
+            )
+            rows.append(
+                (payload, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=gpos))
+            )
+
+    raw = spark_sess.createDataFrame(rows, "data string, load_ts timestamp")
+    cfg, target, audit = pipeline(
+        spark_sess, update_only_op_u=op_u, strict_ts_guard=guard
+    )
+    split = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=250)
+    view = None
+    for lo, hi in ((None, split), (split, None)):
+        w = window_scan(raw, cfg, lo, hi)
+        changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+        view, _ = maintain_minmax_through_merge(
+            target, changes, view, "event_type", "value"
+        )
+
+    maintained = {
+        r["event_type"]: (r["n"], r["min_v"], r["max_v"]) for r in view.collect()
+    }
+    fresh = {
+        r["event_type"]: (r["n"], r["min_v"], r["max_v"])
+        for r in target.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .collect()
+    }
+    assert maintained == fresh

@@ -632,3 +632,68 @@ def test_ivm_bootstrap_schema_derives_from_target(spark):
     view, _ = maintain_view_through_merge(target, changes, None, "k")
     assert dict(view.dtypes)["k"] == "int"  # IntegerType from the target schema
     assert [r["n"] for r in view.collect()] == [1]
+
+
+def test_ivm_minmax_endangered_and_safe_paths(spark):
+    """Directed MIN/MAX IVM semantics: (1) a safe insert extends the max
+    arithmetically; (2) deleting the max HOLDER (endangered) surfaces the
+    next-best surviving value; (3) updating the min holder upward re-derives
+    the min from survivors; (4) emptying a group drops its row."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.ivm import (
+        maintain_minmax_through_merge,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import build_changes, window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA
+
+    cfg, target, audit = pipeline(spark)
+
+    def batch(rows):
+        w = window_scan(bronze(spark, rows), cfg, None, None)
+        return build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+
+    def mm(view):
+        return {r["event_type"]: (r["n"], r["min_v"], r["max_v"]) for r in view.collect()}
+
+    def fresh():
+        return {
+            r["event_type"]: (r["n"], r["min_v"], r["max_v"])
+            for r in target.read()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("min_v"), F.max("value").alias("max_v"))
+            .collect()
+        }
+
+    # bootstrap: keys 1..3 with values 1, 5, 9
+    view, _ = maintain_minmax_through_merge(
+        target, batch([("c", 0, 1, 1, 1.0), ("c", 0, 2, 2, 5.0), ("c", 0, 3, 3, 9.0)]),
+        None, "event_type", "value",
+    )
+    assert mm(view) == fresh() == {"t": (3, 1.0, 9.0)}
+
+    # (1) safe: new key with value 12 — max extends without rescan math
+    view, _ = maintain_minmax_through_merge(
+        target, batch([("c", 10, 4, 4, 12.0)]), view, "event_type", "value"
+    )
+    assert mm(view) == fresh() == {"t": (4, 1.0, 12.0)}
+
+    # (2) endangered max: delete key 4 (value 12) — surviving max is 9
+    view, _ = maintain_minmax_through_merge(
+        target, batch([("d", 20, 5, 4, 0.0)]), view, "event_type", "value"
+    )
+    assert mm(view) == fresh() == {"t": (3, 1.0, 9.0)}
+
+    # (3) endangered min: update key 1 upward (1.0 -> 6.0) — min becomes 5
+    view, _ = maintain_minmax_through_merge(
+        target, batch([("u", 30, 6, 1, 6.0)]), view, "event_type", "value"
+    )
+    assert mm(view) == fresh() == {"t": (3, 5.0, 9.0)}
+
+    # (4) drain the group entirely
+    view, _ = maintain_minmax_through_merge(
+        target,
+        batch([("d", 40, 7, 1, 0.0), ("d", 40, 8, 2, 0.0), ("d", 40, 9, 3, 0.0)]),
+        view, "event_type", "value",
+    )
+    assert view.collect() == [] and fresh() == {}
