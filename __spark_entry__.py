@@ -80,7 +80,7 @@ _PRIORITY = [
     "embedding_ivf_learned", "events_cube", "stream_ivm_totals",
     "semantic_dedup", "embedding_sq8_topk", "sq8_recall_eval",
     "events_distinct_sketch", "cdc_debezium_ingest", "bigram_perplexity",
-    "cdc_zorder_read", "cdc_ivm_minmax",
+    "cdc_zorder_read", "cdc_ivm_minmax", "dedup_containment",
     # ^ NEW r5, tail — rotate into the r6 window
     "cdc_date_partitioned_read", "cdc_merge_multi_pk_guarded",
     "stream_user_totals",

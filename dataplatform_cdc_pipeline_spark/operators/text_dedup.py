@@ -596,3 +596,80 @@ def keep_best_per_cluster(
             F.col(quality_col).alias("keep_quality"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Sub-document detection: pairs where the SMALLER document's shingle
+    set is (near-)contained in the larger's —
+    ``containment = |S(inner) ∩ S(outer)| / |S(inner)| ≥ threshold``.
+
+    Jaccard-based dedup (minhash_dedup_pairs) cannot see these: a page
+    quoted inside a 100× larger page has Jaccard ≈ 0.01 but containment
+    ≈ 1.0 — the boilerplate-wrap / quotation / snapshot-superset case a
+    corpus pipeline must catch separately.
+
+    Scale shape — an inverted shingle index, not all-pairs: explode
+    distinct shingle HASHES (the shared 60-bit MD5 primitive, so sets
+    compare identically across engines), drop "stop shingles" with
+    document frequency > ``max_shingle_df`` (the classic inverted-index
+    posting cap: a boilerplate shingle in 10k docs would alone create
+    10k² pair rows; dropping it UNDERCOUNTS shared shingles, so the cap
+    is a conservative recall/cost lever, never a false-positive source),
+    self-join on the hash (one shuffle, bucket sizes bounded by the cap),
+    count shared per pair. Set sizes come from the UNCAPPED sets, so the
+    reported containment is exact over hashed sets minus capped postings.
+
+    Returns (inner_id, outer_id, shared, inner_sz, containment); the
+    inner role goes to the smaller set (tie → lower id).
+    """
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+
+    hs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(shingles_expr(text_col, n)), lambda s: md5_long(s)
+        ).alias("hs"),
+    )
+    sizes = hs.select("id", F.size("hs").alias("sz"))
+    inv = hs.select("id", F.explode("hs").alias("h"))
+    hot = (
+        inv.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") > max_shingle_df)
+        .select("h")
+    )
+    capped = inv.join(hot, "h", "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = (
+        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    )
+    inner_is_a = (F.col("sz_a") < F.col("sz_b")) | (
+        (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    out = j.select(
+        F.when(inner_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("inner_id"),
+        F.when(inner_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("outer_id"),
+        "shared",
+        F.when(inner_is_a, F.col("sz_a")).otherwise(F.col("sz_b")).alias("inner_sz"),
+    ).withColumn(
+        "containment",
+        F.floor(
+            F.col("shared").cast("double") / F.col("inner_sz").cast("double")
+            * F.lit(1_000_000.0)
+        )
+        / F.lit(1_000_000.0),
+    )
+    return out.filter(F.col("containment") >= threshold)

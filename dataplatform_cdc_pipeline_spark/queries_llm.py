@@ -462,6 +462,47 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (operators/text_dedup.containment_pairs):
+    pairs where the smaller doc's shingle set is ≥80% contained in the
+    larger's — the quotation/boilerplate-wrap case Jaccard dedup cannot
+    see (a doc quoted inside one 100× larger has Jaccard ≈ 0.01 but
+    containment ≈ 1). Inverted shingle-hash index with a document-
+    frequency posting cap, never all-pairs."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8, n=3, max_shingle_df=100)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+hs AS (SELECT doc_id,
+              list_distinct(list_transform({SHINGLES}, g -> {MD5L.format(x='g')})) AS hset
+       FROM t),
+sz AS (SELECT doc_id, len(hset) AS sz FROM hs),
+inv AS (SELECT doc_id, unnest(hset) AS h FROM hs),
+hot AS (SELECT h FROM inv GROUP BY h HAVING count(*) > 100),
+capped AS (SELECT inv.* FROM inv ANTI JOIN hot USING (h)),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+o AS (
+  SELECT CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz AND id_a < id_b)
+              THEN id_a ELSE id_b END AS inner_id,
+         CASE WHEN za.sz < zb.sz OR (za.sz = zb.sz AND id_a < id_b)
+              THEN id_b ELSE id_a END AS outer_id,
+         shared,
+         least(za.sz, zb.sz) AS inner_sz
+  FROM shared JOIN sz za ON id_a = za.doc_id JOIN sz zb ON id_b = zb.doc_id)
+SELECT inner_id, outer_id, shared, inner_sz,
+       floor(shared * 1.0 / inner_sz * 1000000.0) / 1000000.0 AS containment
+FROM o WHERE floor(shared * 1.0 / inner_sz * 1000000.0) / 1000000.0 >= 0.8
+ORDER BY inner_id, outer_id
+"""
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One model class up the KenLM ladder: per-doc mean −ln p(v|u) under
     the corpus's interpolated add-one bigram model
@@ -1611,6 +1652,7 @@ LLM_QUERIES = {
     "embedding_sq8_topk": q_embedding_sq8_topk,
     "sq8_recall_eval": q_sq8_recall_eval,
     "bigram_perplexity": q_bigram_perplexity,
+    "dedup_containment": q_dedup_containment,
 }
 
 LLM_ORACLES = {
@@ -1650,4 +1692,5 @@ LLM_ORACLES = {
     "embedding_sq8_topk": SQL_EMBEDDING_SQ8_TOPK,
     "sq8_recall_eval": SQL_SQ8_RECALL_EVAL,
     "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
 }

@@ -848,3 +848,40 @@ def test_bigram_logprob_properties(spark):
     assert rows[1]["n_bigrams"] == 8
     # natural order beats shuffled order under the learned model
     assert rows[4]["avg_neg_logprob"] < rows[2]["avg_neg_logprob"]
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A small doc quoted inside a much larger one: containment ≈ 1.0
+    while Jaccard is tiny; an unrelated doc pairs with nothing; the
+    posting cap only UNDERCOUNTS (no false positives)."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import (
+        containment_pairs,
+        jaccard_expr,
+        shingles_expr,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    big = " ".join(f"filler{i} word{i} pad{i}" for i in range(40)) + " " + quote
+    docs = spark.createDataFrame(
+        [(1, quote), (2, big), (3, "totally unrelated content here entirely")],
+        "doc_id long, text string",
+    )
+    pairs = containment_pairs(docs, threshold=0.8, max_shingle_df=100).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["inner_id"], p["outer_id"]) == (1, 2)
+    assert p["containment"] >= 0.99
+    # the same pair under Jaccard scores far below any dedup threshold
+    from pyspark.sql import functions as F
+
+    sets = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", F.array_distinct(shingles_expr("text")).alias("s")
+        ).collect()
+    }
+    jac = len(set(sets[1]) & set(sets[2])) / len(set(sets[1]) | set(sets[2]))
+    assert jac < 0.1
+
+    # an aggressive cap drops every posting -> conservatively no pairs
+    assert containment_pairs(docs, threshold=0.8, max_shingle_df=0).collect() == []
