@@ -384,6 +384,70 @@ SELECT decile, count(*) AS n_customers,
 FROM d GROUP BY decile
 """
 
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 question): for thresholds 50/80/90%
+    of total revenue, how many top customers — and what fraction of the
+    customer base — capture it. A running-window cumulative share over the
+    CUSTOMER aggregate (small; the global-order window is fine here for
+    the same reason as the deciles query), thresholds broadcast as a
+    3-row frame. A customer counts toward threshold t while the share
+    accumulated BEFORE it is still < t, so the crossing customer is
+    included — the standard 'minimum prefix covering t' definition."""
+    orders = load_table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(_dec_sum(F.col("o_totalprice")).alias("ltv"))
+    w = (
+        Window.orderBy(F.col("ltv").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ltv.withColumn("cum", F.sum("ltv").over(w))
+    totals = ltv.agg(
+        F.sum("ltv").alias("total"), F.count(F.lit(1)).alias("n_total")
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.8), F.lit(0.9))).alias("threshold")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(th))
+        .filter(
+            (F.col("cum") - F.col("ltv")).cast("double")
+            < F.col("threshold") * F.col("total").cast("double")
+        )
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.floor(
+                    F.count(F.lit(1)).cast("double")
+                    / F.first("n_total").cast("double")
+                    * F.lit(1_000_000.0)
+                )
+                / F.lit(1_000_000.0)
+            ).alias("pct_customers"),
+        )
+    )
+
+
+SQL_CUSTOMER_PARETO = """
+WITH ltv AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS ltv
+  FROM orders GROUP BY o_custkey),
+cum AS (
+  SELECT o_custkey, ltv,
+         sum(ltv) OVER (ORDER BY ltv DESC, o_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ltv),
+tot AS (SELECT sum(ltv) AS total, count(*) AS n_total FROM ltv),
+th AS (SELECT unnest([0.5, 0.8, 0.9]) AS threshold)
+SELECT threshold, count(*) AS n_customers,
+       floor(count(*) * 1.0 / any_value(n_total) * 1000000.0) / 1000000.0
+         AS pct_customers
+FROM cum, tot, th
+WHERE (cum - ltv)::DOUBLE < threshold * total::DOUBLE
+GROUP BY threshold ORDER BY threshold
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -398,6 +462,7 @@ ANALYTIC_QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "market_share": q_market_share,
     "customer_value_deciles": q_customer_value_deciles,
+    "customer_pareto": q_customer_pareto,
 }
 
 ANALYTIC_ORACLES = {
@@ -410,4 +475,5 @@ ANALYTIC_ORACLES = {
     "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
     "market_share": SQL_MARKET_SHARE,
     "customer_value_deciles": SQL_CUSTOMER_VALUE_DECILES,
+    "customer_pareto": SQL_CUSTOMER_PARETO,
 }
