@@ -62,6 +62,10 @@ HEADLINE = [
     "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
     "embedding_ivf_learned", "stream_ivm_totals", "events_cube",
     "semantic_dedup",
+    # r5 additions (second half of the round)
+    "embedding_sq8_topk", "events_distinct_sketch", "cdc_debezium_ingest",
+    "bigram_perplexity", "dedup_containment", "customer_pareto",
+    "cdc_zorder_read", "cdc_ivm_minmax",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number
