@@ -120,3 +120,88 @@ def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int = 32) -> DataFram
         .filter(F.col("rk") <= k)
         .select("hv", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (heavy-hitter frequency estimation)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_hash(item: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row-i counter index for an item: the shared 60-bit MD5 primitive
+    over a row-salted key, mod width — identical constants in any engine."""
+    return F.pmod(md5_long(F.concat(F.lit(f"cms{row}|"), item.cast("string"))), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch state: (row, col, c) counter cells (Cormode &
+    Muthukrishnan 2005). ``c[row][col] = #items hashing to col under the
+    row's hash``; an item's estimate is ``min over rows`` of its cells —
+    always ≥ the true count (collisions only ADD), within εN with
+    probability 1−δ for width ≥ e/ε, depth ≥ ln(1/δ).
+
+    Why this sketch here: counters are SUMS, so the state is
+    deterministic, partition-order-independent, hash-oracle-able, and
+    mergeable by plain cell-wise addition (two corpora's sketches add;
+    pinned by the halves-vs-whole test) — the same algebra that lets a
+    1000-executor build aggregate d·w-sized partials instead of
+    shuffling items. One explode(depth) over the item stream feeding a
+    map-side-combined groupBy; the state is depth·width cells regardless
+    of data size.
+    """
+    rows = df.select(F.col(item_col).alias("__item")).filter(F.col("__item").isNotNull())
+    # one struct per (row, col) pair, exploded — the per-row hash columns
+    # are computed side by side in a single projection
+    cells = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cms_hash(F.col("__item"), i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.row", "rc.col")
+    return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each item: (item, cms_n) with
+    ``cms_n = min over rows of c[row][h_row(item)]`` — the sketch
+    broadcast (d·w cells), one narrow join per item row."""
+    probes = items.select(F.col(item_col).alias("item")).distinct()
+    keyed = probes.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cms_hash(F.col("item"), i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("item", "rc.row", "rc.col")
+    joined = keyed.join(F.broadcast(sketch), ["row", "col"], "left").select(
+        "item", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return joined.groupBy("item").agg(F.min("c").alias("cms_n"))

@@ -462,6 +462,62 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (operators/sketches.py): the corpus's
+    top-20 tokens with EXACT counts next to their CMS estimates — the
+    d·w-cell mergeable sketch that answers 'how often does term X occur'
+    over 100 TB without a per-term shuffle. The estimate is provably ≥
+    exact (collisions only add); both columns come out of the query so
+    the overestimate is visible, and the whole thing — sketch cells
+    included — is hash-oracle-gated because the counters are sums of
+    deterministic MD5 placements."""
+    from pyspark.sql import Window
+
+    from dataplatform_cdc_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_expr("text")).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    w = Window.orderBy(F.col("exact_n").desc(), F.col("term").asc())
+    top = exact.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    sketch = cms_build(toks, "term")
+    est = cms_estimate(sketch, top, "term")
+    return top.join(est, top.term == est.item).select("term", "rk", "exact_n", "cms_n")
+
+
+SQL_HEAVY_HITTERS_CMS = f"""
+WITH toks AS (
+  SELECT term FROM (SELECT unnest({TOKS}) AS term FROM documents)
+  WHERE term IS NOT NULL),
+exact AS (SELECT term, count(*) AS exact_n FROM toks GROUP BY term),
+top AS (SELECT term, rk, exact_n FROM (
+          SELECT term, exact_n,
+                 row_number() OVER (ORDER BY exact_n DESC, term ASC) AS rk
+          FROM exact) WHERE rk <= 20),
+cells AS (
+  SELECT r.row, ({MD5L.format(x="'cms' || r.row::VARCHAR || '|' || term")}) % 256 AS col,
+         count(*) AS c
+  FROM toks, (SELECT unnest(range(0, 4)) AS row) r
+  GROUP BY 1, 2),
+probe AS (
+  SELECT t.term, r.row,
+         ({MD5L.format(x="'cms' || r.row::VARCHAR || '|' || t.term")}) % 256 AS col
+  FROM top t, (SELECT unnest(range(0, 4)) AS row) r),
+est AS (
+  SELECT p.term, min(coalesce(c.c, 0)) AS cms_n
+  FROM probe p LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+  GROUP BY p.term)
+SELECT t.term, t.rk, t.exact_n, e.cms_n
+FROM top t JOIN est e ON t.term = e.term ORDER BY t.rk
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup (operators/text_dedup.containment_pairs):
     pairs where the smaller doc's shingle set is ≥80% contained in the
@@ -1653,6 +1709,7 @@ LLM_QUERIES = {
     "sq8_recall_eval": q_sq8_recall_eval,
     "bigram_perplexity": q_bigram_perplexity,
     "dedup_containment": q_dedup_containment,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
 LLM_ORACLES = {
@@ -1693,4 +1750,5 @@ LLM_ORACLES = {
     "sq8_recall_eval": SQL_SQ8_RECALL_EVAL,
     "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
 }

@@ -885,3 +885,44 @@ def test_containment_catches_what_jaccard_misses(spark):
 
     # an aggressive cap drops every posting -> conservatively no pairs
     assert containment_pairs(docs, threshold=0.8, max_shingle_df=0).collect() == []
+
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS invariants: (1) estimate >= exact count for every item;
+    (2) sketches of two halves MERGE by cell-wise addition into exactly
+    the whole corpus's sketch; (3) a frequent item's estimate is tight
+    when width >> distinct items."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.concat(F.lit("w"), F.pmod(F.col("id") * F.col("id") + F.col("id"), F.lit(50))).alias("t")
+    )
+    sketch = cms_build(df, "t")
+    exact = df.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact, "t")
+    j = {r["item"]: r["cms_n"] for r in est.collect()}
+    ex = {r["t"]: r["n"] for r in exact.collect()}
+    assert all(j[t] >= n for t, n in ex.items())
+    # few distinct items over 256 columns: at most one row collides, so
+    # the min across 4 rows is exact for (nearly) every item
+    tight = sum(1 for t, n in ex.items() if j[t] == n)
+    assert tight >= len(ex) - 1, (tight, len(ex))
+
+    # mergeability: halves' cells sum to the whole's cells
+    a = cms_build(spark.range(0, 1500).select(
+        F.concat(F.lit("w"), F.pmod(F.col("id") * F.col("id") + F.col("id"), F.lit(50))).alias("t")), "t")
+    b = cms_build(spark.range(1500, 3000).select(
+        F.concat(F.lit("w"), F.pmod(F.col("id") * F.col("id") + F.col("id"), F.lit(50))).alias("t")), "t")
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = {(r["row"], r["col"]): r["c"] for r in sketch.collect()}
+    got = {(r["row"], r["col"]): r["c"] for r in merged.collect()}
+    assert got == whole
