@@ -611,6 +611,55 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): supplier names corrupted by
+    ONE deterministic character substitution (position = md5 of the name
+    mod its length — no RNG state) are matched back against the clean
+    table via prefix/suffix blocking + levenshtein verify. Sequential-id
+    names make near-neighbors real: a corrupted digit legitimately
+    matches several suppliers at distance 1, and the oracle pins that
+    whole candidate geometry, not just the self-match."""
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+    from dataplatform_cdc_pipeline_spark.operators.linkage import blocked_fuzzy_pairs
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_name")
+    pos = F.pmod(md5_long(F.col("s_name")), F.length("s_name")) + F.lit(1)
+    corrupted = sup.withColumn("__pos", pos).select(
+        F.concat(
+            F.expr("substring(s_name, 1, __pos - 1)"),
+            F.lit("x"),
+            F.expr("substring(s_name, __pos + 1)"),
+        ).alias("corrupted")
+    )
+    pairs = blocked_fuzzy_pairs(corrupted, sup, "corrupted", "s_name", max_edit=1)
+    return pairs.select(
+        F.col("l_val").alias("corrupted_name"),
+        F.col("r_val").alias("matched_name"),
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+    )
+
+
+_FUZZY_MD5 = "('0x' || substring(md5(s_name), 1, 15))::BIGINT"
+
+SQL_FUZZY_NAME_MATCH = f"""
+WITH cor AS (
+  SELECT substring(s_name, 1, pos - 1) || 'x' || substring(s_name, pos + 1)
+           AS corrupted
+  FROM (SELECT s_name, ({_FUZZY_MD5} % length(s_name)) + 1 AS pos FROM supplier)),
+lb AS (SELECT l_val, unnest(['p:' || substring(lower(l_val), 1, 4),
+                             's:' || right(lower(l_val), 4)]) AS bk
+       FROM (SELECT DISTINCT corrupted AS l_val FROM cor)),
+rb AS (SELECT r_val, unnest(['p:' || substring(lower(r_val), 1, 4),
+                             's:' || right(lower(r_val), 4)]) AS bk
+       FROM (SELECT DISTINCT s_name AS r_val FROM supplier)),
+cand AS (SELECT DISTINCT l_val, r_val FROM lb JOIN rb USING (bk))
+SELECT l_val AS corrupted_name, r_val AS matched_name,
+       levenshtein(l_val, r_val)::BIGINT AS edit_dist
+FROM cand WHERE levenshtein(l_val, r_val) <= 1
+ORDER BY corrupted_name, matched_name
+"""
+
+
 def q_events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/sketches.py): distinct users
     per event_type estimated from the 32 smallest MD5 hashes, plus a
@@ -692,6 +741,7 @@ EXT_QUERIES = {
     "stream_ivm_totals": q_stream_ivm_totals,
     "stream_user_totals": q_stream_user_totals,
     "events_distinct_sketch": q_events_distinct_sketch,
+    "fuzzy_name_match": q_fuzzy_name_match,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -721,6 +771,7 @@ EXT_ORACLES = {
     "stream_dedup_events": SQL_STREAM_DEDUP_EVENTS,
     "stream_user_totals": SQL_STREAM_USER_TOTALS,
     "events_distinct_sketch": SQL_EVENTS_DISTINCT_SKETCH,
+    "fuzzy_name_match": SQL_FUZZY_NAME_MATCH,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

@@ -926,3 +926,29 @@ def test_cms_overestimates_and_merges(spark):
     whole = {(r["row"], r["col"]): r["c"] for r in sketch.collect()}
     got = {(r["row"], r["col"]): r["c"] for r in merged.collect()}
     assert got == whole
+
+
+def test_blocked_fuzzy_join_single_edit_complete(spark):
+    """Prefix/suffix blocking is COMPLETE for one edit on long-enough
+    strings: substitution, insertion, and deletion anywhere all survive;
+    distance-2 corruptions are rejected by the verify step."""
+    from dataplatform_cdc_pipeline_spark.operators.linkage import blocked_fuzzy_pairs
+
+    clean = spark.createDataFrame(
+        [("warehouse-alpha-01",), ("warehouse-gamma-07",)], "name string"
+    )
+    dirty = spark.createDataFrame(
+        [
+            ("warehouse-aXpha-01",),  # substitution mid-string
+            ("warehouse-alpha-012",),  # insertion (appended char)
+            ("warehous-alpha-01",),  # deletion in the prefix half
+            ("warehouse-gamma-XX",),  # TWO substitutions -> no match
+        ],
+        "name string",
+    )
+    pairs = blocked_fuzzy_pairs(dirty, clean, "name", "name", max_edit=1).collect()
+    got = {(r["l_val"], r["r_val"]) for r in pairs}
+    assert ("warehouse-aXpha-01", "warehouse-alpha-01") in got
+    assert ("warehouse-alpha-012", "warehouse-alpha-01") in got
+    assert ("warehous-alpha-01", "warehouse-alpha-01") in got
+    assert not any(l == "warehouse-gamma-XX" for l, _ in got)
