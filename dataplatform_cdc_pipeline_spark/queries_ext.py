@@ -611,6 +611,45 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality: a per-event_type KMV sketch maintained
+    through a Structured Streaming drain (streaming/sketches.py). Because
+    KMV merge is exact and idempotent, the drained state is BIT-EQUAL to
+    the batch sketch over all data — so this streaming query shares the
+    batch twin's oracle SQL verbatim, estimates included."""
+    from dataplatform_cdc_pipeline_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.sketches import (
+        run_streaming_distinct_sketch,
+    )
+
+    k = 32
+    tmp = tempfile.mkdtemp(prefix="stream_sketch_q_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    ev.write.parquet(f"{tmp}/src")
+    run_streaming_distinct_sketch(
+        spark,
+        f"{tmp}/src",
+        "event_id long, ts timestamp, user_id long, event_type string",
+        key_col="user_id",
+        group_col="event_type",
+        state_path=f"{tmp}/state",
+        checkpoint_path=f"{tmp}/ckpt",
+        k=k,
+    )
+    sk = spark.read.parquet(f"{tmp}/state")
+    per = kmv_estimate(sk, ["event_type"], k).join(
+        ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct")),
+        "event_type",
+    )
+    merged = kmv_estimate(kmv_merge(sk, ["event_type"], k), None, k).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return per.unionByName(merged.select(F.lit("__ALL__").alias("event_type"), "*"))
+
+
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (operators/linkage.py): supplier names corrupted by
     ONE deterministic character substitution (position = md5 of the name
@@ -742,6 +781,7 @@ EXT_QUERIES = {
     "stream_user_totals": q_stream_user_totals,
     "events_distinct_sketch": q_events_distinct_sketch,
     "fuzzy_name_match": q_fuzzy_name_match,
+    "stream_distinct_sketch": q_stream_distinct_sketch,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -772,6 +812,9 @@ EXT_ORACLES = {
     "stream_user_totals": SQL_STREAM_USER_TOTALS,
     "events_distinct_sketch": SQL_EVENTS_DISTINCT_SKETCH,
     "fuzzy_name_match": SQL_FUZZY_NAME_MATCH,
+    # exact KMV mergeability => the drained streaming state equals the batch
+    # sketch bit for bit; the streaming twin shares the batch oracle verbatim
+    "stream_distinct_sketch": SQL_EVENTS_DISTINCT_SKETCH,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

@@ -316,3 +316,42 @@ def test_streaming_view_replay_tag_skips_maintenance(spark):
         tuple(r)
         for r in target.read().groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     )
+
+
+def test_streaming_kmv_state_equals_batch_sketch(spark, tmp_path, sf_dir):
+    """The drained streaming KMV state is bit-equal to the batch sketch
+    over all data (exact mergeability), and re-draining the same source
+    with the same checkpoint leaves the state unchanged (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.sketches import kmv_sketch
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+    from dataplatform_cdc_pipeline_spark.streaming.sketches import (
+        run_streaming_distinct_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.write.parquet(str(tmp_path / "src"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    for _ in range(2):  # second drain: no new files -> state must not move
+        run_streaming_distinct_sketch(
+            spark,
+            str(tmp_path / "src"),
+            schema,
+            key_col="user_id",
+            group_col="event_type",
+            state_path=str(tmp_path / "state"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+            k=16,
+        )
+        streamed = {
+            (r["event_type"], r["hv"], r["rk"])
+            for r in spark.read.parquet(str(tmp_path / "state")).collect()
+        }
+        batch = {
+            (r["event_type"], r["hv"], r["rk"])
+            for r in kmv_sketch(ev, "user_id", ["event_type"], 16).collect()
+        }
+        assert streamed == batch
