@@ -82,7 +82,7 @@ _PRIORITY = [
     "events_distinct_sketch", "cdc_debezium_ingest", "bigram_perplexity",
     "cdc_zorder_read", "cdc_ivm_minmax", "dedup_containment",
     "customer_pareto", "heavy_hitters_cms", "fuzzy_name_match",
-    "stream_distinct_sketch",
+    "stream_distinct_sketch", "events_value_percentiles",
     # ^ NEW r5, tail — rotate into the r6 window
     "cdc_date_partitioned_read", "cdc_merge_multi_pk_guarded",
     "stream_user_totals",

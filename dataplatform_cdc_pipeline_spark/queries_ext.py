@@ -611,6 +611,41 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (p50/p90/p99 of value per event_type) via the
+    sort-based percentile aggregate — the per-group distribution summary.
+    Exact percentile needs the group's values together (Spark's
+    `percentile` buffers per group post-shuffle); at 100 TB you'd reach
+    for `approx_percentile` (t-digest) instead, but its sketch is
+    engine-private and unverifiable — the exact form is the oracle-able
+    surface, and groups here are bounded (per-type, not per-key). Both
+    engines interpolate at rank (n−1)·p over the same sorted doubles, so
+    floor-scaling makes the results hash-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    f6 = lambda c: F.floor(c * F.lit(1_000_000.0)) / F.lit(1_000_000.0)  # noqa: E731
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pct.alias("p"))
+        .select(
+            "event_type",
+            "n",
+            f6(F.col("p")[0]).alias("p50"),
+            f6(F.col("p")[1]).alias("p90"),
+            f6(F.col("p")[2]).alias("p99"),
+        )
+    )
+
+
+SQL_EVENTS_VALUE_PERCENTILES = """
+SELECT event_type, count(*) AS n,
+       floor(quantile_cont(value, 0.5)  * 1000000.0) / 1000000.0 AS p50,
+       floor(quantile_cont(value, 0.9)  * 1000000.0) / 1000000.0 AS p90,
+       floor(quantile_cont(value, 0.99) * 1000000.0) / 1000000.0 AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cardinality: a per-event_type KMV sketch maintained
     through a Structured Streaming drain (streaming/sketches.py). Because
@@ -782,6 +817,7 @@ EXT_QUERIES = {
     "events_distinct_sketch": q_events_distinct_sketch,
     "fuzzy_name_match": q_fuzzy_name_match,
     "stream_distinct_sketch": q_stream_distinct_sketch,
+    "events_value_percentiles": q_events_value_percentiles,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -815,6 +851,7 @@ EXT_ORACLES = {
     # exact KMV mergeability => the drained streaming state equals the batch
     # sketch bit for bit; the streaming twin shares the batch oracle verbatim
     "stream_distinct_sketch": SQL_EVENTS_DISTINCT_SKETCH,
+    "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge
