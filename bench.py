@@ -65,7 +65,8 @@ HEADLINE = [
     # r5 additions (second half of the round)
     "embedding_sq8_topk", "events_distinct_sketch", "cdc_debezium_ingest",
     "bigram_perplexity", "dedup_containment", "customer_pareto",
-    "cdc_zorder_read", "cdc_ivm_minmax",
+    "cdc_zorder_read", "cdc_ivm_minmax", "cdc_snapshot_merge",
+    "fuzzy_name_match", "stream_distinct_sketch", "events_value_percentiles",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1,0 +1,251 @@
+"""Snapshot-isolated merge target: manifest-versioned commits over
+immutable parquet — TABLE-atomic where ParquetMergeTarget is
+bucket-atomic.
+
+The directory-swap sink commits bucket by bucket: a reader listing the
+table mid-swap can see bucket 3 at version N and bucket 5 at N+1 (the
+reference's own transaction, merge.sql:368-457, is table-atomic — this
+class closes that gap without Delta). The fix is the Delta/Iceberg
+commit shape, reduced to its core:
+
+- **data files are immutable**: every commit writes its affected buckets
+  into a FRESH ``data/v<version>-<id>/`` tree; nothing is ever moved or
+  rewritten in place;
+- **a commit IS one manifest file**: ``_log/<version>.json`` maps each
+  live bucket to the directory holding its current rows (affected
+  buckets point at the new tree; unaffected buckets carry the previous
+  manifest's entries forward; emptied buckets drop out);
+- **publication is one atomic ``os.link``**: the manifest is staged to a
+  temp name and hard-linked to its final name — link fails atomically if
+  the version already exists, so two racing writers CANNOT both commit
+  the same version (a true compare-and-swap, strictly stronger than the
+  swap sink's check-then-swap);
+- **readers are snapshot-isolated**: a read resolves ONE manifest and
+  scans exactly its files; a concurrent commit changes nothing the
+  reader already resolved. This also retires the swap sink's
+  read-then-overwrite hazard (invariant 11): lazy plans over immutable
+  files stay valid across commits, no eager checkpoint needed.
+- **time travel for free**: ``read(version=N)`` resolves manifest N;
+  ``vacuum(retain_last=…)`` deletes data trees unreferenced by the
+  retained manifests.
+
+Bucket pruning becomes MANIFEST pruning — ``read(buckets=…)`` simply
+doesn't list the other buckets' directories (file skipping at the
+metadata layer, the same mechanism as Delta data skipping), and the
+date layer inside each bucket tree still prunes via PartitionFilters.
+
+The merge semantics are entirely inherited from ParquetMergeTarget
+(same resolve, same stats, same schema enforcement/drift/evolution) —
+only ``_commit``/``read`` and the version bookkeeping change; the shared
+contract suite runs against this class as a third implementation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+    BUCKET_COL,
+    PDATE_COL,
+    ConcurrentWriteError,
+    ParquetMergeTarget,
+)
+
+
+class SnapshotMergeTarget(ParquetMergeTarget):
+    LOG_DIR = "_log"
+    DATA_DIR = "data"
+
+    # -- manifest bookkeeping -------------------------------------------------
+
+    def _log_path(self) -> str:
+        return os.path.join(self.path, self.LOG_DIR)
+
+    def _versions(self) -> list[int]:
+        log = self._log_path()
+        if not os.path.isdir(log):
+            return []
+        return sorted(
+            int(e[: -len(".json")])
+            for e in os.listdir(log)
+            if e.endswith(".json") and e[: -len(".json")].isdigit()
+        )
+
+    def _read_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _manifest(self, version: int | None = None) -> dict | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(f"version {v} not in log (have {vs})")
+        with open(os.path.join(self._log_path(), f"{v:012d}.json")) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict, version: int) -> None:
+        """Atomic CAS publication: hard-link a staged manifest to its
+        final name — the link fails if the version was already committed
+        by a racing writer."""
+        log = self._log_path()
+        os.makedirs(log, exist_ok=True)
+        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = os.path.join(log, f"{version:012d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.path} was committed by another "
+                "writer; re-read and re-merge"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    def pending_commit(self) -> dict | None:
+        """No torn states exist: a commit is one atomic link. A crash
+        before the link leaves only an unreferenced data tree, which
+        vacuum() reclaims."""
+        return None
+
+    # -- reads ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        date_range: tuple[str, str] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        if date_range and not self.cfg.partition_field:
+            raise ValueError("date_range requires cfg.partition_field")
+        manifest = self._manifest(version)
+        if manifest is None:
+            return self.spark.createDataFrame([], T.StructType(self.schema.fields))
+        entries = manifest["buckets"]
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            entries = {b: d for b, d in entries.items() if b in wanted}
+        dirs = [os.path.join(self.path, d) for d in entries.values()]
+        if not dirs:
+            return self.spark.createDataFrame([], T.StructType(self.schema.fields))
+        df = self._read_dirs(dirs)
+        if date_range is not None:
+            lo, hi = date_range
+            df = df.filter(
+                F.col(PDATE_COL).between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+            )
+        drop = [PDATE_COL] if self.cfg.partition_field else []
+        return df.drop(*drop)
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame:
+        """Scan the manifest-selected bucket directories. Each dir is
+        ``…/data/<tree>/__bucket=N`` — sibling partition dirs need a
+        common basePath, so the scan groups dirs by their commit tree
+        (one basePath per tree, ≤ retained versions of them) and unions
+        the groups. The bucket partition column parses from the path and
+        is dropped (it is manifest metadata); the date layer stays for
+        ``read``'s range filter."""
+        from functools import reduce
+
+        fields = T.StructType(self.schema.fields + self._partition_fields())
+        groups: dict[str, list[str]] = {}
+        for d in dirs:
+            root = d.rsplit(f"/{BUCKET_COL}=", 1)[0]
+            groups.setdefault(root, []).append(d)
+        parts = [
+            self.spark.read.schema(fields).option("basePath", root).parquet(*paths)
+            for root, paths in groups.items()
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts).drop(BUCKET_COL)
+
+    # -- commit ---------------------------------------------------------------
+
+    def _commit(
+        self,
+        merged: DataFrame,
+        affected: list[int],
+        expected_version: int | None = None,
+        sort_exprs: list | None = None,
+    ) -> None:
+        v0 = self._read_version()
+        new_version = (expected_version if expected_version is not None else v0) + 1
+        tree = f"{self.DATA_DIR}/v{new_version}-{uuid.uuid4().hex[:8]}"
+        staging = os.path.join(self.path, tree)
+        merged = merged.repartition(max(len(affected), 1), F.col(BUCKET_COL))
+        part_cols = [BUCKET_COL] + ([PDATE_COL] if self.cfg.partition_field else [])
+        if sort_exprs is not None:
+            merged = merged.sortWithinPartitions(*part_cols, *sort_exprs)
+        elif self.cfg.clustering_fields:
+            merged = merged.sortWithinPartitions(
+                *part_cols, *[F.col(c) for c in self.cfg.clustering_fields]
+            )
+        t0 = time.time()
+        merged.write.mode("errorifexists").partitionBy(*part_cols).parquet(staging)
+        self.phase_times["resolve_write"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        try:
+            if self.pre_commit_hook is not None:
+                self.pre_commit_hook()
+            if expected_version is not None and self._read_version() != expected_version:
+                raise ConcurrentWriteError(
+                    f"target {self.path} advanced from version {expected_version} "
+                    f"to {self._read_version()} since this merge read it; "
+                    "the other writer's commit is intact — re-read and re-merge"
+                )
+            prev = self._manifest() or {"buckets": {}}
+            written = {
+                e.split("=", 1)[1]: f"{tree}/{e}"
+                for e in os.listdir(staging)
+                if e.startswith(f"{BUCKET_COL}=")
+            }
+            entries = {
+                b: d for b, d in prev["buckets"].items() if int(b) not in set(affected)
+            }
+            entries.update(written)  # affected-but-empty buckets simply drop out
+            self._publish({"version": new_version, "buckets": entries}, new_version)
+        except ConcurrentWriteError:
+            # losing writer: its tree was never referenced — reclaim now
+            # rather than waiting for vacuum()
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self.phase_times["swap"] = round(time.time() - t0, 3)
+
+    # -- maintenance ----------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 2) -> list[str]:
+        """Delete data trees unreferenced by the last ``retain_last``
+        manifests (older manifests are pruned with them — their snapshots
+        become unreadable, like Delta VACUUM breaking old time travel).
+        Crash-orphaned trees (written but never published) vanish too."""
+        vs = self._versions()
+        keep_vs = vs[-retain_last:] if retain_last > 0 else []
+        live: set[str] = set()
+        for v in keep_vs:
+            for d in self._manifest(v)["buckets"].values():
+                live.add(d.split(f"/{BUCKET_COL}=", 1)[0])
+        removed = []
+        data_root = os.path.join(self.path, self.DATA_DIR)
+        if os.path.isdir(data_root):
+            for tree in os.listdir(data_root):
+                rel = f"{self.DATA_DIR}/{tree}"
+                if rel not in live:
+                    shutil.rmtree(os.path.join(data_root, tree), ignore_errors=True)
+                    removed.append(rel)
+        for v in vs:
+            if v not in keep_vs:
+                os.unlink(os.path.join(self._log_path(), f"{v:012d}.json"))
+        return removed

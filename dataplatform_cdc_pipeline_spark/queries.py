@@ -1261,6 +1261,45 @@ ORDER BY o_custkey, rk
 """
 
 
+def q_cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABLE-atomic sink (operators/snapshot_target.py): the same
+    two-window watermark lifecycle as cdc_merge_incremental, but through
+    SnapshotMergeTarget — manifest-versioned immutable commits (one
+    atomic hard-link per commit, snapshot-isolated readers, time travel).
+    The second window's commit carries the first window's untouched
+    buckets forward by manifest reference, so a carryover bug (dropped or
+    double-referenced bucket) diverges the final-state hash. Shares the
+    incremental oracle: same merge semantics, different commit protocol.
+    """
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_snap_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    for win in [(None, split), (split, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_SNAPSHOT_MERGE = SQL_CDC_MERGE_INCREMENTAL
+
+
 def q_cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium NESTED envelope → bronze unwrap → W1 dedup-latest: the
     raw-topic ingestion path (sources/debezium.py). Discriminating bits
@@ -1340,6 +1379,7 @@ QUERIES: dict[str, callable] = {
     "cdc_schema_drift": q_cdc_schema_drift,
     "cdc_job_log": q_cdc_job_log,
     "cdc_debezium_ingest": q_cdc_debezium_ingest,
+    "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_zorder_read": q_cdc_zorder_read,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1369,6 +1409,7 @@ ORACLES: dict[str, str] = {
     "cdc_schema_drift": SQL_CDC_SCHEMA_DRIFT,
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,
+    "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

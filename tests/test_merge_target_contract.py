@@ -71,6 +71,23 @@ IMPLEMENTATIONS = [
     ),
 ]
 
+from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (  # noqa: E402
+    SnapshotMergeTarget,
+)
+
+IMPLEMENTATIONS += [
+    # manifest-versioned snapshot sink: same merge semantics, table-atomic
+    # commit (one hard-linked manifest), snapshot-isolated readers
+    pytest.param((SnapshotMergeTarget, {}), id="snapshot"),
+    pytest.param(
+        (
+            SnapshotMergeTarget,
+            {"partition_field": "source_ts_ns_order", "clustering_fields": ("value",)},
+        ),
+        id="snapshot-datelayout-clustered",
+    ),
+]
+
 
 @pytest.fixture(params=IMPLEMENTATIONS)
 def make_target(request, spark):
@@ -281,11 +298,12 @@ def test_concurrent_writer_conflict_detected(spark, make_target):
         pytest.skip("native transaction log serializes concurrent writers")
     from dataplatform_cdc_pipeline_spark.operators.merge_target import (
         ConcurrentWriteError,
-        ParquetMergeTarget,
     )
 
     t1.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
-    t2 = ParquetMergeTarget(spark, t1.path, t1.cfg, USER_STATE_SCHEMA)
+    # the racing writer uses the SAME sink class — each class has its own
+    # commit log, and a conflict is only defined within one protocol
+    t2 = type(t1)(spark, t1.path, t1.cfg, USER_STATE_SCHEMA)
 
     def interleave():
         t1.pre_commit_hook = None  # fire once

@@ -1,0 +1,81 @@
+"""Snapshot-sink specifics beyond the shared contract suite
+(operators/snapshot_target.py): time travel, snapshot isolation across a
+concurrent commit, vacuum retention, manifest-pruned reads, maintenance
+through the manifest commit path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.operators.snapshot_target import SnapshotMergeTarget
+from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA, user_state_config
+
+from test_merge_target_contract import changes
+
+
+def make(spark, tmp_path, **cfg_kwargs):
+    cfg = user_state_config(**cfg_kwargs)
+    return SnapshotMergeTarget(spark, str(tmp_path / "t"), cfg, USER_STATE_SCHEMA)
+
+
+def state(t, version=None):
+    return sorted(
+        (r["user_id"], r["value"]) for r in t.read(version=version).collect()
+    )
+
+
+def test_time_travel_reads_each_version(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2)]))
+    t.merge(changes(spark, [("u", 1, 9.0, 5, 3), ("d", 2, 0.0, 5, 4)]))
+    assert t._read_version() == 2
+    assert state(t, version=1) == [(1, 1.0), (2, 2.0)]
+    assert state(t, version=2) == [(1, 9.0)]
+    assert state(t) == [(1, 9.0)]  # default = latest
+    with pytest.raises(ValueError, match="not in log"):
+        t.read(version=99)
+
+
+def test_snapshot_isolation_across_commit(spark, tmp_path):
+    """A frame resolved BEFORE a commit keeps reading its own snapshot
+    afterwards — immutable files + manifest pinning. The swap sink cannot
+    make this promise (its dirs are replaced in place)."""
+    t = make(spark, tmp_path)
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    old_reader = t.read()  # lazy plan over v1's files
+    t.merge(changes(spark, [("u", 1, 7.0, 5, 2)]))
+    assert sorted((r["user_id"], r["value"]) for r in old_reader.collect()) == [(1, 1.0)]
+    assert state(t) == [(1, 7.0)]
+
+
+def test_vacuum_retention_and_orphan_cleanup(spark, tmp_path):
+    t = make(spark, tmp_path)
+    for i in range(4):
+        t.merge(changes(spark, [("u", 1, float(i), i, i + 1)]))
+    assert t._read_version() == 4
+    removed = t.vacuum(retain_last=2)
+    assert removed  # v1/v2's unreferenced trees reclaimed
+    # retained snapshots still read; older time travel is gone (like Delta)
+    assert state(t, version=4) == [(1, 3.0)]
+    with pytest.raises(ValueError, match="not in log"):
+        t.read(version=1)
+    assert t.vacuum(retain_last=2) == []  # idempotent
+
+
+def test_manifest_pruned_read_and_compact(spark, tmp_path):
+    t = make(spark, tmp_path, n_buckets=8)
+    t.merge(changes(spark, [("c", k, float(k), 0, k) for k in range(1, 41)]))
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import bucket_expr
+
+    b = (
+        t.read()
+        .filter(F.col("user_id") <= 5)
+        .select(bucket_expr(["user_id"], 8).alias("b"))
+        .distinct()
+    )
+    buckets = [r["b"] for r in b.collect()]
+    pruned = t.read(buckets=buckets).filter(F.col("user_id") <= 5)
+    assert sorted(r["user_id"] for r in pruned.collect()) == [1, 2, 3, 4, 5]
+    # maintenance flows through the same manifest commit
+    n = t.compact(zorder_by=("k", "value"))
+    assert n == 40
+    assert len(state(t)) == 40 and t._read_version() == 2
