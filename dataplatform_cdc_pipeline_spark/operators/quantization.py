@@ -99,6 +99,95 @@ def sq8_codes(
     return pts.select(F.col("vec_id"), code.alias("codes"))
 
 
+def ivf_sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cell_col: str = "label",
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scales: list[int] | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The production ANN stack composed (FAISS's ``IVF<n>,SQ8`` layout):
+    a coarse quantizer routes each query to its ``nprobe`` nearest cells,
+    and the probed cells are scored from int8 CODES, not raw vectors —
+    the corpus is stored compressed AND only nprobe/cells of it is read.
+
+    Routing stays full-precision (centroids are index metadata, tiny and
+    broadcast — compressing them saves nothing); candidate scoring is the
+    exact-integer asymmetric dot of :func:`sq8_topk`, so the whole
+    composition remains hash-oracle-able. Returns
+    (query_id, rk, nbr_id, score).
+    """
+    from pyspark.sql import Window
+
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        dot_expr,
+        ivf_centroids,
+        norm_expr,
+    )
+
+    if scales is None:
+        scales = sq8_scales(embeddings, id_col, vec_col)
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, cell_col, vec_col)
+    codes = sq8_codes(embeddings, scales, id_col, vec_col).select(
+        F.col("vec_id").alias("nbr_id"), "codes"
+    )
+    cells = embeddings.select(
+        F.col(id_col).alias("nbr_id"), F.col(cell_col).alias("cell")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
+    ).withColumn("q_norm", norm_expr(F.col("q_vec")))
+    routed = (
+        qs.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "c_cos",
+            dot_expr(F.col("q_vec"), F.col("centroid"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("c_cos").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qm = quantized_points(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qm")
+    )
+    cand = cells.join(
+        F.broadcast(routed), (cells.cell == routed.cell) & (F.col("query_id") != F.col("nbr_id"))
+    ).select("query_id", "nbr_id")
+    scored = (
+        cand.join(codes, "nbr_id")
+        .join(F.broadcast(qm), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("qm"), lambda c, q: c * q),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "nbr_id", "score")
+    )
+
+
 def sq8_topk(
     embeddings: DataFrame,
     queries: DataFrame,

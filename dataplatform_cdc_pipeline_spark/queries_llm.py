@@ -1605,6 +1605,72 @@ def q_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS's IVF,SQ8 layout composed from this engine's parts
+    (operators/quantization.ivf_sq8_topk): full-precision centroid
+    routing at nprobe=2, int8 asymmetric-integer scoring within the
+    probed cells — compressed storage AND partial reads, still
+    hash-oracle-able end to end."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import ivf_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_sq8_topk(emb, queries, k=5, nprobe=2)
+
+
+SQL_EMBEDDING_IVF_SQ8 = """
+WITH v AS (
+  SELECT vec_id, label AS cell, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings),
+u AS (
+  SELECT cell, p.pos, vec[p.pos] AS x
+  FROM v, (SELECT unnest(range(1, 65)) AS pos) p),
+cm AS (SELECT cell, pos, avg(x) AS a FROM u GROUP BY cell, pos),
+cent AS (SELECT cell, list(a ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+qv AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 10),
+routed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.vec, c.centroid) /
+                      (sqrt(list_dot_product(q.vec, q.vec)) *
+                       sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      c.cell ASC) AS rk
+    FROM qv q CROSS JOIN cent c) WHERE rk <= 2),
+m AS (
+  SELECT vec_id, pos,
+         CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS mv
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+scale AS (SELECT pos, max(abs(mv)) AS mx FROM m GROUP BY pos),
+codes AS (
+  SELECT vec_id, m.pos,
+         CASE WHEN s.mx = 0 THEN 0
+              ELSE (CASE WHEN mv < 0 THEN -1 ELSE 1 END)
+                   * CAST(floor(abs(mv) * 127.0 / s.mx) AS BIGINT) END AS code
+  FROM m JOIN scale s ON m.pos = s.pos),
+qm AS (SELECT vec_id AS query_id, pos, mv FROM m WHERE vec_id < 10),
+cand AS (
+  SELECT r.query_id, cv.vec_id AS nbr_id
+  FROM routed r JOIN v cv ON r.cell = cv.cell AND cv.vec_id <> r.query_id),
+s AS (
+  SELECT cand.query_id, cand.nbr_id,
+         CAST(SUM(c.code * qm.mv) AS BIGINT) AS score
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.nbr_id
+  JOIN qm ON qm.query_id = cand.query_id AND qm.pos = c.pos
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, nbr_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, nbr_id) AS rk
+  FROM s)
+SELECT query_id, rk, nbr_id, score FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+"""
+
+
 # Shared SQ8 CTE chain: micros (exploded integer micro-units) → per-dim
 # scales → codes → asymmetric integer-dot scores → ranked top-5. The
 # oracle works in EXPLODED relational form (join on pos) where Spark uses
@@ -1710,6 +1776,7 @@ LLM_QUERIES = {
     "bigram_perplexity": q_bigram_perplexity,
     "dedup_containment": q_dedup_containment,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "embedding_ivf_sq8": q_embedding_ivf_sq8,
 }
 
 LLM_ORACLES = {
@@ -1751,4 +1818,5 @@ LLM_ORACLES = {
     "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
+    "embedding_ivf_sq8": SQL_EMBEDDING_IVF_SQ8,
 }

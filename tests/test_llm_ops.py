@@ -952,3 +952,36 @@ def test_blocked_fuzzy_join_single_edit_complete(spark):
     assert ("warehouse-alpha-012", "warehouse-alpha-01") in got
     assert ("warehous-alpha-01", "warehouse-alpha-01") in got
     assert not any(l == "warehouse-gamma-XX" for l, _ in got)
+
+
+def test_ivf_sq8_probes_subset_and_scores_match_sq8(spark, sf_dir):
+    """Composition invariants: (1) every IVF-SQ8 neighbor lives in one of
+    the query's nprobe routed cells; (2) its score equals the flat SQ8
+    score for the same (query, neighbor) — routing restricts candidates,
+    never changes scoring."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import (
+        ivf_sq8_topk,
+        sq8_scales,
+        sq8_topk,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    scales = sq8_scales(emb)
+    ivf = ivf_sq8_topk(emb, queries, k=5, nprobe=2, scales=scales).collect()
+    flat = {
+        (r["query_id"], r["nbr_id"]): r["score"]
+        for r in sq8_topk(emb, queries, k=len(emb.collect()), scales=scales).collect()
+    }
+    cells = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert ivf, "no neighbors returned"
+    for r in ivf:
+        assert flat[(r["query_id"], r["nbr_id"])] == r["score"]
+    # each query's neighbors span at most nprobe distinct cells
+    from collections import defaultdict
+
+    per_q = defaultdict(set)
+    for r in ivf:
+        per_q[r["query_id"]].add(cells[r["nbr_id"]])
+    assert all(len(cs) <= 2 for cs in per_q.values())
