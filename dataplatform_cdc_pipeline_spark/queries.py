@@ -1300,6 +1300,55 @@ def q_cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_SNAPSHOT_MERGE = SQL_CDC_MERGE_INCREMENTAL
 
 
+def q_cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the snapshot sink: after BOTH windows commit,
+    ``read(version=1)`` must reproduce the phase-1 state exactly — the
+    audit/backfill query a versioned table exists for. The oracle
+    recomputes the merge of only the pre-split events, so a time-travel
+    bug (manifest pruned too eagerly, files shared across versions
+    mutated, wrong version resolution) diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_tt_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    for win in [(None, split), (split, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    return target.read(version=1).select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+_TT_SPLIT = "2024-01-15 00:00:00"
+
+SQL_CDC_TIME_TRAVEL_READ = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '{_TT_SPLIT}'
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked WHERE rn = 1 AND op != 'd' ORDER BY user_id
+"""
+
+
 def q_cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium NESTED envelope → bronze unwrap → W1 dedup-latest: the
     raw-topic ingestion path (sources/debezium.py). Discriminating bits
@@ -1380,6 +1429,7 @@ QUERIES: dict[str, callable] = {
     "cdc_job_log": q_cdc_job_log,
     "cdc_debezium_ingest": q_cdc_debezium_ingest,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
+    "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_zorder_read": q_cdc_zorder_read,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1410,6 +1460,7 @@ ORACLES: dict[str, str] = {
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
+    "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
