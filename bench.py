@@ -67,6 +67,7 @@ HEADLINE = [
     "bigram_perplexity", "dedup_containment", "customer_pareto",
     "cdc_zorder_read", "cdc_ivm_minmax", "cdc_snapshot_merge",
     "fuzzy_name_match", "stream_distinct_sketch", "events_value_percentiles",
+    "heavy_hitters_cms", "embedding_ivf_sq8", "cdc_time_travel_read",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -83,6 +83,21 @@ def kmv_sketch(
     hashed = df.select(
         *groups, md5_long(F.col(key_col).cast("string")).alias("hv")
     ).distinct()
+    if not groups:
+        # GLOBAL sketch: a bare ORDER BY window is a single-partition sort
+        # of every distinct hash — the classic global-window scale trap.
+        # Two-phase instead (the sketch's own merge algebra): bottom-k per
+        # hash-salt shard (the per-shard window gets the WindowGroupLimit
+        # partial top-k before its exchange), then re-rank the ≤ 64·k
+        # survivors — exactly kmv_merge over the shard sketches.
+        shards = hashed.withColumn("__shard", F.pmod(F.col("hv"), F.lit(64)))
+        ws = Window.partitionBy("__shard").orderBy(F.col("hv").asc())
+        survivors = (
+            shards.withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") <= k)
+            .select("hv")
+        )
+        return kmv_merge(survivors, [], k)
     w = Window.partitionBy(*groups).orderBy(F.col("hv").asc())
     return (
         hashed.withColumn("rk", F.row_number().over(w))
