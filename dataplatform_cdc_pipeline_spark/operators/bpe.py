@@ -1,0 +1,111 @@
+"""BPE merge learning — the tokenizer-training step of an LLM data
+pipeline, as a distributed relational computation.
+
+Byte-pair encoding training is an iterative argmax: count adjacent
+symbol pairs over the (word, frequency) table, merge the most frequent
+pair everywhere, repeat. Like the k-means operator (clustering.py), the
+loop is driver-side over flat lineage and each round's learned artifact
+is tiny (ONE pair per round); unlike most BPE trainers, every step here
+is engine-portable and therefore hash-oracle-able:
+
+- a word's symbol sequence is a SPACED STRING (``' h e l l o '`` via
+  ``regexp_replace(word, '(.)', '$1 ')``) — the merge step is
+  ``replace(' a b ' → ' ab ')`` applied TWICE. One pass is greedy
+  left-to-right like BPE, but a match consumes the space that the NEXT
+  occurrence needs as its leading delimiter, so in a run of consecutive
+  occurrences pass 1 merges the 1st, 3rd, 5th…; the survivors are then
+  isolated by merged symbols, so a second pass catches every remaining
+  occurrence (two passes always suffice — two adjacent unmerged
+  occurrences cannot survive pass 1). The result equals BPE's
+  greedy-scan merge, and both engines' ``replace`` share the
+  continue-after-replacement semantics, so the step is bit-portable;
+- pair counts are ``Σ word_freq`` over adjacent pairs from the split
+  sequence — one explode + map-side-combined groupBy per round;
+- the argmax tie-breaks lexicographically on the pair (total order, both
+  engines); the chosen pair (2 strings + a count) is the only thing the
+  driver ever holds.
+
+Scale shape per round: one scan of the (distinct words, freq) frame —
+which is VOCABULARY-sized, not corpus-sized (the word-frequency
+aggregation runs once up front; HuggingFace's trainer makes the same
+reduction) — one shuffle of pair partials, a 1-row argmax. n_merges
+rounds stack no lineage (the sequence column is recomputed from the
+last round's strings, not re-derived through the plan).
+
+This simplified variant learns over raw words without the end-of-word
+sentinel (consistent across both engines and the oracle; adding '</w>'
+is a one-line change to the seed expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def spaced_seq_expr(word: Column | str) -> Column:
+    """word → ' c h a r s ' (leading/trailing space so every adjacent
+    pair, including at the edges, matches as ``' a b '``)."""
+    c = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.lit(" "), F.regexp_replace(c, "(.)", "$1 "))
+
+
+def pair_counts(vocab: DataFrame, seq_col: str = "seq", freq_col: str = "freq") -> DataFrame:
+    """(a, b, cnt): frequency-weighted adjacent-pair counts over the
+    current symbol sequences."""
+    syms = F.split(F.trim(F.col(seq_col)), " ")
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        vocab.select(F.col(freq_col), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum(freq_col).alias("cnt"))
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns
+    [{rank, left, right, merged, cnt}] — the merge table a tokenizer
+    ships. Deterministic: argmax ties break on (left, right) ascending.
+    """
+    if n_merges < 1:
+        raise ValueError("learn_bpe_merges: n_merges must be >= 1")
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(spaced_seq_expr("w").alias("seq"), "freq")
+        # vocabulary-sized; eagerly materialized once so per-round scans
+        # don't re-tokenize the corpus
+        .localCheckpoint(eager=True)
+    )
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append(
+            {"rank": rank, "left": a, "right": b, "merged": a + b, "cnt": cnt}
+        )
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        vocab = vocab.select(
+            F.replace(F.replace(F.col("seq"), pat, rep), pat, rep).alias("seq"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return merges

@@ -518,6 +518,62 @@ FROM top t JOIN est e ON t.term = e.term ORDER BY t.rk
 """
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 3 BPE merges learned over the corpus
+    (operators/bpe.py) — frequency-weighted adjacent-pair argmax over the
+    vocabulary, greedy merge (two-pass replace, see module docstring),
+    repeat. The oracle unrolls the same three rounds in CTEs; rank,
+    chosen pairs, and counts must match exactly."""
+    from dataplatform_cdc_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=3)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["cnt"]) for m in merges],
+        "rank int, lhs string, rhs string, merged string, cnt long",
+    )
+
+
+def _bpe_round_sql(i: int) -> str:
+    """pair-count + argmax CTEs for round i over vocab v{i-1}."""
+    return f"""
+p{i} AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                  j -> struct_pack(a := syms[j], b := syms[j + 1]))) AS p
+    FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM v{i - 1}))
+  GROUP BY 1, 2),
+b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
+
+
+def _bpe_merge_sql(i: int) -> str:
+    """vocab v{i} = v{i-1} with round i's pair merged (two-pass replace —
+    the same adjacency-run rule as the Spark side)."""
+    pat = f"' ' || (SELECT a FROM b{i}) || ' ' || (SELECT b FROM b{i}) || ' '"
+    rep = f"' ' || (SELECT a || b FROM b{i}) || ' '"
+    return f"""
+v{i} AS (SELECT replace(replace(seq, {pat}, {rep}), {pat}, {rep}) AS seq, freq
+         FROM v{i - 1})"""
+
+
+SQL_BPE_LEARN = f"""
+WITH w AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({TOKS}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, freq FROM w),
+{_bpe_round_sql(1)},
+{_bpe_merge_sql(1)},
+{_bpe_round_sql(2)},
+{_bpe_merge_sql(2)},
+{_bpe_round_sql(3)}
+SELECT 1 AS rank, a AS lhs, b AS rhs, a || b AS merged, cnt FROM b1
+UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
+UNION ALL SELECT 3, a, b, a || b, cnt FROM b3
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup (operators/text_dedup.containment_pairs):
     pairs where the smaller doc's shingle set is ≥80% contained in the
@@ -1777,6 +1833,7 @@ LLM_QUERIES = {
     "dedup_containment": q_dedup_containment,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "embedding_ivf_sq8": q_embedding_ivf_sq8,
+    "bpe_learn": q_bpe_learn,
 }
 
 LLM_ORACLES = {
@@ -1819,4 +1876,5 @@ LLM_ORACLES = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "embedding_ivf_sq8": SQL_EMBEDDING_IVF_SQ8,
+    "bpe_learn": SQL_BPE_LEARN,
 }

@@ -985,3 +985,33 @@ def test_ivf_sq8_probes_subset_and_scores_match_sq8(spark, sf_dir):
     for r in ivf:
         per_q[r["query_id"]].add(cells[r["nbr_id"]])
     assert all(len(cs) <= 2 for cs in per_q.values())
+
+
+def test_bpe_greedy_merge_with_adjacent_runs(spark):
+    """Hand-checked BPE: corpus 'aaaa aaaa ab' — round 1 must pick
+    ('a','a') with count 2·3+0... precisely: pairs in 'aaaa' are
+    (a,a)×3 per word ⇒ cnt 6 (+0 from 'ab'); the greedy merge turns
+    'a a a a' into 'aa aa' (BOTH disjoint occurrences — the two-pass
+    replace rule), so round 2 sees (aa,aa) cnt 2."""
+    from dataplatform_cdc_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaaa")], "doc_id long, text string"
+    )
+    # vocab: aaaa freq 2 (distinct words weighted by occurrences: 'aaaa'
+    # appears 3 times across docs), ab freq 1
+    merges = learn_bpe_merges(docs, n_merges=2)
+    m1, m2 = merges
+    assert (m1["left"], m1["right"], m1["merged"]) == ("a", "a", "aa")
+    assert m1["cnt"] == 9  # 3 adjacent (a,a) pairs x 3 occurrences of 'aaaa'
+    assert (m2["left"], m2["right"], m2["merged"]) == ("aa", "aa", "aaaa")
+    assert m2["cnt"] == 3  # 'a a a a' -> 'aa aa' in every occurrence
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    from dataplatform_cdc_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame([(1, "xy ab")], "doc_id long, text string")
+    m = learn_bpe_merges(docs, n_merges=1)[0]
+    # (a,b) and (x,y) both have cnt 1 -> lexicographic winner (a,b)
+    assert (m["left"], m["right"], m["cnt"]) == ("a", "b", 1)
