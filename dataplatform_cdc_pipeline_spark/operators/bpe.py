@@ -67,6 +67,40 @@ def pair_counts(vocab: DataFrame, seq_col: str = "seq", freq_col: str = "freq") 
     )
 
 
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned merge table: per word, apply every
+    merge in rank order (each via the same two-pass replace as training —
+    encoder/trainer symmetry is what makes BPE round-trip), then count
+    the remaining symbols. Returns (id, n_words, n_bpe_tokens) — the
+    token-budget accounting a data pipeline runs before packing.
+
+    The merge table is a literal chain of ``replace`` calls (2·n_merges
+    string ops per word, whole-stage codegen'd) — the learned artifact is
+    baked into the expression exactly like the k-means centroids."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    seq = spaced_seq_expr("w")
+    for m in merges:
+        pat = F.lit(f" {m['left']} {m['right']} ")
+        rep = F.lit(f" {m['merged']} ")
+        seq = F.replace(F.replace(seq, pat, rep), pat, rep)
+    return (
+        words.select(F.col(id_col), F.size(F.split(F.trim(seq), " ")).alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 3,

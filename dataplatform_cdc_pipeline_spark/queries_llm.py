@@ -574,6 +574,54 @@ UNION ALL SELECT 3, a, b, a || b, cnt FROM b3
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoder half of the tokenizer story: learn 3 BPE merges, then
+    encode every document with them — per-doc word and post-merge token
+    counts (the budget accounting before sequence packing). Trainer and
+    encoder share the exact merge semantics, so the oracle's unrolled
+    learn+apply chain must land on identical counts."""
+    from dataplatform_cdc_pipeline_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=3)
+    return apply_bpe(docs, merges)
+
+
+def _bpe_apply_sql(i: int, src: str) -> str:
+    pat = f"' ' || (SELECT a FROM b{i}) || ' ' || (SELECT b FROM b{i}) || ' '"
+    rep = f"' ' || (SELECT a || b FROM b{i}) || ' '"
+    return (
+        f"a{i} AS (SELECT doc_id, replace(replace(seq, {pat}, {rep}), {pat}, {rep})"
+        f" AS seq FROM {src})"
+    )
+
+
+SQL_BPE_ENCODE = f"""
+WITH w AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({TOKS}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, freq FROM w),
+{_bpe_round_sql(1)},
+{_bpe_merge_sql(1)},
+{_bpe_round_sql(2)},
+{_bpe_merge_sql(2)},
+{_bpe_round_sql(3)},
+dw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest({TOKS}) AS w FROM documents)
+       WHERE w <> ''),
+a0 AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq FROM dw),
+{_bpe_apply_sql(1, 'a0')},
+{_bpe_apply_sql(2, 'a1')},
+{_bpe_apply_sql(3, 'a2')}
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_bpe_tokens
+FROM a3 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup (operators/text_dedup.containment_pairs):
     pairs where the smaller doc's shingle set is ≥80% contained in the
@@ -1834,6 +1882,7 @@ LLM_QUERIES = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "embedding_ivf_sq8": q_embedding_ivf_sq8,
     "bpe_learn": q_bpe_learn,
+    "bpe_encode": q_bpe_encode,
 }
 
 LLM_ORACLES = {
@@ -1877,4 +1926,5 @@ LLM_ORACLES = {
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "embedding_ivf_sq8": SQL_EMBEDDING_IVF_SQ8,
     "bpe_learn": SQL_BPE_LEARN,
+    "bpe_encode": SQL_BPE_ENCODE,
 }

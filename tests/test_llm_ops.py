@@ -1015,3 +1015,23 @@ def test_bpe_tie_breaks_lexicographically(spark):
     m = learn_bpe_merges(docs, n_merges=1)[0]
     # (a,b) and (x,y) both have cnt 1 -> lexicographic winner (a,b)
     assert (m["left"], m["right"], m["cnt"]) == ("a", "b", 1)
+
+
+def test_bpe_encode_counts_shrink_monotonically(spark):
+    """Encoding invariants: token count = char count with zero merges;
+    every learned merge can only shrink (or hold) each doc's count; the
+    'aaaa' doc shrinks 4 -> 1 after two merges (a a->aa, aa aa->aaaa)."""
+    from dataplatform_cdc_pipeline_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "aaaa ab"), (3, "zz")], "doc_id long, text string"
+    )
+    zero = {r["doc_id"]: r["n_bpe_tokens"] for r in apply_bpe(docs, []).collect()}
+    assert zero == {1: 8, 2: 6, 3: 2}  # plain character counts
+    merges = learn_bpe_merges(docs, n_merges=2)
+    enc = {r["doc_id"]: r["n_bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
+    assert all(enc[d] <= zero[d] for d in zero)
+    assert enc[1] == 2  # two words, each fully merged to one 'aaaa' symbol
