@@ -611,6 +611,74 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_debezium_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw CDC topic → typed table, end to end in streaming: Debezium
+    wire JSON landed as text lines, unwrapped in-stream
+    (sources/debezium.normalize_debezium — pure Columns compose with
+    streaming frames), merged per micro-batch through the batch core.
+    The oracle is the ms-truncated final state minus deletes — the same
+    truncation/tiebreak semantics cdc_debezium_ingest pins for the batch
+    path, now through the checkpointed streaming loop."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge  # noqa: F401
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.debezium import (
+        normalize_debezium,
+        synthesize_debezium_from_events,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        run_streaming_merge,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_dbz_q_")
+    wire = synthesize_debezium_from_events(load_table(spark, sf_dir, "events"))
+    wire.write.mode("overwrite").text(f"{tmp}/topic")
+    cfg = user_state_config()
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_streaming_merge(
+        spark,
+        cfg,
+        target,
+        audit,
+        f"{tmp}/topic",
+        f"{tmp}/ckpt",
+        deterministic_audit=True,
+        source_format="text",
+        transform=normalize_debezium,
+    )
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_STREAM_DEBEZIUM_MERGE = """
+WITH ranked AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op,
+         event_type, value, json_extract_string(props, '$.k')::INT AS k,
+         (epoch_us(ts::TIMESTAMP) // 1000) * 1000 AS event_ts_us,
+         event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) // 1000 DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked WHERE rn = 1 AND op != 'd' ORDER BY user_id
+"""
+
+
 def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (p50/p90/p99 of value per event_type) via the
     sort-based percentile aggregate — the per-group distribution summary.
@@ -818,6 +886,7 @@ EXT_QUERIES = {
     "fuzzy_name_match": q_fuzzy_name_match,
     "stream_distinct_sketch": q_stream_distinct_sketch,
     "events_value_percentiles": q_events_value_percentiles,
+    "stream_debezium_merge": q_stream_debezium_merge,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -852,6 +921,7 @@ EXT_ORACLES = {
     # sketch bit for bit; the streaming twin shares the batch oracle verbatim
     "stream_distinct_sketch": SQL_EVENTS_DISTINCT_SKETCH,
     "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
+    "stream_debezium_merge": SQL_STREAM_DEBEZIUM_MERGE,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

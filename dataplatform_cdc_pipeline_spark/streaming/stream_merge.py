@@ -38,14 +38,23 @@ def run_streaming_merge(
     "message_id string, source_db_table string, subscription_name string",
     trigger_once: bool = True,
     deterministic_audit: bool = False,
+    source_format: str = "parquet",
+    transform=None,
 ):
-    """Stream a parquet-landing bronze directory into the typed target.
+    """Stream a bronze landing directory into the typed target.
 
     Each micro-batch runs the full batch core via ``run_merge`` with the
     batch frame as ``raw`` and an unbounded window — the checkpoint already
     scoped the rows. ``trigger_once`` processes all available input then
     stops (the batch-parity mode used in tests); continuous deployments
     drop it and set a processing-time trigger.
+
+    ``source_format``: 'parquet' (a landed bronze table of
+    ``bronze_schema`` shape) or 'text' (raw wire payloads, one per line —
+    e.g. a Debezium topic dump; the lines arrive as a ``value`` column).
+    ``transform``: optional stream→bronze normalizer applied before the
+    merge loop (pure-Column transforms compose with streaming frames —
+    e.g. ``sources.debezium.normalize_debezium``).
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -59,9 +68,14 @@ def run_streaming_merge(
             deterministic_audit=deterministic_audit,
         )
 
-    stream = (
-        spark.readStream.schema(bronze_schema).parquet(source_path)
-    )
+    if source_format == "text":
+        stream = spark.readStream.text(source_path)
+    elif source_format == "parquet":
+        stream = spark.readStream.schema(bronze_schema).parquet(source_path)
+    else:
+        raise ValueError(f"unsupported source_format '{source_format}'")
+    if transform is not None:
+        stream = transform(stream)
     writer = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)

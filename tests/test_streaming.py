@@ -355,3 +355,26 @@ def test_streaming_kmv_state_equals_batch_sketch(spark, tmp_path, sf_dir):
             for r in kmv_sketch(ev, "user_id", ["event_type"], 16).collect()
         }
         assert streamed == batch
+
+
+def test_streaming_merge_rejects_unknown_source_format(spark, tmp_path):
+    import pytest
+
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        run_streaming_merge,
+    )
+
+    cfg = user_state_config()
+    target = ParquetMergeTarget(spark, str(tmp_path / "t"), cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="unsupported source_format"):
+        run_streaming_merge(
+            spark, cfg, target, audit, str(tmp_path / "x"), str(tmp_path / "c"),
+            source_format="avro",
+        )
