@@ -38,6 +38,16 @@ QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "text_quality", "gopher_repetition",
     "doc_chunks", "bm25_search", "embedding_ivf_topk", "training_mix",
     "embedding_kmeans",
+    # r5 second-half operators. dedup_containment is EXCLUDED by design:
+    # the replica construction gives every document 9 near-copies, so
+    # every shingle's df lands at ~10x its sf0.1 value (~96, just under
+    # the posting cap) and the pair join measures the synthetic corpus's
+    # pathological density, not the operator's scaling — a real 10x
+    # corpus adds documents, not copies. Its scale lever is the posting
+    # cap (df > cap drops the shingle), already exercised by tests.
+    "embedding_sq8_topk", "events_distinct_sketch", "heavy_hitters_cms",
+    "bigram_perplexity", "bpe_encode",
+    "cdc_debezium_ingest", "events_value_percentiles",
 ]
 
 
