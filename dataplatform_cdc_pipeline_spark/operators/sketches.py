@@ -120,12 +120,15 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str] | None, k: int = 32) -
     )
 
 
-def kmv_merge(sketch: DataFrame, group_cols: list[str], k: int = 32) -> DataFrame:
-    """Merge per-group sketches into ONE sketch over the union of their
+def kmv_merge(sketch: DataFrame, group_cols: list[str] | None = None, k: int = 32) -> DataFrame:
+    """Merge ALL sketch rows into ONE sketch over the union of their
     inputs: distinct retained hashes, re-ranked, bottom k. Exactly the
     sketch :func:`kmv_sketch` would build over the concatenated data when
     the groups partition it (each global bottom-k hash is in its own
-    group's bottom-k)."""
+    group's bottom-k). ``group_cols`` is accepted for call-site symmetry
+    with :func:`kmv_sketch` but ignored — the merge always collapses
+    every retained hash (the input is ≤ k·|groups| rows, so the single
+    global window here is over sketch state, not data)."""
     from pyspark.sql import Window
 
     merged = sketch.select("hv").distinct()

@@ -231,8 +231,13 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         manifests (older manifests are pruned with them — their snapshots
         become unreadable, like Delta VACUUM breaking old time travel).
         Crash-orphaned trees (written but never published) vanish too."""
+        if retain_last < 1:
+            raise ValueError(
+                "vacuum: retain_last must be >= 1 — retaining zero manifests "
+                "would delete the CURRENT version's data"
+            )
         vs = self._versions()
-        keep_vs = vs[-retain_last:] if retain_last > 0 else []
+        keep_vs = vs[-retain_last:]
         live: set[str] = set()
         for v in keep_vs:
             for d in self._manifest(v)["buckets"].values():

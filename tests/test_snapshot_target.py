@@ -59,6 +59,8 @@ def test_vacuum_retention_and_orphan_cleanup(spark, tmp_path):
     with pytest.raises(ValueError, match="not in log"):
         t.read(version=1)
     assert t.vacuum(retain_last=2) == []  # idempotent
+    with pytest.raises(ValueError, match="retain_last must be >= 1"):
+        t.vacuum(retain_last=0)
 
 
 def test_manifest_pruned_read_and_compact(spark, tmp_path):
