@@ -57,6 +57,19 @@ def group_contribs(
     return rows.groupBy(group_col).agg(*aggs)
 
 
+def _outer_on_group(left: DataFrame, right: DataFrame, group_col: str, la: str, ra: str):
+    """Full-outer join keyed NULL-SAFELY on the group column (a NULL
+    group is a real GROUP BY group — plain equality would split its view
+    row and its delta row into two disconnected rows and corrupt the
+    arithmetic), with the key coalesced back to one column."""
+    cond = F.col(f"{la}.{group_col}").eqNullSafe(F.col(f"{ra}.{group_col}"))
+    joined = left.alias(la).join(right.alias(ra), cond, "full_outer")
+    key = F.coalesce(
+        F.col(f"{la}.{group_col}"), F.col(f"{ra}.{group_col}")
+    ).alias(group_col)
+    return joined, key
+
+
 def apply_view_delta(
     view: DataFrame,
     removed: DataFrame,
@@ -66,14 +79,17 @@ def apply_view_delta(
     count_col: str = "n",
 ) -> DataFrame:
     """view − contrib(removed) + contrib(added), per group; groups whose
-    count reaches 0 drop out, so the view matches a fresh GROUP BY exactly.
+    count reaches 0 drop out, so the view matches a fresh GROUP BY exactly
+    — including a NULL group (groupBy aggregates NULL keys into a real
+    group, so the maintenance joins must match them null-safely).
     """
     sum_exprs = sum_exprs or {}
     val_cols = [count_col] + list(sum_exprs)
     rem = group_contribs(removed, group_col, sum_exprs, count_col)
     add = group_contribs(added, group_col, sum_exprs, count_col)
-    delta = rem.alias("r").join(add.alias("a"), group_col, "full_outer").select(
-        group_col,
+    j, key = _outer_on_group(rem, add, group_col, "r", "a")
+    delta = j.select(
+        key,
         *[
             (
                 F.coalesce(f"a.{c}", F.lit(0)) - F.coalesce(f"r.{c}", F.lit(0))
@@ -81,11 +97,10 @@ def apply_view_delta(
             for c in val_cols
         ],
     )
+    j2, key2 = _outer_on_group(view, delta, group_col, "v", "d")
     return (
-        view.alias("v")
-        .join(delta.alias("d"), group_col, "full_outer")
-        .select(
-            group_col,
+        j2.select(
+            key2,
             *[
                 (F.coalesce(f"v.{c}", F.lit(0)) + F.coalesce(f"d.{c}", F.lit(0))).alias(c)
                 for c in val_cols
@@ -261,12 +276,16 @@ def minmax_view_delta_for_merge(
         )
 
     rem, add = ext(old, "r"), ext(new, "a")
+    # null-safe group joins throughout: a NULL group is a real GROUP BY
+    # group and must line its view/removed/added rows up (same invariant
+    # as apply_view_delta)
+    j1, key1 = _outer_on_group(view, rem, group_col, "v", "r")
+    vr = j1.select(key1, F.col(count_col), "min_v", "max_v", "r_n", "r_min", "r_max")
+    j2, key2 = _outer_on_group(vr, add, group_col, "t", "a")
     merged = (
-        view.alias("v")
-        .join(rem, group_col, "full_outer")
-        .join(add, group_col, "full_outer")
+        j2
         .select(
-            group_col,
+            key2,
             (
                 F.coalesce(F.col(count_col), F.lit(0))
                 - F.coalesce("r_n", F.lit(0))
@@ -307,22 +326,23 @@ def minmax_view_delta_for_merge(
     for c in pk:
         eq = t[c].eqNullSafe(k[c])
         cond = eq if cond is None else (cond & eq)
+    eg = endangered.select(group_col)
     surviving = (
-        t.join(F.broadcast(endangered.select(group_col)), group_col, "left_semi")
+        t.join(F.broadcast(eg), t[group_col].eqNullSafe(eg[group_col]), "left_semi")
         .join(k, cond, "left_anti")
         .select(group_col, val.alias("__v"))
     )
     contrib = surviving.unionByName(
-        new.join(F.broadcast(endangered.select(group_col)), group_col, "left_semi").select(
-            group_col, val.alias("__v")
-        )
+        new.join(
+            F.broadcast(eg), new[group_col].eqNullSafe(eg[group_col]), "left_semi"
+        ).select(group_col, val.alias("__v"))
     )
     rec = contrib.groupBy(group_col).agg(
         F.min("__v").alias("min_v"), F.max("__v").alias("max_v")
     )
-    recomputed = endangered.join(rec, group_col, "left").select(
-        group_col, count_col, "min_v", "max_v"
-    )
+    recomputed = endangered.join(
+        rec, endangered[group_col].eqNullSafe(rec[group_col]), "left"
+    ).select(endangered[group_col], endangered[count_col], rec["min_v"], rec["max_v"])
     return (
         safe.unionByName(recomputed)
         .filter(F.col(count_col) != 0)

@@ -697,3 +697,74 @@ def test_ivm_minmax_endangered_and_safe_paths(spark):
         view, "event_type", "value",
     )
     assert view.collect() == [] and fresh() == {}
+
+
+def test_ivm_null_group_rows_maintained(spark):
+    """A NULL group key is a real GROUP BY group: both the abelian and the
+    MIN/MAX maintenance must line its view/removed/added rows up
+    null-safely (plain-equality joins would split the NULL group into
+    disconnected rows and corrupt the arithmetic)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.ivm import (
+        maintain_minmax_through_merge,
+        maintain_view_through_merge,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        # (op, uid, event_type-or-None, value, ts_off, pos)
+        data = [
+            (uid, et, val, 1, base + _dt.timedelta(seconds=off), pos, op, base)
+            for op, uid, et, val, off, pos in rows
+        ]
+        return spark.createDataFrame(
+            data,
+            "user_id long, event_type string, value double, k int, "
+            "source_ts_ns_order timestamp, pos long, __op string, __load_ts timestamp",
+        )
+
+    # --- abelian path ---
+    cfg, target, audit = pipeline(spark)
+    sums = {"vs": F.floor(F.col("value") * 1e6).cast("long")}
+    view, _ = maintain_view_through_merge(
+        target,
+        batch([("c", 1, None, 2.0, 0, 1), ("c", 2, None, 5.0, 0, 2),
+               ("c", 3, "g", 1.0, 0, 3)]),
+        None, "event_type", sums,
+    )
+    got = {r["event_type"]: (r["n"], r["vs"]) for r in view.collect()}
+    assert got == {None: (2, 7_000_000), "g": (1, 1_000_000)}
+    view, _ = maintain_view_through_merge(
+        target,
+        batch([("d", 1, None, 0.0, 5, 4), ("u", 2, None, 9.0, 5, 5)]),
+        view, "event_type", sums,
+    )
+    got = {r["event_type"]: (r["n"], r["vs"]) for r in view.collect()}
+    assert got == {None: (1, 9_000_000), "g": (1, 1_000_000)}
+
+    # --- MIN/MAX path: deleting the NULL group's max forces its
+    # endangered rescan through the null-safe semi joins ---
+    cfg2, target2, audit2 = pipeline(spark)
+    mm, _ = maintain_minmax_through_merge(
+        target2,
+        batch([("c", 1, None, 2.0, 0, 1), ("c", 2, None, 5.0, 0, 2),
+               ("c", 3, "g", 1.0, 0, 3)]),
+        None, "event_type", "value",
+    )
+    mm, _ = maintain_minmax_through_merge(
+        target2, batch([("d", 2, None, 0.0, 5, 4)]), mm, "event_type", "value"
+    )
+    got = {r["event_type"]: (r["n"], r["min_v"], r["max_v"]) for r in mm.collect()}
+    fresh = {
+        r["event_type"]: (r["n"], r["min_v"], r["max_v"])
+        for r in target2.read()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("min_v"),
+             F.max("value").alias("max_v"))
+        .collect()
+    }
+    assert got == fresh == {None: (1, 2.0, 2.0), "g": (1, 1.0, 1.0)}
