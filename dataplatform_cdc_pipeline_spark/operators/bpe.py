@@ -112,7 +112,6 @@ def learn_bpe_merges(
     """
     if n_merges < 1:
         raise ValueError("learn_bpe_merges: n_merges must be >= 1")
-    spark = docs.sparkSession
     vocab = (
         docs.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
