@@ -251,3 +251,48 @@ def test_kmeans_assignment_map_only_and_distributed_seed(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in seed_plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """The co-located-join recipe for 100 TB fact-fact joins: both sides
+    written `bucketBy(N, key)` join with ZERO Exchange — bucketing IS the
+    shuffle, paid once at write time and amortized over every later join.
+    (This is the layout the engine's hash-bucketed targets approximate;
+    Spark's native bucketing adds the catalog metadata that lets the
+    planner PROVE co-partitioning and elide the exchange.)"""
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS b LOCATION '{tmp_path}/wh'")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # test data is broadcast-sized; force the shuffle-join path the
+    # technique exists for (at real scale both sides exceed any threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            "b.orders_b", mode="overwrite"
+        )
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            "b.lineitem_b", mode="overwrite"
+        )
+        j = (
+            spark.table("b.orders_b")
+            .join(
+                spark.table("b.lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = fmt_plan(j)
+        join_section = plan.split("HashAggregate", 1)[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the join itself is exchange-free; only the final small
+        # aggregation may shuffle
+        assert "Exchange" not in join_section, join_section
+        # sanity: the join actually produces rows
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP DATABASE IF EXISTS b CASCADE")
