@@ -68,7 +68,7 @@ HEADLINE = [
     "cdc_zorder_read", "cdc_ivm_minmax", "cdc_snapshot_merge",
     "fuzzy_name_match", "stream_distinct_sketch", "events_value_percentiles",
     "heavy_hitters_cms", "embedding_ivf_sq8", "cdc_time_travel_read",
-    "bpe_encode", "stream_debezium_merge",
+    "bpe_encode", "stream_debezium_merge", "cdc_snapshot_diff",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -224,6 +224,53 @@ class SnapshotMergeTarget(ParquetMergeTarget):
             raise
         self.phase_times["swap"] = round(time.time() - t0, 3)
 
+    def diff(self, v_old: int, v_new: int) -> DataFrame:
+        """Change feed between two committed versions — what Delta calls
+        CDF, derived after the fact from time travel: one row per changed
+        key with ``_change_type`` ∈ insert/update/delete. Updates carry
+        the NEW image, deletes the OLD one (the downstream-sync
+        convention: apply the row under its change type and you reproduce
+        v_new from v_old).
+
+        Shape: one null-safe full-outer join of the two snapshots on the
+        PK; 'unchanged' keys (identical full row both sides) drop out via
+        a null-safe column comparison. Both snapshots are manifest-pinned
+        immutable files, so the diff is stable no matter what commits
+        land meanwhile."""
+        # explicit presence markers: PK columns may legally be null (the
+        # merge contract upserts null-PK rows into their own slot), so
+        # side-presence cannot be inferred from PK nullness
+        old = self.read(version=v_old).withColumn("__o", F.lit(True)).alias("o")
+        new = self.read(version=v_new).withColumn("__n", F.lit(True)).alias("n")
+        pk = list(self.cfg.pk)
+        data_cols = [f.name for f in self.schema.fields]
+        cond = None
+        for c in pk:
+            eq = old[c].eqNullSafe(new[c])
+            cond = eq if cond is None else (cond & eq)
+        j = old.join(new, cond, "full_outer")
+        o_present = old["__o"].isNotNull()
+        n_present = new["__n"].isNotNull()
+        same = F.lit(True)
+        for c in data_cols:
+            same = same & old[c].eqNullSafe(new[c])
+        change = (
+            F.when(~o_present, F.lit("insert"))
+            .when(~n_present, F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )  # both present & identical -> NULL -> filtered (unchanged)
+        side = F.when(change == "delete", F.lit("o")).otherwise(F.lit("n"))
+        return (
+            j.select(
+                change.alias("_change_type"),
+                *[
+                    F.when(side == "o", old[c]).otherwise(new[c]).alias(c)
+                    for c in data_cols
+                ],
+            )
+            .filter(F.col("_change_type").isNotNull())
+        )
+
     # -- maintenance ----------------------------------------------------------
 
     def vacuum(self, retain_last: int = 2) -> list[str]:

@@ -1333,6 +1333,81 @@ def q_cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed from time travel (SnapshotMergeTarget.diff — Delta CDF
+    derived after the fact): what changed between version 1 (phase-1
+    state) and version 2 (final state) of the two-window lifecycle, one
+    row per changed key tagged insert/update/delete, updates carrying the
+    NEW image and deletes the OLD. The oracle recomputes both states
+    relationally and diffs them — a wrong change classification, a
+    leaked 'unchanged' row, or a wrong-side image diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_diff_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    for win in [(None, split), (split, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    return target.diff(1, 2).select(
+        "_change_type",
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_SNAPSHOT_DIFF = f"""
+WITH r1 AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+s1 AS (SELECT user_id, event_type, value, k, event_ts_us, pos
+       FROM r1 WHERE rn = 1 AND op != 'd'),
+r2 AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events),
+s2 AS (SELECT user_id, event_type, value, k, event_ts_us, pos
+       FROM r2 WHERE rn = 1 AND op != 'd'),
+d AS (
+  SELECT
+    CASE WHEN s1.user_id IS NULL THEN 'insert'
+         WHEN s2.user_id IS NULL THEN 'delete'
+         WHEN s1.event_type IS DISTINCT FROM s2.event_type
+              OR s1.value IS DISTINCT FROM s2.value
+              OR s1.k IS DISTINCT FROM s2.k
+              OR s1.event_ts_us IS DISTINCT FROM s2.event_ts_us
+              OR s1.pos IS DISTINCT FROM s2.pos
+         THEN 'update' END AS _change_type,
+    CASE WHEN s2.user_id IS NULL THEN s1.user_id ELSE s2.user_id END AS user_id,
+    CASE WHEN s2.user_id IS NULL THEN s1.event_type ELSE s2.event_type END AS event_type,
+    CASE WHEN s2.user_id IS NULL THEN s1.value ELSE s2.value END AS value,
+    CASE WHEN s2.user_id IS NULL THEN s1.k ELSE s2.k END AS k,
+    CASE WHEN s2.user_id IS NULL THEN s1.event_ts_us ELSE s2.event_ts_us END AS event_ts_us,
+    CASE WHEN s2.user_id IS NULL THEN s1.pos ELSE s2.pos END AS pos
+  FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id)
+SELECT * FROM d WHERE _change_type IS NOT NULL ORDER BY user_id
+"""
+
+
 _TT_SPLIT = "2024-01-15 00:00:00"
 
 SQL_CDC_TIME_TRAVEL_READ = f"""
@@ -1430,6 +1505,7 @@ QUERIES: dict[str, callable] = {
     "cdc_debezium_ingest": q_cdc_debezium_ingest,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_zorder_read": q_cdc_zorder_read,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1461,6 +1537,7 @@ ORACLES: dict[str, str] = {
     "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
+    "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -81,3 +81,28 @@ def test_manifest_pruned_read_and_compact(spark, tmp_path):
     n = t.compact(zorder_by=("k", "value"))
     assert n == 40
     assert len(state(t)) == 40 and t._read_version() == 2
+
+
+def test_diff_classifies_and_handles_null_pk(spark, tmp_path):
+    """diff(v1, v2): insert/update/delete classification with correct-side
+    images; unchanged keys drop out; a NULL-PK row (legal per the merge
+    contract) diffs via the presence markers, not PK nullness."""
+    t = make(spark, tmp_path)
+    t.merge(
+        changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2), ("c", 3, 3.0, 0, 3)])
+    )
+    # v2: update 1, delete 2, insert 4, leave 3 untouched, upsert null-PK
+    batch = changes(spark, [("u", 1, 9.0, 5, 4), ("d", 2, 0.0, 5, 5), ("c", 4, 4.0, 5, 6)])
+    null_pk = batch.filter("user_id = 4").withColumn(
+        "user_id", F.lit(None).cast("long")
+    )
+    t.merge(batch.unionByName(null_pk))
+    d = {
+        r["user_id"]: (r["_change_type"], r["value"])
+        for r in t.diff(1, 2).collect()
+    }
+    assert d[1] == ("update", 9.0)  # NEW image
+    assert d[2] == ("delete", 2.0)  # OLD image
+    assert d[4] == ("insert", 4.0)
+    assert d[None] == ("insert", 4.0)  # null-PK row present only in v2
+    assert 3 not in d  # unchanged key excluded
