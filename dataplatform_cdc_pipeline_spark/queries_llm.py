@@ -1775,6 +1775,76 @@ ORDER BY query_id, rk
 """
 
 
+def q_ivf_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF,SQ8 index vs exact cosine — the last
+    cell of the ANN evaluation matrix (LSH, IVF-by-nprobe, flat SQ8, and
+    now the composition each deployment actually runs). Both rankings run
+    as their ordinary operators; recall is the relational two-join fold."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import ivf_sq8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    e = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    a = ivf_sq8_topk(emb, queries, k=5, nprobe=2).select("query_id", "nbr_id")
+    n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = (
+        e.join(a, ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return n_exact.join(n_hit, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (
+            F.floor(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+                * F.lit(1_000_000.0)
+            )
+            / F.lit(1_000_000.0)
+        ).alias("recall_at_5"),
+    )
+
+
+# approx side = the IVF,SQ8 oracle's CTE chain cut at rk<=5; exact side =
+# the brute-force cosine CTEs shared by the other recall harnesses. The
+# composed oracle keeps the full IVF,SQ8 chain and continues its WITH
+# list in place of the final SELECT (comma splice on the `ranked` CTE).
+_IVF_SQ8_FINAL = (
+    "  FROM s)\nSELECT query_id, rk, nbr_id, score FROM ranked WHERE rk <= 5\n"
+    "ORDER BY query_id, rk"
+)
+assert _IVF_SQ8_FINAL in SQL_EMBEDDING_IVF_SQ8
+SQL_IVF_SQ8_RECALL_EVAL = SQL_EMBEDDING_IVF_SQ8.replace(_IVF_SQ8_FINAL, """  FROM s),
+approx AS (SELECT query_id, nbr_id FROM ranked WHERE rk <= 5),
+md AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         floor(list_dot_product(a.dvec, b.dvec) /
+               (sqrt(list_dot_product(a.dvec, a.dvec)) *
+                sqrt(list_dot_product(b.dvec, b.dvec))) * 1000000.0) / 1000000.0
+           AS cosine
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+        FROM embeddings WHERE vec_id < 10) a
+  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+        FROM embeddings) b ON a.vec_id <> b.vec_id),
+exact AS (SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, nbr_id) AS rk
+            FROM md) WHERE rk <= 5),
+ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id),
+nh AS (SELECT e.query_id, count(*) AS n_hit
+       FROM exact e JOIN approx a ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+       GROUP BY e.query_id)
+SELECT ne.query_id, ne.n_exact, coalesce(nh.n_hit, 0) AS n_hit,
+       floor(coalesce(nh.n_hit, 0) * 1.0 / ne.n_exact * 1000000.0) / 1000000.0
+         AS recall_at_5
+FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
+ORDER BY ne.query_id
+""")
+
+
 # Shared SQ8 CTE chain: micros (exploded integer micro-units) → per-dim
 # scales → codes → asymmetric integer-dot scores → ranked top-5. The
 # oracle works in EXPLODED relational form (join on pos) where Spark uses
@@ -1883,6 +1953,7 @@ LLM_QUERIES = {
     "embedding_ivf_sq8": q_embedding_ivf_sq8,
     "bpe_learn": q_bpe_learn,
     "bpe_encode": q_bpe_encode,
+    "ivf_sq8_recall_eval": q_ivf_sq8_recall_eval,
 }
 
 LLM_ORACLES = {
@@ -1927,4 +1998,5 @@ LLM_ORACLES = {
     "embedding_ivf_sq8": SQL_EMBEDDING_IVF_SQ8,
     "bpe_learn": SQL_BPE_LEARN,
     "bpe_encode": SQL_BPE_ENCODE,
+    "ivf_sq8_recall_eval": SQL_IVF_SQ8_RECALL_EVAL,
 }
