@@ -86,6 +86,8 @@ class SnapshotMergeTarget(ParquetMergeTarget):
     def _manifest(self, version: int | None = None) -> dict | None:
         vs = self._versions()
         if not vs:
+            if version is not None:
+                raise ValueError(f"version {version} not in log (log is empty)")
             return None
         v = vs[-1] if version is None else version
         if v not in vs:
