@@ -84,7 +84,7 @@ _PRIORITY = [
     "customer_pareto", "heavy_hitters_cms", "fuzzy_name_match",
     "stream_distinct_sketch", "events_value_percentiles",
     "cdc_snapshot_merge", "embedding_ivf_sq8", "cdc_time_travel_read", "bpe_learn", "bpe_encode", "stream_debezium_merge",
-    "cdc_snapshot_diff", "ivf_sq8_recall_eval",
+    "cdc_snapshot_diff", "ivf_sq8_recall_eval", "interdoc_repetition",
     # ^ NEW r5, tail — rotate into the r6 window
     "cdc_date_partitioned_read", "cdc_merge_multi_pk_guarded",
     "stream_user_totals",

@@ -69,6 +69,7 @@ HEADLINE = [
     "fuzzy_name_match", "stream_distinct_sketch", "events_value_percentiles",
     "heavy_hitters_cms", "embedding_ivf_sq8", "cdc_time_travel_read",
     "bpe_encode", "stream_debezium_merge", "cdc_snapshot_diff",
+    "interdoc_repetition", "ivf_sq8_recall_eval",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -462,6 +462,67 @@ FROM per_doc ORDER BY doc_id
 """
 
 
+def q_interdoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-document repetition (the C4 boilerplate rule's unit-free
+    analogue; RefinedWeb's cross-document dimension): for each doc, the
+    fraction of its distinct word 3-gram shingles that also occur in
+    MORE THAN ``DF_T`` other documents — high fraction = the doc is made
+    of corpus-common spans (templates, navigation, licence blocks), a
+    signal neither within-doc Gopher filters nor pairwise Jaccard
+    captures. keep = frac ≤ 0.5. Scale shape: one explode of distinct
+    shingle hashes, one df agg (map-side combined), one join back on the
+    hash — the inverted-index pattern, no pairwise work at all."""
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import shingles_expr
+
+    DF_T = 3
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.array_distinct(shingles_expr("text", 3)), lambda s: md5_long(s))
+        ).alias("h"),
+    ).localCheckpoint(eager=True)  # one shingling pass feeds df + join-back
+    dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+    per_doc = (
+        inv.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("dfreq") > DF_T).cast("long")).alias("n_common"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_common",
+        (
+            F.floor(
+                F.col("n_common").cast("double") / F.col("n_grams").cast("double")
+                * F.lit(1_000_000.0)
+            )
+            / F.lit(1_000_000.0)
+        ).alias("common_frac"),
+    ).withColumn("keep", F.col("common_frac") <= 0.5)
+
+
+SQL_INTERDOC_REPETITION = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+inv AS (SELECT doc_id,
+               unnest(list_distinct(list_transform({SHINGLES}, g -> {MD5L.format(x='g')}))) AS h
+        FROM t),
+dfreq AS (SELECT h, count(*) AS dfreq FROM inv GROUP BY h),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum((dfreq > 3)::INT) AS BIGINT) AS n_common
+  FROM inv JOIN dfreq USING (h) GROUP BY doc_id)
+SELECT doc_id, n_grams, n_common,
+       floor(n_common * 1.0 / n_grams * 1000000.0) / 1000000.0 AS common_frac,
+       floor(n_common * 1.0 / n_grams * 1000000.0) / 1000000.0 <= 0.5 AS keep
+FROM per_doc ORDER BY doc_id
+"""
+
+
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters (operators/sketches.py): the corpus's
     top-20 tokens with EXACT counts next to their CMS estimates — the
@@ -1954,6 +2015,7 @@ LLM_QUERIES = {
     "bpe_learn": q_bpe_learn,
     "bpe_encode": q_bpe_encode,
     "ivf_sq8_recall_eval": q_ivf_sq8_recall_eval,
+    "interdoc_repetition": q_interdoc_repetition,
 }
 
 LLM_ORACLES = {
@@ -1999,4 +2061,5 @@ LLM_ORACLES = {
     "bpe_learn": SQL_BPE_LEARN,
     "bpe_encode": SQL_BPE_ENCODE,
     "ivf_sq8_recall_eval": SQL_IVF_SQ8_RECALL_EVAL,
+    "interdoc_repetition": SQL_INTERDOC_REPETITION,
 }

@@ -1035,3 +1035,37 @@ def test_bpe_encode_counts_shrink_monotonically(spark):
     enc = {r["doc_id"]: r["n_bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
     assert all(enc[d] <= zero[d] for d in zero)
     assert enc[1] == 2  # two words, each fully merged to one 'aaaa' symbol
+
+
+def test_interdoc_repetition_flags_template_docs(spark, tmp_path, sf_dir):
+    """A doc assembled from spans shared by many documents scores high
+    common_frac and is dropped; a doc of unique text keeps. Run against a
+    small synthetic corpus via the registered query's operator shape."""
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import shingles_expr
+
+    template = "all rights reserved contact us terms of service"
+    docs = spark.createDataFrame(
+        [(i, f"{template} page {i}") for i in range(1, 7)]
+        + [(100, "completely unique content about aardvarks and zephyrs today")],
+        "doc_id long, text string",
+    )
+    inv = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.array_distinct(shingles_expr("text", 3)), lambda s: md5_long(s))
+        ).alias("h"),
+    )
+    dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+    per = (
+        inv.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("dfreq") > 3).cast("long")).alias("c"),
+        )
+        .collect()
+    )
+    frac = {r["doc_id"]: r["c"] / r["n"] for r in per}
+    assert frac[100] == 0.0
+    assert frac[1] > 0.5  # template spans shared by 6 docs dominate
