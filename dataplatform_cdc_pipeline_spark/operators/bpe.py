@@ -16,9 +16,17 @@ is engine-portable and therefore hash-oracle-able:
   occurrences pass 1 merges the 1st, 3rd, 5th…; the survivors are then
   isolated by merged symbols, so a second pass catches every remaining
   occurrence (two passes always suffice — two adjacent unmerged
-  occurrences cannot survive pass 1). The result equals BPE's
-  greedy-scan merge, and both engines' ``replace`` share the
-  continue-after-replacement semantics, so the step is bit-portable;
+  occurrences cannot survive pass 1). What the two-pass replace
+  GUARANTEES is saturation (no mergeable adjacency survives) and the
+  merged-token MULTISET — not greedy positional order: for an odd run
+  ≥ 5 of a self-pair, merging (a,a) over 'aaaaa' yields [aa, a, aa]
+  (pass 1 takes occurrences 1 and 3, stranding the middle 'a') where a
+  greedy left-to-right scan gives [aa, aa, a]. Token counts, budgets,
+  and saturation — everything this module's consumers read — are
+  unaffected, but later rounds' pair counts can diverge from a
+  HuggingFace-style trainer on such corpora. Both engines' ``replace``
+  share the continue-after-replacement semantics, so the step is
+  bit-portable across Spark and the DuckDB oracle;
 - pair counts are ``Σ word_freq`` over adjacent pairs from the split
   sequence — one explode + map-side-combined groupBy per round;
 - the argmax tie-breaks lexicographically on the pair (total order, both

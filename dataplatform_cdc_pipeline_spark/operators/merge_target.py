@@ -230,6 +230,20 @@ class ParquetMergeTarget(MergeTarget):
             e.startswith(f"{BUCKET_COL}=") for e in os.listdir(self.path)
         )
 
+    def _live_buckets(self) -> set[int]:
+        """Bucket ids currently holding rows under THIS sink's layout.
+        compact()'s swap set must cover every one of them (plus the new
+        config's full range) or a re-bucketing compact leaves stale
+        buckets alive alongside the rewritten tree. Overridden per sink:
+        here the layout IS the directory listing."""
+        if not os.path.isdir(self.path):
+            return set()
+        return {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.path)
+            if e.startswith(f"{BUCKET_COL}=")
+        }
+
     def _partition_fields(self) -> list[T.StructField]:
         parts = [T.StructField(BUCKET_COL, T.IntegerType())]
         if self.cfg.partition_field:
@@ -480,18 +494,15 @@ class ParquetMergeTarget(MergeTarget):
         v0 = self._read_version()
         current = self.read()
         n = current.count()
-        # swap set = old layout ∪ every possible new bucket id: when
+        # swap set = live old layout ∪ every possible new bucket id: when
         # re-bucketing, a staged bucket with no same-id predecessor must
-        # still be moved in (and an emptied old dir removed) — covering
-        # range(n_buckets) costs only no-op loop iterations
-        all_buckets = sorted(
-            {
-                int(e.split("=", 1)[1])
-                for e in os.listdir(self.path)
-                if e.startswith(f"{BUCKET_COL}=")
-            }
-            | set(range(self.cfg.n_buckets))
-        )
+        # still be moved in (and an emptied old bucket retired) — covering
+        # range(n_buckets) costs only no-op loop iterations. Live-bucket
+        # discovery is a per-sink hook: the swap sink lists directories,
+        # the snapshot sink asks its manifest — deriving it from listdir
+        # here would miss a shrinking re-bucket's high manifest entries
+        # (old ids ≥ new N would carry forward as duplicates).
+        all_buckets = sorted(self._live_buckets() | set(range(self.cfg.n_buckets)))
         merged = current.withColumn(BUCKET_COL, bucket_expr(list(self.cfg.pk), self.cfg.n_buckets))
         if self.cfg.partition_field:
             merged = merged.withColumn(

@@ -126,6 +126,16 @@ class SnapshotMergeTarget(ParquetMergeTarget):
     def exists(self) -> bool:
         return bool(self._versions())
 
+    def _live_buckets(self) -> set[int]:
+        """Live bucket ids come from the CURRENT manifest, not from
+        directory names at the table root (this layout has only ``_log/``
+        and ``data/`` there). Without this override a shrinking
+        re-bucketing compact would carry forward manifest entries for old
+        bucket ids ≥ the new ``n_buckets`` — duplicating their rows next
+        to the rewritten tree."""
+        m = self._manifest()
+        return {int(b) for b in m["buckets"]} if m else set()
+
     def read(
         self,
         buckets: list[int] | None = None,
@@ -275,17 +285,39 @@ class SnapshotMergeTarget(ParquetMergeTarget):
 
     # -- maintenance ----------------------------------------------------------
 
+    @staticmethod
+    def _tree_version(tree: str) -> int | None:
+        """Commit version encoded in a data-tree name (``v<version>-<id>``),
+        or None for a name this class didn't produce."""
+        if tree.startswith("v") and "-" in tree:
+            head = tree[1:].split("-", 1)[0]
+            if head.isdigit():
+                return int(head)
+        return None
+
     def vacuum(self, retain_last: int = 2) -> list[str]:
         """Delete data trees unreferenced by the last ``retain_last``
         manifests (older manifests are pruned with them — their snapshots
         become unreadable, like Delta VACUUM breaking old time travel).
-        Crash-orphaned trees (written but never published) vanish too."""
+
+        Concurrency guard: data trees are written BEFORE their manifest
+        publishes them, so an unreferenced tree whose encoded version is
+        AHEAD of the latest published manifest belongs to an in-flight
+        writer — deleting it would let that writer publish a manifest
+        referencing dead files, voiding the CAS guarantee. Those trees are
+        skipped (a crashed writer's ahead-tree is reclaimed by a later
+        vacuum once commits advance past its version — Delta's retention
+        window plays the same role). Trees at or below the latest version
+        that no retained manifest references (losers of a CAS race,
+        pruned-manifest trees) are reclaimed; unrecognizable names are
+        never touched."""
         if retain_last < 1:
             raise ValueError(
                 "vacuum: retain_last must be >= 1 — retaining zero manifests "
                 "would delete the CURRENT version's data"
             )
         vs = self._versions()
+        latest = vs[-1] if vs else 0
         keep_vs = vs[-retain_last:]
         live: set[str] = set()
         for v in keep_vs:
@@ -296,9 +328,13 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         if os.path.isdir(data_root):
             for tree in os.listdir(data_root):
                 rel = f"{self.DATA_DIR}/{tree}"
-                if rel not in live:
-                    shutil.rmtree(os.path.join(data_root, tree), ignore_errors=True)
-                    removed.append(rel)
+                if rel in live:
+                    continue
+                tv = self._tree_version(tree)
+                if tv is None or tv > latest:
+                    continue  # foreign name / in-flight writer's staging
+                shutil.rmtree(os.path.join(data_root, tree), ignore_errors=True)
+                removed.append(rel)
         for v in vs:
             if v not in keep_vs:
                 os.unlink(os.path.join(self._log_path(), f"{v:012d}.json"))

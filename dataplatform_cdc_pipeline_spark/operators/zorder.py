@@ -47,21 +47,25 @@ def quantile_boundaries(
 
 def bin_expr(col: Column | str, boundaries: list[float]) -> Column:
     """#{boundaries ≤ x} as a long in [0, len(boundaries)] — an O(bins)
-    fold over a literal array, JVM-side. NULL input → NULL bin."""
+    fold over a literal array, JVM-side. NULL input → NULL bin (the fold
+    alone would count a NULL comparison as 'below every boundary' and
+    land NULLs in bin 0 with a non-NULL key — the explicit isNull guard
+    keeps the documented nulls-first placement honest)."""
     c = F.col(col) if isinstance(col, str) else col
     bounds = F.array(*[F.lit(float(b)) for b in boundaries])
-    return F.aggregate(
+    fold = F.aggregate(
         bounds,
         F.lit(0).cast("long"),
         lambda acc, b: acc + F.when(c.cast("double") >= b, 1).otherwise(0),
     )
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(fold)
 
 
 def zorder_key_expr(bin_cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     """Morton interleave of pre-binned columns: bit i of column j →
-    position i·n + j of the key. NULL in any column → NULL key (sorts
-    first under Spark's nulls-first default — the same place bin 0 would
-    land)."""
+    position i·n + j of the key. NULL in any column → NULL key (a NULL
+    bin propagates through the ``+`` chain), sorting first under Spark's
+    nulls-first ascending default."""
     n = len(bin_cols)
     if n == 0:
         raise ValueError("zorder_key_expr: need at least one column")

@@ -18,6 +18,8 @@ length.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -26,10 +28,14 @@ from dataplatform_cdc_pipeline_spark.operators.sketches import kmv_sketch
 
 
 def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — first batch: no state yet
+    """Persisted sketch state, or None ONLY when no state exists yet
+    (first batch). Any other read failure — a corrupt/partial state file,
+    a permission problem — propagates: swallowing it would silently reset
+    the accumulated sketch to the current batch, a permanent invisible
+    undercount (fail-loudly convention)."""
+    if not os.path.exists(path):
         return None
+    return spark.read.parquet(path)
 
 
 def run_streaming_distinct_sketch(

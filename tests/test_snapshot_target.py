@@ -106,3 +106,65 @@ def test_diff_classifies_and_handles_null_pk(spark, tmp_path):
     assert d[4] == ("insert", 4.0)
     assert d[None] == ("insert", 4.0)  # null-PK row present only in v2
     assert 3 not in d  # unchanged key excluded
+
+
+def test_snapshot_compact_rebucket_shrink_and_grow(spark, tmp_path):
+    """Re-bucketing compact on the SNAPSHOT sink (the advisor's verified
+    corruption repro): live buckets come from the manifest, not from
+    '__bucket=' dirs at the table root (which don't exist in this
+    layout). Shrinking 64 → 8 must put every OLD manifest bucket in the
+    swap set — otherwise entries for ids >= 8 carry forward next to the
+    rewritten tree and read() yields duplicates (40 rows became 75)."""
+    t64 = make(spark, tmp_path, n_buckets=64)
+    t64.merge(changes(spark, [("c", k, float(k), 0, k) for k in range(1, 41)]))
+    before = state(t64)
+    assert len(before) == 40
+
+    cfg8 = user_state_config(n_buckets=8)
+    t8 = SnapshotMergeTarget(spark, t64.path, cfg8, USER_STATE_SCHEMA)
+    assert t8.compact() == 40
+    assert state(t8) == before  # no duplicate carryover
+    m = t8._manifest()
+    assert len(m["buckets"]) <= 8
+    assert all(int(b) < 8 for b in m["buckets"])
+
+    # growth direction: 8 -> 64, then a follow-up merge under the new config
+    cfg64 = user_state_config(n_buckets=64)
+    t64b = SnapshotMergeTarget(spark, t8.path, cfg64, USER_STATE_SCHEMA)
+    assert t64b.compact() == 40
+    assert state(t64b) == before
+    t64b.merge(changes(spark, [("u", 7, 777.0, 9, 100)]))
+    assert (7, 777.0) in state(t64b)
+
+
+def test_snapshot_vacuum_spares_inflight_writer_tree(spark, tmp_path):
+    """vacuum() must not delete a concurrent writer's staged-but-not-yet-
+    published data tree (written BEFORE its manifest link): deleting it
+    would let that writer publish a manifest referencing dead files. A
+    tree whose encoded version is ahead of the latest manifest is
+    in-flight and survives; once commits advance past it, an unpublished
+    ahead-tree becomes a reclaimable orphan."""
+    import os
+
+    t = make(spark, tmp_path)
+    for i in range(3):
+        t.merge(changes(spark, [("u", 1, float(i), i, i + 1)]))
+    latest = t._read_version()
+    # simulate a racing writer that has staged its tree for latest+1 but
+    # not yet hard-linked its manifest
+    inflight = os.path.join(t.path, t.DATA_DIR, f"v{latest + 1}-cafef00d")
+    os.makedirs(os.path.join(inflight, "__bucket=0"))
+    foreign = os.path.join(t.path, t.DATA_DIR, "not-a-commit-tree")
+    os.makedirs(foreign)
+
+    removed = t.vacuum(retain_last=1)
+    assert removed  # old versions' trees reclaimed
+    assert os.path.isdir(inflight)  # in-flight writer untouched
+    assert os.path.isdir(foreign)  # unrecognizable names never touched
+    assert state(t) == [(1, 2.0)]
+
+    # commits advance past the crashed writer's version -> reclaimable
+    t.merge(changes(spark, [("u", 1, 9.0, 9, 50)]))
+    removed2 = t.vacuum(retain_last=1)
+    assert any(f"v{latest + 1}-cafef00d" in r for r in removed2)
+    assert not os.path.isdir(inflight)

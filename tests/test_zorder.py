@@ -134,3 +134,26 @@ def test_compact_zorder_is_lossless_and_mergeable(spark, tmp_path):
     assert "k" in target.read().columns and len(target.read().columns) == len(
         target.read().columns
     )
+
+
+def test_null_values_get_null_bin_and_null_key(spark):
+    """NULL input → NULL bin → NULL Morton key (the documented nulls-first
+    placement): the fold alone would land NULLs in bin 0 with a non-NULL
+    key; the isNull guard plus NULL-propagating '+' keeps docs and
+    behavior aligned."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.zorder import (
+        bin_expr,
+        zorder_key_expr,
+    )
+
+    df = spark.createDataFrame([(None, 5.0), (1.0, None), (1.0, 5.0)], "x double, y double")
+    bounds = [0.5, 1.5]
+    out = df.select(
+        bin_expr("x", bounds).alias("bx"),
+        zorder_key_expr([bin_expr("x", bounds), bin_expr("y", bounds)], bits=2).alias("k"),
+    ).collect()
+    assert out[0]["bx"] is None and out[0]["k"] is None  # NULL x
+    assert out[1]["bx"] == 1 and out[1]["k"] is None  # NULL y poisons the key
+    assert out[2]["bx"] == 1 and out[2]["k"] is not None
