@@ -18,11 +18,12 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
 
 
-def test_r5_driver_window_is_pinned():
-    """The first 50 registry entries ARE the r5 correctness window the
+def test_r6_driver_window_is_pinned():
+    """The first 50 registry entries ARE the r6 correctness window the
     rotation invariant was designed around — an accidental reorder (e.g.
     inserting a new query mid-list) would silently swap what the driver
-    verifies. New queries belong in the tail until the next rotation."""
+    verifies. New queries slot in at 40+ (displacing an r4-green pick);
+    everything else belongs in the tail until the next rotation."""
     window = list(entrymod.queries())[:50]
     # 13 pinned §2 core entries lead
     assert window[:13] == [
@@ -32,9 +33,18 @@ def test_r5_driver_window_is_pinned():
         "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
         "cdc_job_log",
     ]
-    # slots 14-17: the round's first-time entries
-    assert window[13:17] == [
-        "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
+    # slots 14-39: the 26 r5-new entries getting their FIRST driver row
+    assert window[13:39] == [
+        "cdc_snapshot_merge", "cdc_time_travel_read", "cdc_snapshot_diff",
+        "cdc_debezium_ingest", "stream_debezium_merge", "cdc_zorder_read",
+        "cdc_ivm_minmax", "stream_ivm_totals",
+        "embedding_ivf_learned", "embedding_sq8_topk", "sq8_recall_eval",
+        "embedding_ivf_sq8", "ivf_sq8_recall_eval", "semantic_dedup",
+        "dedup_containment", "interdoc_repetition", "bigram_perplexity",
+        "bpe_learn", "bpe_encode",
+        "events_cube", "events_distinct_sketch", "events_value_percentiles",
+        "heavy_hitters_cms", "customer_pareto", "fuzzy_name_match",
+        "stream_distinct_sketch",
     ]
     assert len(window) == len(set(window)) == 50
 
