@@ -318,28 +318,8 @@ class ParquetMergeTarget(MergeTarget):
         s = changes.withColumn(BUCKET_COL, bucket_expr(pk, n))
         s.cache()
         self.phase_times = {}
-        t0 = time.time()
         try:
-            # ONE agg job yields counts + affected buckets + window stats
-            # (merge.sql:360-366 computes all stats from the same view)
-            aggs = [
-                F.count(F.when(F.col("__op") != "d", 1)).alias("ins"),
-                F.count(F.when(F.col("__op") == "d", 1)).alias("del"),
-                F.collect_set(BUCKET_COL).alias("buckets"),
-            ]
-            has_load_ts = "__load_ts" in changes.columns
-            if has_load_ts:
-                aggs += [
-                    F.max("__load_ts").alias("max_lt"),
-                    F.min("__load_ts").alias("min_lt"),
-                ]
-            counts = s.agg(*aggs).first()
-            self.phase_times["changes"] = round(time.time() - t0, 3)
-            affected = sorted(counts["buckets"] or [])
-            stats = {"records_inserted": counts["ins"], "records_deleted": counts["del"]}
-            if has_load_ts:
-                stats["cdc_end_ts"] = counts["max_lt"]
-                stats["cdc_start_ts"] = counts["min_lt"]
+            stats, affected = self._batch_stats(s)
             if not affected:
                 return stats
 
@@ -354,6 +334,32 @@ class ParquetMergeTarget(MergeTarget):
             return stats
         finally:
             s.unpersist()
+
+    def _batch_stats(self, s: DataFrame) -> tuple[dict, list[int]]:
+        """ONE agg job over the bucketed change set yields counts +
+        affected buckets + window stats (merge.sql:360-366 computes all
+        stats from the same view). Shared by every sink built on this
+        class (K1-K4 merge, SCD2 history)."""
+        t0 = time.time()
+        aggs = [
+            F.count(F.when(F.col("__op") != "d", 1)).alias("ins"),
+            F.count(F.when(F.col("__op") == "d", 1)).alias("del"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
+        ]
+        has_load_ts = "__load_ts" in s.columns
+        if has_load_ts:
+            aggs += [
+                F.max("__load_ts").alias("max_lt"),
+                F.min("__load_ts").alias("min_lt"),
+            ]
+        counts = s.agg(*aggs).first()
+        self.phase_times["changes"] = round(time.time() - t0, 3)
+        affected = sorted(counts["buckets"] or [])
+        stats = {"records_inserted": counts["ins"], "records_deleted": counts["del"]}
+        if has_load_ts:
+            stats["cdc_end_ts"] = counts["max_lt"]
+            stats["cdc_start_ts"] = counts["min_lt"]
+        return stats, affected
 
     # -- storage commit ------------------------------------------------------
 

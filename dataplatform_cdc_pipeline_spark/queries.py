@@ -1476,6 +1476,58 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 """
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history (operators/scd2.py): the same
+    two-window lifecycle as cdc_merge_incremental, but EVERY event lands
+    as a version row — valid_from = event ts, valid_to = the next
+    event's ts (a delete closes without opening), __is_current marks the
+    open version. The second window must CLOSE versions the first window
+    left open (the incremental close-and-append path), so a splice bug
+    — wrong close ts, unclosed row, duplicated version — diverges the
+    hash. The oracle is one window-function pass over all events."""
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import (
+        SCD_IS_CURRENT,
+        SCD_VALID_TO,
+        Scd2Target,
+        build_version_events,
+    )
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_scd2_q_")
+    target = Scd2Target(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    split = datetime.datetime(2024, 1, 15)
+    for start, end in [(None, split), (split, None)]:
+        w = window_scan(raw, cfg, start, end)
+        batch = build_version_events(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+        target.merge(batch)
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("valid_from_us"),
+        F.unix_micros(SCD_VALID_TO).alias("valid_to_us"),
+        F.col(SCD_IS_CURRENT).alias("is_current"),
+        "pos",
+    )
+
+
+SQL_CDC_SCD2_HISTORY = f"""
+WITH v AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS valid_from_us, event_id AS pos,
+         lead(epoch_us(ts::TIMESTAMP)) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS valid_to_us
+  FROM events)
+SELECT user_id, event_type, value, k, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current, pos
+FROM v WHERE op != 'd' ORDER BY user_id, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1507,6 +1559,7 @@ QUERIES: dict[str, callable] = {
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_zorder_read": q_cdc_zorder_read,
+    "cdc_scd2_history": q_cdc_scd2_history,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1539,6 +1592,7 @@ ORACLES: dict[str, str] = {
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
+    "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -1,0 +1,214 @@
+"""SCD Type 2 history sink (operators/scd2.py): full-batch derivation
+semantics, incremental close-and-append equivalence to full rebuild,
+in-order enforcement, Type-1/as-of views, and storage-lifecycle reuse
+(bucket pruning, idempotent-by-rebuild, compaction)."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.operators.scd2 import (
+    SCD_IS_CURRENT,
+    SCD_VALID_TO,
+    Scd2Target,
+    scd2_history,
+)
+from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA, user_state_config
+
+from test_merge_target_contract import BASE, changes
+
+
+def make(spark, tmp_path, **cfg_kwargs):
+    cfg = user_state_config(**cfg_kwargs)
+    return Scd2Target(spark, str(tmp_path / "scd2"), cfg, USER_STATE_SCHEMA)
+
+
+def versions(df):
+    """(user_id, value, from_s, to_s, is_current) sorted — seconds offset
+    from BASE for readability."""
+    rows = df.select(
+        "user_id",
+        "value",
+        F.unix_micros("source_ts_ns_order").alias("f"),
+        F.unix_micros(SCD_VALID_TO).alias("t"),
+        SCD_IS_CURRENT,
+    ).collect()
+    b = int(BASE.timestamp() * 1_000_000)
+    return sorted(
+        (
+            r["user_id"],
+            r["value"],
+            (r["f"] - b) // 1_000_000,
+            None if r["t"] is None else (r["t"] - b) // 1_000_000,
+            r[SCD_IS_CURRENT],
+        )
+        for r in rows
+    )
+
+
+def test_scd2_history_full_batch_semantics(spark):
+    """c → u → u: three versions chained by valid_to; d closes without a
+    row; re-insert after delete opens a fresh version; a lone delete
+    leaves no history."""
+    ev = changes(
+        spark,
+        [
+            ("c", 1, 1.0, 0, 1),
+            ("u", 1, 2.0, 10, 2),
+            ("u", 1, 3.0, 20, 3),
+            ("c", 2, 9.0, 0, 4),
+            ("d", 2, 0.0, 30, 5),
+            ("c", 2, 10.0, 40, 6),
+            ("d", 3, 0.0, 5, 7),  # delete of never-seen key: nothing
+        ],
+    )
+    out = versions(scd2_history(ev, ["user_id"]))
+    assert out == [
+        (1, 1.0, 0, 10, False),
+        (1, 2.0, 10, 20, False),
+        (1, 3.0, 20, None, True),
+        (2, 9.0, 0, 30, False),  # closed BY the delete, no successor row
+        (2, 10.0, 40, None, True),  # re-insert opens fresh
+    ]
+
+
+def test_scd2_target_incremental_equals_full_rebuild(spark, tmp_path):
+    rows = [
+        ("c", 1, 1.0, 0, 1),
+        ("c", 2, 5.0, 1, 2),
+        ("u", 1, 2.0, 10, 3),
+        ("d", 2, 0.0, 12, 4),
+        ("u", 1, 3.0, 20, 5),
+        ("c", 2, 7.0, 25, 6),
+        ("u", 2, 8.0, 30, 7),
+    ]
+    t = make(spark, tmp_path)
+    t.merge(changes(spark, rows[:4]))
+    stats = t.merge(changes(spark, rows[4:]))
+    assert stats == {
+        "records_inserted": 3,
+        "records_deleted": 0,
+        "cdc_start_ts": BASE + datetime.timedelta(seconds=5),
+        "cdc_end_ts": BASE + datetime.timedelta(seconds=7),
+    }
+    assert versions(t.read()) == versions(scd2_history(changes(spark, rows), ["user_id"]))
+    assert t.pending_commit() is None
+
+
+def test_scd2_views_current_and_as_of(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.merge(
+        changes(
+            spark,
+            [
+                ("c", 1, 1.0, 0, 1),
+                ("u", 1, 2.0, 10, 2),
+                ("c", 2, 5.0, 0, 3),
+                ("d", 2, 0.0, 20, 4),
+            ],
+        )
+    )
+    cur = {(r["user_id"], r["value"]) for r in t.current().collect()}
+    assert cur == {(1, 2.0)}  # key 2 deleted → no current row
+    asof = {
+        (r["user_id"], r["value"])
+        for r in t.as_of(BASE + datetime.timedelta(seconds=5)).collect()
+    }
+    assert asof == {(1, 1.0), (2, 5.0)}  # state as of t=5s
+    # boundary: as_of exactly at a version start picks the NEW version
+    at10 = {
+        (r["user_id"], r["value"])
+        for r in t.as_of(BASE + datetime.timedelta(seconds=10)).collect()
+    }
+    assert at10 == {(1, 2.0), (2, 5.0)}
+
+
+def test_scd2_out_of_order_batch_raises(spark, tmp_path):
+    t = make(spark, tmp_path)
+    t.merge(changes(spark, [("c", 1, 1.0, 10, 1)]))
+    with pytest.raises(ValueError, match="out-of-order"):
+        t.merge(changes(spark, [("u", 1, 2.0, 5, 2)]))  # before recorded ts
+    with pytest.raises(ValueError, match="out-of-order"):
+        t.merge(changes(spark, [("u", 1, 2.0, 10, 3)]))  # tie is also refused
+    # the refused batches left no trace
+    assert versions(t.read()) == [(1, 1.0, 10, None, True)]
+    # other keys in a clean batch are unaffected by history elsewhere
+    t.merge(changes(spark, [("c", 2, 9.0, 0, 4)]))
+    assert (2, 9.0, 0, None, True) in versions(t.read())
+
+
+def test_scd2_property_random_split_equivalence(spark):
+    """Any in-order event stream split into two batches: incremental
+    apply == full-batch derivation (the incremental path cannot drift)."""
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = []
+        pos = 0
+        for sec in range(0, 40, 2):
+            for uid in range(1, 5):
+                if rng.random() < 0.45:
+                    pos += 1
+                    op = rng.choice(["c", "u", "u", "d"])
+                    rows.append((op, uid, float(pos), sec, pos))
+        if not rows:
+            continue
+        split = rng.randrange(1, len(rows))
+        # keep batches in-order per key: split on time, not row index
+        cut = rows[split][3]
+        b1 = [r for r in rows if r[3] <= cut]
+        b2 = [r for r in rows if r[3] > cut]
+        import tempfile
+
+        t = Scd2Target(
+            spark,
+            tempfile.mkdtemp(prefix="scd2_prop_") + "/t",
+            user_state_config(),
+            USER_STATE_SCHEMA,
+        )
+        t.merge(changes(spark, b1))
+        if b2:
+            t.merge(changes(spark, b2))
+        assert versions(t.read()) == versions(
+            scd2_history(changes(spark, rows), ["user_id"])
+        ), f"trial {trial}"
+
+
+def test_scd2_refuses_type1_gates_and_prunes_buckets(spark, tmp_path):
+    with pytest.raises(ValueError, match="Type-1"):
+        make(spark, tmp_path, update_only_op_u=True)
+    t = make(spark, tmp_path, n_buckets=8)
+    t.merge(changes(spark, [("c", k, float(k), 0, k) for k in range(1, 30)]))
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import bucket_expr
+
+    b7 = (
+        spark.createDataFrame([(7,)], "user_id long")
+        .select(bucket_expr(["user_id"], 8).alias("b"))
+        .first()["b"]
+    )
+    pruned = t.read(buckets=[b7])
+    assert (7, 7.0) in {(r["user_id"], r["value"]) for r in pruned.collect()}
+    # compaction reuses the parent lifecycle over history rows
+    assert t.compact() == 29
+    assert len(versions(t.read())) == 29
+
+
+def test_scd2_null_pk_versions(spark, tmp_path):
+    """NULL-PK events form their own version chain (Window.partitionBy
+    groups NULLs; close-join is eqNullSafe)."""
+    t = make(spark, tmp_path)
+    b1 = changes(spark, [("c", 1, 1.0, 0, 1)]).withColumn(
+        "user_id", F.lit(None).cast("long")
+    )
+    b2 = changes(spark, [("u", 1, 2.0, 10, 2)]).withColumn(
+        "user_id", F.lit(None).cast("long")
+    )
+    t.merge(b1)
+    t.merge(b2)
+    assert versions(t.read()) == [
+        (None, 1.0, 0, 10, False),
+        (None, 2.0, 10, None, True),
+    ]
