@@ -34,6 +34,18 @@ doesn't list the other buckets' directories (file skipping at the
 metadata layer, the same mechanism as Delta data skipping), and the
 date layer inside each bucket tree still prunes via PartitionFilters.
 
+**Zone maps (data skipping on non-partition columns)**: each commit
+records per-bucket min/max/null-count for ``cfg.clustering_fields``
+(harvested from the freshly written parquet FOOTERS — no extra data
+scan; Iceberg builds its manifests the same way) and carries unaffected
+buckets' stats forward with their entries. ``read(where=(col, lo, hi))``
+then skips every bucket whose recorded range cannot intersect the
+predicate BEFORE Spark ever lists its files — the manifest-level
+analogue of Delta's per-file stats pruning, one metadata layer above
+the row-group min/max skipping the clustering sort already provides
+inside each file. Buckets without stats (pre-upgrade manifests, columns
+added later) are conservatively kept.
+
 The merge semantics are entirely inherited from ParquetMergeTarget
 (same resolve, same stats, same schema enforcement/drift/evolution) —
 only ``_commit``/``read`` and the version bookkeeping change; the shared
@@ -58,6 +70,31 @@ from dataplatform_cdc_pipeline_spark.operators.merge_target import (
     ConcurrentWriteError,
     ParquetMergeTarget,
 )
+
+
+def _json_stat(v):
+    """Footer stat → JSON-safe scalar (timestamps/dates → ISO strings;
+    bytes → utf-8 best-effort). None passes through."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _range_overlaps(stat: list | None, lo, hi) -> bool:
+    """Can a bucket with recorded [min, max, null_count] hold a row
+    matching ``col BETWEEN lo AND hi``? Missing stats → conservatively
+    yes. All-NULL buckets (min/max None) → no: NULL never satisfies a
+    range predicate."""
+    if stat is None:
+        return True
+    mn, mx = stat[0], stat[1]
+    if mn is None or mx is None:
+        return False
+    return not (mx < lo or mn > hi)
 
 
 class SnapshotMergeTarget(ParquetMergeTarget):
@@ -141,7 +178,14 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         buckets: list[int] | None = None,
         date_range: tuple[str, str] | None = None,
         version: int | None = None,
+        where: tuple | None = None,
     ) -> DataFrame:
+        """``where=(col, lo, hi)`` adds zone-map pruning: buckets whose
+        recorded [min, max] for ``col`` cannot intersect [lo, hi] are
+        dropped at the MANIFEST layer (their files are never listed), and
+        the residual ``BETWEEN`` filter still applies to the survivors —
+        result-identical to filtering an unpruned read, cheaper by every
+        skipped bucket."""
         if date_range and not self.cfg.partition_field:
             raise ValueError("date_range requires cfg.partition_field")
         manifest = self._manifest(version)
@@ -151,15 +195,30 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         if buckets is not None:
             wanted = {str(b) for b in buckets}
             entries = {b: d for b, d in entries.items() if b in wanted}
+        if where is not None:
+            col, lo, hi = where
+            if col not in {f.name for f in self.schema.fields}:
+                raise ValueError(f"where column '{col}' is not a target column")
+            zmaps = manifest.get("stats", {})
+            entries = {
+                b: d
+                for b, d in entries.items()
+                if _range_overlaps(zmaps.get(b, {}).get(col), lo, hi)
+            }
         dirs = [os.path.join(self.path, d) for d in entries.values()]
         if not dirs:
             return self.spark.createDataFrame([], T.StructType(self.schema.fields))
         df = self._read_dirs(dirs)
         if date_range is not None:
-            lo, hi = date_range
+            d_lo, d_hi = date_range
             df = df.filter(
-                F.col(PDATE_COL).between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+                F.col(PDATE_COL).between(
+                    F.lit(d_lo).cast("date"), F.lit(d_hi).cast("date")
+                )
             )
+        if where is not None:
+            col, lo, hi = where
+            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         drop = [PDATE_COL] if self.cfg.partition_field else []
         return df.drop(*drop)
 
@@ -228,13 +287,83 @@ class SnapshotMergeTarget(ParquetMergeTarget):
                 b: d for b, d in prev["buckets"].items() if int(b) not in set(affected)
             }
             entries.update(written)  # affected-but-empty buckets simply drop out
-            self._publish({"version": new_version, "buckets": entries}, new_version)
+            # zone maps: harvest written buckets' footer stats; carry
+            # unaffected buckets' stats forward alongside their entries
+            zmaps = {
+                b: s
+                for b, s in prev.get("stats", {}).items()
+                if int(b) not in set(affected)
+            }
+            for b in written:
+                s = self._bucket_footer_stats(os.path.join(self.path, written[b]))
+                if s:
+                    zmaps[b] = s
+            self._publish(
+                {"version": new_version, "buckets": entries, "stats": zmaps},
+                new_version,
+            )
         except ConcurrentWriteError:
             # losing writer: its tree was never referenced — reclaim now
             # rather than waiting for vacuum()
             shutil.rmtree(staging, ignore_errors=True)
             raise
         self.phase_times["swap"] = round(time.time() - t0, 3)
+
+    #: columns zone-mapped at commit time: the clustering columns (already
+    #: the sort keys inside each file, so their per-bucket ranges are the
+    #: narrowest) — override per instance for ad-hoc layouts.
+    @property
+    def stats_fields(self) -> tuple[str, ...]:
+        return tuple(self.cfg.clustering_fields)
+
+    def _bucket_footer_stats(self, bucket_dir: str) -> dict:
+        """Per-bucket {col: [min, max, null_count]} from the parquet
+        FOOTERS of the just-written files (recursing into date subdirs).
+        Metadata-only reads of files this commit created — the same
+        manifest-build pass Iceberg runs; on a distributed deployment the
+        write tasks would report these in their commit messages instead.
+        Columns whose footers carry no stats are simply omitted
+        (read() keeps bucket candidates without stats)."""
+        if not self.stats_fields:
+            return {}
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        # per column: [min, max, null_count] merged over every row group;
+        # voided (dropped → conservatively kept at read) if ANY row group
+        # holding data lacks min/max stats
+        agg: dict[str, list] = {}
+        voided: set[str] = set()
+        for f in _glob.glob(os.path.join(bucket_dir, "**", "*.parquet"), recursive=True):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+            for col in self.stats_fields:
+                i = idx.get(col)
+                if i is None or col in voided:
+                    continue
+                for rg in range(md.num_row_groups):
+                    c = md.row_group(rg).column(i)
+                    st = c.statistics
+                    nulls = (
+                        st.null_count if st is not None and st.has_null_count else None
+                    )
+                    if st is None or not st.has_min_max:
+                        # min/max-less row group: fine if it is ALL nulls
+                        # (contributes no range), voiding otherwise
+                        if not (st is not None and st.has_null_count and st.num_values == 0):
+                            voided.add(col)
+                            continue
+                        mn = mx = None
+                    else:
+                        mn, mx = _json_stat(st.min), _json_stat(st.max)
+                    cur = agg.setdefault(col, [None, None, 0])
+                    if mn is not None and (cur[0] is None or mn < cur[0]):
+                        cur[0] = mn
+                    if mx is not None and (cur[1] is None or mx > cur[1]):
+                        cur[1] = mx
+                    cur[2] = None if (cur[2] is None or nulls is None) else cur[2] + nulls
+        return {c: v for c, v in agg.items() if c not in voided}
 
     def diff(self, v_old: int, v_new: int) -> DataFrame:
         """Change feed between two committed versions — what Delta calls

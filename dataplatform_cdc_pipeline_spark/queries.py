@@ -1476,6 +1476,56 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 """
 
 
+def q_cdc_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (snapshot_target.py): the two-window
+    snapshot lifecycle with ``value`` clustering records per-bucket
+    min/max stats in each commit's manifest; ``read(where=('value', lo,
+    hi))`` prunes buckets at the MANIFEST layer and filters survivors.
+    The oracle filters the recomputed merge state — a pruning bug that
+    drops a qualifying bucket (or stale carried-forward stats after the
+    second window's commits) diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config(clustering_fields=("value",))
+    tmp = tempfile.mkdtemp(prefix="cdc_skip_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    for win in [(None, split), (split, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    return target.read(where=("value", 100.0, 250.0)).select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_SKIPPING_READ = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked
+WHERE rn = 1 AND op != 'd' AND value BETWEEN 100.0 AND 250.0
+ORDER BY user_id
+"""
+
+
 def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 2 dimension history (operators/scd2.py): the same
     two-window lifecycle as cdc_merge_incremental, but EVERY event lands
@@ -1560,6 +1610,7 @@ QUERIES: dict[str, callable] = {
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_zorder_read": q_cdc_zorder_read,
     "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_skipping_read": q_cdc_skipping_read,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1593,6 +1644,7 @@ ORACLES: dict[str, str] = {
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
+    "cdc_skipping_read": SQL_CDC_SKIPPING_READ,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,

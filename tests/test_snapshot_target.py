@@ -168,3 +168,62 @@ def test_snapshot_vacuum_spares_inflight_writer_tree(spark, tmp_path):
     removed2 = t.vacuum(retain_last=1)
     assert any(f"v{latest + 1}-cafef00d" in r for r in removed2)
     assert not os.path.isdir(inflight)
+
+
+def test_zone_map_stats_recorded_and_pruned_read(spark, tmp_path):
+    """Commits record per-bucket min/max/null-count zone maps for the
+    clustering columns (harvested from parquet footers); read(where=…)
+    prunes non-overlapping buckets at the manifest layer and the result
+    is identical to filtering an unpruned read."""
+    t = make(spark, tmp_path, n_buckets=8, clustering_fields=("value",))
+    t.merge(changes(spark, [("c", k, float(k), 0, k) for k in range(1, 41)]))
+
+    m = t._manifest()
+    assert m["stats"], "commit recorded no zone maps"
+    for b, st in m["stats"].items():
+        assert b in m["buckets"]
+        mn, mx, nulls = st["value"]
+        assert 1.0 <= mn <= mx <= 40.0 and nulls == 0
+
+    pruned = t.read(where=("value", 3.0, 6.0))
+    expect = sorted(
+        (r["user_id"], r["value"])
+        for r in t.read().filter("value between 3.0 and 6.0").collect()
+    )
+    assert sorted((r["user_id"], r["value"]) for r in pruned.collect()) == expect
+    # fewer files listed than the full scan — the pruning is real
+    assert len(pruned.inputFiles()) < len(t.read().inputFiles())
+
+    with pytest.raises(ValueError, match="not a target column"):
+        t.read(where=("nope", 0, 1))
+
+
+def test_zone_map_carry_forward_and_null_buckets(spark, tmp_path):
+    """Unaffected buckets carry their zone maps forward across commits;
+    an all-NULL bucket's stats ([None, None]) prune it for ANY range
+    (NULL never matches BETWEEN)."""
+    t = make(spark, tmp_path, n_buckets=8, clustering_fields=("value",))
+    t.merge(changes(spark, [("c", k, float(k), 0, k) for k in range(1, 21)]))
+    s1 = t._manifest()["stats"]
+    # second commit touches exactly one key → one bucket recomputed
+    t.merge(changes(spark, [("u", 7, 700.0, 10, 100)]))
+    s2 = t._manifest()["stats"]
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import bucket_expr
+
+    b7 = str(
+        spark.createDataFrame([(7,)], "user_id long")
+        .select(bucket_expr(["user_id"], 8).alias("b"))
+        .first()["b"]
+    )
+    assert s2[b7]["value"][1] == 700.0  # recomputed bucket sees the update
+    for b in s1:
+        if b != b7:
+            assert s2[b] == s1[b]  # carried forward verbatim
+
+    # all-NULL values in one key's bucket: rows can never match a range
+    nullb = changes(spark, [("c", 1000, 1.0, 20, 200)]).withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    t.merge(nullb)
+    got = {r["user_id"] for r in t.read(where=("value", -1e9, 1e9)).collect()}
+    assert 1000 not in got and 7 in got
