@@ -860,11 +860,82 @@ FROM mall m
 
 
 # ---------------------------------------------------------------------------
+# time-series gap-fill + LOCF interpolation
+# ---------------------------------------------------------------------------
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap-fill with last-observation-carried-forward — the
+    hypertable/timeseries pattern (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf``): per user, the last event value of each day; days with no
+    events inside the user's [first, last] activity span materialize with
+    the previous day's value and ``is_gap = true``.
+
+    Shape: one (user, day) shuffle for the daily argmax, a per-user span
+    agg whose ``sequence(d0, d1)`` explode generates the calendar rows
+    (per-key work — no driver loop, no cross join), a left join back, and
+    one per-user ordered window for the LOCF. The carried value is the
+    raw double of the day's last event — no arithmetic, bit-identical
+    across engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    day = F.to_date("ts")
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("day", day)
+        .withColumn("__rn", F.row_number().over(w_day))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = calendar.join(daily, ["user_id", "day"], "left")
+    w_fill = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_filled"),
+        F.col("value").isNull().alias("is_gap"),
+    )
+
+
+SQL_EVENTS_GAPFILL = """
+WITH daily AS (
+  SELECT user_id, ts::DATE AS day, value,
+         row_number() OVER (PARTITION BY user_id, ts::DATE
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+d AS (SELECT user_id, day, value FROM daily WHERE rn = 1),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY user_id),
+calendar AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span),
+j AS (
+  SELECT calendar.user_id, calendar.day, d.value
+  FROM calendar LEFT JOIN d USING (user_id, day))
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       value IS NULL AS is_gap
+FROM j ORDER BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES = {
     "sessionize_events": q_sessionize_events,
+    "events_gapfill": q_events_gapfill,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
@@ -900,6 +971,7 @@ GROUP BY user_id
 
 EXT_ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "events_gapfill": SQL_EVENTS_GAPFILL,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_cube": SQL_EVENTS_CUBE,
     "events_pivot": SQL_EVENTS_PIVOT,
