@@ -930,12 +930,74 @@ FROM j ORDER BY user_id, day
 
 
 # ---------------------------------------------------------------------------
+# graph analytics: integer-space PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event co-occurrence graph: within each ``k``
+    stream, an edge connects a user to the next event's user (event_id
+    order) — a deterministic directed graph with hubs. Two iterations of
+    exact integer-micro PageRank (operators/graph.py); the oracle
+    unrolls the same two rounds in CTEs, so rank values are BIT-equal
+    across engines, not approximately close."""
+    from dataplatform_cdc_pipeline_spark.operators.graph import pagerank_int
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "user_id",
+        "event_id",
+    )
+    w = Window.partitionBy("k").orderBy("event_id")
+    seq = ev.withColumn("nxt", F.lead("user_id").over(w))
+    edges = seq.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") != F.col("user_id"))
+    ).select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+    return pagerank_int(edges, n_iter=2).select(
+        F.col("node").alias("user_id"), "rank_us"
+    )
+
+
+SQL_EVENTS_PAGERANK = """
+WITH seq AS (
+  SELECT user_id, event_id,
+         lead(user_id) OVER (
+             PARTITION BY json_extract_string(props, '$.k')::INT
+             ORDER BY event_id) AS nxt
+  FROM events),
+edges AS (
+  SELECT DISTINCT user_id AS src, nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL AND nxt != user_id),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nstat AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT node, 1000000 // n AS rank_us FROM nodes CROSS JOIN nstat),
+c1 AS (
+  SELECT e.dst AS node, sum((r.rank_us * 85) // (100 * o.od)) AS s
+  FROM edges e JOIN outdeg o ON e.src = o.src JOIN r0 r ON r.node = e.src
+  GROUP BY e.dst),
+r1 AS (
+  SELECT nodes.node, (15 * 1000000) // (100 * n) + coalesce(c1.s, 0) AS rank_us
+  FROM nodes CROSS JOIN nstat LEFT JOIN c1 ON c1.node = nodes.node),
+c2 AS (
+  SELECT e.dst AS node, sum((r.rank_us * 85) // (100 * o.od)) AS s
+  FROM edges e JOIN outdeg o ON e.src = o.src JOIN r1 r ON r.node = e.src
+  GROUP BY e.dst),
+r2 AS (
+  SELECT nodes.node, (15 * 1000000) // (100 * n) + coalesce(c2.s, 0) AS rank_us
+  FROM nodes CROSS JOIN nstat LEFT JOIN c2 ON c2.node = nodes.node)
+SELECT node AS user_id, rank_us::BIGINT AS rank_us FROM r2 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 EXT_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "events_gapfill": q_events_gapfill,
+    "events_pagerank": q_events_pagerank,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
@@ -972,6 +1034,7 @@ GROUP BY user_id
 EXT_ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "events_gapfill": SQL_EVENTS_GAPFILL,
+    "events_pagerank": SQL_EVENTS_PAGERANK,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_cube": SQL_EVENTS_CUBE,
     "events_pivot": SQL_EVENTS_PIVOT,

@@ -1069,3 +1069,23 @@ def test_interdoc_repetition_flags_template_docs(spark, tmp_path, sf_dir):
     frac = {r["doc_id"]: r["c"] / r["n"] for r in per}
     assert frac[100] == 0.0
     assert frac[1] > 0.5  # template spans shared by 6 docs dominate
+
+
+def test_pagerank_int_hand_computed(spark):
+    """Two exact-integer PageRank rounds on a hand-solved 3-node graph:
+    edges 1->2, 1->3, 2->3, 3->1; N=3, init 333333, base 50000.
+    Round 1: r=(333333, 191666, 474999); round 2: (453749, 191666, 354582)."""
+    from dataplatform_cdc_pipeline_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    r1 = {r["node"]: r["rank_us"] for r in pagerank_int(edges, n_iter=1).collect()}
+    assert r1 == {1: 333333, 2: 191666, 3: 474999}
+    r2 = {r["node"]: r["rank_us"] for r in pagerank_int(edges, n_iter=2).collect()}
+    assert r2 == {1: 453749, 2: 191666, 3: 354582}
+    # hub ranking is the deliverable: the most-linked-to node leads r1
+    assert max(r1, key=r1.get) == 3
+    # duplicate edges collapse (distinct) — same result
+    dup = edges.unionByName(edges)
+    assert {r["node"]: r["rank_us"] for r in pagerank_int(dup, n_iter=2).collect()} == r2
