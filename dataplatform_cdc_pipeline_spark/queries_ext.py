@@ -991,6 +991,104 @@ SELECT node AS user_id, rank_us::BIGINT AS rank_us FROM r2 ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# bloom-filter semi-join pruning (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos_sql(expr: str, i: int, m_bits: int) -> str:
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long_sql
+
+    return f"{md5_long_sql(expr, salt=f'bloom{i}')} % {m_bits}"
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side Bloom pruning of a fact⋈dim semi-join: urgent high-value
+    orders (selective dim) summarize into an 8 KiB filter whose k=5
+    MD5-derived bit tests run AT the lineitem scan — no shuffle, no join
+    — before the exact (broadcast) semi-join finishes. The oracle
+    recomputes the SAME bit pattern relationally (a bit is set iff some
+    dim key hashes to it), so ``n_bloom_pass`` hash-gates the filter's
+    exact pass/fail behavior, not just the final join result; ``n_match``
+    == the plain semi-join count proves zero false negatives."""
+    from dataplatform_cdc_pipeline_spark.operators.bloom import (
+        DEFAULT_K,
+        DEFAULT_M_BITS,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000.0)
+        )
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    words = bloom_build(dim, "key", DEFAULT_M_BITS, DEFAULT_K)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    passed = li.filter(
+        bloom_might_contain("l_orderkey", words, DEFAULT_M_BITS, DEFAULT_K)
+    )
+    exact = passed.join(
+        F.broadcast(dim), passed["l_orderkey"] == dim["key"], "left_semi"
+    )
+    a = li.agg(F.count(F.lit(1)).alias("n_fact"))
+    b = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    c = exact.agg(
+        F.count(F.lit(1)).alias("n_match"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    return a.crossJoin(b).crossJoin(c)
+
+
+def _bloom_oracle_sql() -> str:
+    from dataplatform_cdc_pipeline_spark.operators.bloom import (
+        DEFAULT_K,
+        DEFAULT_M_BITS,
+    )
+
+    dim_pos = "\n  UNION ".join(
+        f"SELECT {_bloom_pos_sql('key::VARCHAR', i, DEFAULT_M_BITS)} AS p FROM dim"
+        for i in range(DEFAULT_K)
+    )
+    probe = " AND ".join(
+        f"{_bloom_pos_sql('l_orderkey::VARCHAR', i, DEFAULT_M_BITS)} IN (SELECT p FROM pos)"
+        for i in range(DEFAULT_K)
+    )
+    return f"""
+WITH dim AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0),
+pos AS (
+  {dim_pos}),
+a AS (SELECT count(*) AS n_fact FROM lineitem),
+b AS (SELECT count(*) AS n_bloom_pass FROM lineitem WHERE {probe}),
+c AS (
+  SELECT count(*) AS n_match,
+         round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(25,6)), 2)::DOUBLE
+           AS revenue
+  FROM lineitem WHERE l_orderkey IN (SELECT key FROM dim))
+SELECT n_fact, n_bloom_pass, n_match, revenue FROM a, b, c
+"""
+
+
+SQL_BLOOM_JOIN_PRUNE = _bloom_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -998,6 +1096,7 @@ EXT_QUERIES = {
     "sessionize_events": q_sessionize_events,
     "events_gapfill": q_events_gapfill,
     "events_pagerank": q_events_pagerank,
+    "bloom_join_prune": q_bloom_join_prune,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
@@ -1035,6 +1134,7 @@ EXT_ORACLES = {
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "events_pagerank": SQL_EVENTS_PAGERANK,
+    "bloom_join_prune": SQL_BLOOM_JOIN_PRUNE,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_cube": SQL_EVENTS_CUBE,
     "events_pivot": SQL_EVENTS_PIVOT,

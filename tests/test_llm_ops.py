@@ -1089,3 +1089,32 @@ def test_pagerank_int_hand_computed(spark):
     # duplicate edges collapse (distinct) — same result
     dup = edges.unionByName(edges)
     assert {r["node"]: r["rank_us"] for r in pagerank_int(dup, n_iter=2).collect()} == r2
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    from dataplatform_cdc_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    dim = spark.range(1, 101).select(F.col("id").alias("key"))
+    words = bloom_build(dim, "key", m_bits=1 << 12, k_hashes=4)
+    assert len(words) == (1 << 12) // 64 and any(w != 0 for w in words)
+    # deterministic: a second build is bit-identical
+    assert bloom_build(dim, "key", m_bits=1 << 12, k_hashes=4) == words
+
+    probe = spark.range(1, 2001).select(F.col("id").alias("k"))
+    passed = {
+        r["k"]
+        for r in probe.filter(
+            bloom_might_contain("k", words, m_bits=1 << 12, k_hashes=4)
+        ).collect()
+    }
+    assert set(range(1, 101)) <= passed  # NO false negatives, ever
+    assert len(passed) < 2000  # the pruning is real
+    # NULL keys never pass (semi-join-consistent)
+    nulls = spark.sql("select cast(null as long) as k")
+    assert (
+        nulls.filter(bloom_might_contain("k", words, 1 << 12, 4)).count() == 0
+    )
