@@ -1578,6 +1578,59 @@ FROM v WHERE op != 'd' ORDER BY user_id, pos
 """
 
 
+def q_cdc_maxwell_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell envelope → bronze unwrap → W1 dedup-latest (the second
+    real CDC wire format, sources/maxwell.py). Discriminating bits vs
+    the Debezium twin: the row image comes from ``data`` for EVERY type
+    (deletes included), bootstrap markers drop at the op gate, and event
+    time is SECOND-granular (``ts``·1e9 → __ts_ns), so whole change
+    bursts tie and survivorship falls to the xid/pos tiebreak — all
+    pinned by the second-truncated oracle."""
+    from dataplatform_cdc_pipeline_spark.sources.maxwell import (
+        normalize_maxwell,
+        synthesize_maxwell_from_events,
+    )
+
+    wire = synthesize_maxwell_from_events(load_table(spark, sf_dir, "events"))
+    raw = normalize_maxwell(wire)
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, None, None)
+    keyed = w.select(
+        F.col("__op"),
+        F.col("__pk_raw_0").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        F.col("__event_ts").alias("source_ts_ns_order"),
+        F.col("__pos").alias("pos"),
+    )
+    out = latest_per_key(keyed, ["user_id"])
+    return out.select(
+        "user_id",
+        F.col("__op").alias("op"),
+        "event_type",
+        "value",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+# event time truncates to Maxwell's SECOND granularity; sub-second
+# orderings re-resolve on the xid (source position) tiebreak
+SQL_CDC_MAXWELL_INGEST = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         (epoch_us(ts::TIMESTAMP) // 1000000) * 1000000 AS event_ts_us,
+         event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) // 1000000 DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, op, event_type, value, event_ts_us, pos
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1605,6 +1658,7 @@ QUERIES: dict[str, callable] = {
     "cdc_schema_drift": q_cdc_schema_drift,
     "cdc_job_log": q_cdc_job_log,
     "cdc_debezium_ingest": q_cdc_debezium_ingest,
+    "cdc_maxwell_ingest": q_cdc_maxwell_ingest,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -1639,6 +1693,7 @@ ORACLES: dict[str, str] = {
     "cdc_schema_drift": SQL_CDC_SCHEMA_DRIFT,
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,
+    "cdc_maxwell_ingest": SQL_CDC_MAXWELL_INGEST,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,

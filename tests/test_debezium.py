@@ -100,3 +100,35 @@ def test_ms_truncation_falls_to_pos_tiebreak(spark):
     )
     out = latest_per_key(keyed, ["user_id"]).collect()
     assert len(out) == 1 and out[0]["event_type"] == "late-pos"
+
+
+def test_maxwell_markers_dropped_and_delete_image_from_data(spark):
+    """Maxwell adapter (sources/maxwell.py): bootstrap-start/-complete
+    markers vanish at the op gate; deletes read their image from `data`;
+    second-granular ts quantizes __event_ts to whole seconds so the
+    xid tiebreak decides sub-second order."""
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import user_state_config
+    from dataplatform_cdc_pipeline_spark.sources.maxwell import normalize_maxwell
+
+    wire = spark.createDataFrame(
+        [
+            ('{"database":"demo","table":"t","type":"bootstrap-start","ts":0,"xid":0}',),
+            ('{"database":"demo","table":"t","type":"insert","ts":100,'
+             '"xid":1,"data":{"user_id":1,"value":1.5}}',),
+            ('{"database":"demo","table":"t","type":"delete","ts":100,'
+             '"xid":2,"data":{"user_id":1,"value":1.5}}',),
+            ('{"database":"demo","table":"t","type":"bootstrap-complete","ts":0,"xid":0}',),
+        ],
+        "value string",
+    )
+    raw = normalize_maxwell(wire)
+    assert raw.count() == 2  # markers dropped
+    w = window_scan(raw, user_state_config(), None, None).orderBy("__pos")
+    rows = w.select("__op", "__pos", "__event_ts", "__pk_raw_0").collect()
+    assert [(r["__op"], r["__pos"]) for r in rows] == [("c", 1), ("d", 2)]
+    # delete carried its PK from `data` (no before/after split in Maxwell)
+    assert rows[1]["__pk_raw_0"] == "1"
+    # both quantize to the same whole second; pos breaks the tie
+    assert rows[0]["__event_ts"] == rows[1]["__event_ts"]
+    assert rows[0]["__event_ts"].second == 40  # 100s → 00:01:40 UTC
