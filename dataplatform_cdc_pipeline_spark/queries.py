@@ -1631,6 +1631,79 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 """
 
 
+def q_cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot reconstruction from the SCD2 table — the
+    consumer pattern Type-2 history exists for (training-data backfill:
+    "what did every live key look like on date D?"). Four probe dates
+    spanning the feed join the history on
+    ``valid_from <= probe < valid_to`` (open rows unbounded): an equi-key-
+    free range join against a 4-row broadcast side, resolved per version
+    row at scan speed. A wrong valid_to splice, an unclosed version, or a
+    boundary-inclusive bug changes which version each probe sees."""
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import (
+        SCD_VALID_TO,
+        Scd2Target,
+        build_version_events,
+    )
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_scd2_asof_q_")
+    target = Scd2Target(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    split = datetime.datetime(2024, 1, 15)
+    for start, end in [(None, split), (split, None)]:
+        w = window_scan(raw, cfg, start, end)
+        target.merge(
+            build_version_events(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+        )
+    probes = spark.createDataFrame(
+        [(d,) for d in _SCD2_PROBE_DATES], "probe string"
+    ).select(F.col("probe"), F.to_timestamp("probe").alias("p_ts"))
+    h = target.read()
+    j = h.join(
+        F.broadcast(probes),
+        (F.col("source_ts_ns_order") <= F.col("p_ts"))
+        & (F.col(SCD_VALID_TO).isNull() | (F.col(SCD_VALID_TO) > F.col("p_ts"))),
+        "inner",
+    )
+    return j.select(
+        "probe",
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("valid_from_us"),
+    )
+
+
+_SCD2_PROBE_DATES = [
+    "2024-01-08 00:00:00",
+    "2024-01-15 00:00:00",
+    "2024-01-22 00:00:00",
+    "2024-01-29 00:00:00",
+]
+
+_SCD2_PROBES_SQL = ", ".join(f"('{d}')" for d in _SCD2_PROBE_DATES)
+
+SQL_CDC_SCD2_ASOF = f"""
+WITH v AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS valid_from_us,
+         lead(epoch_us(ts::TIMESTAMP)) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS valid_to_us
+  FROM events),
+h AS (SELECT * FROM v WHERE op != 'd'),
+probes(probe) AS (VALUES {_SCD2_PROBES_SQL})
+SELECT probe, user_id, event_type, value, k, valid_from_us
+FROM h JOIN probes
+  ON valid_from_us <= epoch_us(probe::TIMESTAMP)
+ AND (valid_to_us IS NULL OR valid_to_us > epoch_us(probe::TIMESTAMP))
+ORDER BY probe, user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1664,6 +1737,7 @@ QUERIES: dict[str, callable] = {
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_zorder_read": q_cdc_zorder_read,
     "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_scd2_asof": q_cdc_scd2_asof,
     "cdc_skipping_read": q_cdc_skipping_read,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1699,6 +1773,7 @@ ORACLES: dict[str, str] = {
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
+    "cdc_scd2_asof": SQL_CDC_SCD2_ASOF,
     "cdc_skipping_read": SQL_CDC_SKIPPING_READ,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
