@@ -1088,6 +1088,51 @@ SELECT n_fact, n_bloom_pass, n_match, revenue FROM a, b, c
 SQL_BLOOM_JOIN_PRUNE = _bloom_oracle_sql()
 
 
+def q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history built by the STREAMING path: two landings drained
+    through one checkpoint (run_streaming_scd2), so micro-batch 2 must
+    close the versions batch 1 left open and a same-checkpoint re-drain
+    is a no-op (batch-id tag). Final history must equal the batch
+    derivation — shares cdc_scd2_history's oracle."""
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import (
+        SCD_IS_CURRENT,
+        SCD_VALID_TO,
+        Scd2Target,
+    )
+    from dataplatform_cdc_pipeline_spark.queries import cdc_feed
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        run_streaming_scd2,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="scd2_stream_q_")
+    bronze, ckpt = f"{tmp}/bronze", f"{tmp}/ckpt"
+    cfg = user_state_config()
+    target = Scd2Target(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    feed = cdc_feed(spark, sf_dir)
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    for part in [feed.filter(F.col("load_ts") <= split),
+                 feed.filter(F.col("load_ts") > split)]:
+        part.coalesce(1).write.mode("append").parquet(bronze)
+        run_streaming_scd2(
+            spark, cfg, target, bronze, ckpt, USER_STATE_SCHEMA,
+            deterministic_audit=True,
+        )
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("valid_from_us"),
+        F.unix_micros(SCD_VALID_TO).alias("valid_to_us"),
+        F.col(SCD_IS_CURRENT).alias("is_current"),
+        "pos",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1112,6 +1157,7 @@ EXT_QUERIES = {
     "stream_click_attribution": q_stream_click_attribution,
     "stream_dedup_events": q_stream_dedup_events,
     "stream_merge_state": q_stream_merge_state,
+    "stream_scd2_history": q_stream_scd2_history,
     "stream_ivm_totals": q_stream_ivm_totals,
     "stream_user_totals": q_stream_user_totals,
     "events_distinct_sketch": q_events_distinct_sketch,
@@ -1163,6 +1209,12 @@ EXT_ORACLES = {
 from dataplatform_cdc_pipeline_spark.queries import SQL_CDC_MERGE_FULL  # noqa: E402
 
 EXT_ORACLES["stream_merge_state"] = SQL_CDC_MERGE_FULL
+
+# stream_scd2_history: the streaming path must land the SAME history as
+# the batch path — shares cdc_scd2_history's oracle
+from dataplatform_cdc_pipeline_spark.queries import SQL_CDC_SCD2_HISTORY  # noqa: E402
+
+EXT_ORACLES["stream_scd2_history"] = SQL_CDC_SCD2_HISTORY
 
 # stream_ivm_totals: the maintained view must equal a fresh GROUP BY of
 # the final merged state — the oracle aggregates the batch-merge oracle.

@@ -115,11 +115,14 @@ _VIEW_TAG = "__view_batch_id"
 
 def read_tagged_view(spark: SparkSession, view_path: str):
     """(view frame without the tag column, last-maintained batch id) —
-    (None, None) before the first batch."""
-    try:
-        df = spark.read.parquet(view_path)
-    except Exception:  # noqa: BLE001 — path does not exist yet
+    (None, None) ONLY when no view exists yet. Real read errors (corrupt
+    or partial state) propagate instead of silently resetting the view
+    (fail-loudly, same rule as streaming/sketches._read_state)."""
+    import os
+
+    if not os.path.exists(view_path):
         return None, None
+    df = spark.read.parquet(view_path)
     tag = df.select(F.max(_VIEW_TAG)).collect()[0][0]
     return df.drop(_VIEW_TAG), tag
 
@@ -188,6 +191,76 @@ def run_streaming_merge_with_view(
             deterministic_audit=deterministic_audit,
             pre_merge_hook=maintain,
         )
+
+    stream = spark.readStream.schema(bronze_schema).parquet(source_path)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if trigger_once:
+        q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD Type 2 history
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_scd2(
+    spark: SparkSession,
+    cfg: MergeConfig,
+    target,
+    source_path: str,
+    checkpoint_path: str,
+    schema,
+    bronze_schema: str = "data string, load_ts timestamp, publish_time timestamp, "
+    "message_id string, source_db_table string, subscription_name string",
+    trigger_once: bool = True,
+    deterministic_audit: bool = False,
+):
+    """Stream a bronze landing directory into an SCD2 history sink
+    (operators/scd2.Scd2Target): each micro-batch's events append as
+    versions, closing what earlier batches left open. Micro-batches are
+    naturally in time order (the checkpoint scopes each batch to newly
+    landed files), satisfying the sink's in-order contract.
+
+    Exactly-once: the Type-1 streaming merge is replay-IDEMPOTENT, but an
+    SCD2 replay would try to re-append versions and trip the in-order
+    guard — so the sink keeps a last-applied batch-id tag and SKIPS
+    replayed batches. The tag is written after the merge commit; a crash
+    in between makes the replay fail LOUDLY on the ordering guard
+    (manual repair = rebuild the affected window from bronze) rather
+    than silently splicing duplicate versions — the engine's fail-loud
+    convention for the one crash window bucket-level commits can't
+    cover."""
+    import os
+
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import build_version_events
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import window_scan
+
+    tag_path = os.path.join(target.path, "_stream_batch_id")
+
+    def read_tag() -> int:
+        if os.path.isfile(tag_path):
+            with open(tag_path) as f:
+                return int(f.read().strip() or -1)
+        return -1
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= read_tag():
+            return  # replayed batch — its versions are already in history
+        w = window_scan(batch_df, cfg, None, None)
+        target.merge(
+            build_version_events(w, schema, cfg, deterministic_audit=deterministic_audit)
+        )
+        os.makedirs(target.path, exist_ok=True)
+        with open(tag_path, "w") as f:
+            f.write(str(batch_id))
 
     stream = spark.readStream.schema(bronze_schema).parquet(source_path)
     writer = (

@@ -378,3 +378,67 @@ def test_streaming_merge_rejects_unknown_source_format(spark, tmp_path):
             spark, cfg, target, audit, str(tmp_path / "x"), str(tmp_path / "c"),
             source_format="avro",
         )
+
+
+def test_streaming_scd2_incremental_and_replay(spark):
+    """Streaming SCD2 (run_streaming_scd2): batch 2 closes versions batch
+    1 opened; a checkpoint replay is a no-op (batch-id tag), and the
+    drained history equals the full-batch derivation."""
+    import tempfile as _tf
+
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import (
+        SCD_IS_CURRENT,
+        SCD_VALID_TO,
+        Scd2Target,
+        build_version_events,
+        scd2_history,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import run_streaming_scd2
+
+    tmp = _tf.mkdtemp(prefix="scd2_stream_")
+    src, ckpt = f"{tmp}/bronze", f"{tmp}/ckpt"
+    cfg = user_state_config()
+    target = Scd2Target(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+
+    def hist(t):
+        return sorted(
+            (r["user_id"], r["value"], r[SCD_VALID_TO] is None, r[SCD_IS_CURRENT])
+            for r in t.read().collect()
+        )
+
+    write_bronze(spark, src, [("c", 1, 1, 1, 1.0), ("c", 2, 2, 2, 2.0)])
+    run_streaming_scd2(spark, cfg, target, src, ckpt, USER_STATE_SCHEMA,
+                       deterministic_audit=True)
+    assert hist(target) == [(1, 1.0, True, True), (2, 2.0, True, True)]
+
+    write_bronze(spark, src, [("u", 3, 3, 1, 9.0), ("d", 4, 4, 2, 0.0)])
+    run_streaming_scd2(spark, cfg, target, src, ckpt, USER_STATE_SCHEMA,
+                       deterministic_audit=True)
+    # key 1: v1 closed + v2 open; key 2: v1 closed by delete, no open row
+    assert hist(target) == [
+        (1, 1.0, False, False),
+        (1, 9.0, True, True),
+        (2, 2.0, False, False),
+    ]
+
+    # replay with the same checkpoint: no new files -> no-op
+    run_streaming_scd2(spark, cfg, target, src, ckpt, USER_STATE_SCHEMA,
+                       deterministic_audit=True)
+    assert len(hist(target)) == 3
+
+    # drained history == full-batch derivation over the same bronze
+    raw = spark.read.parquet(src)
+    w = window_scan(raw, cfg, None, None)
+    full = scd2_history(
+        build_version_events(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True),
+        list(cfg.pk),
+    )
+    assert hist(target) == sorted(
+        (r["user_id"], r["value"], r[SCD_VALID_TO] is None, r[SCD_IS_CURRENT])
+        for r in full.collect()
+    )
