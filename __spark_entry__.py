@@ -66,11 +66,10 @@ _PRIORITY = [
     # queries as they land)
     "cdc_scd2_history", "cdc_skipping_read", "events_gapfill",
     "events_pagerank", "bloom_join_prune", "cdc_maxwell_ingest",
-    "cdc_scd2_asof", "stream_scd2_history",
+    "cdc_scd2_asof", "stream_scd2_history", "events_value_histogram",
     "stream_user_totals", "cdc_merge_multi_pk_guarded",
-    "cdc_date_partitioned_read",
     # 51+: tail. First the r4-green leftovers (r7's rotation cohort) …
-    "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
+    "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",
     "multimodal_frame_plan", "domain_mix_plan", "domain_mix_apply",
     "ngram_top_bigrams", "vocab_df_stats", "cross_corpus_dedup",

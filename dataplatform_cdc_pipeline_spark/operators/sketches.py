@@ -223,3 +223,70 @@ def cms_estimate(
         "item", F.coalesce("c", F.lit(0)).alias("c")
     )
     return joined.groupBy("item").agg(F.min("c").alias("cms_n"))
+
+
+# ---------------------------------------------------------------------------
+# log2 histogram — a mergeable quantile sketch in exact integer space
+# ---------------------------------------------------------------------------
+
+
+def log2_bucket(value_us: Column) -> Column:
+    """Power-of-two bucket of a non-negative integer (micro-space) value:
+    bucket b covers [2^(b-1), 2^b − 1] (bucket 0 = zero/negative), i.e.
+    the value's BIT LENGTH — computed as ``length(bin(v))``, exact and
+    identical in Spark and DuckDB. The HdrHistogram/DDSketch idea with
+    the coarsest (2×) relative-error bound, chosen because it needs no
+    floats anywhere: a log-scale histogram whose buckets, counts, and
+    quantile answers are all hash-oracle-able."""
+    return (
+        F.when(value_us <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(value_us)))
+        .cast("int")
+    )
+
+
+def log2_histogram(
+    df: DataFrame, value_us_col: str, group_cols: list[str]
+) -> DataFrame:
+    """(group…, bucket, cnt): one map-side-combined groupBy. MERGEABLE by
+    plain count addition — the property that lets per-partition /
+    per-day histograms roll up to the global one without rescanning
+    (unit-pinned: halves sum to the whole)."""
+    return df.groupBy(
+        *group_cols, log2_bucket(F.col(value_us_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, group_cols: list[str], pcts: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Quantile UPPER BOUNDS from a log2 histogram: per group and percent
+    p, the smallest bucket whose cumulative count reaches rank
+    ``ceil(n·p/100)`` (= ``(n·p + 99) div 100``, pure integer), and its
+    inclusive upper bound ``2^bucket − 1`` micro-units. The true p-th
+    value lies in (ub/2, ub] — the 2× guarantee of power-of-two buckets."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    c = hist.withColumn("__cum", F.sum("cnt").over(w_cum)).withColumn(
+        "__n", F.sum("cnt").over(w_all)
+    )
+    aggs = [F.max("__n").cast("long").alias("n_total")]
+    for p in pcts:
+        rank = F.expr(f"(__n * {p} + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, F.col("bucket"))).alias(
+                f"p{p}_bucket"
+            )
+        )
+    out = c.groupBy(*group_cols).agg(*aggs)
+    for p in pcts:
+        out = out.withColumn(
+            f"p{p}_ub_us", F.expr(f"shiftleft(1L, p{p}_bucket) - 1")
+        )
+    return out

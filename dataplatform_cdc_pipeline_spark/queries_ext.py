@@ -1134,6 +1134,68 @@ def q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mergeable log2-histogram quantile sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, quantile UPPER BOUNDS from the mergeable log2
+    histogram (bit-length buckets over floor(value·1e6) micro-space) —
+    the sketch twin of the exact ``events_value_percentiles``: counts,
+    buckets, and the p50/p90/p99 bounds are all integer arithmetic, so
+    the oracle matches by hash, unlike engine-private approx_percentile.
+    One map-side-combined groupBy; per-day/per-partition histograms roll
+    up by count addition (mergeability unit-pinned)."""
+    from dataplatform_cdc_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vus"),
+    )
+    hist = log2_histogram(ev, "vus", ["event_type"])
+    return histogram_quantiles(hist, ["event_type"]).select(
+        "event_type",
+        "n_total",
+        "p50_bucket",
+        "p50_ub_us",
+        "p90_bucket",
+        "p90_ub_us",
+        "p99_bucket",
+        "p99_ub_us",
+    )
+
+
+SQL_EVENTS_VALUE_HISTOGRAM = """
+WITH v AS (
+  SELECT event_type, floor(value * 1000000.0)::BIGINT AS vus FROM events),
+h AS (
+  SELECT event_type,
+         CASE WHEN vus <= 0 THEN 0 ELSE length(bin(vus)) END::INT AS bucket,
+         count(*) AS cnt
+  FROM v GROUP BY 1, 2),
+c AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h),
+q AS (
+  SELECT event_type, max(n)::BIGINT AS n_total,
+         min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END)::INT AS p50_bucket,
+         min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bucket END)::INT AS p90_bucket,
+         min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END)::INT AS p99_bucket
+  FROM c GROUP BY event_type)
+SELECT event_type, n_total,
+       p50_bucket, (1::BIGINT << p50_bucket) - 1 AS p50_ub_us,
+       p90_bucket, (1::BIGINT << p90_bucket) - 1 AS p90_ub_us,
+       p99_bucket, (1::BIGINT << p99_bucket) - 1 AS p99_ub_us
+FROM q ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1142,6 +1204,7 @@ EXT_QUERIES = {
     "events_gapfill": q_events_gapfill,
     "events_pagerank": q_events_pagerank,
     "bloom_join_prune": q_bloom_join_prune,
+    "events_value_histogram": q_events_value_histogram,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
@@ -1181,6 +1244,7 @@ EXT_ORACLES = {
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "events_pagerank": SQL_EVENTS_PAGERANK,
     "bloom_join_prune": SQL_BLOOM_JOIN_PRUNE,
+    "events_value_histogram": SQL_EVENTS_VALUE_HISTOGRAM,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_cube": SQL_EVENTS_CUBE,
     "events_pivot": SQL_EVENTS_PIVOT,

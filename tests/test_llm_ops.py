@@ -1118,3 +1118,38 @@ def test_bloom_filter_no_false_negatives_and_prunes(spark):
     assert (
         nulls.filter(bloom_might_contain("k", words, 1 << 12, 4)).count() == 0
     )
+
+
+def test_log2_histogram_mergeable_and_quantile_bound(spark):
+    """Halves' histograms sum to the whole (mergeability), and the p50
+    upper bound both contains the true median and honors the 2x
+    relative-error guarantee of power-of-two buckets."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    df = spark.range(1, 1001).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") * 137).alias("vus")
+    )
+    whole = {
+        (r["g"], r["bucket"]): r["cnt"]
+        for r in log2_histogram(df, "vus", ["g"]).collect()
+    }
+    h1 = log2_histogram(df.filter("id % 2 = 0"), "vus", ["g"]).collect()
+    h2 = log2_histogram(df.filter("id % 2 = 1"), "vus", ["g"]).collect()
+    merged = {}
+    for r in [*h1, *h2]:
+        merged[(r["g"], r["bucket"])] = merged.get((r["g"], r["bucket"]), 0) + r["cnt"]
+    assert merged == whole
+
+    q = histogram_quantiles(log2_histogram(df, "vus", ["g"]), ["g"]).collect()
+    import statistics
+
+    vals = {g: sorted(v * 137 for v in range(1, 1001) if v % 7 == g) for g in range(7)}
+    for r in q:
+        true_med = statistics.median_low(vals[r["g"]])
+        assert true_med <= r["p50_ub_us"] < 2 * max(true_med, 1) * 2
+        assert r["n_total"] == len(vals[r["g"]])
