@@ -70,6 +70,10 @@ HEADLINE = [
     "heavy_hitters_cms", "embedding_ivf_sq8", "cdc_time_travel_read",
     "bpe_encode", "stream_debezium_merge", "cdc_snapshot_diff",
     "interdoc_repetition", "ivf_sq8_recall_eval",
+    # r6 additions
+    "cdc_scd2_history", "cdc_scd2_asof", "stream_scd2_history",
+    "cdc_skipping_read", "events_gapfill", "events_pagerank",
+    "bloom_join_prune", "cdc_maxwell_ingest", "events_value_histogram",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number
