@@ -38,10 +38,6 @@ from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
 DEFAULT_M_BITS = 1 << 16  # 8 KiB of filter; fp ~2e-6 at 1k keys / k=5
 DEFAULT_K = 5
 
-#: mask[j] = 1 << j as a signed 64-bit long (j=63 wraps to the sign bit)
-_BIT_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
-
-
 def _position(key: Column, i: int, m_bits: int) -> Column:
     return md5_long(key.cast("string"), salt=f"bloom{i}") % m_bits
 
@@ -49,12 +45,22 @@ def _position(key: Column, i: int, m_bits: int) -> Column:
 def bloom_build(
     keys: DataFrame,
     key_col: str,
-    m_bits: int = DEFAULT_M_BITS,
+    m_bits: int | None = DEFAULT_M_BITS,
     k_hashes: int = DEFAULT_K,
-) -> list[int]:
+) -> tuple[list[int], int]:
     """Bloom filter words (``m_bits/64`` signed longs) over the distinct
-    values of ``keys[key_col]``. One distinct + one word-indexed groupBy;
-    the driver holds only the word array."""
+    values of ``keys[key_col]``, returned as ``(words, m_bits)``. One
+    distinct + one word-indexed groupBy; the driver holds only the words.
+
+    ``m_bits=None`` auto-sizes to the next power of two ≥ 16 bits per
+    distinct key (fp ≈ 0.1% at k=5) — an under-sized filter silently
+    degrades to a pass-through (measured: 21k keys in the 64 Ki-bit
+    default saturate to a 33% fp rate, scripts/prune_bench.py), so
+    production callers with unknown dim cardinality should auto-size;
+    the count it costs is over the (small) dim side only."""
+    if m_bits is None:
+        n = keys.select(key_col).distinct().count()
+        m_bits = max(1 << 13, 1 << (max(n, 1) * 16 - 1).bit_length())
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     pos = reduce(
@@ -76,7 +82,11 @@ def bloom_build(
     arr = [0] * (m_bits // 64)
     for r in words:
         arr[int(r["w"])] = int(r["word"])
-    return arr
+    return arr, m_bits
+
+
+#: mask[j] = 1 << j as a signed 64-bit long (j=63 wraps to the sign bit)
+_BIT_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
 
 
 def bloom_might_contain(
@@ -87,9 +97,13 @@ def bloom_might_contain(
 ) -> Column:
     """Membership predicate: true iff every one of the key's k bits is
     set. Inlines the word array as a literal — a pure scan-side filter
-    expression (no join, no shuffle). NULL keys probe like any value
-    (md5 of the cast string is NULL → predicate NULL → filtered), which
-    is semi-join-consistent: NULL never equi-matches."""
+    expression (no join, no shuffle). Probe cost measured at sf0.1
+    (600k cached rows, scripts/prune_bench.py micro variant): ~2.8 s
+    over the 5×md5 baseline even at 512 Ki bits; a hex-string-literal
+    + substring/conv formulation was built, raced, and rejected (~9×
+    slower — conv leaves codegen). NULL keys probe like any value (md5
+    of the cast string is NULL → predicate NULL → filtered), which is
+    semi-join-consistent: NULL never equi-matches."""
     if m_bits % 64 or len(words) != m_bits // 64:
         raise ValueError("words length must be m_bits/64")
     key_c = F.col(key) if isinstance(key, str) else key

@@ -1026,7 +1026,7 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("key"))
         .distinct()
     )
-    words = bloom_build(dim, "key", DEFAULT_M_BITS, DEFAULT_K)
+    words, _ = bloom_build(dim, "key", DEFAULT_M_BITS, DEFAULT_K)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )

@@ -1099,10 +1099,14 @@ def test_bloom_filter_no_false_negatives_and_prunes(spark):
     from pyspark.sql import functions as F
 
     dim = spark.range(1, 101).select(F.col("id").alias("key"))
-    words = bloom_build(dim, "key", m_bits=1 << 12, k_hashes=4)
+    words, m = bloom_build(dim, "key", m_bits=1 << 12, k_hashes=4)
+    assert m == 1 << 12
     assert len(words) == (1 << 12) // 64 and any(w != 0 for w in words)
     # deterministic: a second build is bit-identical
-    assert bloom_build(dim, "key", m_bits=1 << 12, k_hashes=4) == words
+    assert bloom_build(dim, "key", m_bits=1 << 12, k_hashes=4)[0] == words
+    # auto-sizing: >= 16 bits per key, power of two
+    _, m_auto = bloom_build(dim, "key", m_bits=None, k_hashes=4)
+    assert m_auto >= 16 * 100 and (m_auto & (m_auto - 1)) == 0
 
     probe = spark.range(1, 2001).select(F.col("id").alias("k"))
     passed = {
