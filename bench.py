@@ -74,6 +74,7 @@ HEADLINE = [
     "cdc_scd2_history", "cdc_scd2_asof", "stream_scd2_history",
     "cdc_skipping_read", "events_gapfill", "events_pagerank",
     "bloom_join_prune", "cdc_maxwell_ingest", "events_value_histogram",
+    "cdc_range_export",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1704,6 +1704,48 @@ ORDER BY probe, user_id
 """
 
 
+def q_cdc_range_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-optimized range export (operators/range_export.py): the merge
+    table stays PK-hash-bucketed (merges keep pruning), analytics reads
+    a copy RANGE-partitioned on ``value`` with exact per-range footer
+    stats — the layout where range predicates prune densely-populated
+    columns that bucket-level zone maps measurably cannot (SCALE.md).
+    The pruned range read must equal the filtered merge state — shares
+    cdc_skipping_read's oracle; a wrong quantile bound, range
+    assignment, or stats-overlap test diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.range_export import (
+        read_range_pruned,
+        write_range_partitioned,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_rexp_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(
+        spark, cfg, target, audit, raw=raw, window=(None, None),
+        deterministic_audit=True,
+    )
+    write_range_partitioned(target.read(), f"{tmp}/export", "value", n_parts=8)
+    return read_range_pruned(spark, f"{tmp}/export", 100.0, 250.0).select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_RANGE_EXPORT = SQL_CDC_SKIPPING_READ
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1739,6 +1781,7 @@ QUERIES: dict[str, callable] = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_scd2_asof": q_cdc_scd2_asof,
     "cdc_skipping_read": q_cdc_skipping_read,
+    "cdc_range_export": q_cdc_range_export,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1775,6 +1818,7 @@ ORACLES: dict[str, str] = {
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_scd2_asof": SQL_CDC_SCD2_ASOF,
     "cdc_skipping_read": SQL_CDC_SKIPPING_READ,
+    "cdc_range_export": SQL_CDC_RANGE_EXPORT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
