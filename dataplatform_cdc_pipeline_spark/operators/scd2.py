@@ -272,3 +272,36 @@ class Scd2Target(ParquetMergeTarget):
             (F.col(TS_COL) <= t)
             & (F.col(SCD_VALID_TO).isNull() | (F.col(SCD_VALID_TO) > t))
         )
+
+
+def _snapshot_scd2_class():
+    """Build lazily to avoid a module-level import cycle."""
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+
+    class SnapshotScd2Target(Scd2Target, SnapshotMergeTarget):
+        """SCD2 history on the TABLE-ATOMIC snapshot sink — pure
+        composition, no new code: Scd2Target contributes the
+        close-and-append merge, SnapshotMergeTarget the manifest-versioned
+        immutable commits. What the mix buys over the swap-sink SCD2:
+
+        - each batch's history lands as ONE atomic manifest link (no
+          bucket-level torn states between close and append);
+        - ``read(version=N)`` time-travels the HISTORY itself — "what did
+          the dimension's version chain look like before batch N+1" (two
+          time axes: valid_from/valid_to inside a snapshot, commit
+          version across snapshots);
+        - zone maps on the clustering columns come along for free.
+
+        MRO check (tests pin behavior): merge ← Scd2Target; read /
+        _commit / _read_version / exists / _live_buckets / vacuum ←
+        SnapshotMergeTarget; schema enforcement ← Scd2Target's
+        base-columns wrapper over ParquetMergeTarget's."""
+
+    return SnapshotScd2Target
+
+
+def snapshot_scd2_target(spark, path, cfg, schema):
+    """Construct a table-atomic, time-travelable SCD2 history sink."""
+    return _snapshot_scd2_class()(spark, path, cfg, schema)

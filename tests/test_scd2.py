@@ -212,3 +212,35 @@ def test_scd2_null_pk_versions(spark, tmp_path):
         (None, 1.0, 0, 10, False),
         (None, 2.0, 10, None, True),
     ]
+
+
+def test_snapshot_scd2_time_travel_and_atomic_commits(spark, tmp_path):
+    """The SCD2 x snapshot composition: version 1 = history after batch
+    1, version 2 = history after batch 2 (batch 2's close of batch 1's
+    open rows is invisible at version 1) — time travel over the version
+    CHAIN itself. Final history equals the swap-sink SCD2 and the
+    full-batch derivation."""
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import snapshot_scd2_target
+
+    cfg = user_state_config()
+    t = snapshot_scd2_target(spark, str(tmp_path / "s2"), cfg, USER_STATE_SCHEMA)
+    b1 = [("c", 1, 1.0, 0, 1), ("c", 2, 5.0, 1, 2)]
+    b2 = [("u", 1, 2.0, 10, 3), ("d", 2, 0.0, 12, 4)]
+    t.merge(changes(spark, b1))
+    t.merge(changes(spark, b2))
+    assert t._read_version() == 2
+
+    def vers(df):
+        return sorted(
+            (r["user_id"], r["value"], r[SCD_VALID_TO] is None, r[SCD_IS_CURRENT])
+            for r in df.collect()
+        )
+
+    # version 1: both keys open, nothing closed
+    assert vers(t.read(version=1)) == [(1, 1.0, True, True), (2, 5.0, True, True)]
+    # version 2 == full-batch derivation over b1+b2
+    full = scd2_history(changes(spark, b1 + b2), ["user_id"])
+    assert vers(t.read()) == vers(full.select(*[f.name for f in t.schema.fields]))
+    # vacuum keeps the latest snapshot readable
+    t.vacuum(retain_last=1)
+    assert len(vers(t.read())) == 3
