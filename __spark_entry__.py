@@ -62,16 +62,13 @@ _PRIORITY = [
     "events_cube", "events_distinct_sketch", "events_value_percentiles",
     "heavy_hitters_cms", "customer_pareto", "fuzzy_name_match",
     "stream_distinct_sketch",
-    # 40-49: r6-new (never driver-verified — SCD2 family, zone maps,
-    # range export, gap-fill, PageRank, bloom pruning, Maxwell,
-    # histogram sketch)
+    # 40-50: r6-new (never driver-verified — SCD2 family, zone maps,
+    # range export, gap-fill, moving avg, PageRank, bloom pruning,
+    # Maxwell, histogram sketch)
     "cdc_scd2_history", "cdc_skipping_read", "events_gapfill",
     "events_pagerank", "bloom_join_prune", "cdc_maxwell_ingest",
     "cdc_scd2_asof", "stream_scd2_history", "events_value_histogram",
-    "cdc_range_export",
-    # 50: r4-green, oldest-first (the rest of the r4-green cohort
-    # rotates in r7)
-    "stream_user_totals",
+    "cdc_range_export", "events_moving_avg",
     # 51+: tail. First the r4-green leftovers (r7's rotation cohort) …
     "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",

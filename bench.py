@@ -74,7 +74,7 @@ HEADLINE = [
     "cdc_scd2_history", "cdc_scd2_asof", "stream_scd2_history",
     "cdc_skipping_read", "events_gapfill", "events_pagerank",
     "bloom_join_prune", "cdc_maxwell_ingest", "events_value_histogram",
-    "cdc_range_export",
+    "cdc_range_export", "events_moving_avg",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

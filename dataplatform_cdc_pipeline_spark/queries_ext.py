@@ -1196,6 +1196,57 @@ FROM q ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# rolling time-range window (moving aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving aggregate per user: for every event, the
+    count and mean value over the user's events in the preceding 7 days
+    inclusive — a RANGE-framed window (value-based bounds, not row
+    counts), the time-series primitive rolling features are built from.
+    All arithmetic in exact integer micro-units (floor(value·1e6) per
+    row, BIGINT window sum, integer-division mean) so the rolling
+    answer is bit-identical across engines — a DECIMAL/DOUBLE division
+    formulation was tried first and diverged in the 6th decimal.
+    One shuffle on user_id; the frame is a per-key sliding scan."""
+    day_us = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vus"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7 * day_us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum("vus").over(w).alias("sum_7d_us"),
+    ).withColumn("avg_7d_us", F.expr("sum_7d_us div n_7d"))
+
+
+SQL_EVENTS_MOVING_AVG = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         floor(value * 1000000.0)::BIGINT AS vus
+  FROM events)
+SELECT user_id, event_id, ts_us,
+       count(*) OVER w AS n_7d,
+       (sum(vus) OVER w)::BIGINT AS sum_7d_us,
+       (sum(vus) OVER w // count(*) OVER w)::BIGINT AS avg_7d_us
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1205,6 +1256,7 @@ EXT_QUERIES = {
     "events_pagerank": q_events_pagerank,
     "bloom_join_prune": q_bloom_join_prune,
     "events_value_histogram": q_events_value_histogram,
+    "events_moving_avg": q_events_moving_avg,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_pivot": q_events_pivot,
@@ -1245,6 +1297,7 @@ EXT_ORACLES = {
     "events_pagerank": SQL_EVENTS_PAGERANK,
     "bloom_join_prune": SQL_BLOOM_JOIN_PRUNE,
     "events_value_histogram": SQL_EVENTS_VALUE_HISTOGRAM,
+    "events_moving_avg": SQL_EVENTS_MOVING_AVG,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "events_cube": SQL_EVENTS_CUBE,
     "events_pivot": SQL_EVENTS_PIVOT,

@@ -244,3 +244,42 @@ def test_snapshot_scd2_time_travel_and_atomic_commits(spark, tmp_path):
     # vacuum keeps the latest snapshot readable
     t.vacuum(retain_last=1)
     assert len(vers(t.read())) == 3
+
+
+def test_scd2_asof_equals_type1_merge_state(spark, tmp_path):
+    """Cross-sink invariant: the SCD2 table's as_of(T) view equals the
+    Type-1 merge state built from only the events at or before T — the
+    two sinks are projections of the same event stream."""
+    import tempfile as _tf
+
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+
+    rows = [
+        ("c", 1, 1.0, 0, 1), ("c", 2, 5.0, 1, 2), ("u", 1, 2.0, 10, 3),
+        ("d", 2, 0.0, 12, 4), ("u", 1, 3.0, 20, 5), ("c", 2, 7.0, 25, 6),
+    ]
+    t2 = make(spark, tmp_path)
+    t2.merge(changes(spark, rows))
+    for cut_s in (0, 5, 12, 19, 25, 99):
+        cut = BASE + datetime.timedelta(seconds=cut_s)
+        t1 = ParquetMergeTarget(
+            spark, _tf.mkdtemp(prefix="scd2_inv_") + "/t",
+            user_state_config(), USER_STATE_SCHEMA,
+        )
+        upto = [r for r in rows if r[3] <= cut_s]
+        if upto:
+            # Type-1 contract wants a deduped change set: keep the latest
+            # event per key
+            latest = {}
+            for r in sorted(upto, key=lambda r: (r[3], r[4])):
+                latest[r[1]] = r
+            t1.merge(changes(spark, list(latest.values())))
+        want = sorted(
+            (r["user_id"], r["value"]) for r in t1.read().collect()
+        )
+        got = sorted(
+            (r["user_id"], r["value"]) for r in t2.as_of(cut).collect()
+        )
+        assert got == want, f"cut at {cut_s}s"
