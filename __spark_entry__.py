@@ -69,7 +69,12 @@ _PRIORITY = [
     "events_pagerank", "bloom_join_prune", "cdc_maxwell_ingest",
     "cdc_scd2_asof", "stream_scd2_history", "events_value_histogram",
     "cdc_range_export", "events_moving_avg",
-    # 51+: tail. First the r4-green leftovers (r7's rotation cohort) …
+    # 51+: tail. First the r6-late additions (never driver-verified;
+    # locally gated by check_parity/driver_sim full sweeps — they and the
+    # r4-green cohort below are FIRST in line for the r7 window; the
+    # already-set 50-slot r6 window stays as planned) …
+    "events_scd2_join", "table_reconcile", "dq_expectations",
+    # … then the r4-green leftovers (r7's rotation cohort) …
     "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",
     "multimodal_frame_plan", "domain_mix_plan", "domain_mix_apply",

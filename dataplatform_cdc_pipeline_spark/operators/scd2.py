@@ -274,6 +274,72 @@ class Scd2Target(ParquetMergeTarget):
         )
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    pk: list[str],
+    fact_ts_col: str,
+    ts_col: str = TS_COL,
+    dim_prefix: str = "dim_",
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal enrichment — each fact row joins the dimension VERSION
+    valid at the fact's own timestamp (``valid_from <= fact_ts <
+    valid_to``; open versions unbounded above). This is the consumer
+    operation SCD2 history exists for: training-data backfill joins a
+    document to the user/item attributes *as they were* when the event
+    happened, not as they are now (point-in-time correctness — the
+    feature-store join that prevents label leakage).
+
+    Plan shape (the 100 TB part): the PK equality stays a real join key,
+    so Catalyst plans a hash/sort-merge join shuffled on ``pk`` — the
+    same partitioning both tables already use — and evaluates the range
+    predicate as a join-level filter. NO cross product, NO per-probe
+    broadcast (contrast ``Scd2Target.as_of``, which is the single-probe
+    special case). Version intervals per key are half-open and
+    non-overlapping by construction (scd2_history's lead), so each fact
+    matches AT MOST one version; ties at identical timestamps resolve to
+    the version whose interval actually covers the instant.
+
+    Dimension value columns come back prefixed with ``dim_`` (pk and
+    interval bounds keep their names); fact columns pass through.
+    """
+    reserved = set(pk) | {ts_col, SCD_VALID_TO, SCD_IS_CURRENT}
+    dim = history.select(
+        *pk,
+        F.col(ts_col),
+        F.col(SCD_VALID_TO),
+        *[
+            F.col(c).alias(f"{dim_prefix}{c}")
+            for c in history.columns
+            if c not in reserved
+        ],
+    ).alias("dim")
+    f_a = facts.alias("f")
+    cond = None
+    for c in pk:
+        eq = f_a[c].eqNullSafe(dim[c])
+        cond = eq if cond is None else (cond & eq)
+    cond = (
+        cond
+        & (F.col(f"dim.{ts_col}") <= f_a[fact_ts_col])
+        & (
+            F.col(f"dim.{SCD_VALID_TO}").isNull()
+            | (F.col(f"dim.{SCD_VALID_TO}") > f_a[fact_ts_col])
+        )
+    )
+    j = f_a.join(dim, cond, how)
+    keep = [f_a[c] for c in facts.columns] + [
+        F.col(f"dim.{ts_col}").alias(f"{dim_prefix}valid_from"),
+        *[
+            F.col(f"dim.{dim_prefix}{c}")
+            for c in history.columns
+            if c not in reserved
+        ],
+    ]
+    return j.select(*keep)
+
+
 def _snapshot_scd2_class():
     """Build lazily to avoid a module-level import cycle."""
     from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (

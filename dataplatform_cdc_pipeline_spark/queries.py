@@ -1746,6 +1746,162 @@ def q_cdc_range_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_RANGE_EXPORT = SQL_CDC_SKIPPING_READ
 
 
+def q_events_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time temporal enrichment (operators/scd2.point_in_time_join):
+    every 'click' fact joins the user-dimension VERSION valid at the
+    click's own timestamp — the feature-store join that prevents label
+    leakage in training-data backfill. Discriminating bits: half-open
+    interval semantics (a version opened AT the fact instant matches, one
+    closed at it does not), delete gaps (clicks while the user is deleted
+    match NO version and drop from the inner join), and same-instant
+    version ties (exactly one covering interval survives). The plan keeps
+    user_id as a true equi-join key — shuffle on the key, range predicate
+    as join filter, no cross product."""
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import (
+        point_in_time_join,
+        scd2_history,
+    )
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, None, None)
+    keyed = w.select(
+        F.col("__op"),
+        F.col("__pk_raw_0").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        F.get_json_object("data", "$.k").cast("int").alias("k"),
+        F.col("__event_ts").alias("source_ts_ns_order"),
+        F.col("__pos").alias("pos"),
+    )
+    history = scd2_history(keyed, ["user_id"])
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("fact_pos"),
+            F.col("ts").alias("fact_ts"),
+        )
+    )
+    j = point_in_time_join(facts, history, ["user_id"], "fact_ts")
+    return j.select(
+        "user_id",
+        "fact_pos",
+        F.unix_micros("fact_ts").alias("fact_ts_us"),
+        "dim_event_type",
+        "dim_value",
+        "dim_k",
+        F.unix_micros("dim_valid_from").alias("valid_from_us"),
+    )
+
+
+SQL_EVENTS_SCD2_JOIN = f"""
+WITH v AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS valid_from_us,
+         lead(epoch_us(ts::TIMESTAMP)) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS valid_to_us
+  FROM events),
+h AS (SELECT * FROM v WHERE op != 'd'),
+f AS (SELECT user_id, event_id AS fact_pos, epoch_us(ts::TIMESTAMP) AS fact_ts_us
+      FROM events WHERE event_type = 'click')
+SELECT f.user_id, f.fact_pos, f.fact_ts_us,
+       h.event_type AS dim_event_type, h.value AS dim_value, h.k AS dim_k,
+       h.valid_from_us
+FROM f JOIN h ON f.user_id = h.user_id
+  AND h.valid_from_us <= f.fact_ts_us
+  AND (h.valid_to_us IS NULL OR h.valid_to_us > f.fact_ts_us)
+ORDER BY f.user_id, f.fact_pos
+"""
+
+
+def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle anti-entropy diff (operators/reconcile.py): table A holds
+    the fully merged state, table B a stale replica that stopped at the
+    mid-January watermark. Stage 1 compares per-bucket
+    (count, sum-of-row-hashes) fingerprints; stage 2 reads ONLY the
+    differing buckets back (bucket-pruned on both sides) and classifies
+    drifted keys as added / removed / changed. The oracle recomputes both
+    states relationally and full-outer-joins them — so a fingerprint that
+    misses a drifted bucket, a wrong bucket descent, or a
+    misclassification diverges rows, not just counts."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.reconcile import (
+        reconcile_targets,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    split = datetime.datetime(2024, 1, 15)
+    tmp = tempfile.mkdtemp(prefix="cdc_reconcile_q_")
+    targets = {}
+    for name, windows in [("a", [(None, split), (split, None)]), ("b", [(None, split)])]:
+        t = ParquetMergeTarget(spark, f"{tmp}/{name}", cfg, USER_STATE_SCHEMA)
+        audit = WatermarkStore(spark, f"{tmp}/audit_{name}")
+        for win in windows:
+            run_merge(
+                spark, cfg, t, audit, raw=raw, window=win, deterministic_audit=True
+            )
+        targets[name] = t
+    diff, _stats = reconcile_targets(
+        targets["a"],
+        targets["b"],
+        cols=["event_type", "value", "k", "source_ts_ns_order", "pos"],
+    )
+    return diff.select(
+        "user_id",
+        "status",
+        "a_event_type",
+        "b_event_type",
+        "a_value",
+        "b_value",
+        F.unix_micros("a_source_ts_ns_order").alias("a_ts_us"),
+        F.unix_micros("b_source_ts_ns_order").alias("b_ts_us"),
+        "a_pos",
+        "b_pos",
+    )
+
+
+SQL_TABLE_RECONCILE = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events),
+state_a AS (SELECT * FROM ranked WHERE rn = 1 AND op != 'd'),
+ranked_b AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+state_b AS (SELECT * FROM ranked_b WHERE rn = 1 AND op != 'd')
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       CASE WHEN b.user_id IS NULL THEN 'added'
+            WHEN a.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       a.event_type AS a_event_type, b.event_type AS b_event_type,
+       a.value AS a_value, b.value AS b_value,
+       a.ts_us AS a_ts_us, b.ts_us AS b_ts_us,
+       a.pos AS a_pos, b.pos AS b_pos
+FROM state_a a FULL OUTER JOIN state_b b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL
+   OR (a.event_type, a.value, a.k, a.ts_us, a.pos)
+      IS DISTINCT FROM (b.event_type, b.value, b.k, b.ts_us, b.pos)
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1782,6 +1938,8 @@ QUERIES: dict[str, callable] = {
     "cdc_scd2_asof": q_cdc_scd2_asof,
     "cdc_skipping_read": q_cdc_skipping_read,
     "cdc_range_export": q_cdc_range_export,
+    "events_scd2_join": q_events_scd2_join,
+    "table_reconcile": q_table_reconcile,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1819,6 +1977,8 @@ ORACLES: dict[str, str] = {
     "cdc_scd2_asof": SQL_CDC_SCD2_ASOF,
     "cdc_skipping_read": SQL_CDC_SKIPPING_READ,
     "cdc_range_export": SQL_CDC_RANGE_EXPORT,
+    "events_scd2_join": SQL_EVENTS_SCD2_JOIN,
+    "table_reconcile": SQL_TABLE_RECONCILE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -449,6 +449,80 @@ GROUP BY threshold ORDER BY threshold
 
 
 # ---------------------------------------------------------------------------
+# Data-quality expectations (operators/dq.py)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/dq.py): six rule types —
+    not_null, in_range, in_set, arbitrary boolean expression, key
+    uniqueness, referential integrity — over lineitem/orders. All four
+    row-level rules share ONE aggregate scan; unique adds one
+    map-side-combined groupBy; the FK check is a broadcast anti-join.
+    Thresholds chosen so several rules REALLY fire on the synthetic data
+    (non-zero violation counts discriminate the hash): quantity>30,
+    returnflag='R', discount>0.05, and duplicated (l_orderkey,
+    l_linenumber) pairs all exist; not_null and the FK legitimately
+    return zero."""
+    from dataplatform_cdc_pipeline_spark.operators.dq import (
+        BoolExpr,
+        ForeignKey,
+        InRange,
+        InSet,
+        NotNull,
+        Unique,
+        run_expectations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        NotNull("l_quantity"),
+        InRange("l_quantity", 1, 30),
+        InSet("l_returnflag", ("A", "N")),
+        BoolExpr("discount_cap", "l_discount <= 0.05"),
+        Unique(("l_orderkey", "l_linenumber")),
+        ForeignKey(("l_orderkey",), ("o_orderkey",), "orders", orders),
+    ]
+    return run_expectations(li, rules)
+
+
+SQL_DQ_EXPECTATIONS = """
+SELECT 'not_null:l_quantity' AS rule,
+       sum((l_quantity IS NULL)::INT)::BIGINT AS n_violations,
+       count(*)::BIGINT AS n_checked
+FROM lineitem
+UNION ALL
+SELECT 'in_range:l_quantity',
+       sum((l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 30)::INT)::BIGINT,
+       count(*)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'in_set:l_returnflag',
+       sum((l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N'))::INT)::BIGINT,
+       count(*)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'expr:discount_cap',
+       sum((NOT coalesce(l_discount <= 0.05, FALSE))::INT)::BIGINT,
+       count(*)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+       sum((c > 1)::INT)::BIGINT,
+       count(*)::BIGINT
+FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'foreign_key:l_orderkey->orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+       count(*)::BIGINT
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -463,6 +537,7 @@ ANALYTIC_QUERIES = {
     "market_share": q_market_share,
     "customer_value_deciles": q_customer_value_deciles,
     "customer_pareto": q_customer_pareto,
+    "dq_expectations": q_dq_expectations,
 }
 
 ANALYTIC_ORACLES = {
@@ -476,4 +551,5 @@ ANALYTIC_ORACLES = {
     "market_share": SQL_MARKET_SHARE,
     "customer_value_deciles": SQL_CUSTOMER_VALUE_DECILES,
     "customer_pareto": SQL_CUSTOMER_PARETO,
+    "dq_expectations": SQL_DQ_EXPECTATIONS,
 }

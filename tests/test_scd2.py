@@ -283,3 +283,80 @@ def test_scd2_asof_equals_type1_merge_state(spark, tmp_path):
             (r["user_id"], r["value"]) for r in t2.as_of(cut).collect()
         )
         assert got == want, f"cut at {cut_s}s"
+
+
+# ---------------------------------------------------------------------------
+# point_in_time_join — temporal fact enrichment
+# ---------------------------------------------------------------------------
+
+
+def _facts(spark, rows):
+    """rows: (user_id, fact_pos, ts_off_s)"""
+    data = [
+        (uid, pos, BASE + datetime.timedelta(seconds=off))
+        for uid, pos, off in rows
+    ]
+    return spark.createDataFrame(data, "user_id long, fact_pos long, fact_ts timestamp")
+
+
+def _enriched(spark, events, facts, how="inner"):
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import point_in_time_join
+
+    hist = scd2_history(changes(spark, events), ["user_id"])
+    j = point_in_time_join(
+        _facts(spark, facts), hist, ["user_id"], "fact_ts", how=how
+    )
+    b = int(BASE.timestamp())
+    return sorted(
+        (
+            r["user_id"],
+            r["fact_pos"],
+            r["dim_value"],
+            None
+            if r["dim_valid_from"] is None
+            else int(r["dim_valid_from"].timestamp()) - b,
+        )
+        for r in j.select("user_id", "fact_pos", "dim_value", "dim_valid_from").collect()
+    )
+
+
+def test_pit_join_selects_covering_version(spark):
+    ev = [("c", 1, 1.0, 0, 1), ("u", 1, 2.0, 10, 2), ("u", 1, 3.0, 20, 3)]
+    # facts at t=5 (v1), t=10 (exactly at v2 open: half-open → v2),
+    # t=25 (open version v3)
+    got = _enriched(spark, ev, [(1, 100, 5), (1, 101, 10), (1, 102, 25)])
+    assert got == [(1, 100, 1.0, 0), (1, 101, 2.0, 10), (1, 102, 3.0, 20)]
+
+
+def test_pit_join_delete_gap_drops_fact(spark):
+    ev = [("c", 1, 1.0, 0, 1), ("d", 1, None, 10, 2), ("c", 1, 5.0, 20, 3)]
+    # t=15 falls in the deleted gap → inner drops it; t=5 and t=20 match
+    got = _enriched(spark, ev, [(1, 100, 5), (1, 101, 15), (1, 102, 20)])
+    assert got == [(1, 100, 1.0, 0), (1, 102, 5.0, 20)]
+
+
+def test_pit_join_left_keeps_unmatched_fact(spark):
+    ev = [("c", 1, 1.0, 10, 1)]
+    # fact BEFORE the first version exists; left join keeps it with NULL dim
+    got = _enriched(spark, ev, [(1, 100, 5)], how="left")
+    assert got == [(1, 100, None, None)]
+
+
+def test_pit_join_at_most_one_version_per_fact(spark):
+    # same-instant tie: two events at t=10 → first version has an EMPTY
+    # half-open interval; exactly one version covers any probe
+    ev = [("c", 1, 1.0, 10, 1), ("u", 1, 2.0, 10, 2), ("u", 1, 3.0, 30, 3)]
+    got = _enriched(spark, ev, [(1, 100, 10), (1, 101, 30), (1, 102, 40)])
+    assert got == [(1, 100, 2.0, 10), (1, 101, 3.0, 30), (1, 102, 3.0, 30)]
+
+
+def test_pit_join_plan_is_equi_join_no_cross_product(spark):
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import point_in_time_join
+
+    ev = [("c", i, 1.0, 0, i) for i in range(1, 6)]
+    hist = scd2_history(changes(spark, ev), ["user_id"])
+    j = point_in_time_join(
+        _facts(spark, [(1, 100, 5)]), hist, ["user_id"], "fact_ts"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
