@@ -73,7 +73,8 @@ _PRIORITY = [
     # locally gated by check_parity/driver_sim full sweeps — they and the
     # r4-green cohort below are FIRST in line for the r7 window; the
     # already-set 50-slot r6 window stays as planned) …
-    "events_scd2_join", "table_reconcile", "dq_expectations",
+    "events_scd2_join", "table_reconcile", "snapshot_reconcile",
+    "dq_expectations",
     # … then the r4-green leftovers (r7's rotation cohort) …
     "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",

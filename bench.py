@@ -75,6 +75,9 @@ HEADLINE = [
     "cdc_skipping_read", "events_gapfill", "events_pagerank",
     "bloom_join_prune", "cdc_maxwell_ingest", "events_value_histogram",
     "cdc_range_export", "events_moving_avg",
+    # r6 additions (second half of the round)
+    "events_scd2_join", "table_reconcile", "snapshot_reconcile",
+    "dq_expectations",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

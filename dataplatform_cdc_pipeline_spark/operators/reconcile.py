@@ -132,15 +132,9 @@ def reconcile_targets(
     ``(diff_df, stats)``; the descend stage reads ONLY the buckets whose
     fingerprints differ, through each target's bucket-pruned ``read``.
     """
-    cfg_a, cfg_b = target_a.cfg, target_b.cfg
-    if list(cfg_a.pk) != list(cfg_b.pk) or cfg_a.n_buckets != cfg_b.n_buckets:
-        raise ValueError(
-            "reconcile_targets: targets must share pk and n_buckets "
-            f"(got pk {cfg_a.pk}/{cfg_b.pk}, buckets "
-            f"{cfg_a.n_buckets}/{cfg_b.n_buckets})"
-        )
-    pk = list(cfg_a.pk)
-    n = cfg_a.n_buckets
+    _check_shapes(target_a, target_b)
+    pk = list(target_a.cfg.pk)
+    n = target_a.cfg.n_buckets
     fp_a = bucket_fingerprints(target_a.read(), pk, cols, n)
     fp_b = bucket_fingerprints(target_b.read(), pk, cols, n)
     diff_buckets = _differing_buckets(fp_a, fp_b)
@@ -148,4 +142,68 @@ def reconcile_targets(
     # buckets=[] prunes everything but keeps the exact output schema
     a = target_a.read(buckets=diff_buckets)
     b = target_b.read(buckets=diff_buckets)
+    return reconcile_frames(a, b, pk, cols), stats
+
+
+def _check_shapes(target_a, target_b):
+    cfg_a, cfg_b = target_a.cfg, target_b.cfg
+    if list(cfg_a.pk) != list(cfg_b.pk) or cfg_a.n_buckets != cfg_b.n_buckets:
+        raise ValueError(
+            "reconcile: targets must share pk and n_buckets "
+            f"(got pk {cfg_a.pk}/{cfg_b.pk}, buckets "
+            f"{cfg_a.n_buckets}/{cfg_b.n_buckets})"
+        )
+
+
+def reconcile_snapshots(target_a, target_b) -> tuple[DataFrame, dict]:
+    """Scan-free Merkle reconcile of two SnapshotMergeTargets with
+    ``harvest_fingerprints`` enabled: the fingerprint stage reads ONLY
+    the two manifests (commit-time per-bucket (count, fp) entries — zero
+    data I/O, the steady-state anti-entropy check at 100 TB), then
+    descends into buckets whose entries differ. Buckets MISSING a
+    fingerprint on either side (committed before harvesting was enabled,
+    or present on only one table) descend conservatively and are counted
+    separately in the stats. Raises if the two manifests fingerprinted
+    different column sets (not comparable)."""
+    _check_shapes(target_a, target_b)
+    pk = list(target_a.cfg.pk)
+    ma = target_a._manifest() or {}
+    mb = target_b._manifest() or {}
+    ca, cb = ma.get("fp_cols"), mb.get("fp_cols")
+    if ca is None or cb is None:
+        raise ValueError(
+            "reconcile_snapshots: no commit-time fingerprints in the "
+            "manifest — enable harvest_fingerprints on both targets (or "
+            "use reconcile_targets for the scan-based path)"
+        )
+    if ca != cb:
+        raise ValueError(
+            f"reconcile_snapshots: fingerprint column sets differ "
+            f"({ca} vs {cb}) — fingerprints are not comparable"
+        )
+    fa, fb = ma.get("fps", {}), mb.get("fps", {})
+    ba, bb = ma.get("buckets", {}), mb.get("buckets", {})
+    live = set(ba) | set(bb)
+    # a harvesting HOLE is a bucket that exists on a side but has no
+    # fingerprint there (committed while the flag was off / manifest
+    # damage) — distinct from a bucket absent on one side, which is just
+    # drift the normal compare catches (entry vs None)
+    missing = sorted(
+        int(b)
+        for b in live
+        if (b in ba and fa.get(b) is None) or (b in bb and fb.get(b) is None)
+    )
+    differing = sorted(
+        int(b)
+        for b in live
+        if fa.get(b) != fb.get(b) or int(b) in set(missing)
+    )
+    stats = {
+        "n_buckets": target_a.cfg.n_buckets,
+        "n_buckets_differing": len(differing),
+        "n_buckets_missing_fp": len(missing),
+    }
+    cols = [c for c in ca if c not in set(pk)]
+    a = target_a.read(buckets=differing)
+    b = target_b.read(buckets=differing)
     return reconcile_frames(a, b, pk, cols), stats

@@ -298,16 +298,80 @@ class SnapshotMergeTarget(ParquetMergeTarget):
                 s = self._bucket_footer_stats(os.path.join(self.path, written[b]))
                 if s:
                     zmaps[b] = s
-            self._publish(
-                {"version": new_version, "buckets": entries, "stats": zmaps},
-                new_version,
-            )
+            fps, fp_cols = self._harvest_fingerprints(prev, affected, written)
+            manifest = {"version": new_version, "buckets": entries, "stats": zmaps}
+            if fps or fp_cols:
+                manifest["fps"] = fps
+                manifest["fp_cols"] = fp_cols
+            self._publish(manifest, new_version)
         except ConcurrentWriteError:
             # losing writer: its tree was never referenced — reclaim now
             # rather than waiting for vacuum()
             shutil.rmtree(staging, ignore_errors=True)
             raise
         self.phase_times["swap"] = round(time.time() - t0, 3)
+
+    #: opt-in content fingerprints for scan-free reconciliation
+    #: (operators/reconcile.reconcile_snapshots): when True, every commit
+    #: also records per-bucket (row_count, sum-of-row-hashes mod 2^60)
+    #: over the just-written buckets, carried forward for unaffected ones
+    #: exactly like the zone maps. Enable for the table's whole life —
+    #: buckets committed while the flag was off have no entry and force a
+    #: conservative descent during reconcile.
+    harvest_fingerprints: bool = False
+
+    def _harvest_fingerprints(
+        self, prev: dict, affected: list[int], written: dict
+    ) -> tuple[dict, list | None]:
+        """Carry unaffected buckets' fingerprints forward; compute fresh
+        ones for the written buckets when harvesting is on. One
+        column-pruned read of the files this commit just wrote —
+        ≤ len(affected) output rows; on a distributed deployment the
+        write tasks would fold these into their commit messages (the
+        Iceberg manifest pattern)."""
+        from dataplatform_cdc_pipeline_spark.operators.reconcile import (
+            _FP_MOD,
+            row_hash,
+        )
+
+        my_cols = sorted(f.name for f in self.schema.fields)
+        prev_cols = prev.get("fp_cols")
+        fps = (
+            {}
+            if (prev_cols is not None and prev_cols != my_cols)
+            # schema evolved: old fingerprints hash different columns —
+            # drop them (conservative descent) rather than compare wrong
+            else {
+                b: v
+                for b, v in prev.get("fps", {}).items()
+                if int(b) not in set(affected)
+            }
+        )
+        if not self.harvest_fingerprints:
+            return fps, (my_cols if fps else None)
+        if written:
+            # every written entry lives under this commit's staging tree;
+            # basePath there makes __bucket a discovered partition column
+            tree = os.path.dirname(next(iter(written.values())))
+            df = self.spark.read.option(
+                "basePath", os.path.join(self.path, tree)
+            ).parquet(*[os.path.join(self.path, p) for p in written.values()])
+            h = df.select(
+                F.col(BUCKET_COL).cast("int").alias("b"),
+                row_hash(my_cols).alias("__h"),
+            )
+            rows = (
+                h.groupBy("b")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    (F.sum(F.col("__h").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+                    .cast("long")
+                    .alias("fp"),
+                )
+                .collect()
+            )
+            fps.update({str(r["b"]): [int(r["n"]), int(r["fp"])] for r in rows})
+        return fps, my_cols
 
     #: columns zone-mapped at commit time: the clustering columns (already
     #: the sort keys inside each file, so their per-bucket ranges are the

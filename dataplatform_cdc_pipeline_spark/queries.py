@@ -1902,6 +1902,61 @@ ORDER BY user_id
 """
 
 
+def q_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-free reconciliation (reconcile.reconcile_snapshots): same
+    drift scenario as table_reconcile, but on SNAPSHOT sinks with
+    ``harvest_fingerprints`` on — every commit records per-bucket
+    (count, sum-of-row-hash) next to its zone maps, so the fingerprint
+    stage reads only the two MANIFESTS (zero data I/O: the steady-state
+    anti-entropy posture at 100 TB) before the bucket-pruned descent.
+    Shares table_reconcile's oracle — commit-time fingerprints must find
+    exactly the drift a full relational diff finds."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.reconcile import (
+        reconcile_snapshots,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    split = datetime.datetime(2024, 1, 15)
+    tmp = tempfile.mkdtemp(prefix="cdc_snap_rec_q_")
+    targets = {}
+    for name, windows in [("a", [(None, split), (split, None)]), ("b", [(None, split)])]:
+        t = SnapshotMergeTarget(spark, f"{tmp}/{name}", cfg, USER_STATE_SCHEMA)
+        t.harvest_fingerprints = True
+        audit = WatermarkStore(spark, f"{tmp}/audit_{name}")
+        for win in windows:
+            run_merge(
+                spark, cfg, t, audit, raw=raw, window=win, deterministic_audit=True
+            )
+        targets[name] = t
+    diff, stats = reconcile_snapshots(targets["a"], targets["b"])
+    if stats["n_buckets_missing_fp"]:
+        raise RuntimeError(
+            f"snapshot reconcile: {stats['n_buckets_missing_fp']} buckets "
+            "lost their commit-time fingerprints — harvesting is broken"
+        )
+    return diff.select(
+        "user_id",
+        "status",
+        "a_event_type",
+        "b_event_type",
+        "a_value",
+        "b_value",
+        F.unix_micros("a_source_ts_ns_order").alias("a_ts_us"),
+        F.unix_micros("b_source_ts_ns_order").alias("b_ts_us"),
+        "a_pos",
+        "b_pos",
+    )
+
+
+SQL_SNAPSHOT_RECONCILE = SQL_TABLE_RECONCILE
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1940,6 +1995,7 @@ QUERIES: dict[str, callable] = {
     "cdc_range_export": q_cdc_range_export,
     "events_scd2_join": q_events_scd2_join,
     "table_reconcile": q_table_reconcile,
+    "snapshot_reconcile": q_snapshot_reconcile,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -1979,6 +2035,7 @@ ORACLES: dict[str, str] = {
     "cdc_range_export": SQL_CDC_RANGE_EXPORT,
     "events_scd2_join": SQL_EVENTS_SCD2_JOIN,
     "table_reconcile": SQL_TABLE_RECONCILE,
+    "snapshot_reconcile": SQL_SNAPSHOT_RECONCILE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -138,3 +138,135 @@ def test_reconcile_targets_config_mismatch_raises(spark):
     )
     with pytest.raises(ValueError, match="share pk"):
         reconcile_targets(ta, tb, cols=["value"])
+
+
+# ---------------------------------------------------------------------------
+# commit-time fingerprints on the snapshot sink (reconcile_snapshots)
+# ---------------------------------------------------------------------------
+
+
+def _snap_target(spark, tmp, batches, harvest=True):
+    from tests.helpers import bronze
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    cfg = user_state_config()
+    t = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    t.harvest_fingerprints = harvest
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    for rows in batches:
+        run_merge(
+            spark, cfg, t, audit, raw=bronze(spark, rows), window=(None, None),
+            deterministic_audit=True,
+        )
+    return t
+
+
+def test_snapshot_reconcile_matches_scan_based(spark):
+    from dataplatform_cdc_pipeline_spark.operators.reconcile import (
+        reconcile_snapshots,
+    )
+
+    rows_a = [("c", i, i, i, float(i)) for i in range(30)]
+    rows_b = [("c", i, i, i, float(i if i not in (3, 11) else -1)) for i in range(28)]
+    ta = _snap_target(spark, tempfile.mkdtemp(prefix="snrec_a_"), [rows_a])
+    tb = _snap_target(spark, tempfile.mkdtemp(prefix="snrec_b_"), [rows_b])
+    cols = ["event_type", "value", "k", "source_ts_ns_order", "pos"]
+    scan_diff, scan_stats = reconcile_targets(ta, tb, cols)
+    fp_diff, fp_stats = reconcile_snapshots(ta, tb)
+    key = lambda r: (r["user_id"], r["status"])
+    assert sorted(map(key, fp_diff.collect())) == sorted(map(key, scan_diff.collect()))
+    assert fp_stats["n_buckets_missing_fp"] == 0
+    assert fp_stats["n_buckets_differing"] == scan_stats["n_buckets_differing"]
+    got = {r["user_id"]: r["status"] for r in fp_diff.collect()}
+    assert got[3] == "changed" and got[28] == "added" and got[29] == "added"
+
+
+def test_fingerprints_carry_forward_across_commits(spark):
+    # commit 1 covers all keys; commit 2 touches ONE key — unaffected
+    # buckets must keep their stored fingerprints bit-identically
+    batches = [[("c", i, i, i, float(i)) for i in range(30)]]
+    t1 = _snap_target(spark, tempfile.mkdtemp(prefix="snfp1_"), batches)
+    m1 = t1._manifest()
+    from tests.helpers import bronze
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    run_merge(
+        t1.spark, t1.cfg, t1,
+        WatermarkStore(spark, tempfile.mkdtemp(prefix="snfp1a_")),
+        raw=bronze(spark, [("u", 1000, 7, 7, 99.0)]), window=(None, None),
+        deterministic_audit=True,
+    )
+    m2 = t1._manifest()
+    assert m2["fp_cols"] == m1["fp_cols"]
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import bucket_expr
+    b7 = (
+        spark.createDataFrame([(7,)], "user_id long")
+        .select(bucket_expr(["user_id"], t1.cfg.n_buckets).alias("b"))
+        .collect()[0]["b"]
+    )
+    for b, v in m1["fps"].items():
+        if int(b) != b7:
+            assert m2["fps"][b] == v, f"unaffected bucket {b} fp drifted"
+    assert m2["fps"][str(b7)] != m1["fps"][str(b7)]
+    # every live bucket has an entry (no holes)
+    assert set(m2["fps"]) == set(m2["buckets"])
+
+
+def test_reconcile_snapshots_requires_fingerprints(spark):
+    from dataplatform_cdc_pipeline_spark.operators.reconcile import (
+        reconcile_snapshots,
+    )
+
+    rows = [("c", i, i, i, float(i)) for i in range(5)]
+    ta = _snap_target(spark, tempfile.mkdtemp(prefix="snnf_a_"), [rows], harvest=False)
+    tb = _snap_target(spark, tempfile.mkdtemp(prefix="snnf_b_"), [rows], harvest=True)
+    with pytest.raises(ValueError, match="harvest_fingerprints"):
+        reconcile_snapshots(ta, tb)
+
+
+def test_reconcile_snapshots_fp_cols_mismatch_raises(spark):
+    import json as _json
+    import glob as _glob
+
+    from dataplatform_cdc_pipeline_spark.operators.reconcile import (
+        reconcile_snapshots,
+    )
+
+    rows = [("c", i, i, i, float(i)) for i in range(5)]
+    ta = _snap_target(spark, tempfile.mkdtemp(prefix="snmm_a_"), [rows])
+    tb = _snap_target(spark, tempfile.mkdtemp(prefix="snmm_b_"), [rows])
+    mf = sorted(_glob.glob(f"{tb.path}/_log/*.json"))[-1]
+    m = _json.load(open(mf))
+    m["fp_cols"] = m["fp_cols"] + ["extra_col"]
+    _json.dump(m, open(mf, "w"))
+    with pytest.raises(ValueError, match="not comparable"):
+        reconcile_snapshots(ta, tb)
+
+
+def test_reconcile_snapshots_missing_bucket_fp_descends(spark):
+    # drop one bucket's fingerprint from B's manifest: identical tables
+    # must STILL reconcile clean, via a conservative descent of that bucket
+    import json as _json
+    import glob as _glob
+
+    from dataplatform_cdc_pipeline_spark.operators.reconcile import (
+        reconcile_snapshots,
+    )
+
+    rows = [("c", i, i, i, float(i)) for i in range(20)]
+    ta = _snap_target(spark, tempfile.mkdtemp(prefix="snmiss_a_"), [rows])
+    tb = _snap_target(spark, tempfile.mkdtemp(prefix="snmiss_b_"), [rows])
+    mf = sorted(_glob.glob(f"{tb.path}/_log/*.json"))[-1]
+    m = _json.load(open(mf))
+    dropped = next(iter(m["fps"]))
+    del m["fps"][dropped]
+    _json.dump(m, open(mf, "w"))
+    diff, stats = reconcile_snapshots(ta, tb)
+    assert diff.count() == 0
+    assert stats["n_buckets_missing_fp"] == 1
+    assert stats["n_buckets_differing"] == 1
