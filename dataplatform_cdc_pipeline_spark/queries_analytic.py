@@ -449,6 +449,310 @@ GROUP BY threshold ORDER BY threshold
 
 
 # ---------------------------------------------------------------------------
+# Q7 shape: nation-pair volume shipping (disjunctive pair predicate)
+# ---------------------------------------------------------------------------
+
+VS_NATION_A = "NATION_1"
+VS_NATION_B = "NATION_2"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between two nations, per direction per year (TPC-H
+    Q7 shape). Both fact joins shuffle on their own keys; the two nation
+    dims broadcast, and the pair disjunction
+    (cust=A ∧ supp=B) ∨ (cust=B ∧ supp=A) filters AFTER the dim joins —
+    the broadcast-filtered nation pair prunes most rows before the
+    fact-fact shuffle because each dim join keeps only the two nations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(VS_NATION_A, VS_NATION_B)
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("cust_nation") == VS_NATION_A) & (F.col("supp_nation") == VS_NATION_B))
+            | ((F.col("cust_nation") == VS_NATION_B) & (F.col("supp_nation") == VS_NATION_A))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.round(_dec_sum(_rev()), 2).cast("double").alias("revenue"))
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (cn.n_name = '{VS_NATION_A}' AND sn.n_name = '{VS_NATION_B}')
+   OR (cn.n_name = '{VS_NATION_B}' AND sn.n_name = '{VS_NATION_A}')
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-type profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+PROFIT_PART_TYPE = "PROMO"
+PROFIT_COST_FACTOR = 0.5  # stand-in supply cost: factor × retail price (no partsupp table)
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on one part type by supplier nation and order year (TPC-H
+    Q9 shape, adapted: the schema has no partsupp, so supply cost is a
+    fixed factor of ``p_retailprice``). The part filter broadcasts and
+    prunes the fact FIRST; orders joins shuffle-side for the year. Per-row
+    arithmetic stays double (bit-identical cross-engine), the sum is
+    DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == PROFIT_PART_TYPE)
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _rev() - F.lit(PROFIT_COST_FACTOR) * F.col("p_retailprice") * F.col(
+        "l_quantity"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(_dec_sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_PRODUCT_TYPE_PROFIT = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      - {PROFIT_COST_FACTOR} * p_retailprice * l_quantity
+                      AS DECIMAL(25,6))), 2)::DOUBLE AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = '{PROFIT_PART_TYPE}'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item report (top-k revenue loss customers)
+# ---------------------------------------------------------------------------
+
+RETURN_Q_START, RETURN_Q_END = "1996-01-01", "1996-04-01"
+RETURN_TOP_K = 20
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned the most revenue in one quarter (TPC-H Q10
+    shape). The quarter filter pushes to the orders scan and the
+    returnflag filter to the lineitem scan BEFORE their shuffle join; the
+    top-k runs on the per-customer aggregate (tiny) with a deterministic
+    (revenue DESC, custkey ASC) tie-break so k is stable cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= RETURN_Q_START) & (F.col("o_orderdate") < RETURN_Q_END)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(_dec_sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    topk = per.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= RETURN_TOP_K)
+    return (
+        topk.join(F.broadcast(cust), topk.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+SQL_RETURNED_ITEM_REPORT = f"""
+WITH per AS (
+  SELECT o_custkey,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= '{RETURN_Q_START}' AND o_orderdate < '{RETURN_Q_END}'
+  GROUP BY o_custkey),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rk FROM per)
+SELECT c_custkey, c_name, n_name AS nation, revenue
+FROM ranked JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE rk <= {RETURN_TOP_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (left outer + histogram)
+# ---------------------------------------------------------------------------
+
+HIST_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by number of (non-urgent) orders — TPC-H
+    Q13's double aggregation with the LEFT OUTER join that keeps
+    zero-order customers (count(o_orderkey) over a null row = 0; an inner
+    join silently drops that bucket, which is the classic bug this shape
+    exists to catch). First agg shuffles on custkey, second on the tiny
+    count domain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != HIST_EXCLUDED_PRIORITY)
+        .select("o_custkey", "o_orderkey")
+    )
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_CUSTOMER_ORDER_HISTOGRAM = f"""
+WITH per AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '{HIST_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist FROM per GROUP BY c_count
+"""
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier variety per part group (distinct-agg + anti join)
+# ---------------------------------------------------------------------------
+
+VARIETY_EXCLUDED_BRAND = "Brand#11"
+VARIETY_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct suppliers serve each (brand, type, size) group —
+    TPC-H Q16 shape, adapted: the observed (partkey, suppkey) pairs in
+    lineitem stand in for partsupp, and suppliers with negative balance
+    stand in for the complaints NOT-IN subquery (an anti-join on a
+    broadcast-small exclusion set). The pair-distinct runs FIRST so the
+    count-distinct agg sees one row per relationship, not per lineitem."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != VARIETY_EXCLUDED_BRAND)
+        & F.col("p_size").isin(*VARIETY_SIZES)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(bad_supp, pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_VARIETY = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != '{VARIETY_EXCLUDED_BRAND}'
+  AND p_size IN ({", ".join(str(s) for s in VARIETY_SIZES)})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+# ---------------------------------------------------------------------------
+# Q21 shape: sole-open-supplier per multi-supplier order (EXISTS/NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+SOLE_OPEN_NATION = "NATION_3"
+
+
+def q_exclusive_open_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier in one nation: in how many multi-supplier orders is it
+    the ONLY supplier with an open ('O') line — TPC-H Q21's
+    EXISTS ∧ NOT-EXISTS shape (adapted: line status stands in for the
+    missing commit/receipt dates). Instead of two correlated probes per
+    row, ONE per-order aggregate computes (distinct suppliers, distinct
+    open suppliers); a candidate qualifies iff total ≥ 2 and it is the
+    lone open supplier — same semantics, a single extra shuffle on the
+    order key, no repeated fact scans. The oracle keeps the literal
+    EXISTS/NOT-EXISTS formulation, so the rewrite itself is what the hash
+    verifies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        "l_orderkey", "l_suppkey", (F.col("l_linestatus") == "O").alias("is_open")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_open"), F.col("l_suppkey"))).alias("n_open_supp"),
+    )
+    open_pairs = (
+        pairs.filter(F.col("is_open")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    qual = open_pairs.join(per_order, "l_orderkey").filter(
+        (F.col("n_supp") >= 2) & (F.col("n_open_supp") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == SOLE_OPEN_NATION)
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_EXCLUSIVE_OPEN_SUPPLIER = f"""
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_linestatus = 'O') l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{SOLE_OPEN_NATION}'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey
+                    AND l3.l_linestatus = 'O')
+GROUP BY s_suppkey, s_name
+"""
+
+# ---------------------------------------------------------------------------
 # Data-quality expectations (operators/dq.py)
 # ---------------------------------------------------------------------------
 
@@ -538,6 +842,12 @@ ANALYTIC_QUERIES = {
     "customer_value_deciles": q_customer_value_deciles,
     "customer_pareto": q_customer_pareto,
     "dq_expectations": q_dq_expectations,
+    "volume_shipping": q_volume_shipping,
+    "product_type_profit": q_product_type_profit,
+    "returned_item_report": q_returned_item_report,
+    "customer_order_histogram": q_customer_order_histogram,
+    "supplier_part_variety": q_supplier_part_variety,
+    "exclusive_open_supplier": q_exclusive_open_supplier,
 }
 
 ANALYTIC_ORACLES = {
@@ -552,4 +862,10 @@ ANALYTIC_ORACLES = {
     "customer_value_deciles": SQL_CUSTOMER_VALUE_DECILES,
     "customer_pareto": SQL_CUSTOMER_PARETO,
     "dq_expectations": SQL_DQ_EXPECTATIONS,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "product_type_profit": SQL_PRODUCT_TYPE_PROFIT,
+    "returned_item_report": SQL_RETURNED_ITEM_REPORT,
+    "customer_order_histogram": SQL_CUSTOMER_ORDER_HISTOGRAM,
+    "supplier_part_variety": SQL_SUPPLIER_PART_VARIETY,
+    "exclusive_open_supplier": SQL_EXCLUSIVE_OPEN_SUPPLIER,
 }
