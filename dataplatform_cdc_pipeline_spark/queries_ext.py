@@ -1247,6 +1247,197 @@ ORDER BY user_id, event_id
 """
 
 # ---------------------------------------------------------------------------
+# ordered funnel (sequential-stage windows, one shuffle)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: a user
+    reaches stage k+1 only with an event of that type STRICTLY AFTER its
+    stage-k time (earliest-completion semantics). Each stage's first-hit
+    time is a conditional MIN window over the same user partition, so all
+    four stages resolve in ONE shuffle — four chained WindowExecs on an
+    unchanged partitioning, no joins, no re-shuffle. The per-user frame
+    then collapses via groupBy and un-pivots with stack() into
+    (stage, stage_idx, n_users)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    s1, s2, s3, s4 = FUNNEL_STAGES
+    df = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == s1, F.col("ts_us"))).over(w)
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2) & (F.col("ts_us") > F.col("t1")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == s3) & (F.col("ts_us") > F.col("t2")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t4",
+        F.min(
+            F.when(
+                (F.col("event_type") == s4) & (F.col("ts_us") > F.col("t3")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+        F.min("t4").alias("t4"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.count("t4").alias("n4"),
+    )
+    stack_expr = "stack(4, " + ", ".join(
+        f"'{s}', {i + 1}, n{i + 1}" for i, s in enumerate(FUNNEL_STAGES)
+    ) + ") AS (stage, stage_idx, n_users)"
+    return counts.select(F.expr(stack_expr))
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+t1 AS (
+  SELECT user_id, min(ts_us) AS t FROM ev
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+t2 AS (
+  SELECT ev.user_id, min(ts_us) AS t FROM ev JOIN t1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts_us > t1.t GROUP BY ev.user_id),
+t3 AS (
+  SELECT ev.user_id, min(ts_us) AS t FROM ev JOIN t2 USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}' AND ts_us > t2.t GROUP BY ev.user_id),
+t4 AS (
+  SELECT ev.user_id, min(ts_us) AS t FROM ev JOIN t3 USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[3]}' AND ts_us > t3.t GROUP BY ev.user_id)
+SELECT '{FUNNEL_STAGES[0]}' AS stage, 1 AS stage_idx, (SELECT count(*) FROM t1)::BIGINT AS n_users
+UNION ALL SELECT '{FUNNEL_STAGES[1]}', 2, (SELECT count(*) FROM t2)::BIGINT
+UNION ALL SELECT '{FUNNEL_STAGES[2]}', 3, (SELECT count(*) FROM t3)::BIGINT
+UNION ALL SELECT '{FUNNEL_STAGES[3]}', 4, (SELECT count(*) FROM t4)::BIGINT
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (lead bigrams per user)
+# ---------------------------------------------------------------------------
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event sequence:
+    consecutive (from_type → to_type) pairs via lead() on (ts, event_id)
+    order, then counts and the mean inter-event gap. One shuffle on
+    user_id for the window; the pair aggregation is map-side combined on
+    a ≤|types|² domain. Gap math in exact integer micros (DIV mean) so
+    the hash is engine-portable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    df = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("gap_us"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        df.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("gap_us").alias("total_gap_us"))
+        .withColumn("avg_gap_us", F.expr("total_gap_us div n"))
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts::TIMESTAMP) AS ts_us
+  FROM events),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         lead(ts_us) OVER w - ts_us AS gap_us
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+SELECT from_type, to_type, count(*) AS n,
+       sum(gap_us)::BIGINT AS total_gap_us,
+       (sum(gap_us) // count(*))::BIGINT AS avg_gap_us
+FROM pairs WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-user outliers in exact integer space (no float σ)
+# ---------------------------------------------------------------------------
+
+OUTLIER_MIN_N = 20
+OUTLIER_Z = 2  # flag |value − μ| > Z·σ
+
+
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value outliers (|z| > 2) with ZERO floating-point σ: the
+    test (n·v − S)² > Z²·(n·S2 − S²) is the z-score inequality cleared of
+    divisions and square roots, evaluated in DECIMAL(38,0) over
+    floor(value·1e6) micro-units — exact, overflow-checked (≈1e24 peak at
+    sf0.1), and partition-order-independent, where a float μ/σ pipeline
+    would hash-diverge in the last ulp. One groupBy on user_id for the
+    moment stats (n, S, S2), one broadcast join back to the events."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("value_us"),
+    )
+    d = F.col("value_us").cast("decimal(38,0)")
+    stats = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("s2"),
+    )
+    j = v.join(F.broadcast(stats), "user_id")
+    num = F.col("n") * F.col("value_us").cast("decimal(38,0)") - F.col("s")
+    rhs = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")) * F.lit(
+        OUTLIER_Z * OUTLIER_Z
+    )
+    return (
+        j.filter((F.col("n") >= OUTLIER_MIN_N) & (num * num > rhs))
+        .select("event_id", "user_id", "value_us")
+    )
+
+
+SQL_EVENTS_OUTLIERS = f"""
+WITH v AS (
+  SELECT event_id, user_id, floor(value * 1000000.0)::BIGINT AS value_us
+  FROM events),
+st AS (
+  SELECT user_id, count(*)::HUGEINT AS n,
+         sum(value_us::HUGEINT) AS s,
+         sum(value_us::HUGEINT * value_us::HUGEINT) AS s2
+  FROM v GROUP BY user_id)
+SELECT event_id, v.user_id, value_us
+FROM v JOIN st ON v.user_id = st.user_id
+WHERE n >= {OUTLIER_MIN_N}
+  AND (n * value_us - s) * (n * value_us - s)
+      > {OUTLIER_Z * OUTLIER_Z} * (n * s2 - s * s)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1280,6 +1471,9 @@ EXT_QUERIES = {
     "stream_distinct_sketch": q_stream_distinct_sketch,
     "events_value_percentiles": q_events_value_percentiles,
     "stream_debezium_merge": q_stream_debezium_merge,
+    "events_funnel": q_events_funnel,
+    "events_transitions": q_events_transitions,
+    "events_outliers": q_events_outliers,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -1320,6 +1514,9 @@ EXT_ORACLES = {
     "stream_distinct_sketch": SQL_EVENTS_DISTINCT_SKETCH,
     "events_value_percentiles": SQL_EVENTS_VALUE_PERCENTILES,
     "stream_debezium_merge": SQL_STREAM_DEBEZIUM_MERGE,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "events_outliers": SQL_EVENTS_OUTLIERS,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge
