@@ -1631,6 +1631,74 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
 """
 
 
+def q_cdc_canal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal envelope → bronze unwrap → W1 dedup-latest (the third real
+    CDC wire format, sources/canal.py). Discriminating bits vs the
+    Debezium/Maxwell twins: the row image arrives as a BATCH ARRAY (one
+    envelope per statement — ``posexplode`` fans it out and the array
+    index joins the envelope id in the packed long position), event time
+    is the ENVELOPE's millisecond ``es`` (rows inherit their statement's
+    commit instant, so per-row timestamps quantize to the batch minimum
+    and intra-batch order falls entirely to the id·1000+idx tiebreak),
+    and DDL/TRUNCATE markers drop at the op gate. The oracle recomputes
+    the batch packing relationally — stripe min-ts, stripe min-id, rank
+    within stripe — so the envelope semantics themselves are what the
+    hash verifies."""
+    from dataplatform_cdc_pipeline_spark.sources.canal import (
+        normalize_canal,
+        synthesize_canal_from_events,
+    )
+
+    wire = synthesize_canal_from_events(load_table(spark, sf_dir, "events"))
+    raw = normalize_canal(wire)
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, None, None)
+    keyed = w.select(
+        F.col("__op"),
+        F.col("__pk_raw_0").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        F.col("__event_ts").alias("source_ts_ns_order"),
+        F.col("__pos").alias("pos"),
+    )
+    out = latest_per_key(keyed, ["user_id"])
+    return out.select(
+        "user_id",
+        F.col("__op").alias("op"),
+        "event_type",
+        "value",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+# every row inherits its envelope's (stripe-minimum) millisecond commit
+# time; survivorship then resolves on the packed (envelope id, array
+# index) position
+SQL_CDC_CANAL_INGEST = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value, {OP_SQL} AS op,
+         epoch_ms(ts::TIMESTAMP) AS ts_ms,
+         event_id // 4 AS stripe
+  FROM events),
+env AS (
+  SELECT *,
+         min(ts_ms) OVER (PARTITION BY stripe, op) AS es_ms,
+         min(event_id) OVER (PARTITION BY stripe, op) AS env_id,
+         row_number() OVER (PARTITION BY stripe, op ORDER BY event_id) - 1 AS idx
+  FROM base),
+ranked AS (
+  SELECT user_id, op, event_type, value,
+         es_ms * 1000 AS event_ts_us,
+         env_id * 1000 + idx AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY es_ms DESC, env_id * 1000 + idx DESC) AS rn
+  FROM env)
+SELECT user_id, op, event_type, value, event_ts_us, pos
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def q_cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time snapshot reconstruction from the SCD2 table — the
     consumer pattern Type-2 history exists for (training-data backfill:
@@ -1985,6 +2053,7 @@ QUERIES: dict[str, callable] = {
     "cdc_job_log": q_cdc_job_log,
     "cdc_debezium_ingest": q_cdc_debezium_ingest,
     "cdc_maxwell_ingest": q_cdc_maxwell_ingest,
+    "cdc_canal_ingest": q_cdc_canal_ingest,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2025,6 +2094,7 @@ ORACLES: dict[str, str] = {
     "cdc_job_log": SQL_CDC_JOB_LOG,
     "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,
     "cdc_maxwell_ingest": SQL_CDC_MAXWELL_INGEST,
+    "cdc_canal_ingest": SQL_CDC_CANAL_INGEST,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
