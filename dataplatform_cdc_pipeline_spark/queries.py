@@ -1408,6 +1408,95 @@ SELECT * FROM d WHERE _change_type IS NOT NULL ORDER BY user_id
 """
 
 
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-version change feed (SnapshotMergeTarget.change_feed —
+    Delta's ``table_changes`` shape): a THREE-window merge lifecycle
+    commits versions 1..3, then the feed over (0, 3] returns each
+    commit's row-level delta tagged ``_commit_version`` — version 1 is
+    the all-inserts pre-history segment, versions 2 and 3 are adjacent-
+    snapshot diffs. Applying the feed in version order onto an empty
+    table reproduces the final state; the oracle rebuilds all three
+    states relationally and unions the same three segments, so a wrong
+    version tag, a misclassified change, or a row leaking between
+    segments diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_cf_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    cut1 = datetime.datetime(2024, 1, 10)
+    cut2 = datetime.datetime(2024, 1, 20)
+    for win in [(None, cut1), (cut1, cut2), (cut2, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    return target.change_feed(0, 3).select(
+        "_commit_version",
+        "_change_type",
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+def _change_feed_oracle_sql() -> str:
+    """Three dedup-latest states + the per-commit segments, generated so
+    the state/diff templates stay single-sourced."""
+    cuts = ["2024-01-10 00:00:00", "2024-01-20 00:00:00", None]
+    states = []
+    for i, cut in enumerate(cuts, start=1):
+        where = f"WHERE ts <= TIMESTAMP '{cut}'" if cut else ""
+        states.append(
+            f"""r{i} AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events {where}),
+s{i} AS (SELECT user_id, event_type, value, k, event_ts_us, pos
+       FROM r{i} WHERE rn = 1 AND op != 'd')"""
+        )
+    data_cols = ["event_type", "value", "k", "event_ts_us", "pos"]
+    diffs = []
+    for ver, (a, b) in [(2, ("s1", "s2")), (3, ("s2", "s3"))]:
+        changed = " OR ".join(
+            f"{a}.{c} IS DISTINCT FROM {b}.{c}" for c in data_cols
+        )
+        picked = ",\n    ".join(
+            f"CASE WHEN {b}.user_id IS NULL THEN {a}.{c} ELSE {b}.{c} END AS {c}"
+            for c in ["user_id"] + data_cols
+        )
+        diffs.append(
+            f"""SELECT {ver} AS _commit_version, _change_type, user_id, event_type, value, k, event_ts_us, pos
+FROM (
+  SELECT
+    CASE WHEN {a}.user_id IS NULL THEN 'insert'
+         WHEN {b}.user_id IS NULL THEN 'delete'
+         WHEN {changed} THEN 'update' END AS _change_type,
+    {picked}
+  FROM {a} FULL JOIN {b} ON {a}.user_id = {b}.user_id)
+WHERE _change_type IS NOT NULL"""
+        )
+    segments = [
+        "SELECT 1 AS _commit_version, 'insert' AS _change_type, "
+        "user_id, event_type, value, k, event_ts_us, pos FROM s1"
+    ] + diffs
+    return "WITH " + ",\n".join(states) + "\n" + "\nUNION ALL\n".join(segments)
+
+
+SQL_CDC_CHANGE_FEED = _change_feed_oracle_sql()
+
+
 _TT_SPLIT = "2024-01-15 00:00:00"
 
 SQL_CDC_TIME_TRAVEL_READ = f"""
@@ -2054,6 +2143,7 @@ QUERIES: dict[str, callable] = {
     "cdc_debezium_ingest": q_cdc_debezium_ingest,
     "cdc_maxwell_ingest": q_cdc_maxwell_ingest,
     "cdc_canal_ingest": q_cdc_canal_ingest,
+    "cdc_change_feed": q_cdc_change_feed,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2095,6 +2185,7 @@ ORACLES: dict[str, str] = {
     "cdc_debezium_ingest": SQL_CDC_DEBEZIUM_INGEST,
     "cdc_maxwell_ingest": SQL_CDC_MAXWELL_INGEST,
     "cdc_canal_ingest": SQL_CDC_CANAL_INGEST,
+    "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,

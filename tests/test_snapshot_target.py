@@ -227,3 +227,38 @@ def test_zone_map_carry_forward_and_null_buckets(spark, tmp_path):
     t.merge(nullb)
     got = {r["user_id"] for r in t.read(where=("value", -1e9, 1e9)).collect()}
     assert 1000 not in got and 7 in got
+
+
+def test_change_feed_per_commit_segments(spark, tmp_path):
+    """change_feed (0, latest]: version 1 is the all-insert pre-history,
+    later segments are adjacent diffs; applying segments in order onto
+    the empty state reproduces the final snapshot."""
+    t = make(spark, tmp_path)
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2)]))
+    t.merge(changes(spark, [("u", 1, 9.0, 5, 3), ("d", 2, 0.0, 5, 4)]))
+    t.merge(changes(spark, [("c", 3, 3.0, 9, 5)]))
+    feed = t.change_feed(0).select("_commit_version", "_change_type", "user_id").collect()
+    got = sorted((r["_commit_version"], r["_change_type"], r["user_id"]) for r in feed)
+    assert got == [
+        (1, "insert", 1),
+        (1, "insert", 2),
+        (2, "delete", 2),
+        (2, "update", 1),
+        (3, "insert", 3),
+    ]
+    # replay: apply the feed version-by-version onto an empty dict
+    replay = {}
+    rows = t.change_feed(0).collect()
+    for r in sorted(rows, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] == "delete":
+            replay.pop(r["user_id"], None)
+        else:
+            replay[r["user_id"]] = r["value"]
+    assert sorted(replay.items()) == state(t)
+    # subrange: only the middle commit
+    mid = t.change_feed(1, 2).select("_commit_version").distinct().collect()
+    assert [r["_commit_version"] for r in mid] == [2]
+    with pytest.raises(ValueError, match="v_from < v_to"):
+        t.change_feed(2, 2)
+    with pytest.raises(ValueError, match="not in log"):
+        t.change_feed(0, 9)
