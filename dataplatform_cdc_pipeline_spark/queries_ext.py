@@ -1247,6 +1247,71 @@ ORDER BY user_id, event_id
 """
 
 # ---------------------------------------------------------------------------
+# triangle counting (degree-oriented wedge join)
+# ---------------------------------------------------------------------------
+
+TRIANGLE_QTY = 45
+
+
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle participation in the high-quantity co-supply
+    graph: suppliers are linked when they both ship a >45-quantity line
+    in the SAME order (the selective predicate keeps the graph sparse —
+    the unfiltered co-supply graph is near-complete and triangle counts
+    on it are degenerate). Edge build is two shuffles (pair-distinct,
+    order self-join); counting uses operators/graph.py's
+    degree-orientation so each triangle is enumerated once with
+    O(m^1.5)-bounded wedge work. The oracle counts the same triangles
+    via the naive a<b<c three-way self-join — two different enumeration
+    strategies must agree exactly."""
+    from dataplatform_cdc_pipeline_spark.operators.graph import triangle_counts
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > TRIANGLE_QTY)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("s_suppkey"), "n_triangles"
+    )
+
+
+SQL_SUPPLIER_TRIANGLES = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_quantity > {TRIANGLE_QTY}),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM pairs a JOIN pairs b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT vertex AS s_suppkey, count(*) AS n_triangles
+FROM (SELECT a AS vertex FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY vertex
+"""
+
+
+# ---------------------------------------------------------------------------
 # ordered funnel (sequential-stage windows, one shuffle)
 # ---------------------------------------------------------------------------
 
@@ -1474,6 +1539,7 @@ EXT_QUERIES = {
     "events_funnel": q_events_funnel,
     "events_transitions": q_events_transitions,
     "events_outliers": q_events_outliers,
+    "supplier_triangles": q_supplier_triangles,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -1517,6 +1583,7 @@ EXT_ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_outliers": SQL_EVENTS_OUTLIERS,
+    "supplier_triangles": SQL_SUPPLIER_TRIANGLES,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

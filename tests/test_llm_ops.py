@@ -1191,3 +1191,15 @@ def test_range_export_prunes_dense_data(spark, tmp_path):
     assert sum(s["nulls"] for s in st2.values()) == 25_000
     got = {r["k"] for r in read_range_pruned(spark, path2, 1.0, 10.0).collect()}
     assert got == {2, 4, 6, 8, 10}
+
+
+def test_triangle_counts_hand_computed(spark):
+    """K4 → every vertex sits in C(3,2)=3 triangles; a path contributes
+    none; reversed duplicates and self-loops canonicalize away."""
+    from dataplatform_cdc_pipeline_spark.operators.graph import triangle_counts
+
+    edges = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    edges += [(5, 6), (6, 7), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = sorted((r["node"], r["n_triangles"]) for r in triangle_counts(df).collect())
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
