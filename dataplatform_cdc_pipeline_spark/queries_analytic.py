@@ -753,6 +753,50 @@ GROUP BY s_suppkey, s_name
 """
 
 # ---------------------------------------------------------------------------
+# skyline (pareto frontier): one sorted window pass vs NOT-EXISTS oracle
+# ---------------------------------------------------------------------------
+
+
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts (maximize retail price, minimize size): a part
+    is dominated iff some part is strictly better on one dimension and no
+    worse on the other. The quadratic NOT-EXISTS definition collapses to
+    ONE sorted window pass: ordered by size, a part survives iff no
+    strictly-smaller size reaches its price (running RANGE max) and it
+    tops its own size group — O(n log n) with a single shuffle, the
+    sort-filter skyline algorithm. The oracle keeps the literal quadratic
+    NOT-EXISTS, so the algebraic rewrite is what the hash verifies."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    w_smaller = (
+        Window.orderBy("p_size").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_size")
+    df = part.select(
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        F.max("p_retailprice").over(w_smaller).alias("best_smaller"),
+        F.max("p_retailprice").over(w_same).alias("best_same"),
+    )
+    return df.filter(
+        (F.col("best_smaller").isNull() | (F.col("best_smaller") < F.col("p_retailprice")))
+        & (F.col("best_same") == F.col("p_retailprice"))
+    ).select("p_partkey", "p_size", "p_retailprice")
+
+
+SQL_PART_SKYLINE = """
+SELECT p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE (q.p_retailprice >= p.p_retailprice AND q.p_size < p.p_size)
+     OR (q.p_retailprice >  p.p_retailprice AND q.p_size <= p.p_size))
+"""
+
+
+# ---------------------------------------------------------------------------
 # Data-quality expectations (operators/dq.py)
 # ---------------------------------------------------------------------------
 
@@ -848,6 +892,7 @@ ANALYTIC_QUERIES = {
     "customer_order_histogram": q_customer_order_histogram,
     "supplier_part_variety": q_supplier_part_variety,
     "exclusive_open_supplier": q_exclusive_open_supplier,
+    "part_skyline": q_part_skyline,
 }
 
 ANALYTIC_ORACLES = {
@@ -868,4 +913,5 @@ ANALYTIC_ORACLES = {
     "customer_order_histogram": SQL_CUSTOMER_ORDER_HISTOGRAM,
     "supplier_part_variety": SQL_SUPPLIER_PART_VARIETY,
     "exclusive_open_supplier": SQL_EXCLUSIVE_OPEN_SUPPLIER,
+    "part_skyline": SQL_PART_SKYLINE,
 }

@@ -1247,6 +1247,52 @@ ORDER BY user_id, event_id
 """
 
 # ---------------------------------------------------------------------------
+# GROUPING SETS (non-hierarchical multi-granularity aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent aggregation granularities — per event type and per
+    day-of-month — in ONE pass via GROUPING SETS (rollup/cube, already
+    covered, only express hierarchical/powerset shapes; arbitrary set
+    lists need the explicit form, which the DataFrame API lacks, so this
+    goes through ``spark.sql`` over a temp view — same Catalyst Expand
+    operator underneath: one scan fans each row into its 2 grouping
+    rows, then a single shuffle aggregates). ``grouping_id`` disambiguates
+    which set a row belongs to — both engines use the Postgres bit
+    convention (first listed column = MSB). Sums in exact integer
+    micros."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vus"),
+    )
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, dom, count(*) AS n,
+               sum(vus) AS total_us,
+               grouping_id(event_type, dom) AS gid
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (dom))
+        """
+    )
+
+
+SQL_EVENTS_GROUPING_SETS = """
+WITH ev AS (
+  SELECT event_type, day(ts::TIMESTAMP) AS dom,
+         floor(value * 1000000.0)::BIGINT AS vus
+  FROM events)
+SELECT event_type, dom, count(*) AS n,
+       sum(vus)::BIGINT AS total_us,
+       grouping(event_type, dom)::BIGINT AS gid
+FROM ev
+GROUP BY GROUPING SETS ((event_type), (dom))
+"""
+
+
+# ---------------------------------------------------------------------------
 # triangle counting (degree-oriented wedge join)
 # ---------------------------------------------------------------------------
 
@@ -1540,6 +1586,7 @@ EXT_QUERIES = {
     "events_transitions": q_events_transitions,
     "events_outliers": q_events_outliers,
     "supplier_triangles": q_supplier_triangles,
+    "events_grouping_sets": q_events_grouping_sets,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -1584,6 +1631,7 @@ EXT_ORACLES = {
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "supplier_triangles": SQL_SUPPLIER_TRIANGLES,
+    "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge
