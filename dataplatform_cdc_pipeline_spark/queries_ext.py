@@ -1247,6 +1247,71 @@ ORDER BY user_id, event_id
 """
 
 # ---------------------------------------------------------------------------
+# streaming point-in-time enrichment against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_scd2_join: click facts arrive as a
+    micro-batched stream and each joins the user-dimension VERSION valid
+    at the click's own timestamp (streaming/joins.
+    stream_point_in_time_enrich — the batch point_in_time_join reused
+    verbatim on a stream-static join, stateless per batch). The drained
+    result must hash-equal the batch oracle, pinning that micro-batch
+    boundaries cannot change point-in-time semantics."""
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import scd2_history
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import window_scan
+    from dataplatform_cdc_pipeline_spark.sources.cdc import user_state_config
+    from dataplatform_cdc_pipeline_spark.streaming.joins import (
+        stream_point_in_time_enrich,
+    )
+
+    from dataplatform_cdc_pipeline_spark.queries import cdc_feed
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, None, None)
+    keyed = w.select(
+        F.col("__op"),
+        F.col("__pk_raw_0").cast("long").alias("user_id"),
+        F.get_json_object("data", "$.event_type").alias("event_type"),
+        F.get_json_object("data", "$.value").cast("double").alias("value"),
+        F.get_json_object("data", "$.k").cast("int").alias("k"),
+        F.col("__event_ts").alias("source_ts_ns_order"),
+        F.col("__pos").alias("pos"),
+    )
+    history = scd2_history(keyed, ["user_id"])
+    tmp = tempfile.mkdtemp(prefix="cdc_spit_")
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("fact_pos"),
+            F.col("ts").alias("fact_ts"),
+        )
+        .write.parquet(f"{tmp}/facts")
+    )
+    out = stream_point_in_time_enrich(
+        spark,
+        f"{tmp}/facts",
+        "user_id long, fact_pos long, fact_ts timestamp",
+        history,
+        ["user_id"],
+        "fact_ts",
+    )
+    return out.select(
+        "user_id",
+        "fact_pos",
+        F.unix_micros("fact_ts").alias("fact_ts_us"),
+        "dim_event_type",
+        "dim_value",
+        "dim_k",
+        F.unix_micros("dim_valid_from").alias("valid_from_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS (non-hierarchical multi-granularity aggregation)
 # ---------------------------------------------------------------------------
 
@@ -1587,6 +1652,7 @@ EXT_QUERIES = {
     "events_outliers": q_events_outliers,
     "supplier_triangles": q_supplier_triangles,
     "events_grouping_sets": q_events_grouping_sets,
+    "stream_scd2_enrich": q_stream_scd2_enrich,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -1644,6 +1710,12 @@ EXT_ORACLES["stream_merge_state"] = SQL_CDC_MERGE_FULL
 from dataplatform_cdc_pipeline_spark.queries import SQL_CDC_SCD2_HISTORY  # noqa: E402
 
 EXT_ORACLES["stream_scd2_history"] = SQL_CDC_SCD2_HISTORY
+
+# stream_scd2_enrich: micro-batch boundaries must not change point-in-
+# time join semantics — shares events_scd2_join's batch oracle
+from dataplatform_cdc_pipeline_spark.queries import SQL_EVENTS_SCD2_JOIN  # noqa: E402
+
+EXT_ORACLES["stream_scd2_enrich"] = SQL_EVENTS_SCD2_JOIN
 
 # stream_ivm_totals: the maintained view must equal a fresh GROUP BY of
 # the final merged state — the oracle aggregates the batch-merge oracle.

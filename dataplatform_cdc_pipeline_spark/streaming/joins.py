@@ -110,3 +110,42 @@ def stream_distinct_events(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_point_in_time_enrich(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    history: DataFrame,
+    pk: list[str],
+    fact_ts_col: str,
+) -> DataFrame:
+    """Stream-STATIC temporal enrichment: facts stream in micro-batches
+    and each joins the SCD2 dimension VERSION valid at its own event
+    time — the online leg of the feature-store join
+    (operators/scd2.point_in_time_join, reused verbatim so batch and
+    streaming share ONE join definition).
+
+    A stream-static inner join is stateless per micro-batch (the static
+    side is re-resolved each batch, no watermark or join state needed),
+    so the drained availableNow result must equal the batch join — which
+    is exactly what the oracle recomputes. The dimension snapshot is
+    pinned for the run; a live deployment would swap in the current SCD2
+    table per batch and get as-of-now enrichment for free.
+    """
+    import uuid as _uuid
+
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import point_in_time_join
+
+    name = f"spit_{_uuid.uuid4().hex[:8]}"
+    facts = spark.readStream.schema(schema).parquet(source_path)
+    joined = point_in_time_join(facts, history, pk, fact_ts_col)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
