@@ -1247,6 +1247,110 @@ ORDER BY user_id, event_id
 """
 
 # ---------------------------------------------------------------------------
+# text-format landing ingestion (sources/files.py)
+# ---------------------------------------------------------------------------
+
+
+def q_jsonl_documents_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL landing-zone ingestion (sources/files.read_jsonl): the
+    documents table round-trips through newline-delimited JSON with two
+    malformed lines and one schema-drifted line (unknown id, missing
+    every other field) injected. PERMISSIVE mode must quarantine exactly
+    the malformed lines in ``_corrupt_record``, absorb the drifted line
+    as NULLs, and preserve every clean row — the per-lang counts plus
+    the quarantine row hash-gate all three behaviors against the parquet
+    truth."""
+    from dataplatform_cdc_pipeline_spark.sources.files import read_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cdc_jsonl_")
+    docs.select(
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")).alias("value")
+    ).write.text(f"{tmp}/src")
+    spark.createDataFrame(
+        [("{truncated",), ("not json at all",), ('{"doc_id": 999999999}',)],
+        "value string",
+    ).write.mode("append").text(f"{tmp}/src")
+    parsed = read_jsonl(
+        spark,
+        f"{tmp}/src",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).localCheckpoint(eager=True)
+    # ^ Spark disallows queries that reference ONLY _corrupt_record
+    # directly over a file scan (the quarantine count below does);
+    # materializing severs the scan provenance — the documented pattern.
+    good = parsed.filter(F.col("_corrupt_record").isNull()).filter(
+        F.col("doc_id") != 999999999
+    )
+    drifted = parsed.filter(
+        F.col("_corrupt_record").isNull() & (F.col("doc_id") == 999999999)
+    )
+    per_lang = good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+    )
+    quarantine = parsed.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("__corrupt").alias("lang"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(0).cast("long").alias("total_chars"),
+    )
+    drift_row = drifted.agg(
+        F.lit("__drifted").alias("lang"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+    )
+    return per_lang.unionByName(quarantine).unionByName(drift_row)
+
+
+SQL_JSONL_DOCUMENTS_INGEST = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       coalesce(sum(n_chars), 0)::BIGINT AS total_chars
+FROM documents GROUP BY lang
+UNION ALL SELECT '__corrupt', 2, 0
+UNION ALL SELECT '__drifted', 1, 0
+"""
+
+
+def q_csv_documents_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV landing-zone ingestion (sources/files.read_csv): documents
+    round-trip through CSV with a synthesized column that FORCES RFC-4180
+    quoting (embedded commas and double quotes). Per source, the output
+    pins the row count, how many payloads survived the round-trip
+    byte-identically, and the char sum — a quoting/escaping bug breaks
+    the n_intact count and diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.sources.files import read_csv
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("lang"), F.lit(',"'), F.col("source"), F.lit('",'), F.col("doc_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_csv_")
+    docs.select("doc_id", "lang", "source", "n_chars", payload.alias("payload")).write.csv(
+        f"{tmp}/src", header=True
+    )
+    parsed = read_csv(
+        spark,
+        f"{tmp}/src",
+        "doc_id long, lang string, source string, n_chars long, payload string",
+    )
+    expected = F.concat(
+        F.col("lang"), F.lit(',"'), F.col("source"), F.lit('",'), F.col("doc_id")
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("payload") == expected).cast("long")).alias("n_intact"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_CSV_DOCUMENTS_INGEST = """
+SELECT source, count(*)::BIGINT AS n_docs, count(*)::BIGINT AS n_intact,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming point-in-time enrichment against the SCD2 dimension
 # ---------------------------------------------------------------------------
 
@@ -1653,6 +1757,8 @@ EXT_QUERIES = {
     "supplier_triangles": q_supplier_triangles,
     "events_grouping_sets": q_events_grouping_sets,
     "stream_scd2_enrich": q_stream_scd2_enrich,
+    "jsonl_documents_ingest": q_jsonl_documents_ingest,
+    "csv_documents_ingest": q_csv_documents_ingest,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -1698,6 +1804,8 @@ EXT_ORACLES = {
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "supplier_triangles": SQL_SUPPLIER_TRIANGLES,
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
+    "jsonl_documents_ingest": SQL_JSONL_DOCUMENTS_INGEST,
+    "csv_documents_ingest": SQL_CSV_DOCUMENTS_INGEST,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge

@@ -1,0 +1,72 @@
+"""Text-format landing readers (sources/files.py): corrupt-record policy
+across PERMISSIVE / DROPMALFORMED / FAILFAST, schema-drift absorption,
+CSV quoting round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.sources.files import CORRUPT_COL, read_csv, read_jsonl
+
+
+@pytest.fixture()
+def jsonl_dir(spark, tmp_path):
+    p = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            ('{"id": 1, "name": "a"}',),
+            ('{"id": 2}',),          # drifted: missing field -> NULL
+            ('{broken',),             # malformed
+        ],
+        "value string",
+    ).write.text(p)
+    return p
+
+
+SCHEMA = "id long, name string"
+
+
+def test_permissive_quarantines_and_absorbs_drift(spark, jsonl_dir):
+    df = read_jsonl(spark, jsonl_dir, SCHEMA).localCheckpoint(eager=True)
+    assert CORRUPT_COL in df.columns
+    good = df.filter(F.col(CORRUPT_COL).isNull()).collect()
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert sorted((r["id"], r["name"]) for r in good) == [(1, "a"), (2, None)]
+    assert len(bad) == 1 and bad[0][CORRUPT_COL] == "{broken"
+
+
+def test_dropmalformed_silently_drops(spark, jsonl_dir):
+    df = read_jsonl(spark, jsonl_dir, SCHEMA, mode="DROPMALFORMED")
+    assert CORRUPT_COL not in df.columns
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_failfast_raises(spark, jsonl_dir):
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, jsonl_dir, SCHEMA, mode="FAILFAST").collect()
+
+
+def test_bad_mode_rejected(spark, jsonl_dir):
+    with pytest.raises(ValueError, match="mode must be one of"):
+        read_jsonl(spark, jsonl_dir, SCHEMA, mode="permissive")
+
+
+def test_csv_quoting_roundtrip(spark, tmp_path):
+    """Embedded commas, double quotes, and an escaped quote survive the
+    write → read round-trip byte-identically."""
+    p = str(tmp_path / "csv")
+    rows = [(1, 'plain'), (2, 'a,b'), (3, 'say "hi"'), (4, 'both, "x"')]
+    spark.createDataFrame(rows, "id long, payload string").write.csv(p, header=True)
+    back = read_csv(spark, p, "id long, payload string")
+    got = sorted((r["id"], r["payload"]) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+
+    p = str(tmp_path / "csvbad")
+    spark.createDataFrame(
+        [("id,n",), ("1,2",), ("x,y,z,extra,boom",)], "value string"
+    ).coalesce(1).write.text(p)
+    with pytest.raises(Exception):
+        read_csv(spark, p, "id long, n long", mode="FAILFAST").collect()
