@@ -1247,6 +1247,121 @@ ORDER BY user_id, event_id
 """
 
 # ---------------------------------------------------------------------------
+# cohort retention matrix (two-level distinct aggregation)
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the product-analytics staple: users
+    cohorted by their first-activity week, then for every (cohort,
+    week-offset) cell the count of cohort members still active. Weeks
+    are EPOCH-INDEXED integers (epoch_us div week_us), not calendar
+    weeks — calendar week semantics (ISO vs US start day) differ across
+    engines, integer weeks cannot. Three map-side-combinable aggs: the
+    per-user first week, the distinct (user, week) activity pairs, and
+    the final cell count — all shuffling on user_id or the tiny cell
+    domain."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week_idx"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION_COHORTS = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) // {WEEK_US} AS week_idx FROM events),
+first AS (
+  SELECT user_id, min(week_idx) AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week_idx FROM ev)
+SELECT cohort_week, week_idx - cohort_week AS week_offset,
+       count(DISTINCT active.user_id) AS n_users
+FROM active JOIN first ON active.user_id = first.user_id
+GROUP BY cohort_week, week_idx - cohort_week
+"""
+
+
+# ---------------------------------------------------------------------------
+# forward as-of join with horizon (window pass vs correlated oracle)
+# ---------------------------------------------------------------------------
+
+ASOF_HORIZON_US = 86_400_000_000  # 24 h
+
+
+def q_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each purchase, the user's NEXT error event —
+    but only within a 24 h horizon (the time-to-failure join). Mirrors
+    asof_prior_click's encoding trick in the forward direction: a
+    running MIN over the (ts, id) fixed-width pair in a FOLLOWING frame,
+    one shuffle on user_id. The horizon applies after decoding (NULLs
+    both columns when the next error is too far). The oracle is the
+    naive correlated-subquery formulation, so the single-pass rewrite is
+    what the hash verifies."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    pair = F.when(
+        F.col("event_type") == "error",
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lit("_"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    out = ev.withColumn("next_err", F.min(pair).over(w)).filter(
+        F.col("event_type") == "purchase"
+    )
+    err_ts = F.substring("next_err", 1, 20).cast("long")
+    in_horizon = err_ts <= F.col("ts_us") + ASOF_HORIZON_US
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.when(in_horizon, err_ts).alias("err_ts_us"),
+        F.when(in_horizon, F.substring("next_err", 22, 12).cast("long")).alias(
+            "err_id"
+        ),
+    )
+
+
+SQL_ASOF_NEXT_ERROR = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+         (SELECT min(lpad(e.ts_us::VARCHAR, 20, '0') || '_'
+                     || lpad(e.event_id::VARCHAR, 12, '0'))
+          FROM ev e
+          WHERE e.user_id = ev.user_id AND e.event_type = 'error'
+            AND (e.ts_us > ev.ts_us
+                 OR (e.ts_us = ev.ts_us AND e.event_id > ev.event_id))) AS nxt
+  FROM ev WHERE event_type = 'purchase')
+SELECT purchase_id, user_id, purchase_ts_us,
+       CASE WHEN substring(nxt, 1, 20)::BIGINT <= purchase_ts_us + {ASOF_HORIZON_US}
+            THEN substring(nxt, 1, 20)::BIGINT END AS err_ts_us,
+       CASE WHEN substring(nxt, 1, 20)::BIGINT <= purchase_ts_us + {ASOF_HORIZON_US}
+            THEN substring(nxt, 22, 12)::BIGINT END AS err_id
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # text-format landing ingestion (sources/files.py)
 # ---------------------------------------------------------------------------
 
@@ -1759,6 +1874,8 @@ EXT_QUERIES = {
     "stream_scd2_enrich": q_stream_scd2_enrich,
     "jsonl_documents_ingest": q_jsonl_documents_ingest,
     "csv_documents_ingest": q_csv_documents_ingest,
+    "events_retention_cohorts": q_events_retention_cohorts,
+    "asof_next_error": q_asof_next_error,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -1806,6 +1923,8 @@ EXT_ORACLES = {
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
     "jsonl_documents_ingest": SQL_JSONL_DOCUMENTS_INGEST,
     "csv_documents_ingest": SQL_CSV_DOCUMENTS_INGEST,
+    "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
+    "asof_next_error": SQL_ASOF_NEXT_ERROR,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge
