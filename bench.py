@@ -78,6 +78,14 @@ HEADLINE = [
     # r6 additions (second half of the round)
     "events_scd2_join", "table_reconcile", "snapshot_reconcile",
     "dq_expectations",
+    # r6 additions (third wave)
+    "volume_shipping", "product_type_profit", "returned_item_report",
+    "customer_order_histogram", "supplier_part_variety",
+    "exclusive_open_supplier", "part_skyline",
+    "events_funnel", "events_transitions", "events_outliers",
+    "events_grouping_sets", "events_retention_cohorts", "asof_next_error",
+    "cdc_canal_ingest", "cdc_change_feed", "supplier_triangles",
+    "stream_scd2_enrich", "jsonl_documents_ingest", "csv_documents_ingest",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number
