@@ -753,6 +753,191 @@ GROUP BY s_suppkey, s_name
 """
 
 # ---------------------------------------------------------------------------
+# Q3 shape: unshipped-orders shipping priority (top-k two-fact join)
+# ---------------------------------------------------------------------------
+
+SHIP_SEGMENT = "BUILDING"
+SHIP_CUTOFF = "1996-06-15"
+SHIP_TOP_K = 10
+
+
+def q_unshipped_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue among orders placed before the cutoff with lines still
+    shipping after it, for one market segment (TPC-H Q3 shape). Both
+    date filters push to their scans BEFORE the fact-fact shuffle; the
+    segment filter rides the broadcast customer join; top-k on the
+    aggregate with a deterministic tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > SHIP_CUTOFF)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < SHIP_CUTOFF
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == SHIP_SEGMENT
+    )
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(_dec_sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SHIP_TOP_K)
+        .select(
+            "l_orderkey",
+            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+SQL_UNSHIPPED_PRIORITY = f"""
+WITH per AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+  WHERE l_shipdate > '{SHIP_CUTOFF}' AND o_orderdate < '{SHIP_CUTOFF}'
+    AND c_mktsegment = '{SHIP_SEGMENT}'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk FROM per)
+SELECT l_orderkey, epoch_us(o_orderdate::TIMESTAMP) AS o_orderdate_us,
+       o_orderpriority, revenue
+FROM ranked WHERE rk <= {SHIP_TOP_K}
+"""
+
+# ---------------------------------------------------------------------------
+# Q6 shape: forecast revenue change (pure scan aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue delta a discount-band change would cause (TPC-H Q6): the
+    simplest shape in the suite — no join at all, three pushable
+    predicates, one map-side-combined DECIMAL sum. Exists to pin that
+    the engine's scan path (pushdown + codegen) handles the degenerate
+    single-table case at full scan speed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1996)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(_dec_sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))), 2)::DOUBLE
+         AS revenue_delta
+FROM lineitem
+WHERE year(l_shipdate) = 1996 AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important parts (group share vs scalar-subquery threshold)
+# ---------------------------------------------------------------------------
+
+IMPORTANT_MULTIPLE = 1.5
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts trading at more than 1.5× the average part's value (TPC-H Q11
+    shape, adapted to lineitem value — no partsupp; an avg-relative
+    threshold instead of Q11's fraction-of-total because a fixed
+    fraction silently empties as the part count scales — the TPC spec
+    itself divides the fraction by SF). The per-part aggregate compares
+    against a broadcast 1-row aggregate (the HAVING-with-scalar-subquery
+    pattern): one shuffle for the part agg; the threshold join is a
+    broadcast nested loop over one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(_dec_sum(_rev()).alias("val"))
+    avg = per.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("avg_val")
+    )
+    return (
+        per.crossJoin(F.broadcast(avg))
+        .filter(
+            F.col("val").cast("double") > F.lit(IMPORTANT_MULTIPLE) * F.col("avg_val")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("val"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+SQL_IMPORTANT_PARTS = f"""
+WITH per AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS val
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, round(val, 2)::DOUBLE AS part_value
+FROM per
+WHERE val::DOUBLE > {IMPORTANT_MULTIPLE} * (SELECT sum(val)::DOUBLE / count(*) FROM per)
+"""
+
+# ---------------------------------------------------------------------------
+# ranking-function suite (rank family semantics pinned cross-engine)
+# ---------------------------------------------------------------------------
+
+
+def q_order_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface over each customer's order
+    history in one WindowExec: rank/dense_rank (gap vs no-gap tie
+    semantics), percent_rank ((rank−1)/(n−1)) and cume_dist (≤-count/n)
+    — both exact double ratios of integers, so cross-engine-hashable —
+    plus lag/lead navigation in integer micros. One shuffle on
+    o_custkey; ties are real (orders share dates) so the rank-family
+    differences actually discriminate. Restricted to a slice of
+    customers to keep the gate row count sane."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 7
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    wd = Window.partitionBy("o_custkey").orderBy(F.unix_micros("o_orderdate"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros("o_orderdate").alias("od_us"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wd).alias("rk"),
+        F.dense_rank().over(wd).alias("drk"),
+        F.percent_rank().over(wd).alias("prk"),
+        F.cume_dist().over(wd).alias("cd"),
+        F.lag(F.unix_micros("o_orderdate")).over(w).alias("prev_us"),
+        F.lead(F.unix_micros("o_orderdate")).over(w).alias("next_us"),
+    )
+
+
+SQL_ORDER_WINDOW_SUITE = """
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate::TIMESTAMP) AS od_us,
+       row_number() OVER wo AS rn,
+       rank() OVER wd AS rk,
+       dense_rank() OVER wd AS drk,
+       percent_rank() OVER wd AS prk,
+       cume_dist() OVER wd AS cd,
+       lag(epoch_us(o_orderdate::TIMESTAMP)) OVER wo AS prev_us,
+       lead(epoch_us(o_orderdate::TIMESTAMP)) OVER wo AS next_us
+FROM orders
+WHERE o_custkey % 100 = 7
+WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wd AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate::TIMESTAMP))
+"""
+
+
+# ---------------------------------------------------------------------------
 # skyline (pareto frontier): one sorted window pass vs NOT-EXISTS oracle
 # ---------------------------------------------------------------------------
 
@@ -893,6 +1078,10 @@ ANALYTIC_QUERIES = {
     "supplier_part_variety": q_supplier_part_variety,
     "exclusive_open_supplier": q_exclusive_open_supplier,
     "part_skyline": q_part_skyline,
+    "unshipped_priority": q_unshipped_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "important_parts": q_important_parts,
+    "order_window_suite": q_order_window_suite,
 }
 
 ANALYTIC_ORACLES = {
@@ -914,4 +1103,8 @@ ANALYTIC_ORACLES = {
     "supplier_part_variety": SQL_SUPPLIER_PART_VARIETY,
     "exclusive_open_supplier": SQL_EXCLUSIVE_OPEN_SUPPLIER,
     "part_skyline": SQL_PART_SKYLINE,
+    "unshipped_priority": SQL_UNSHIPPED_PRIORITY,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "important_parts": SQL_IMPORTANT_PARTS,
+    "order_window_suite": SQL_ORDER_WINDOW_SUITE,
 }
