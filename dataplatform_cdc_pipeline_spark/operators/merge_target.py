@@ -157,6 +157,12 @@ class ParquetMergeTarget(MergeTarget):
         #: version check + swap (e.g. to snapshot, or — in the contract
         #: suite — to interleave a conflicting writer deterministically).
         self.pre_commit_hook = None
+        #: transactional-audit seam (operators/txn_audit.py): when set,
+        #: merge() calls it with the batch stats and the returned record
+        #: must commit ATOMICALLY with the data. Only the snapshot sink
+        #: can honor that; this class's _commit fails loudly if asked.
+        self.audit_composer = None
+        self._txn_payload: dict | None = None
 
     # -- schema management -----------------------------------------------------
 
@@ -330,6 +336,11 @@ class ParquetMergeTarget(MergeTarget):
                 merged = merged.withColumn(
                     PDATE_COL, F.to_date(F.col(self.cfg.partition_field))
                 )
+            if self.audit_composer is not None:
+                # transactional audit (operators/txn_audit.py): the record
+                # commits WITH the data — sinks that can't honor that must
+                # fail loudly in _commit, not drop it
+                self._txn_payload = self.audit_composer(stats)
             self._commit(merged, affected, expected_version=v0)
             return stats
         finally:
@@ -408,6 +419,10 @@ class ParquetMergeTarget(MergeTarget):
         replayable — Delta's atomic log commit replaces this whole dance on
         a real deployment.
 
+        A pending transactional-audit payload fails loudly here: the
+        per-bucket swap has no single publish to attach it to (use the
+        snapshot sink, whose manifest commit carries it atomically).
+
         ``expected_version``: the version the caller read its inputs at;
         if another writer committed since, the swap is REFUSED with
         :class:`ConcurrentWriteError` and the winner's state stands (the
@@ -416,6 +431,13 @@ class ParquetMergeTarget(MergeTarget):
         detects lost-update races rather than serializing them; run one
         writer per target in production, as the reference's scheduler does).
         """
+        if self._txn_payload is not None:
+            self._txn_payload = None
+            raise NotImplementedError(
+                "transactional audit requires the snapshot sink: the bucket-"
+                "swap commit is per-bucket, so the audit record cannot be "
+                "made atomic with the data here"
+            )
         staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
         # repartition to ~one task per affected bucket: without it every
         # shuffle partition writes a sliver of every bucket (#partitions ×

@@ -252,6 +252,9 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         expected_version: int | None = None,
         sort_exprs: list | None = None,
     ) -> None:
+        # claim the transactional-audit payload up front: a failed commit
+        # must not leak it into a later (e.g. maintenance) commit
+        txn, self._txn_payload = self._txn_payload, None
         v0 = self._read_version()
         new_version = (expected_version if expected_version is not None else v0) + 1
         tree = f"{self.DATA_DIR}/v{new_version}-{uuid.uuid4().hex[:8]}"
@@ -303,6 +306,10 @@ class SnapshotMergeTarget(ParquetMergeTarget):
             if fps or fp_cols:
                 manifest["fps"] = fps
                 manifest["fp_cols"] = fp_cols
+            if txn is not None:
+                # transactional audit (operators/txn_audit.py): the run
+                # record becomes visible in the SAME publish as the data
+                manifest["txn"] = txn
             self._publish(manifest, new_version)
         except ConcurrentWriteError:
             # losing writer: its tree was never referenced — reclaim now

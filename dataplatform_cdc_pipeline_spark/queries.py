@@ -1448,6 +1448,77 @@ def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_txn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional audit (operators/txn_audit.ManifestAuditStore): two
+    merges on the snapshot sink with the SUCCESS audit record riding the
+    commit manifest — data + audit + watermark in ONE atomic publish,
+    the reference's BEGIN…COMMIT semantics (merge.sql:368-457) restored.
+    Run 2 is watermark-DRIVEN (window=None): its start comes from run
+    1's committed txn payload, so the manifest watermark actually
+    steering incrementality is part of what the oracle hash pins — a
+    watermark that failed to advance (or advanced past uncommitted
+    data) changes run 2's counts. The oracle recomputes both windows'
+    change-set stats relationally."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.txn_audit import ManifestAuditStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_txn_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = ManifestAuditStore(
+        spark, target, f"{tmp}/fb", deterministic_run_ids=True
+    )
+    split = datetime.datetime(2024, 1, 15)
+    run_merge(
+        spark, cfg, target, audit, raw=raw, window=(None, split),
+        deterministic_audit=True,
+    )
+    run_merge(spark, cfg, target, audit, raw=raw, deterministic_audit=True)
+    return audit.history().select(
+        "version",
+        "id",
+        "run_status",
+        "records_inserted",
+        "records_deleted",
+        "cdc_end_ts_us",
+    )
+
+
+_TXN_SPLIT = "2024-01-15 00:00:00"
+
+SQL_CDC_TXN_AUDIT = f"""
+WITH w1 AS (
+  SELECT user_id, {OP_SQL} AS op, epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos
+  FROM events WHERE ts <= TIMESTAMP '{_TXN_SPLIT}'),
+l1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, pos DESC) AS rn
+    FROM w1) WHERE rn = 1),
+w2 AS (
+  SELECT user_id, {OP_SQL} AS op, epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos
+  FROM events WHERE ts > TIMESTAMP '{_TXN_SPLIT}'),
+l2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, pos DESC) AS rn
+    FROM w2) WHERE rn = 1)
+SELECT 1 AS version, 'txn-v1' AS id, 'SUCCESS' AS run_status,
+       (SELECT count(*) FROM l1 WHERE op != 'd')::BIGINT AS records_inserted,
+       (SELECT count(*) FROM l1 WHERE op = 'd')::BIGINT AS records_deleted,
+       (SELECT max(ts_us) FROM w1) AS cdc_end_ts_us
+UNION ALL
+SELECT 2, 'txn-v2', 'SUCCESS',
+       (SELECT count(*) FROM l2 WHERE op != 'd')::BIGINT,
+       (SELECT count(*) FROM l2 WHERE op = 'd')::BIGINT,
+       (SELECT max(ts_us) FROM w2)
+"""
+
+
 def _change_feed_oracle_sql() -> str:
     """Three dedup-latest states + the per-commit segments, generated so
     the state/diff templates stay single-sourced."""
@@ -2144,6 +2215,7 @@ QUERIES: dict[str, callable] = {
     "cdc_maxwell_ingest": q_cdc_maxwell_ingest,
     "cdc_canal_ingest": q_cdc_canal_ingest,
     "cdc_change_feed": q_cdc_change_feed,
+    "cdc_txn_audit": q_cdc_txn_audit,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2186,6 +2258,7 @@ ORACLES: dict[str, str] = {
     "cdc_maxwell_ingest": SQL_CDC_MAXWELL_INGEST,
     "cdc_canal_ingest": SQL_CDC_CANAL_INGEST,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
+    "cdc_txn_audit": SQL_CDC_TXN_AUDIT,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
