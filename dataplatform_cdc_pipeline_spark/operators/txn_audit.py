@@ -89,6 +89,10 @@ class ManifestAuditStore:
         self.fallback = WatermarkStore(spark, fallback_path)
         self.deterministic = deterministic_run_ids
         self._etl_start: datetime.datetime | None = None
+        #: streaming idempotency (Delta's txnAppId/txnVersion pattern):
+        #: when set, the payload carries the (app_id, batch_id) of the
+        #: micro-batch it commits — see streaming/stream_merge.
+        self.stream_txn: dict | None = None
         target.audit_composer = self._compose
 
     # -- composer (called by the sink between stats and commit) -------------
@@ -114,6 +118,7 @@ class ManifestAuditStore:
             "proc_name": "sp_cdc_merge_job",
             "etl_start_us": _us(self._etl_start) if not self.deterministic else None,
             "etl_end_us": now,
+            **({"stream": dict(self.stream_txn)} if self.stream_txn else {}),
         }
 
     # -- manifest scan -------------------------------------------------------
@@ -214,3 +219,17 @@ class ManifestAuditStore:
             "records_deleted long, cdc_start_ts_us long, cdc_end_ts_us long"
         )
         return self.spark.createDataFrame(rows, schema)
+
+
+def last_committed_batch(target: SnapshotMergeTarget, app_id: str) -> int | None:
+    """Highest micro-batch id this stream (``app_id``) has COMMITTED into
+    the target's manifest chain, or None — the read side of the
+    txnAppId/txnVersion idempotency protocol. Scans newest-first and
+    returns on first hit (stream batches commit in order)."""
+    for v in sorted(target._versions(), reverse=True):
+        m = target._manifest(v)
+        txn = (m or {}).get("txn") or {}
+        stream = txn.get("stream") or {}
+        if stream.get("app_id") == app_id:
+            return stream["batch_id"]
+    return None

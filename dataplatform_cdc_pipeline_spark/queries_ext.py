@@ -426,6 +426,58 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming merge via manifest transactions
+    (streaming/run_streaming_merge_txn — Delta's txnAppId/txnVersion on
+    the snapshot sink): each micro-batch's id commits atomically WITH
+    its data and audit row. After the drain, the stream is replayed from
+    a FRESH checkpoint (total checkpoint loss — the worst crash case)
+    under the same app id: every batch must SKIP against the manifest,
+    leaving the version count untouched — asserted fail-loud inside the
+    query, so a broken skip fails the gate outright — and the final
+    state must hash-equal the batch merge."""
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.queries import cdc_feed
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        run_streaming_merge_txn,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_stxn_q_")
+    bronze = f"{tmp}/bronze"
+    cdc_feed(spark, sf_dir).write.parquet(bronze)
+    cfg = user_state_config()
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    run_streaming_merge_txn(
+        spark, cfg, target, f"{tmp}/fb", bronze, f"{tmp}/ckpt1", "ingest",
+        deterministic_audit=True,
+    )
+    v_committed = target._read_version()
+    # checkpoint-loss replay: same app id, fresh checkpoint
+    run_streaming_merge_txn(
+        spark, cfg, target, f"{tmp}/fb", bronze, f"{tmp}/ckpt2", "ingest",
+        deterministic_audit=True,
+    )
+    if target._read_version() != v_committed:
+        raise RuntimeError(
+            f"replayed batches re-committed: version {v_committed} -> "
+            f"{target._read_version()} — txn skip protocol broken"
+        )
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
 def q_stream_ivm_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC merge with FUSED incremental view maintenance
     (streaming/run_streaming_merge_with_view): as each micro-batch merges,
@@ -1876,6 +1928,7 @@ EXT_QUERIES = {
     "csv_documents_ingest": q_csv_documents_ingest,
     "events_retention_cohorts": q_events_retention_cohorts,
     "asof_next_error": q_asof_next_error,
+    "stream_txn_merge": q_stream_txn_merge,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -1931,6 +1984,10 @@ EXT_ORACLES = {
 from dataplatform_cdc_pipeline_spark.queries import SQL_CDC_MERGE_FULL  # noqa: E402
 
 EXT_ORACLES["stream_merge_state"] = SQL_CDC_MERGE_FULL
+
+# stream_txn_merge: exactly-once via manifest txns must land the same
+# final state as the batch merge (replay-skip asserted inside the query)
+EXT_ORACLES["stream_txn_merge"] = SQL_CDC_MERGE_FULL
 
 # stream_scd2_history: the streaming path must land the SAME history as
 # the batch path — shares cdc_scd2_history's oracle

@@ -274,3 +274,85 @@ def run_streaming_scd2(
     if trigger_once:
         q.awaitTermination()
     return q
+
+
+def run_streaming_merge_txn(
+    spark: SparkSession,
+    cfg: MergeConfig,
+    target,
+    fallback_audit_path: str,
+    source_path: str,
+    checkpoint_path: str,
+    app_id: str,
+    bronze_schema: str = "data string, load_ts timestamp, publish_time timestamp, "
+    "message_id string, source_db_table string, subscription_name string",
+    deterministic_audit: bool = False,
+):
+    """Streaming merge with END-TO-END exactly-once: each micro-batch's
+    (``app_id``, batch_id) commits INSIDE the snapshot manifest together
+    with its data and audit row — Delta's txnAppId/txnVersion protocol
+    on this engine's sink.
+
+    The plain ``run_streaming_merge`` is exactly-once only through
+    idempotent REPLAY: if the process dies after the merge commit but
+    before the checkpoint records the batch, the restart re-merges the
+    batch (state converges, but the audit gets a duplicate run row and
+    the sink a redundant version). Here the batch id is part of the
+    atomic publish, so ``process_batch`` first asks the MANIFEST — not
+    the checkpoint — what was committed: a replayed batch whose id is ≤
+    the last committed id SKIPS entirely. The crash window disappears;
+    no duplicate versions, no duplicate audit rows, bit-identical
+    history across any crash/restart point.
+
+    Requires the snapshot sink (the manifest IS the transaction log);
+    the ManifestAuditStore constructor enforces that. Batches replay in
+    order under availableNow/checkpoint semantics, so a single
+    newest-first manifest probe suffices.
+
+    CAVEAT (same as Delta's txnVersion contract): batch ids are only
+    meaningful per checkpoint. After TOTAL checkpoint loss, a rebuilt
+    batch 0 may bundle already-committed files WITH files that arrived
+    after the crash — and the skip would drop the new rows. Recovery
+    from checkpoint loss must therefore resume under a NEW ``app_id``
+    (re-merging everything; the merge is idempotent) — reusing the old
+    id is only safe when no new data landed since the last commit, which
+    is what the replay test exercises.
+    """
+    from dataplatform_cdc_pipeline_spark.operators.txn_audit import (
+        ManifestAuditStore,
+        last_committed_batch,
+    )
+
+    audit = ManifestAuditStore(
+        spark, target, fallback_audit_path, deterministic_run_ids=deterministic_audit
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(target, app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: its effects are already committed
+        audit.stream_txn = {"app_id": app_id, "batch_id": batch_id}
+        try:
+            run_merge(
+                spark,
+                cfg,
+                target,
+                audit,
+                raw=batch_df,
+                window=(None, None),
+                deterministic_audit=deterministic_audit,
+            )
+        finally:
+            audit.stream_txn = None
+
+    q = (
+        spark.readStream.schema(bronze_schema)
+        .parquet(source_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

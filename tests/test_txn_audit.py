@@ -100,3 +100,56 @@ def test_failed_and_empty_runs_fall_back(spark, tmp_path):
     statuses = sorted(r["run_status"] for r in a.fallback.history().collect())
     assert statuses == ["FAILED", "SUCCESS"]
     assert [v for v, _ in a._txns()] == [1]  # data untouched
+
+
+def test_stream_txn_replay_skips_without_touching_commit_path(spark, tmp_path):
+    """Checkpoint-loss replay under the same app id must skip every batch
+    at the manifest probe — proven by poisoning the commit hook: if the
+    replay even REACHES the commit path, the test fails. A different app
+    id is not covered by the skip and must commit normally."""
+    from helpers import bronze
+
+    from dataplatform_cdc_pipeline_spark.operators.txn_audit import last_committed_batch
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        run_streaming_merge_txn,
+    )
+
+    cfg = user_state_config()
+    t = SnapshotMergeTarget(spark, str(tmp_path / "t"), cfg, USER_STATE_SCHEMA)
+    src = str(tmp_path / "bronze")
+    bronze(spark, [("c", 0, 1, 1, 1.0), ("c", 0, 2, 2, 2.0)]).write.parquet(src)
+    assert last_committed_batch(t, "A") is None
+    run_streaming_merge_txn(
+        spark, cfg, t, str(tmp_path / "fb"), src, str(tmp_path / "ck1"), "A",
+        deterministic_audit=True,
+    )
+    v1 = t._read_version()
+    assert v1 >= 1 and last_committed_batch(t, "A") is not None
+    # second delivery through the SAME checkpoint: only the new file merges
+    bronze(spark, [("u", 5_000_000, 3, 1, 9.0)]).write.mode("append").parquet(src)
+    run_streaming_merge_txn(
+        spark, cfg, t, str(tmp_path / "fb"), src, str(tmp_path / "ck1"), "A",
+        deterministic_audit=True,
+    )
+    v2 = t._read_version()
+    assert v2 > v1
+    state = sorted((r["user_id"], r["value"]) for r in t.read().collect())
+    assert state == [(1, 9.0), (2, 2.0)]
+
+    def boom():
+        raise AssertionError("replay reached the commit path")
+
+    t.pre_commit_hook = boom
+    run_streaming_merge_txn(  # total checkpoint loss, same app id
+        spark, cfg, t, str(tmp_path / "fb"), src, str(tmp_path / "ck2"), "A",
+        deterministic_audit=True,
+    )
+    assert t._read_version() == v2  # nothing re-committed
+    t.pre_commit_hook = None
+    # a DIFFERENT app id is a different transaction stream: it commits
+    run_streaming_merge_txn(
+        spark, cfg, t, str(tmp_path / "fb"), src, str(tmp_path / "ck3"), "B",
+        deterministic_audit=True,
+    )
+    assert t._read_version() > v2
+    assert sorted((r["user_id"], r["value"]) for r in t.read().collect()) == state
