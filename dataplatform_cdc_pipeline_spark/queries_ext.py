@@ -1299,6 +1299,116 @@ ORDER BY user_id, event_id
 """
 
 # ---------------------------------------------------------------------------
+# gaps-and-islands: merge overlapping activity intervals
+# ---------------------------------------------------------------------------
+
+INTERVAL_HALF_LIFE_US = 30 * 60 * 1_000_000  # each event covers [ts, ts+30min)
+
+
+def q_events_intervals_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidate each user's overlapping activity intervals (every event
+    projects a 30-minute presence window) into maximal disjoint islands —
+    the classic gaps-and-islands problem, solved scalably: ONE window
+    pass computes the running max of interval ends per user; a new island
+    starts where the current start exceeds every prior end; the island id
+    is a conditional cumsum, and one groupBy collapses each island to
+    (start, end, n_events). No self-join, no interval cross-product —
+    O(n log n) per user partition. The oracle mirrors the same algorithm
+    in SQL (the standard formulation); integer-micros bounds keep it
+    hash-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + INTERVAL_HALF_LIFE_US).alias("e_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "e_us")
+    prior_max_end = F.max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prior_max_end.isNull() | (F.col("s_us") > prior_max_end), 1
+    ).otherwise(0)
+    df = ev.withColumn("new_island", new_island).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return df.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("start_us"),
+        F.max("e_us").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_EVENTS_INTERVALS_MERGED = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS s_us,
+         epoch_us(ts::TIMESTAMP) + {INTERVAL_HALF_LIFE_US} AS e_us
+  FROM events),
+marked AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                OR s_us > max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM ev),
+islands AS (
+  SELECT user_id, s_us, e_us,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked)
+SELECT user_id, island::BIGINT AS island, min(s_us) AS start_us, max(e_us) AS end_us,
+       count(*) AS n_events
+FROM islands GROUP BY user_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalable global id assignment (range-partitioned prefix offsets)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign dense, contiguous global row ids in (n_chars DESC, doc_id)
+    order — the training-data shard-index primitive — WITHOUT a global
+    single-partition sort window. Scalable formulation: range-partition
+    on the sort key (global order across partitions is the range
+    partitioner's contract), count rows per partition, prefix-sum the
+    ≤#partitions counts on the driver (an index artifact, not data),
+    broadcast the offsets back, and row_number only WITHIN partitions.
+    The oracle is the naive global row_number() — the scalable rewrite
+    must agree exactly, tie-break included."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = docs.repartitionByRange(8, F.col("n_chars").desc(), F.col("doc_id")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint(eager=True)  # pin the partitioning for both passes
+    counts = (
+        parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["n"]
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        parts.join(F.broadcast(off_df), "__pid")
+        .withColumn("global_id", F.col("__offset") + F.row_number().over(w))
+        .select("doc_id", "n_chars", "global_id")
+    )
+
+
+SQL_DOC_GLOBAL_IDS = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id) AS global_id
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # cohort retention matrix (two-level distinct aggregation)
 # ---------------------------------------------------------------------------
 
@@ -1929,6 +2039,8 @@ EXT_QUERIES = {
     "events_retention_cohorts": q_events_retention_cohorts,
     "asof_next_error": q_asof_next_error,
     "stream_txn_merge": q_stream_txn_merge,
+    "events_intervals_merged": q_events_intervals_merged,
+    "doc_global_ids": q_doc_global_ids,
 }
 
 SQL_STREAM_USER_TOTALS = """
@@ -1978,6 +2090,8 @@ EXT_ORACLES = {
     "csv_documents_ingest": SQL_CSV_DOCUMENTS_INGEST,
     "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
     "asof_next_error": SQL_ASOF_NEXT_ERROR,
+    "events_intervals_merged": SQL_EVENTS_INTERVALS_MERGED,
+    "doc_global_ids": SQL_DOC_GLOBAL_IDS,
 }
 
 # stream_merge_state: same semantics as the batch flagship merge
