@@ -683,6 +683,97 @@ FROM a3 GROUP BY doc_id ORDER BY doc_id
 """
 
 
+LSH_RECALL_DF_CAP = 50
+
+
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash-LSH candidate generator against an
+    INDEPENDENT exact ground truth — the eval that justifies trusting
+    LSH dedup at 100 TB (the embedding family already has ann_recall_eval
+    / ivf_recall_curve; this is the text-side counterpart). Ground truth
+    = pairs sharing ≥ 1 discriminative shingle (document frequency ≤ 50
+    — the standard inverted-index exact join with frequency pruning,
+    itself scalable) whose exact Jaccard ≥ 0.5, tested in INTEGER space
+    (2·|∩| ≥ |∪| — no float threshold). Candidates come from the same
+    banded pipeline the dedup queries use. One row: truth size,
+    candidate count, hits, recall in exact ppm (integer division)."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles_expr(F.col("text"))).alias("shset")
+    ).localCheckpoint(eager=True)  # feeds the index, both pair legs, and sizes
+    ex = sh.select("doc_id", F.explode("shset").alias("g"))
+    rare = ex.join(
+        ex.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= LSH_RECALL_DF_CAP
+        ),
+        "g",
+    )
+    a = rare.select(F.col("g"), F.col("doc_id").alias("id_a"))
+    b = rare.select(F.col("g"), F.col("doc_id").alias("id_b"))
+    cand_exact = (
+        a.join(b, "g").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shset").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shset").alias("sb"))
+    truth = (
+        cand_exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.size(F.array_intersect("sa", "sb")) * 2
+            >= F.size(F.array_union("sa", "sb"))
+        )
+        .select("id_a", "id_b")
+    )
+    lsh = scored_pairs(spark, sf_dir).select("id_a", "id_b")
+    hit = truth.join(lsh, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .withColumn("recall_ppm", F.expr("(n_hit * 1000000) div n_truth"))
+    )
+
+
+SQL_LSH_RECALL_EVAL = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({SHINGLES}) AS shset FROM t),
+ex AS (SELECT doc_id, unnest(shset) AS g FROM s),
+rare AS (
+  SELECT ex.doc_id, ex.g FROM ex
+  JOIN (SELECT g, count(*) AS df FROM ex GROUP BY g
+        HAVING count(*) <= {LSH_RECALL_DF_CAP}) d ON ex.g = d.g),
+cand_exact AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
+truth AS (
+  SELECT id_a, id_b
+  FROM cand_exact JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+  WHERE 2 * len(list_intersect(sa.shset, sb.shset))
+        >= len(list_distinct(list_concat(sa.shset, sb.shset)))),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), f ->
+           list_min(list_transform(shset, g -> {_MINHASH_FAMILY}))) AS mh
+  FROM s),
+bands AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, 4), b ->
+           b::VARCHAR || '_' || mh[2*b + 1]::VARCHAR || '_' || mh[2*b + 2]::VARCHAR)) AS band_key
+  FROM sig),
+lsh AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+hit AS (SELECT * FROM truth INTERSECT SELECT * FROM lsh)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       (SELECT count(*) FROM lsh)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       ((SELECT count(*) FROM hit) * 1000000 //
+        (SELECT count(*) FROM truth))::BIGINT AS recall_ppm
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup (operators/text_dedup.containment_pairs):
     pairs where the smaller doc's shingle set is ≥80% contained in the
@@ -2015,6 +2106,7 @@ LLM_QUERIES = {
     "bpe_learn": q_bpe_learn,
     "bpe_encode": q_bpe_encode,
     "ivf_sq8_recall_eval": q_ivf_sq8_recall_eval,
+    "lsh_recall_eval": q_lsh_recall_eval,
     "interdoc_repetition": q_interdoc_repetition,
 }
 
@@ -2061,5 +2153,6 @@ LLM_ORACLES = {
     "bpe_learn": SQL_BPE_LEARN,
     "bpe_encode": SQL_BPE_ENCODE,
     "ivf_sq8_recall_eval": SQL_IVF_SQ8_RECALL_EVAL,
+    "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
     "interdoc_repetition": SQL_INTERDOC_REPETITION,
 }
