@@ -158,6 +158,59 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         vacuum() reclaims."""
         return None
 
+    # -- tags (named immutable snapshots, Iceberg-style) ---------------------
+
+    TAGS_FILE = "tags.json"
+
+    def tags(self) -> dict[str, int]:
+        """Current tag → version map (empty if none)."""
+        p = os.path.join(self._log_path(), self.TAGS_FILE)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        log = self._log_path()
+        os.makedirs(log, exist_ok=True)
+        tmp = os.path.join(log, f".tags-tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, os.path.join(log, self.TAGS_FILE))  # atomic swap
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a committed version under an immutable name — "the corpus
+        training run X read" (Iceberg tags). Re-tagging the SAME version
+        is idempotent; moving an existing tag is refused (tags are
+        immutable pointers — delete_tag first, deliberately). Tagged
+        versions survive vacuum() regardless of the retention window, so
+        a tag is a durable reproducibility anchor, not a hint."""
+        version = self._read_version() if version is None else version
+        if version not in self._versions():
+            raise ValueError(f"version {version} not in log")
+        tags = self.tags()
+        if name in tags and tags[name] != version:
+            raise ValueError(
+                f"tag {name!r} already points at version {tags[name]}; "
+                "tags are immutable — delete_tag first"
+            )
+        tags[name] = version
+        self._write_tags(tags)
+        return version
+
+    def delete_tag(self, name: str) -> None:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"tag {name!r} does not exist")
+        del tags[name]
+        self._write_tags(tags)
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"tag {name!r} does not exist (have {sorted(tags)})")
+        return tags[name]
+
     # -- reads ---------------------------------------------------------------
 
     def exists(self) -> bool:
@@ -179,13 +232,19 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         date_range: tuple[str, str] | None = None,
         version: int | None = None,
         where: tuple | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """``where=(col, lo, hi)`` adds zone-map pruning: buckets whose
         recorded [min, max] for ``col`` cannot intersect [lo, hi] are
         dropped at the MANIFEST layer (their files are never listed), and
         the residual ``BETWEEN`` filter still applies to the survivors —
         result-identical to filtering an unpruned read, cheaper by every
-        skipped bucket."""
+        skipped bucket. ``tag`` resolves a named snapshot (create_tag) —
+        mutually exclusive with ``version``."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         if date_range and not self.cfg.partition_field:
             raise ValueError("date_range requires cfg.partition_field")
         manifest = self._manifest(version)
@@ -558,7 +617,11 @@ class SnapshotMergeTarget(ParquetMergeTarget):
             )
         vs = self._versions()
         latest = vs[-1] if vs else 0
-        keep_vs = vs[-retain_last:]
+        # tagged versions are durable reproducibility anchors: they (and
+        # their trees) survive any retention window until the tag is
+        # deleted — Iceberg's tag-aware expiration
+        tagged = {v for v in self.tags().values() if v in vs}
+        keep_vs = sorted(set(vs[-retain_last:]) | tagged)
         live: set[str] = set()
         for v in keep_vs:
             for d in self._manifest(v)["buckets"].values():

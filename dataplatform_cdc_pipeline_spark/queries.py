@@ -1584,6 +1584,51 @@ FROM ranked WHERE rn = 1 AND op != 'd' ORDER BY user_id
 """
 
 
+def q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-snapshot reads (SnapshotMergeTarget tags — Iceberg-style
+    immutable pointers): phase 1 commits and is tagged ``train-corpus``
+    ("the corpus training run X read"); phase 2 then overwrites state
+    and vacuum(retain_last=1) reclaims everything the retention window
+    allows — but the TAGGED version must survive vacuum and
+    ``read(tag=...)`` must still reproduce the phase-1 state exactly.
+    The oracle recomputes the pre-split merge, so a tag resolving to the
+    wrong version, vacuum reclaiming a tagged tree, or tag mutation
+    diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_tag_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    run_merge(
+        spark, cfg, target, audit, raw=raw, window=(None, split),
+        deterministic_audit=True,
+    )
+    target.create_tag("train-corpus")
+    run_merge(
+        spark, cfg, target, audit, raw=raw, window=(split, None),
+        deterministic_audit=True,
+    )
+    target.vacuum(retain_last=1)
+    return target.read(tag="train-corpus").select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_TAGGED_READ = SQL_CDC_TIME_TRAVEL_READ
+
+
 def q_cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium NESTED envelope → bronze unwrap → W1 dedup-latest: the
     raw-topic ingestion path (sources/debezium.py). Discriminating bits
@@ -2216,6 +2261,7 @@ QUERIES: dict[str, callable] = {
     "cdc_canal_ingest": q_cdc_canal_ingest,
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_txn_audit": q_cdc_txn_audit,
+    "cdc_tagged_read": q_cdc_tagged_read,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2259,6 +2305,7 @@ ORACLES: dict[str, str] = {
     "cdc_canal_ingest": SQL_CDC_CANAL_INGEST,
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_txn_audit": SQL_CDC_TXN_AUDIT,
+    "cdc_tagged_read": SQL_CDC_TAGGED_READ,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,

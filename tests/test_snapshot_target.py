@@ -262,3 +262,34 @@ def test_change_feed_per_commit_segments(spark, tmp_path):
         t.change_feed(2, 2)
     with pytest.raises(ValueError, match="not in log"):
         t.change_feed(0, 9)
+
+
+def test_tags_immutable_and_vacuum_safe(spark, tmp_path):
+    """Tags are immutable pointers; tagged versions (and their data
+    trees) survive vacuum past the retention window; deleting the tag
+    releases them to the next vacuum."""
+    t = make(spark, tmp_path)
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    assert t.create_tag("gold") == 1
+    assert t.create_tag("gold") == 1  # idempotent re-tag of same version
+    for i in range(3):
+        t.merge(changes(spark, [("u", 1, float(i + 2), i + 1, i + 2)]))
+    with pytest.raises(ValueError, match="immutable"):
+        t.create_tag("gold", 3)
+    t.vacuum(retain_last=1)
+    # v1 survives via the tag; untagged v2/v3 are gone
+    assert state(t, version=1) == [(1, 1.0)]
+    assert sorted((r["user_id"], r["value"]) for r in t.read(tag="gold").collect()) == [(1, 1.0)]
+    with pytest.raises(ValueError, match="not in log"):
+        t.read(version=2)
+    with pytest.raises(ValueError, match="pass version OR tag"):
+        t.read(version=1, tag="gold")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(tag="nope")
+    t.delete_tag("gold")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.delete_tag("gold")
+    t.vacuum(retain_last=1)
+    with pytest.raises(ValueError, match="not in log"):
+        t.read(version=1)  # released by the tag deletion
+    assert state(t) == [(1, 4.0)]  # latest untouched throughout
