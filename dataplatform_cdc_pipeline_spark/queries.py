@@ -1629,6 +1629,103 @@ def q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_TAGGED_READ = SQL_CDC_TIME_TRAVEL_READ
 
 
+def q_cdc_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-image (patch) CDC merge (plans/patch.patch_fold): updates
+    arrive SPARSE — value absent when event_id%3=0, k absent when
+    event_id%5=0 — and an absent column means "unchanged", not "set to
+    NULL". The fold takes each column's last non-null in (ts, pos)
+    order, a delete RESETS the fold (pre-delete values never resurrect
+    into a re-insert), and the folded full-image change set then merges
+    through the ordinary engine. The oracle recomputes the per-column
+    argmax-with-delete-fence relationally — nulling an untouched column,
+    resurrecting a pre-delete value, or folding across the wrong order
+    all diverge the hash."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.patch import patch_fold
+    from dataplatform_cdc_pipeline_spark.sources.cdc import op_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    op = op_expr()
+    is_u = op == "u"
+    is_d = op == "d"
+    keyed = ev.select(
+        "user_id",
+        op.alias("__op"),
+        F.when(~is_d, F.col("event_type")).alias("event_type"),
+        F.when(~is_d & ~(is_u & (F.col("event_id") % 3 == 0)), F.col("value")).alias(
+            "value"
+        ),
+        F.when(
+            ~is_d & ~(is_u & (F.col("event_id") % 5 == 0)),
+            F.get_json_object("props", "$.k").cast("int"),
+        ).alias("k"),
+        F.col("ts").alias("source_ts_ns_order"),
+        F.col("event_id").alias("pos"),
+    )
+    changes = patch_fold(
+        keyed, ["user_id"], ["event_type", "value", "k"]
+    ).withColumn("__load_ts", F.col("source_ts_ns_order"))
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_patch_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    target.merge(changes)
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_MERGE_PATCH = f"""
+WITH base AS (
+  SELECT user_id, {OP_SQL} AS op,
+         CASE WHEN {OP_SQL} != 'd' THEN event_type END AS event_type,
+         CASE WHEN {OP_SQL} != 'd'
+               AND NOT ({OP_SQL} = 'u' AND event_id % 3 = 0)
+              THEN value END AS value,
+         CASE WHEN {OP_SQL} != 'd'
+               AND NOT ({OP_SQL} = 'u' AND event_id % 5 = 0)
+              THEN json_extract_string(props, '$.k')::INT END AS k,
+         epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos
+  FROM events),
+fenced AS (
+  SELECT *,
+         max(CASE WHEN op = 'd'
+                  THEN struct_pack(ts := ts_us, pos := pos) END)
+           OVER (PARTITION BY user_id) AS last_d
+  FROM base),
+folded AS (
+  SELECT user_id,
+         max(struct_pack(ts := ts_us, pos := pos, op := op)) AS latest,
+         max(CASE WHEN op != 'd'
+                   AND (last_d IS NULL
+                        OR struct_pack(ts := ts_us, pos := pos) > last_d)
+                   AND event_type IS NOT NULL
+                  THEN struct_pack(ts := ts_us, pos := pos, v := event_type) END)
+           AS f_et,
+         max(CASE WHEN op != 'd'
+                   AND (last_d IS NULL
+                        OR struct_pack(ts := ts_us, pos := pos) > last_d)
+                   AND value IS NOT NULL
+                  THEN struct_pack(ts := ts_us, pos := pos, v := value) END)
+           AS f_value,
+         max(CASE WHEN op != 'd'
+                   AND (last_d IS NULL
+                        OR struct_pack(ts := ts_us, pos := pos) > last_d)
+                   AND k IS NOT NULL
+                  THEN struct_pack(ts := ts_us, pos := pos, v := k) END) AS f_k
+  FROM fenced GROUP BY user_id)
+SELECT user_id, f_et.v AS event_type, f_value.v AS value, f_k.v AS k,
+       latest.ts AS event_ts_us, latest.pos AS pos
+FROM folded WHERE latest.op != 'd' ORDER BY user_id
+"""
+
+
 def q_cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium NESTED envelope → bronze unwrap → W1 dedup-latest: the
     raw-topic ingestion path (sources/debezium.py). Discriminating bits
@@ -2262,6 +2359,7 @@ QUERIES: dict[str, callable] = {
     "cdc_change_feed": q_cdc_change_feed,
     "cdc_txn_audit": q_cdc_txn_audit,
     "cdc_tagged_read": q_cdc_tagged_read,
+    "cdc_merge_patch": q_cdc_merge_patch,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2306,6 +2404,7 @@ ORACLES: dict[str, str] = {
     "cdc_change_feed": SQL_CDC_CHANGE_FEED,
     "cdc_txn_audit": SQL_CDC_TXN_AUDIT,
     "cdc_tagged_read": SQL_CDC_TAGGED_READ,
+    "cdc_merge_patch": SQL_CDC_MERGE_PATCH,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
