@@ -90,6 +90,14 @@ class MergeConfig:
     # Mirror the reference's literal two-stream plan (log_v_i / log_v_d + J2
     # survivorship join, merge.sql:306-349) instead of the unified dedup.
     two_stream_fidelity: bool = False
+    # Soft delete: a matched 'd' KEEPS the row as a tombstone — last known
+    # values preserved, `__is_deleted` = true, ts/pos advanced to the
+    # delete event's — instead of physically removing it (the reference
+    # hard-deletes, merge.sql:428-436; warehouses commonly retain
+    # tombstones for downstream sync + late-arriving-fact joins). A later
+    # re-insert clears the flag; unmatched deletes stay no-ops. The target
+    # schema gains the `__is_deleted` boolean automatically.
+    soft_delete: bool = False
     # W1 dedup physical strategy: 'agg' (groupBy + max(struct) — map-side
     # partial aggregation, minimal shuffle; the scale default) or 'window'
     # (ranked window — shuffles every row, exact reference plan shape).

@@ -49,6 +49,13 @@ class DeltaMergeTarget(MergeTarget):
                 "DeltaMergeTarget requires the delta-spark package; use "
                 "ParquetMergeTarget in environments without it"
             )
+        if cfg.soft_delete:
+            raise NotImplementedError(
+                "soft_delete is not wired into the Delta MERGE clause builder "
+                "yet — use ParquetMergeTarget/SnapshotMergeTarget (a Delta "
+                "version would map it to WHEN MATCHED AND s.__op='d' THEN "
+                "UPDATE SET __is_deleted=true)"
+            )
         self.spark = spark
         self.path = path
         self.cfg = cfg

@@ -115,6 +115,29 @@ def resolve_changes(
             | (F.col("s.source_ts_ns_order") >= F.col("t.source_ts_ns_order"))
         )
 
+    if cfg.soft_delete:
+        # matched delete → tombstone: keep the target's last known values,
+        # set the flag, advance ts/pos to the DELETE event's (the row's
+        # state changed at that instant). Unmatched deletes stay no-ops;
+        # any take_s row (including a re-insert over a tombstone) clears
+        # the flag; untouched target rows keep theirs.
+        tombstone = is_del & t_present
+        flag = (
+            F.when(tombstone, F.lit(True))
+            .when(take_s, F.lit(False))
+            .otherwise(F.coalesce(t["__is_deleted"], F.lit(False)))
+        )
+        take_seq = take_s | tombstone  # ts/pos follow the winning event
+        cols = []
+        for c in data_cols:
+            if c == "__is_deleted":
+                cols.append(flag.alias(c))
+            elif c in ("source_ts_ns_order", "pos"):
+                cols.append(F.when(take_seq, s_a[c]).otherwise(t[c]).alias(c))
+            else:
+                cols.append(F.when(take_s, s_a[c]).otherwise(t[c]).alias(c))
+        return j.filter(~(is_del & ~t_present)).select(*cols)
+
     return (
         # matched deletes drop the target row; unmatched deletes are
         # no-ops — both vanish with one filter (merge.sql:428-436).
@@ -140,6 +163,13 @@ class ParquetMergeTarget(MergeTarget):
         self.path = path.rstrip("/") or path
         self.cfg = cfg
         self.schema = augment_schema(schema)
+        if cfg.soft_delete and "__is_deleted" not in {
+            f.name for f in self.schema.fields
+        }:
+            self.schema = T.StructType(
+                list(self.schema.fields)
+                + [T.StructField("__is_deleted", T.BooleanType())]
+            )
         names = {f.name for f in self.schema.fields}
         if cfg.partition_field and cfg.partition_field not in names:
             raise ValueError(
@@ -301,6 +331,10 @@ class ParquetMergeTarget(MergeTarget):
         - ``cfg.strict_ts_guard`` adds ``source.ts >= target.ts`` to the
           update clause (the reference has no guard — SURVEY.md §2.8).
         """
+        if self.cfg.soft_delete and "__is_deleted" not in changes.columns:
+            # change-set builders don't know about the tombstone column;
+            # resolve_changes computes the real flag from the ops
+            changes = changes.withColumn("__is_deleted", F.lit(False))
         self._enforce_changes_schema(changes)
         pk = list(self.cfg.pk)
         n = self.cfg.n_buckets

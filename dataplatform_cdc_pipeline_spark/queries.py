@@ -1726,6 +1726,81 @@ FROM folded WHERE latest.op != 'd' ORDER BY user_id
 """
 
 
+def q_cdc_merge_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete merge mode (cfg.soft_delete): a matched delete KEEPS
+    the row as a tombstone — last known values preserved, ``__is_deleted``
+    set, ts/pos advanced to the delete event — instead of physically
+    removing it. Two-phase lifecycle so matched deletes actually occur
+    (phase 1 populates, phase 2's deletes tombstone phase-1 rows);
+    unmatched deletes stay no-ops, phase-2 upserts clear nothing they
+    shouldn't. The oracle rebuilds the tombstone semantics relationally:
+    a key whose phase-2 survivor is 'd' carries its PHASE-1 values with
+    the flag and the DELETE's ts/pos — resurrecting the wrong side of
+    that split diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config(soft_delete=True)
+    tmp = tempfile.mkdtemp(prefix="cdc_soft_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    for win in [(None, split), (split, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+        "__is_deleted",
+    )
+
+
+SQL_CDC_MERGE_SOFT_DELETE = f"""
+WITH r1 AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+s1 AS (SELECT user_id, event_type, value, k, ts_us, pos
+       FROM r1 WHERE rn = 1 AND op != 'd'),
+r2 AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'),
+s2 AS (SELECT * FROM r2 WHERE rn = 1)
+SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+       CASE WHEN s2.user_id IS NULL THEN s1.event_type
+            WHEN s2.op = 'd' THEN s1.event_type
+            ELSE s2.event_type END AS event_type,
+       CASE WHEN s2.user_id IS NULL THEN s1.value
+            WHEN s2.op = 'd' THEN s1.value
+            ELSE s2.value END AS value,
+       CASE WHEN s2.user_id IS NULL THEN s1.k
+            WHEN s2.op = 'd' THEN s1.k
+            ELSE s2.k END AS k,
+       CASE WHEN s2.user_id IS NULL THEN s1.ts_us ELSE s2.ts_us END AS event_ts_us,
+       CASE WHEN s2.user_id IS NULL THEN s1.pos ELSE s2.pos END AS pos,
+       coalesce(s2.op = 'd', FALSE) AS __is_deleted
+FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+WHERE NOT (s2.op = 'd' AND s1.user_id IS NULL)
+ORDER BY user_id
+"""
+
+
 def q_cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium NESTED envelope → bronze unwrap → W1 dedup-latest: the
     raw-topic ingestion path (sources/debezium.py). Discriminating bits
@@ -2360,6 +2435,7 @@ QUERIES: dict[str, callable] = {
     "cdc_txn_audit": q_cdc_txn_audit,
     "cdc_tagged_read": q_cdc_tagged_read,
     "cdc_merge_patch": q_cdc_merge_patch,
+    "cdc_merge_soft_delete": q_cdc_merge_soft_delete,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2405,6 +2481,7 @@ ORACLES: dict[str, str] = {
     "cdc_txn_audit": SQL_CDC_TXN_AUDIT,
     "cdc_tagged_read": SQL_CDC_TAGGED_READ,
     "cdc_merge_patch": SQL_CDC_MERGE_PATCH,
+    "cdc_merge_soft_delete": SQL_CDC_MERGE_SOFT_DELETE,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
