@@ -683,6 +683,77 @@ FROM a3 GROUP BY doc_id ORDER BY doc_id
 """
 
 
+MM_TOKEN_COST = {"image": 576, "audio": 1500, "video": 4096}
+
+
+def q_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-aware training-batch packing: every 4th document carries
+    an attached media asset whose modality contributes a FIXED token
+    budget (image 576 — the ViT-patch convention — audio 1500, video
+    4096) on top of the text's whitespace token count; the combined cost
+    then flows through the concat-and-chunk packer (operators/packing.py
+    — two-pass prefix sum, one int per partition collected). The packing
+    layout is what a multimodal pretraining loader consumes: chunk id +
+    offset per sample under a 2048-token budget. The oracle rebuilds the
+    cost model and the running sum relationally."""
+    from dataplatform_cdc_pipeline_spark.operators.packing import concat_and_chunk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    text_tokens = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    has_asset = F.col("doc_id") % 4 == 0
+    asset_id = F.col("doc_id") % 128
+    media = F.when(
+        has_asset,
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (asset_id % 3).cast("int") + F.lit(1),
+        ),
+    )
+    mm_cost = F.coalesce(
+        F.when(media == "image", F.lit(MM_TOKEN_COST["image"]))
+        .when(media == "audio", F.lit(MM_TOKEN_COST["audio"]))
+        .when(media == "video", F.lit(MM_TOKEN_COST["video"])),
+        F.lit(0),
+    )
+    df = docs.select(
+        "doc_id",
+        media.alias("media_type"),
+        (text_tokens + mm_cost).cast("long").alias("total_tokens"),
+    )
+    out = concat_and_chunk(
+        df, F.col("total_tokens"), order_col="doc_id", chunk_tokens=2048
+    )
+    return out.select(
+        "doc_id", "media_type", "n_tokens", "chunk_id", "chunk_offset"
+    )
+
+
+SQL_MULTIMODAL_PACKING = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN ['image', 'audio', 'video'][(doc_id % 128) % 3 + 1] END AS media_type,
+         len({TOKS}) +
+         CASE coalesce(CASE WHEN doc_id % 4 = 0
+                            THEN ['image', 'audio', 'video'][(doc_id % 128) % 3 + 1] END, '')
+              WHEN 'image' THEN {MM_TOKEN_COST['image']}
+              WHEN 'audio' THEN {MM_TOKEN_COST['audio']}
+              WHEN 'video' THEN {MM_TOKEN_COST['video']}
+              ELSE 0 END AS n_tokens
+  FROM documents),
+run AS (
+  SELECT doc_id, media_type, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tokens_before
+  FROM base)
+SELECT doc_id, media_type, n_tokens::BIGINT AS n_tokens,
+       (tokens_before // 2048)::BIGINT AS chunk_id,
+       (tokens_before % 2048)::BIGINT AS chunk_offset
+FROM run
+"""
+
+
 LSH_RECALL_DF_CAP = 50
 
 
@@ -2107,6 +2178,7 @@ LLM_QUERIES = {
     "bpe_encode": q_bpe_encode,
     "ivf_sq8_recall_eval": q_ivf_sq8_recall_eval,
     "lsh_recall_eval": q_lsh_recall_eval,
+    "multimodal_packing": q_multimodal_packing,
     "interdoc_repetition": q_interdoc_repetition,
 }
 
@@ -2154,5 +2226,6 @@ LLM_ORACLES = {
     "bpe_encode": SQL_BPE_ENCODE,
     "ivf_sq8_recall_eval": SQL_IVF_SQ8_RECALL_EVAL,
     "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
+    "multimodal_packing": SQL_MULTIMODAL_PACKING,
     "interdoc_repetition": SQL_INTERDOC_REPETITION,
 }
