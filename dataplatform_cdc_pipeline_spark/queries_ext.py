@@ -1298,6 +1298,206 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 ORDER BY user_id, event_id
 """
 
+WEEK_US = 7 * 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# scalar-function compatibility matrix
+# ---------------------------------------------------------------------------
+
+#: (name, Spark SQL expression, DuckDB SQL expression) — every row is
+#: COMPUTED by each engine over fixed inputs and string-compared, so this
+#: is an executable function-semantics contract, not a table of expected
+#: answers. Functions with known cross-engine divergence (round's
+#: half-up vs half-even, locale-dependent formatting) are deliberately
+#: absent — the engine's numeric conventions route around them
+#: (floor-scaling, DECIMAL sums; see queries.py docstring).
+SCALAR_MATRIX: list[tuple[str, str, str]] = [
+    ("length_unicode", "length('héllo')", "length('héllo')"),
+    ("upper", "upper('aBc')", "upper('aBc')"),
+    ("substr_1based", "substr('abcdef', 2, 3)", "substr('abcdef', 2, 3)"),
+    ("strpos", "cast(instr('abcdef', 'cd') as string)", "strpos('abcdef', 'cd')::VARCHAR"),
+    ("replace", "replace('banana', 'na', 'xy')", "replace('banana', 'na', 'xy')"),
+    ("lpad_trunc", "lpad('abc', 2, '_')", "lpad('abc', 2, '_')"),
+    ("rpad", "rpad('ab', 5, 'xy')", "rpad('ab', 5, 'xy')"),
+    ("translate", "translate('abcba', 'ab', 'xy')", "translate('abcba', 'ab', 'xy')"),
+    ("btrim", "trim(BOTH 'x' FROM 'xxaxx')", "trim('xxaxx', 'x')"),
+    ("split_size", "cast(size(split('a,b,,c', ',')) as string)", "len(string_split('a,b,,c', ','))::VARCHAR"),
+    ("regexp_extract", "regexp_extract('foo123bar', '([0-9]+)', 1)", "regexp_extract('foo123bar', '([0-9]+)', 1)"),
+    ("concat_ws_skips_null", "concat_ws('-', 'a', cast(null as string), 'b')", "concat_ws('-', 'a', NULL, 'b')"),
+    ("reverse", "reverse('abc')", "reverse('abc')"),
+    ("repeat", "repeat('ab', 3)", "repeat('ab', 3)"),
+    ("mod_sign", "cast(-7 % 3 as string)", "(-7 % 3)::VARCHAR"),
+    ("floor_neg", "cast(floor(-1.5) as string)", "floor(-1.5)::BIGINT::VARCHAR"),
+    ("ceil_neg", "cast(ceil(-1.5) as string)", "ceil(-1.5)::BIGINT::VARCHAR"),
+    ("power_int", "cast(cast(pow(2, 10) as long) as string)", "pow(2, 10)::BIGINT::VARCHAR"),
+    ("date_add_days", "cast(date_add(date'2024-02-27', 3) as string)", "(DATE '2024-02-27' + 3)::VARCHAR"),
+    ("add_months_clamps", "cast(add_months(date'2024-01-31', 1) as string)", "(DATE '2024-01-31' + INTERVAL 1 MONTH)::DATE::VARCHAR"),
+    ("datediff_days", "cast(datediff(date'2024-03-01', date'2024-02-01') as string)", "date_diff('day', DATE '2024-02-01', DATE '2024-03-01')::VARCHAR"),
+    ("last_day", "cast(last_day(date'2024-02-05') as string)", "last_day(DATE '2024-02-05')::VARCHAR"),
+    ("date_trunc_month", "cast(cast(date_trunc('month', timestamp'2024-02-15 10:30:00') as date) as string)", "date_trunc('month', TIMESTAMP '2024-02-15 10:30:00')::DATE::VARCHAR"),
+    ("md5_hex", "md5('abc')", "md5('abc')"),
+    ("coalesce_nullif", "coalesce(nullif('a', 'a'), 'b')", "coalesce(nullif('a', 'a'), 'b')"),
+    ("greatest", "cast(greatest(1, 9, 4) as string)", "greatest(1, 9, 4)::VARCHAR"),
+]
+
+
+def q_scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable scalar-function compatibility contract: 26 string /
+    numeric / date functions evaluated by BOTH engines over fixed inputs
+    and string-compared — substr 1-basing, lpad truncation, modulo sign,
+    add_months end-of-month clamping, concat_ws NULL skipping, etc. Any
+    engine-semantics drift (an upgrade changing a corner case) fails the
+    hash immediately. The deliberate absences are documented at
+    SCALAR_MATRIX."""
+    exprs = ", ".join(
+        f"'{name}', cast(({spark_sql}) as string)" for name, spark_sql, _ in SCALAR_MATRIX
+    )
+    return spark.range(1).selectExpr(
+        f"stack({len(SCALAR_MATRIX)}, {exprs}) AS (fn, result)"
+    )
+
+
+SQL_SCALAR_FUNCTION_MATRIX = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS fn, ({duck_sql})::VARCHAR AS result"
+    for name, _, duck_sql in SCALAR_MATRIX
+)
+
+
+# ---------------------------------------------------------------------------
+# growth accounting (new / retained / resurrected / churned per week)
+# ---------------------------------------------------------------------------
+
+
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every product dashboard's four numbers:
+    per epoch-week, users who are NEW (first activity), RETAINED (also
+    active the prior week), RESURRECTED (returning after a gap), and
+    CHURNED (active the prior week, absent this week). One distinct
+    (user, week) pass, one lag/lead window per user, then each activity
+    row emits its own classification plus — when the user's next active
+    week isn't the immediate successor — a churn event at week+1 (capped
+    at the corpus's last week); a single groupBy folds both event kinds.
+    All week arithmetic in epoch-indexed integers."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week_idx")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week_idx")
+    gmax = ev.agg(F.max("week_idx").alias("gmax"))
+    df = (
+        ev.withColumn("prev_w", F.lag("week_idx").over(w))
+        .withColumn("next_w", F.lead("week_idx").over(w))
+        .crossJoin(F.broadcast(gmax))
+    )
+    status = (
+        F.when(F.col("prev_w").isNull(), F.lit("new"))
+        .when(F.col("prev_w") == F.col("week_idx") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    activity = df.select(F.col("week_idx").alias("week"), status.alias("kind"))
+    churn = df.filter(
+        (F.col("next_w").isNull() | (F.col("next_w") > F.col("week_idx") + 1))
+        & (F.col("week_idx") + 1 <= F.col("gmax"))
+    ).select((F.col("week_idx") + 1).alias("week"), F.lit("churned").alias("kind"))
+    return (
+        activity.unionByName(churn)
+        .groupBy("week")
+        .agg(
+            F.sum((F.col("kind") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("kind") == "retained").cast("long")).alias("n_retained"),
+            F.sum((F.col("kind") == "resurrected").cast("long")).alias("n_resurrected"),
+            F.sum((F.col("kind") == "churned").cast("long")).alias("n_churned"),
+        )
+    )
+
+
+SQL_EVENTS_GROWTH_ACCOUNTING = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // {WEEK_US} AS week_idx
+  FROM events),
+marked AS (
+  SELECT user_id, week_idx,
+         lag(week_idx) OVER w AS prev_w,
+         lead(week_idx) OVER w AS next_w,
+         (SELECT max(week_idx) FROM ev) AS gmax
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY week_idx)),
+kinds AS (
+  SELECT week_idx AS week,
+         CASE WHEN prev_w IS NULL THEN 'new'
+              WHEN prev_w = week_idx - 1 THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM marked
+  UNION ALL
+  SELECT week_idx + 1, 'churned'
+  FROM marked
+  WHERE (next_w IS NULL OR next_w > week_idx + 1) AND week_idx + 1 <= gmax)
+SELECT week,
+       sum((kind = 'new')::INT)::BIGINT AS n_new,
+       sum((kind = 'retained')::INT)::BIGINT AS n_retained,
+       sum((kind = 'resurrected')::INT)::BIGINT AS n_resurrected,
+       sum((kind = 'churned')::INT)::BIGINT AS n_churned
+FROM kinds GROUP BY week
+"""
+
+
+# ---------------------------------------------------------------------------
+# bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+
+def q_events_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics — the ALL variants customer_set_ops's
+    DISTINCT forms don't cover: between the click and view event streams'
+    (user, day) bags, INTERSECT ALL keeps the MINIMUM multiplicity and
+    EXCEPT ALL subtracts multiplicities (both can keep duplicates a
+    DISTINCT set op would collapse). Output: per-op row counts plus a
+    multiplicity-weighted checksum so the bag cardinalities, not just
+    membership, are hash-pinned."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "day_idx")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "day_idx")
+    inter = clicks.intersectAll(views)
+    minus = clicks.exceptAll(views)
+    chk = (F.col("user_id") * 100_000 + F.col("day_idx")).cast("decimal(38,0)")
+    return (
+        inter.agg(
+            F.lit("intersect_all").alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(chk).cast("long").alias("checksum"),
+        )
+        .unionByName(
+            minus.agg(
+                F.lit("except_all").alias("op"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(chk).cast("long").alias("checksum"),
+            )
+        )
+    )
+
+
+SQL_EVENTS_BAG_SET_OPS = """
+WITH ev AS (
+  SELECT event_type, user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day_idx
+  FROM events),
+c AS (SELECT user_id, day_idx FROM ev WHERE event_type = 'click'),
+v AS (SELECT user_id, day_idx FROM ev WHERE event_type = 'view'),
+i AS (SELECT * FROM c INTERSECT ALL SELECT * FROM v),
+m AS (SELECT * FROM c EXCEPT ALL SELECT * FROM v)
+SELECT 'intersect_all' AS op, count(*)::BIGINT AS n_rows,
+       sum((user_id * 100000 + day_idx)::HUGEINT)::BIGINT AS checksum FROM i
+UNION ALL
+SELECT 'except_all', count(*)::BIGINT,
+       sum((user_id * 100000 + day_idx)::HUGEINT)::BIGINT FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # gaps-and-islands: merge overlapping activity intervals
 # ---------------------------------------------------------------------------
@@ -1412,7 +1612,6 @@ FROM documents
 # cohort retention matrix (two-level distinct aggregation)
 # ---------------------------------------------------------------------------
 
-WEEK_US = 7 * 86_400_000_000
 
 
 def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2040,6 +2239,9 @@ EXT_QUERIES = {
     "asof_next_error": q_asof_next_error,
     "stream_txn_merge": q_stream_txn_merge,
     "events_intervals_merged": q_events_intervals_merged,
+    "events_growth_accounting": q_events_growth_accounting,
+    "scalar_function_matrix": q_scalar_function_matrix,
+    "events_bag_set_ops": q_events_bag_set_ops,
     "doc_global_ids": q_doc_global_ids,
 }
 
@@ -2091,6 +2293,9 @@ EXT_ORACLES = {
     "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
     "asof_next_error": SQL_ASOF_NEXT_ERROR,
     "events_intervals_merged": SQL_EVENTS_INTERVALS_MERGED,
+    "events_growth_accounting": SQL_EVENTS_GROWTH_ACCOUNTING,
+    "scalar_function_matrix": SQL_SCALAR_FUNCTION_MATRIX,
+    "events_bag_set_ops": SQL_EVENTS_BAG_SET_OPS,
     "doc_global_ids": SQL_DOC_GLOBAL_IDS,
 }
 
