@@ -86,6 +86,13 @@ HEADLINE = [
     "events_grouping_sets", "events_retention_cohorts", "asof_next_error",
     "cdc_canal_ingest", "cdc_change_feed", "supplier_triangles",
     "stream_scd2_enrich", "jsonl_documents_ingest", "csv_documents_ingest",
+    # r6 additions (fourth wave)
+    "unshipped_priority", "forecast_revenue", "important_parts",
+    "order_window_suite", "cdc_txn_audit", "stream_txn_merge",
+    "events_intervals_merged", "doc_global_ids", "lsh_recall_eval",
+    "cdc_tagged_read", "cdc_merge_patch", "cdc_merge_soft_delete",
+    "multimodal_packing", "events_growth_accounting", "events_bag_set_ops",
+    "scalar_function_matrix",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number
