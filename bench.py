@@ -92,7 +92,7 @@ HEADLINE = [
     "events_intervals_merged", "doc_global_ids", "lsh_recall_eval",
     "cdc_tagged_read", "cdc_merge_patch", "cdc_merge_soft_delete",
     "multimodal_packing", "events_growth_accounting", "events_bag_set_ops",
-    "scalar_function_matrix",
+    "scalar_function_matrix", "stream_late_data_drop",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

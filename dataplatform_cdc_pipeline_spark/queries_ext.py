@@ -1444,6 +1444,90 @@ FROM kinds GROUP BY week
 
 
 # ---------------------------------------------------------------------------
+# watermark late-data DROP (out-of-order micro-batches, append mode)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming guarantee every other stream query here CANNOT show:
+    rows that arrive after the watermark FINALIZED their window are
+    dropped. Measured Spark semantics (instrumented via
+    numRowsDroppedByWatermark): a late row is discarded only when its
+    window's state was already evicted in an EARLIER batch — eviction
+    runs at the END of a batch with that batch's watermark, so a late
+    row landing in the same batch that first sees the advanced watermark
+    still merges before eviction. The feed is therefore staged as FIVE
+    mtime-ordered single-file micro-batches: (1) everything except a
+    3-hour band below the corpus max — sets the watermark to max−2h at
+    its end; (2) a '__tick' row at the corpus max whose batch's eviction
+    finalizes every window ending ≤ max−2h; (3) the band itself, now
+    late — rows in finalized windows DROP, rows in still-open windows
+    count; (4)+(5) far-future '__sentinel' rows advancing the watermark
+    so every real window emits (append mode emits exactly once). The
+    synthetic '__'-prefixed rows are excluded from the result; the
+    oracle recomputes the keep/drop boundary relationally —
+    bucket(ts)+1h > max(ts)−2h — so the engine's exact late-row rule is
+    what the hash verifies."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from dataplatform_cdc_pipeline_spark.streaming.windowed import (
+        stream_tumbling_counts_append,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    m = ev.agg(F.max("ts")).first()[0]  # feed-construction scalar (bounded)
+    band_lo = m - _dt.timedelta(hours=4)
+    band_hi = m - _dt.timedelta(hours=1)
+    in_band = (F.col("ts") > band_lo) & (F.col("ts") <= band_hi)
+    tmp = tempfile.mkdtemp(prefix="cdc_late_")
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        d = f"{tmp}/stage_{name}"
+        df.coalesce(1).write.parquet(d)
+        part = _glob.glob(f"{d}/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.move(part, dest)
+        _os.utime(dest, (mtime, mtime))
+
+    t0 = 1_000_000_000  # fixed mtime base: ordering is the contract
+    row_schema = "event_type string, value double, ts timestamp"
+
+    # NB file names must not start with '_' or '.' — Spark's listing
+    # treats those as hidden metadata (like _SUCCESS) and silently skips
+    # them; only the event_type VALUES carry the '__' marker
+    def synth(kind: str, fname: str, ts, mtime: float) -> None:
+        stage(spark.createDataFrame([(kind, 0.0, ts)], row_schema), fname, mtime)
+
+    stage(ev.filter(~in_band), "a_ontime", t0)
+    # the tick batch's eviction finalizes every pre-watermark window
+    synth("__tick", "b_tick", m, t0 + 100)
+    stage(ev.filter(in_band), "c_late", t0 + 200)
+    synth("__sentinel", "d_sentinel1", m + _dt.timedelta(days=10), t0 + 300)
+    synth("__sentinel", "e_sentinel2", m + _dt.timedelta(days=20), t0 + 400)
+    out = stream_tumbling_counts_append(spark, src, row_schema)
+    return out.filter(~F.col("event_type").startswith("__"))
+
+
+SQL_STREAM_LATE_DATA_DROP = """
+WITH m AS (SELECT max(ts::TIMESTAMP) AS mx FROM events),
+ev AS (SELECT event_type, value, ts::TIMESTAMP AS ts FROM events),
+kept AS (
+  SELECT ev.* FROM ev, m
+  WHERE NOT (ts > mx - INTERVAL 4 HOUR AND ts <= mx - INTERVAL 1 HOUR)
+     OR time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR > mx - INTERVAL 2 HOUR)
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type, count(*) AS n,
+       round(sum(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS total_value
+FROM kept GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)
 # ---------------------------------------------------------------------------
 
@@ -2242,6 +2326,7 @@ EXT_QUERIES = {
     "events_growth_accounting": q_events_growth_accounting,
     "scalar_function_matrix": q_scalar_function_matrix,
     "events_bag_set_ops": q_events_bag_set_ops,
+    "stream_late_data_drop": q_stream_late_data_drop,
     "doc_global_ids": q_doc_global_ids,
 }
 
@@ -2296,6 +2381,7 @@ EXT_ORACLES = {
     "events_growth_accounting": SQL_EVENTS_GROWTH_ACCOUNTING,
     "scalar_function_matrix": SQL_SCALAR_FUNCTION_MATRIX,
     "events_bag_set_ops": SQL_EVENTS_BAG_SET_OPS,
+    "stream_late_data_drop": SQL_STREAM_LATE_DATA_DROP,
     "doc_global_ids": SQL_DOC_GLOBAL_IDS,
 }
 

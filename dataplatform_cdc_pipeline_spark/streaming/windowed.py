@@ -98,3 +98,55 @@ def stream_session_windows(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_tumbling_counts_append(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """APPEND-mode tumbling aggregation with one-file-per-micro-batch —
+    the variant that actually exercises watermark semantics (the
+    complete-mode twin above cannot drop anything: every batch re-emits
+    full state). Files process in modification-time order, so a caller
+    staging out-of-order files with staggered mtimes gets deterministic
+    batch boundaries: rows arriving after the watermark passed their
+    window's end are DROPPED, windows emit exactly once when the
+    watermark passes them, and windows the final watermark never passes
+    (e.g. a trailing sentinel's own) are held back forever."""
+    name = f"wta_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            group_col,
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
