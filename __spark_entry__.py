@@ -89,7 +89,7 @@ _PRIORITY = [
     "events_intervals_merged", "doc_global_ids", "cdc_tagged_read",
     "cdc_merge_patch", "cdc_merge_soft_delete", "multimodal_packing",
     "events_growth_accounting", "events_bag_set_ops",
-    "scalar_function_matrix", "stream_late_data_drop",
+    "scalar_function_matrix", "stream_late_data_drop", "text_normalize", "langid_confusion", "corpus_dedup_funnel",
     # … then the r4-green leftovers (r7's rotation cohort) …
     "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",

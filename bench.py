@@ -93,6 +93,7 @@ HEADLINE = [
     "cdc_tagged_read", "cdc_merge_patch", "cdc_merge_soft_delete",
     "multimodal_packing", "events_growth_accounting", "events_bag_set_ops",
     "scalar_function_matrix", "stream_late_data_drop",
+    "text_normalize", "langid_confusion", "corpus_dedup_funnel",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

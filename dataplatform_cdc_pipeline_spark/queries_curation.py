@@ -279,7 +279,55 @@ SQL_CROSS_CORPUS_DEDUP = _cross_corpus_sql()
 # registry
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (operators/normalize.py)
+# ---------------------------------------------------------------------------
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization end-to-end (operators/normalize.py):
+    every document is deliberately dirtied — a decomposed e + combining
+    acute (NFC must compose it, shrinking the string), a BEL control
+    (must vanish), tab + double-space runs (must collapse) — then
+    cleaned through controls -> NFC -> whitespace. Per-doc before/after
+    lengths and the MD5 of the normalized text hash-gate all three
+    layers against DuckDB's independent nfc_normalize. The NFC UDF is
+    the repo's one documented unavoidable Python stage (Spark has no
+    built-in Unicode normalization), Arrow-batched."""
+    from dataplatform_cdc_pipeline_spark.operators.normalize import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("Cafe\u0301 \t"), F.lit("\x07"), F.col("text"), F.lit("  ")
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    return d.select(
+        "doc_id",
+        F.length("dirty").alias("len_dirty"),
+        F.length(normalize_text(F.col("dirty"))).alias("len_norm"),
+        F.md5(normalize_text(F.col("dirty"))).alias("norm_md5"),
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH d AS (
+  SELECT doc_id,
+         'Cafe' || chr(769) || ' ' || chr(9) || chr(7) || text || '  ' AS dirty
+  FROM documents),
+n AS (
+  SELECT doc_id, length(dirty) AS len_dirty,
+         trim(regexp_replace(
+           nfc_normalize(regexp_replace(dirty,
+             '[\x00-\x08\x0b\x0c\x0e-\x1f-]', '', 'g')),
+           '\s+', ' ', 'g')) AS norm
+  FROM d)
+SELECT doc_id, len_dirty, length(norm) AS len_norm, md5(norm) AS norm_md5
+FROM n
+"""
+
 CURATION_QUERIES = {
+    "text_normalize": q_text_normalize,
     "pii_redaction": q_pii_redaction,
     "quality_funnel": q_quality_funnel,
     "corpus_split": q_corpus_split,
@@ -291,6 +339,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_ORACLES = {
+    "text_normalize": SQL_TEXT_NORMALIZE,
     "pii_redaction": SQL_PII_REDACTION,
     "quality_funnel": SQL_QUALITY_FUNNEL,
     "corpus_split": SQL_CORPUS_SPLIT,

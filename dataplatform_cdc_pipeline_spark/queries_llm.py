@@ -154,6 +154,56 @@ FROM s ORDER BY doc_id
 SQL_TEXT_LANGID = _langid_sql()
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality eval for the stopword language identifier: the
+    full confusion matrix (label × prediction → count) plus per-cell
+    recall against the corpus's labeled ``lang`` column, in exact ppm.
+    The eval shape every curation filter needs before it gates a corpus;
+    one groupBy over the scored frame, label marginals joined back
+    broadcast."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+        language_id_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("lang").alias("lang_label"),
+        language_id_expr("text").alias("lang_pred"),
+    )
+    cells = scored.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marginals = scored.groupBy("lang_label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    return (
+        cells.join(F.broadcast(marginals), "lang_label")
+        .withColumn("cell_ppm", F.expr("(n * 1000000) div n_label"))
+        .select("lang_label", "lang_pred", "n", "cell_ppm")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    counts, case = _langid_fragments()
+    return f"""
+WITH t AS (SELECT doc_id, lang, text, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+         {counts}
+      FROM t),
+scored AS (SELECT lang AS lang_label, {case} AS lang_pred FROM s),
+cells AS (
+  SELECT lang_label, lang_pred, count(*) AS n
+  FROM scored GROUP BY lang_label, lang_pred),
+marg AS (SELECT lang_label, count(*) AS n_label FROM scored GROUP BY lang_label)
+SELECT cells.lang_label, lang_pred, n,
+       (n * 1000000 // n_label)::BIGINT AS cell_ppm
+FROM cells JOIN marg ON cells.lang_label = marg.lang_label
+"""
+
+
+SQL_LANGID_CONFUSION = _langid_confusion_sql()
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.text_analysis import fingerprint_frame
 
@@ -368,6 +418,105 @@ r AS (
   FROM j)
 SELECT canonical_id, doc_id AS keep_doc_id, cluster_size, quality_score AS keep_quality
 FROM r WHERE rn = 1 ORDER BY canonical_id
+"""
+
+
+def q_corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup pipeline a corpus actually runs, as one
+    staged funnel: raw corpus → exact content-hash dedup (min-id
+    canonical survives) → near-dup removal (MinHash-LSH τ=0.9 pairs
+    restricted to the exact survivors, connected components,
+    quality-argmax keep). Each stage reports docs and whitespace tokens
+    remaining — the "how much data did dedup cost me" numbers. Composes
+    four operator families (hashing, LSH, iterative CC, quality scoring)
+    through real data-dependent stage boundaries; the oracle re-derives
+    every stage including the recursive components."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+        quality_score_expr,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import (
+        dedup_clusters,
+        exact_dedup,
+        keep_best_per_cluster,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    base = docs.select("doc_id", "text", toks.alias("n_tokens"))
+
+    def stage_row(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+
+    exact = exact_dedup(docs).filter(F.col("doc_id") == F.col("canonical_id"))
+    survivors = base.join(exact.select("doc_id"), "doc_id")
+    sv_ids = exact.select("doc_id")
+    pairs = (
+        scored_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .join(sv_ids.select(F.col("doc_id").alias("id_a")), "id_a")
+        .join(sv_ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    clusters = dedup_clusters(pairs, survivors)
+    quality = survivors.select(
+        "doc_id", quality_score_expr("text").alias("quality_score")
+    )
+    winners = keep_best_per_cluster(clusters, quality)
+    final = base.join(
+        winners.select(F.col("keep_doc_id").alias("doc_id")), "doc_id"
+    )
+    return (
+        stage_row(base, "raw", 1)
+        .unionByName(stage_row(survivors, "exact_dedup", 2))
+        .unionByName(stage_row(final, "near_dedup", 3))
+    )
+
+
+SQL_CORPUS_DEDUP_FUNNEL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, len({TOKS}) AS n_tokens FROM documents),
+ex AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM documents),
+sv AS (SELECT doc_id FROM ex WHERE doc_id = canonical_id),
+allpairs AS ({_PAIRS_SQL_NO_ORDER}),
+pairs AS (
+  SELECT id_a, id_b FROM allpairs
+  WHERE id_a IN (SELECT doc_id FROM sv) AND id_b IN (SELECT doc_id FROM sv)),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node),
+comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node),
+clusters AS (
+  SELECT sv.doc_id, coalesce(comp.canonical, sv.doc_id) AS canonical_id
+  FROM sv LEFT JOIN comp ON sv.doc_id = comp.node),
+{_QUALITY_CTE},
+jq AS (
+  SELECT cl.doc_id, cl.canonical_id, q.quality_score
+  FROM clusters cl JOIN qual q USING (doc_id)),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY canonical_id
+                               ORDER BY quality_score DESC, doc_id) AS rn
+  FROM jq),
+final AS (SELECT doc_id FROM rk WHERE rn = 1)
+SELECT 'raw' AS stage, 1 AS stage_idx, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens FROM tok
+UNION ALL
+SELECT 'exact_dedup', 2, count(*)::BIGINT, sum(n_tokens)::BIGINT
+FROM tok JOIN sv USING (doc_id)
+UNION ALL
+SELECT 'near_dedup', 3, count(*)::BIGINT, sum(n_tokens)::BIGINT
+FROM tok JOIN final USING (doc_id)
 """
 
 
@@ -2191,6 +2340,8 @@ LLM_QUERIES = {
     "ivf_sq8_recall_eval": q_ivf_sq8_recall_eval,
     "lsh_recall_eval": q_lsh_recall_eval,
     "multimodal_packing": q_multimodal_packing,
+    "langid_confusion": q_langid_confusion,
+    "corpus_dedup_funnel": q_corpus_dedup_funnel,
     "interdoc_repetition": q_interdoc_repetition,
 }
 
@@ -2239,5 +2390,7 @@ LLM_ORACLES = {
     "ivf_sq8_recall_eval": SQL_IVF_SQ8_RECALL_EVAL,
     "lsh_recall_eval": SQL_LSH_RECALL_EVAL,
     "multimodal_packing": SQL_MULTIMODAL_PACKING,
+    "langid_confusion": SQL_LANGID_CONFUSION,
+    "corpus_dedup_funnel": SQL_CORPUS_DEDUP_FUNNEL,
     "interdoc_repetition": SQL_INTERDOC_REPETITION,
 }
