@@ -26,16 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry priority. The driver's correctness gate checks the FIRST 50
 #: entries in dict order (observed r2-r5: exactly 50), so ordering is part
-#: of the verification contract. The registry (166 entries after the r6
+#: of the verification contract. The registry (167 entries after the r6
 #: second session) has outgrown even a three-round × 50-slot rotation —
-#: ceil(166/50) = 4 — so from r7 the invariant is FOUR rounds: every entry
+#: ceil(167/50) = 4 — so from r7 the invariant is FOUR rounds: every entry
 #: has a driver-green row within the last four rounds, never-verified
 #: entries always outrank stale ones, and the CONTINUOUS gate remains the
 #: local full sweeps (check_parity.py + driver_sim.py over ALL entries,
 #: run every session — both ALL MATCH as of the r6 second session).
 #: r7 window arithmetic: 13 pinned core + 37 oldest never-verified tail
-#: entries (the tail below holds 41 never-verified: 4 r6-late + 37 from
-#: the r6 second session, already ordered oldest-first); the remaining 4
+#: entries (the tail below holds 42 never-verified: 4 r6-late + 38 from
+#: the r6 second session, already ordered oldest-first); the remaining 5
 #: plus the r4-green cohort take r8.
 #: The r6 window is EXACTLY 50 entries:
 #:   1-13   the §2 CDC core — oracle-checked every round, pinned;
@@ -97,6 +97,7 @@ _PRIORITY = [
     "cdc_merge_patch", "cdc_merge_soft_delete", "multimodal_packing",
     "events_growth_accounting", "events_bag_set_ops",
     "scalar_function_matrix", "stream_late_data_drop", "text_normalize", "langid_confusion", "corpus_dedup_funnel",
+    "cdc_retention_sweep",
     # … then the r4-green leftovers (r7's rotation cohort) …
     "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",

@@ -94,6 +94,7 @@ HEADLINE = [
     "multimodal_packing", "events_growth_accounting", "events_bag_set_ops",
     "scalar_function_matrix", "stream_late_data_drop",
     "text_normalize", "langid_confusion", "corpus_dedup_funnel",
+    "cdc_retention_sweep",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

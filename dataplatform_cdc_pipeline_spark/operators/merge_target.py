@@ -591,6 +591,49 @@ class ParquetMergeTarget(MergeTarget):
         self._commit(merged, all_buckets, expected_version=v0, sort_exprs=sort_exprs)
         return n
 
+    def erase_rows(self, predicate) -> int:
+        """Hard-delete rows matching ``predicate`` OUTSIDE the CDC flow —
+        the compliance/retention primitive (GDPR erasure, data-retention
+        sweeps) the reference has no equivalent for (its deletes only
+        arrive as CDC 'd' events; a regulator's deadline doesn't).
+
+        Bucket-pruned like a merge: one aggregate finds the buckets that
+        actually hold matches (≤ n_buckets ints to the driver), only
+        those rewrite through the ordinary staged commit — unaffected
+        buckets are untouched, concurrency and crash semantics are the
+        commit path's own. Returns the number of rows erased.
+
+        Snapshot-sink caveat (documented, tested): erasure creates a NEW
+        version; prior versions still contain the rows until
+        ``vacuum(retain_last=1)`` expires them — compliance erasure there
+        is erase_rows + vacuum, and time travel across the erasure is
+        deliberately destroyed. Tags pinning old versions must be
+        deleted first or vacuum will (correctly) refuse to reclaim them.
+        """
+        pk = list(self.cfg.pk)
+        n = self.cfg.n_buckets
+        v0 = self._read_version()
+        cur = self.read().withColumn(BUCKET_COL, bucket_expr(pk, n))
+        stats = cur.filter(predicate).agg(
+            F.count(F.lit(1)).alias("n"), F.collect_set(BUCKET_COL).alias("buckets")
+        ).first()
+        n_erased, affected = stats["n"], sorted(stats["buckets"] or [])
+        if not affected:
+            return 0
+        kept = (
+            self.read(buckets=affected)
+            .filter(~predicate)
+            .withColumn(BUCKET_COL, bucket_expr(pk, n))
+        )
+        if self.cfg.partition_field:
+            kept = kept.withColumn(
+                PDATE_COL, F.to_date(F.col(self.cfg.partition_field))
+            )
+        # the rewrite must not observe its own commit's directory swap
+        kept = kept.localCheckpoint(eager=True)
+        self._commit(kept, affected, expected_version=v0)
+        return n_erased
+
     def vacuum(self) -> list[str]:
         """Remove orphaned staging directories left by crashed commits.
 

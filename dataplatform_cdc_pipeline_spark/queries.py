@@ -1629,6 +1629,60 @@ def q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_TAGGED_READ = SQL_CDC_TIME_TRAVEL_READ
 
 
+_RETENTION_CUTOFF = "2024-01-20 00:00:00"
+
+
+def q_cdc_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention enforcement (ParquetMergeTarget.erase_rows): after the
+    full merge, every state row whose latest event predates the cutoff
+    is HARD-DELETED outside the CDC flow — the GDPR/retention primitive
+    the reference lacks (its deletes only arrive as CDC events). The
+    erase is bucket-pruned and rides the ordinary staged commit; the
+    oracle recomputes the surviving state relationally (latest per key,
+    non-delete, ts ≥ cutoff), so an over- or under-erase diverges the
+    hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_ret_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_merge(
+        spark, cfg, target, audit, raw=raw, window=(None, None),
+        deterministic_audit=True,
+    )
+    target.erase_rows(F.col("source_ts_ns_order") < _RETENTION_CUTOFF)
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_RETENTION_SWEEP = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked
+WHERE rn = 1 AND op != 'd'
+  AND event_ts_us >= epoch_us(TIMESTAMP '{_RETENTION_CUTOFF}')
+ORDER BY user_id
+"""
+
+
 def q_cdc_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-image (patch) CDC merge (plans/patch.patch_fold): updates
     arrive SPARSE — value absent when event_id%3=0, k absent when
@@ -2436,6 +2490,7 @@ QUERIES: dict[str, callable] = {
     "cdc_tagged_read": q_cdc_tagged_read,
     "cdc_merge_patch": q_cdc_merge_patch,
     "cdc_merge_soft_delete": q_cdc_merge_soft_delete,
+    "cdc_retention_sweep": q_cdc_retention_sweep,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2482,6 +2537,7 @@ ORACLES: dict[str, str] = {
     "cdc_tagged_read": SQL_CDC_TAGGED_READ,
     "cdc_merge_patch": SQL_CDC_MERGE_PATCH,
     "cdc_merge_soft_delete": SQL_CDC_MERGE_SOFT_DELETE,
+    "cdc_retention_sweep": SQL_CDC_RETENTION_SWEEP,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,

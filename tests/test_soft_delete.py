@@ -44,3 +44,43 @@ def test_soft_delete_on_snapshot_sink(spark, tmp_path):
     assert sorted(
         (r["user_id"], r["__is_deleted"]) for r in t.read(version=1).collect()
     ) == [(1, False)]
+
+
+def test_erase_rows_compliance_lifecycle(spark, tmp_path):
+    """erase_rows: bucket-pruned hard delete outside the CDC flow; on the
+    snapshot sink prior versions retain the rows until vacuum, and a tag
+    pinning an old version blocks reclamation until deleted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    cfg = user_state_config()
+    t = SnapshotMergeTarget(spark, str(tmp_path / "t"), cfg, USER_STATE_SCHEMA)
+    t.merge(changes(spark, [("c", k, float(k), 0, k) for k in range(1, 11)]))
+    t.create_tag("pre-erasure")
+    n = t.erase_rows(F.col("user_id") <= 3)
+    assert n == 3
+    assert sorted(r["user_id"] for r in t.read().collect()) == list(range(4, 11))
+    # prior version (and the tag) still expose the erased rows...
+    assert t.read(tag="pre-erasure").count() == 10
+    # ...so compliance completion = delete the tag + vacuum
+    t.delete_tag("pre-erasure")
+    t.vacuum(retain_last=1)
+    with pytest.raises(ValueError, match="not in log"):
+        t.read(version=1)
+    # idempotent: no matches -> no new version
+    v = t._read_version()
+    assert t.erase_rows(F.col("user_id") <= 3) == 0
+    assert t._read_version() == v
+
+
+def test_erase_rows_swap_sink(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cfg = user_state_config()
+    t = ParquetMergeTarget(spark, str(tmp_path / "p"), cfg, USER_STATE_SCHEMA)
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2)]))
+    assert t.erase_rows(F.col("value") > 1.5) == 1
+    assert sorted(r["user_id"] for r in t.read().collect()) == [1]
+    # a later CDC merge still applies normally after the sweep
+    t.merge(changes(spark, [("u", 1, 9.0, 5, 3)]))
+    assert [(r["user_id"], r["value"]) for r in t.read().collect()] == [(1, 9.0)]
