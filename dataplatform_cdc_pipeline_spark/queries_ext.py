@@ -1543,6 +1543,72 @@ FROM kept GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# streaming LEFT OUTER interval join (watermark-proven NULL emission)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution: purchases with their
+    prior-hour clicks AND — the outer part no inner join exercises —
+    purchases with no click emitted NULL-padded once the watermark
+    proves no match can arrive. Two far-future sentinel batches advance
+    BOTH sides' watermarks (the global watermark is their MIN) and give
+    the state a batch to flush into; the drained result must hash-equal
+    the batch LEFT JOIN. Unmatched purchases really exist in the data,
+    so the NULL-padding path is load-bearing, not vacuous."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from dataplatform_cdc_pipeline_spark.streaming.joins import (
+        stream_left_outer_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    m = ev.agg(F.max("ts")).first()[0]
+    tmp = tempfile.mkdtemp(prefix="cdc_soj_")
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        d = f"{tmp}/stage_{name}"
+        df.coalesce(1).write.parquet(d)
+        part = _glob.glob(f"{d}/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.move(part, dest)
+        _os.utime(dest, (mtime, mtime))
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stage(ev, "a_events", 1_000_000_000)
+    for i, days in enumerate((10, 20)):
+        stage(
+            spark.createDataFrame(
+                [(-1 - i, m + _dt.timedelta(days=days), -1, "__sentinel")],
+                schema,
+            ),
+            f"b_sentinel{i}",
+            1_000_000_000 + 100 * (i + 1),
+        )
+    return stream_left_outer_attribution(spark, src, schema)
+
+
+SQL_STREAM_OUTER_ATTRIBUTION = """
+WITH ev AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts FROM events)
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_ts_us
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)
 # ---------------------------------------------------------------------------
 
@@ -2342,6 +2408,7 @@ EXT_QUERIES = {
     "scalar_function_matrix": q_scalar_function_matrix,
     "events_bag_set_ops": q_events_bag_set_ops,
     "stream_late_data_drop": q_stream_late_data_drop,
+    "stream_outer_attribution": q_stream_outer_attribution,
     "doc_global_ids": q_doc_global_ids,
 }
 
@@ -2397,6 +2464,7 @@ EXT_ORACLES = {
     "scalar_function_matrix": SQL_SCALAR_FUNCTION_MATRIX,
     "events_bag_set_ops": SQL_EVENTS_BAG_SET_OPS,
     "stream_late_data_drop": SQL_STREAM_LATE_DATA_DROP,
+    "stream_outer_attribution": SQL_STREAM_OUTER_ATTRIBUTION,
     "doc_global_ids": SQL_DOC_GLOBAL_IDS,
 }
 

@@ -149,3 +149,76 @@ def stream_point_in_time_enrich(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_left_outer_attribution(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+    sentinel_path: str | None = None,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase with its
+    same-user prior-hour clicks — and purchases with NO matching click
+    STILL emit, NULL-padded, once the watermark proves no match can
+    arrive. That proof is the outer join's whole difficulty: the
+    NULL-padded row for purchase P is only correct after the click-side
+    watermark passes P's join window, so Spark holds unmatched rows in
+    state until then. A bounded availableNow drain therefore needs the
+    caller to stage ``sentinel_path`` rows (far-future, filtered by the
+    caller) advancing the watermark past every real purchase — exactly
+    the late-data-drop query's sentinel technique; without them the
+    trailing purchases' NULL rows stay held back and the drain is
+    incomplete in a way no inner join reveals."""
+    name = f"soj_{uuid.uuid4().hex[:8]}"
+    src = spark.readStream.schema(schema).parquet(source_path)
+    # sentinels must pass BOTH side filters: the query's global watermark
+    # is the MIN across eventTime columns, so a click-side watermark
+    # stuck at the real data's max would hold every NULL row back forever
+    clicks = (
+        src.filter(F.col("event_type").isin("click", "__sentinel"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type").isin("purchase", "__sentinel"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("event_type").alias("p_type"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = click_user AND
+            click_ts >= purchase_ts - INTERVAL {attribution_window} AND
+            click_ts <= purchase_ts
+            """
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "user_id",
+        "p_type",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("p_type") != "__sentinel").drop("p_type")
