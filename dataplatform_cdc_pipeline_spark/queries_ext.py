@@ -1543,6 +1543,90 @@ FROM kept GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# HLL error-bound pin (approx_count_distinct vs exact twin)
+# ---------------------------------------------------------------------------
+
+HLL_RSD = 0.02
+HLL_TOLERANCE_PCT = 10  # assert |approx − exact| ≤ 10% of exact, per group
+
+
+def q_events_hll_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins Spark's HyperLogLog++ (approx_count_distinct, rsd=0.02)
+    inside a 10% error envelope against the exact distinct count, per
+    event type. The approximate value itself is engine-internal (DuckDB
+    computes a different sketch) so it cannot be hash-compared — instead
+    the ENVELOPE is the contract: the query fails loudly if any group's
+    estimate drifts outside it (a Spark upgrade changing sketch
+    parameters would trip the gate), and the hash covers the exact
+    counts. Complements the engine's own deterministic KMV sketch
+    (events_distinct_sketch), which IS hash-oracle-able."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("n_approx"),
+    )
+    bad = g.filter(
+        (F.abs(F.col("n_approx") - F.col("n_exact")) * 100)
+        > (F.col("n_exact") * HLL_TOLERANCE_PCT)
+    ).collect()
+    if bad:
+        raise RuntimeError(
+            f"approx_count_distinct outside the ±{HLL_TOLERANCE_PCT}% envelope: {bad}"
+        )
+    return g.select(
+        "event_type",
+        "n_exact",
+        F.lit(True).alias("within_envelope"),
+    )
+
+
+SQL_EVENTS_HLL_CHECK = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_envelope
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# hourly seasonality profile (calendar-part coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: per event type, activity by hour of day (UTC)
+    plus each type's peak hour (ties → earliest hour — a deterministic
+    argmax via min over an encoded pair, not first()). Pins the hour()
+    calendar part cross-engine under the session's UTC contract; one
+    map-side-combined aggregation on a 24×|types| domain."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod")
+    )
+    cells = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("n"))
+    # encoded argmax: max (n, -hod) → peak hour with earliest-hour ties
+    peak = cells.groupBy("event_type").agg(
+        F.max(F.struct(F.col("n"), (-F.col("hod")).alias("neg_hod"))).alias("p")
+    ).select(
+        "event_type",
+        (-F.col("p.neg_hod")).cast("int").alias("peak_hod"),
+        F.col("p.n").alias("peak_n"),
+    )
+    return cells.join(F.broadcast(peak), "event_type")
+
+
+SQL_EVENTS_HOURLY_PROFILE = """
+WITH cells AS (
+  SELECT event_type, hour(ts::TIMESTAMP) AS hod, count(*) AS n
+  FROM events GROUP BY event_type, hour(ts::TIMESTAMP)),
+peak AS (
+  SELECT event_type,
+         (-max(struct_pack(n := n, neg_hod := -hod)).neg_hod)::INT AS peak_hod,
+         max(struct_pack(n := n, neg_hod := -hod)).n AS peak_n
+  FROM cells GROUP BY event_type)
+SELECT cells.event_type, hod, n, peak_hod, peak_n
+FROM cells JOIN peak ON cells.event_type = peak.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # streaming LEFT OUTER interval join (watermark-proven NULL emission)
 # ---------------------------------------------------------------------------
 
@@ -2409,6 +2493,8 @@ EXT_QUERIES = {
     "events_bag_set_ops": q_events_bag_set_ops,
     "stream_late_data_drop": q_stream_late_data_drop,
     "stream_outer_attribution": q_stream_outer_attribution,
+    "events_hll_check": q_events_hll_check,
+    "events_hourly_profile": q_events_hourly_profile,
     "doc_global_ids": q_doc_global_ids,
 }
 
@@ -2465,6 +2551,8 @@ EXT_ORACLES = {
     "events_bag_set_ops": SQL_EVENTS_BAG_SET_OPS,
     "stream_late_data_drop": SQL_STREAM_LATE_DATA_DROP,
     "stream_outer_attribution": SQL_STREAM_OUTER_ATTRIBUTION,
+    "events_hll_check": SQL_EVENTS_HLL_CHECK,
+    "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
     "doc_global_ids": SQL_DOC_GLOBAL_IDS,
 }
 
