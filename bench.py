@@ -94,7 +94,8 @@ HEADLINE = [
     "multimodal_packing", "events_growth_accounting", "events_bag_set_ops",
     "scalar_function_matrix", "stream_late_data_drop",
     "text_normalize", "langid_confusion", "corpus_dedup_funnel",
-    "cdc_retention_sweep",
+    "cdc_retention_sweep", "stream_outer_attribution", "events_hll_check",
+    "events_hourly_profile", "cdc_metadata_count",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

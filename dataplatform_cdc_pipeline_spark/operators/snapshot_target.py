@@ -439,6 +439,26 @@ class SnapshotMergeTarget(ParquetMergeTarget):
             fps.update({str(r["b"]): [int(r["n"]), int(r["fp"])] for r in rows})
         return fps, my_cols
 
+    def metadata_row_count(self, version: int | None = None) -> int:
+        """COUNT(*) without touching a single data file — summed from the
+        per-bucket fingerprint counts each commit recorded (the
+        metadata-only count warehouses answer from their manifests).
+        Requires ``harvest_fingerprints`` to have been on for the
+        table's whole life: any live bucket without a fingerprint entry
+        fails loudly — a silently partial count is worse than a scan."""
+        m = self._manifest(version)
+        if m is None:
+            return 0
+        fps = m.get("fps", {})
+        missing = [b for b in m["buckets"] if b not in fps]
+        if missing:
+            raise ValueError(
+                f"buckets {sorted(missing)} have no fingerprint entry "
+                "(committed while harvest_fingerprints was off) — "
+                "metadata count would be silently partial; scan instead"
+            )
+        return sum(int(fps[b][0]) for b in m["buckets"])
+
     #: columns zone-mapped at commit time: the clustering columns (already
     #: the sort keys inside each file, so their per-bucket ranges are the
     #: narrowest) — override per instance for ad-hoc layouts.

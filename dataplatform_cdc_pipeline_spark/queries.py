@@ -1629,6 +1629,58 @@ def q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_TAGGED_READ = SQL_CDC_TIME_TRAVEL_READ
 
 
+def q_cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (SnapshotMergeTarget.metadata_row_count):
+    after a two-window lifecycle with commit-time fingerprints on, the
+    row counts of BOTH versions come from the manifests alone — zero
+    data files opened (per-bucket counts were folded into each commit,
+    carried forward for unaffected buckets). The oracle recomputes both
+    states' cardinalities relationally; a stale carried-forward count,
+    a dropped-bucket leak, or a partial sum diverges the hash. At 100 TB
+    this is the difference between an O(1) metadata probe and a
+    full-table scan for the most common query in any warehouse."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_meta_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    target.harvest_fingerprints = True
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    for win in [(None, split), (split, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    rows = [
+        (1, target.metadata_row_count(version=1)),
+        (2, target.metadata_row_count(version=2)),
+    ]
+    return spark.createDataFrame(rows, "version int, n_rows long")
+
+
+SQL_CDC_METADATA_COUNT = f"""
+WITH r1 AS (
+  SELECT user_id, {OP_SQL} AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+r2 AS (
+  SELECT user_id, {OP_SQL} AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events)
+SELECT 1 AS version,
+       (SELECT count(*) FROM r1 WHERE rn = 1 AND op != 'd')::BIGINT AS n_rows
+UNION ALL
+SELECT 2, (SELECT count(*) FROM r2 WHERE rn = 1 AND op != 'd')::BIGINT
+"""
+
+
 _RETENTION_CUTOFF = "2024-01-20 00:00:00"
 
 
@@ -2491,6 +2543,7 @@ QUERIES: dict[str, callable] = {
     "cdc_merge_patch": q_cdc_merge_patch,
     "cdc_merge_soft_delete": q_cdc_merge_soft_delete,
     "cdc_retention_sweep": q_cdc_retention_sweep,
+    "cdc_metadata_count": q_cdc_metadata_count,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2538,6 +2591,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_patch": SQL_CDC_MERGE_PATCH,
     "cdc_merge_soft_delete": SQL_CDC_MERGE_SOFT_DELETE,
     "cdc_retention_sweep": SQL_CDC_RETENTION_SWEEP,
+    "cdc_metadata_count": SQL_CDC_METADATA_COUNT,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,

@@ -293,3 +293,18 @@ def test_tags_immutable_and_vacuum_safe(spark, tmp_path):
     with pytest.raises(ValueError, match="not in log"):
         t.read(version=1)  # released by the tag deletion
     assert state(t) == [(1, 4.0)]  # latest untouched throughout
+
+
+def test_metadata_row_count_fail_loud_without_fingerprints(spark, tmp_path):
+    """Metadata count requires fingerprints for EVERY live bucket; a
+    bucket committed while harvesting was off fails the probe loudly."""
+    t = make(spark, tmp_path)
+    t.harvest_fingerprints = True
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2)]))
+    assert t.metadata_row_count() == 2
+    t.harvest_fingerprints = False
+    t.merge(changes(spark, [("c", 33, 3.0, 5, 3)]))  # different bucket, no fp
+    with pytest.raises(ValueError, match="no fingerprint entry"):
+        t.metadata_row_count()
+    # the fully-fingerprinted old version still answers
+    assert t.metadata_row_count(version=1) == 2
