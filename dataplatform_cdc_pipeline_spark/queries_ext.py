@@ -1543,6 +1543,69 @@ FROM kept GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# higher-order array function suite (lambda-expression contract)
+# ---------------------------------------------------------------------------
+
+ARRAY_BIG_US = 100_000_000  # filter threshold (value > 100 in micro-units)
+
+
+def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface as an executable contract (the
+    scalar matrix's array-lambda sibling): per user, a sorted integer
+    array of event values is pushed through aggregate (fold), filter,
+    transform-via-zip_with (pairwise consecutive diffs — whose sum must
+    equal last − first, an internal consistency the hash also pins),
+    slice, array_distinct, and the min/max/size basics — each mirrored
+    by DuckDB's list_* lambda equivalents. All integer micro-units; the
+    collect_list is per-user (bounded by a user's own history), sorted
+    for determinism."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vus"),
+    )
+    arr = ev.groupBy("user_id").agg(F.sort_array(F.collect_list("vus")).alias("vs"))
+    n = F.size("vs")
+    diffs = F.zip_with(
+        F.slice("vs", 2, n - 1), F.slice("vs", 1, n - 1), lambda a, b: a - b
+    )
+    return arr.select(
+        "user_id",
+        n.alias("n"),
+        F.aggregate("vs", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "total_us"
+        ),
+        F.array_min("vs").alias("min_us"),
+        F.array_max("vs").alias("max_us"),
+        F.size(F.filter("vs", lambda x: x > ARRAY_BIG_US)).alias("n_big"),
+        F.aggregate(
+            F.slice("vs", 1, 3), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("first3_sum"),
+        F.size(F.array_distinct("vs")).alias("n_distinct"),
+        F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "diff_sum"
+        ),
+    )
+
+
+SQL_ARRAY_FUNCTION_SUITE = f"""
+WITH arr AS (
+  SELECT user_id,
+         list_sort(list(floor(value * 1000000.0)::BIGINT)) AS vs
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       len(vs) AS n,
+       list_sum(vs)::BIGINT AS total_us,
+       list_min(vs) AS min_us,
+       list_max(vs) AS max_us,
+       len(list_filter(vs, x -> x > {ARRAY_BIG_US})) AS n_big,
+       coalesce(list_sum(vs[1:3]), 0)::BIGINT AS first3_sum,
+       len(list_distinct(vs)) AS n_distinct,
+       coalesce(list_sum(list_transform(range(2, len(vs) + 1), i -> vs[i] - vs[i-1])), 0)::BIGINT AS diff_sum
+FROM arr
+"""
+
+
+# ---------------------------------------------------------------------------
 # HLL error-bound pin (approx_count_distinct vs exact twin)
 # ---------------------------------------------------------------------------
 
@@ -2494,6 +2557,7 @@ EXT_QUERIES = {
     "stream_late_data_drop": q_stream_late_data_drop,
     "stream_outer_attribution": q_stream_outer_attribution,
     "events_hll_check": q_events_hll_check,
+    "array_function_suite": q_array_function_suite,
     "events_hourly_profile": q_events_hourly_profile,
     "doc_global_ids": q_doc_global_ids,
 }
@@ -2552,6 +2616,7 @@ EXT_ORACLES = {
     "stream_late_data_drop": SQL_STREAM_LATE_DATA_DROP,
     "stream_outer_attribution": SQL_STREAM_OUTER_ATTRIBUTION,
     "events_hll_check": SQL_EVENTS_HLL_CHECK,
+    "array_function_suite": SQL_ARRAY_FUNCTION_SUITE,
     "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
     "doc_global_ids": SQL_DOC_GLOBAL_IDS,
 }
