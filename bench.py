@@ -95,7 +95,7 @@ HEADLINE = [
     "scalar_function_matrix", "stream_late_data_drop",
     "text_normalize", "langid_confusion", "corpus_dedup_funnel",
     "cdc_retention_sweep", "stream_outer_attribution", "events_hll_check",
-    "events_hourly_profile", "cdc_metadata_count", "array_function_suite",
+    "events_hourly_profile", "cdc_metadata_count", "array_function_suite", "cdc_merge_wap",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

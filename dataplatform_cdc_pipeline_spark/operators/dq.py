@@ -202,3 +202,33 @@ def violations(df: DataFrame, rule) -> DataFrame:
     if not isinstance(rule, ROW_RULES):
         raise TypeError("violations(): row-level rules only")
     return df.filter(rule.violates())
+
+
+class ExpectationViolation(RuntimeError):
+    """A write-audit-publish gate refused a batch (violations listed)."""
+
+
+def expectations_guard(rules: list):
+    """Write-audit-publish validator for ``MergeTarget.validate_staged``:
+    evaluates ``rules`` against the resolved post-merge frame and raises
+    :class:`ExpectationViolation` if ANY rule fires — the merge then
+    takes the engine's FAILED-audit path and the target stays untouched
+    (Iceberg's WAP pattern: data is audited before it is published, so a
+    poison batch can never become visible, not even transiently).
+
+    Costs one extra aggregate pass over the affected buckets' resolved
+    rows — the frame the merge was about to write anyway; nothing is
+    re-read from storage."""
+
+    def guard(df: DataFrame) -> None:
+        bad = [
+            (r["rule"], int(r["n_violations"]))
+            for r in run_expectations(df, rules).collect()
+            if r["n_violations"] > 0
+        ]
+        if bad:
+            raise ExpectationViolation(
+                f"write-audit-publish refused the batch: {bad}"
+            )
+
+    return guard

@@ -193,6 +193,12 @@ class ParquetMergeTarget(MergeTarget):
         #: can honor that; this class's _commit fails loudly if asked.
         self.audit_composer = None
         self._txn_payload: dict | None = None
+        #: write-audit-publish seam (operators/dq.expectations_guard):
+        #: called with the RESOLVED post-merge frame (affected buckets)
+        #: before anything commits — raise to refuse the batch. The
+        #: engine's FAILED-audit path then records the refusal and the
+        #: target is untouched: a bad batch can never become visible.
+        self.validate_staged = None
 
     # -- schema management -----------------------------------------------------
 
@@ -370,6 +376,10 @@ class ParquetMergeTarget(MergeTarget):
                 merged = merged.withColumn(
                     PDATE_COL, F.to_date(F.col(self.cfg.partition_field))
                 )
+            if self.validate_staged is not None:
+                # write-audit-publish: validate the post-merge state of
+                # the affected buckets BEFORE anything commits
+                self.validate_staged(merged)
             if self.audit_composer is not None:
                 # transactional audit (operators/txn_audit.py): the record
                 # commits WITH the data — sinks that can't honor that must

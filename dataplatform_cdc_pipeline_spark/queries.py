@@ -1629,6 +1629,92 @@ def q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_TAGGED_READ = SQL_CDC_TIME_TRAVEL_READ
 
 
+def q_cdc_merge_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (operators/dq.expectations_guard on the
+    MergeTarget.validate_staged seam): the resolved post-merge state is
+    validated BEFORE anything commits. Batch 2 carries a poison row
+    (value outside the declared range) — the merge is REFUSED, the
+    engine records the FAILED audit row, and the target provably stays
+    at version 1 (asserted fail-loud); the corrected batch then lands.
+    Final state must hash-equal the clean full merge: the poison row can
+    never have been visible, even transiently — which a
+    validate-after-write design cannot promise."""
+    import json as _json
+
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.dq import (
+        ExpectationViolation,
+        InRange,
+        expectations_guard,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_wap_q_")
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    target.validate_staged = expectations_guard([InRange("value", 0.0, 1_000_000.0)])
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    run_merge(
+        spark, cfg, target, audit, raw=raw, window=(None, split),
+        deterministic_audit=True,
+    )
+    v1 = target._read_version()
+    poison = spark.createDataFrame(
+        [
+            (
+                _json.dumps(
+                    {
+                        "__op": "u",
+                        "__ts_ns": str(1_900_000_000_000_000_000),
+                        "__source_pos": "999999999",
+                        "user_id": 1,
+                        "event_type": "poison",
+                        "value": 9.9e9,
+                        "k": 1,
+                    }
+                ),
+                datetime.datetime(2024, 1, 16),
+            )
+        ],
+        "data string, load_ts timestamp",
+    )
+    poisoned = raw.select("data", "load_ts").unionByName(poison)
+    try:
+        run_merge(
+            spark, cfg, target, audit, raw=poisoned, window=(split, None),
+            deterministic_audit=True,
+        )
+        raise RuntimeError("poison batch was not refused — WAP gate broken")
+    except ExpectationViolation:
+        pass
+    if target._read_version() != v1:
+        raise RuntimeError("refused batch still advanced the target version")
+    run_merge(
+        spark, cfg, target, audit, raw=raw, window=(split, None),
+        deterministic_audit=True,
+    )
+    failed = audit.history().filter(F.col("run_status") == "FAILED").count()
+    if failed != 1:
+        raise RuntimeError(f"expected exactly one FAILED audit row, got {failed}")
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+# the refused batch must leave NO trace: final state ≡ the clean merge
+SQL_CDC_MERGE_WAP = SQL_CDC_MERGE_FULL
+
+
 def q_cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT(*) (SnapshotMergeTarget.metadata_row_count):
     after a two-window lifecycle with commit-time fingerprints on, the
@@ -2544,6 +2630,7 @@ QUERIES: dict[str, callable] = {
     "cdc_merge_soft_delete": q_cdc_merge_soft_delete,
     "cdc_retention_sweep": q_cdc_retention_sweep,
     "cdc_metadata_count": q_cdc_metadata_count,
+    "cdc_merge_wap": q_cdc_merge_wap,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
@@ -2592,6 +2679,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_soft_delete": SQL_CDC_MERGE_SOFT_DELETE,
     "cdc_retention_sweep": SQL_CDC_RETENTION_SWEEP,
     "cdc_metadata_count": SQL_CDC_METADATA_COUNT,
+    "cdc_merge_wap": SQL_CDC_MERGE_WAP,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
