@@ -1543,6 +1543,52 @@ FROM kept GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# stateful streaming top-k (cross-batch leaderboard)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful top-K (streaming/stateful.running_topk_per_
+    type): the per-type leaderboard maintained in the state store as K
+    scalars per key across micro-batches — the drained result must
+    hash-equal a batch window ranking, pinning that batch boundaries
+    cannot change the leaderboard (exact micro-int values; value DESC,
+    id ASC tie-break on both sides)."""
+    from dataplatform_cdc_pipeline_spark.streaming.stateful import (
+        running_topk_per_type,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_rtk_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.write.parquet(f"{tmp}/src")
+    out = running_topk_per_type(
+        spark,
+        f"{tmp}/src",
+        checkpoint_path=f"{tmp}/ckpt",
+        output_path=f"{tmp}/out",
+    )
+    return out.select("event_type", "n_seen", "rank", "value_us", "event_id")
+
+
+SQL_STREAM_TOPK_PER_TYPE = """
+WITH v AS (
+  SELECT event_type, event_id,
+         floor(value * 1000000.0)::BIGINT AS value_us
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY value_us DESC, event_id ASC) AS rk
+  FROM v),
+n AS (SELECT event_type, count(*) AS n_seen FROM v GROUP BY event_type)
+SELECT r.event_type, n.n_seen, rk::INT AS rank, value_us, event_id
+FROM r JOIN n ON r.event_type = n.event_type
+WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # higher-order array function suite (lambda-expression contract)
 # ---------------------------------------------------------------------------
 
@@ -2558,6 +2604,7 @@ EXT_QUERIES = {
     "stream_outer_attribution": q_stream_outer_attribution,
     "events_hll_check": q_events_hll_check,
     "array_function_suite": q_array_function_suite,
+    "stream_topk_per_type": q_stream_topk_per_type,
     "events_hourly_profile": q_events_hourly_profile,
     "doc_global_ids": q_doc_global_ids,
 }
@@ -2617,6 +2664,7 @@ EXT_ORACLES = {
     "stream_outer_attribution": SQL_STREAM_OUTER_ATTRIBUTION,
     "events_hll_check": SQL_EVENTS_HLL_CHECK,
     "array_function_suite": SQL_ARRAY_FUNCTION_SUITE,
+    "stream_topk_per_type": SQL_STREAM_TOPK_PER_TYPE,
     "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
     "doc_global_ids": SQL_DOC_GLOBAL_IDS,
 }
