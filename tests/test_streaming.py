@@ -442,3 +442,45 @@ def test_streaming_scd2_incremental_and_replay(spark):
         (r["user_id"], r["value"], r[SCD_VALID_TO] is None, r[SCD_IS_CURRENT])
         for r in full.collect()
     )
+
+
+def test_running_topk_resumes_across_checkpoints(spark, sf_dir):
+    """Top-k state carries across separate drains of the same checkpoint:
+    the leaderboard after two landings equals the batch ranking over
+    everything, even when the second landing's values displace earlier
+    leaders."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+    from dataplatform_cdc_pipeline_spark.streaming.stateful import running_topk_per_type
+
+    tmp = tempfile.mkdtemp(prefix="stateful_topk_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.filter("event_id % 2 = 0").write.parquet(f"{tmp}/src")
+    running_topk_per_type(
+        spark, f"{tmp}/src", checkpoint_path=f"{tmp}/ckpt", output_path=f"{tmp}/out"
+    )
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(f"{tmp}/src")
+    out = running_topk_per_type(
+        spark, f"{tmp}/src", checkpoint_path=f"{tmp}/ckpt", output_path=f"{tmp}/out"
+    )
+    got = sorted(
+        (r["event_type"], r["rank"], r["value_us"], r["event_id"])
+        for r in out.collect()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.floor(F.col("value") * 1_000_000.0).cast("long").desc(), F.col("event_id")
+    )
+    exp = sorted(
+        (r["event_type"], r["rk"], r["vus"], r["event_id"])
+        for r in ev.withColumn("rk", F.row_number().over(w))
+        .withColumn("vus", F.floor(F.col("value") * 1_000_000.0).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    )
+    assert got == exp
