@@ -1543,6 +1543,94 @@ FROM kept GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# pivot → unpivot round trip (melt semantics pinned)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt) semantics pinned by a round trip: per-user
+    counts pivot into one column per DAY OF MONTH (a genuinely sparse
+    dimension — users skip days, and day 31 may not exist in the data at
+    all), then unpivot back to long form. The load-bearing semantic is
+    NULL dropping: the pivot fills absent (user, day) cells with NULL
+    and the unpivot must EXCLUDE them, so the round trip reproduces
+    exactly the original sparse long form — which is what the oracle
+    computes directly. A dense pivot dimension would make this check
+    vacuous; sparsity is the point."""
+    ev = load_table(spark, sf_dir, "events")
+    days = list(range(1, 32))
+    wide = (
+        ev.withColumn("dom", F.dayofmonth("ts"))
+        .groupBy("user_id")
+        .pivot("dom", days)
+        .count()
+    )
+    return (
+        wide.unpivot("user_id", [str(d) for d in days], "dom_s", "n")
+        .filter(F.col("n").isNotNull())
+        .select("user_id", F.col("dom_s").cast("int").alias("dom"), "n")
+    )
+
+
+SQL_EVENTS_UNPIVOT = """
+SELECT user_id, day(ts::TIMESTAMP)::INT AS dom, count(*) AS n
+FROM events GROUP BY user_id, day(ts::TIMESTAMP)
+"""
+
+
+# ---------------------------------------------------------------------------
+# map-type function contract (map lambdas vs relational truth)
+# ---------------------------------------------------------------------------
+
+MAP_BIG_N = 15
+
+
+def q_map_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions as an executable contract: per user, an
+    event_type→count map built with map_from_entries, then probed with
+    element_at (missing key → NULL), size, map_filter (counts > 15), and
+    transform_values — while the ORACLE never touches a map type at all:
+    it recomputes every output from the underlying counts relationally,
+    so the map semantics themselves (key lookup, lambda filtering,
+    value transformation) are what the hash verifies."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", "click").alias("n_clicks"),
+        F.element_at("m", "nope").alias("n_missing"),
+        F.size(F.map_filter("m", lambda k, v: v > MAP_BIG_N)).alias("n_big_types"),
+        F.element_at(
+            F.transform_values("m", lambda k, v: v * 2), "view"
+        ).alias("views_doubled"),
+    )
+
+
+SQL_MAP_FUNCTION_SUITE = f"""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       count(*) AS n_types,
+       max(CASE WHEN event_type = 'click' THEN n END) AS n_clicks,
+       max(CASE WHEN event_type = 'nope' THEN n END) AS n_missing,
+       sum((n > {MAP_BIG_N})::INT)::INT AS n_big_types,
+       max(CASE WHEN event_type = 'view' THEN n * 2 END) AS views_doubled
+FROM counts GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # stateful streaming top-k (cross-batch leaderboard)
 # ---------------------------------------------------------------------------
 
@@ -2605,6 +2693,8 @@ EXT_QUERIES = {
     "events_hll_check": q_events_hll_check,
     "array_function_suite": q_array_function_suite,
     "stream_topk_per_type": q_stream_topk_per_type,
+    "events_unpivot": q_events_unpivot,
+    "map_function_suite": q_map_function_suite,
     "events_hourly_profile": q_events_hourly_profile,
     "doc_global_ids": q_doc_global_ids,
 }
@@ -2665,6 +2755,8 @@ EXT_ORACLES = {
     "events_hll_check": SQL_EVENTS_HLL_CHECK,
     "array_function_suite": SQL_ARRAY_FUNCTION_SUITE,
     "stream_topk_per_type": SQL_STREAM_TOPK_PER_TYPE,
+    "events_unpivot": SQL_EVENTS_UNPIVOT,
+    "map_function_suite": SQL_MAP_FUNCTION_SUITE,
     "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
     "doc_global_ids": SQL_DOC_GLOBAL_IDS,
 }
