@@ -84,3 +84,46 @@ def test_erase_rows_swap_sink(spark, tmp_path):
     # a later CDC merge still applies normally after the sweep
     t.merge(changes(spark, [("u", 1, 9.0, 5, 3)]))
     assert [(r["user_id"], r["value"]) for r in t.read().collect()] == [(1, 9.0)]
+
+
+# ---------------------------------------------------------------------------
+# property: soft-delete across arbitrary batch splits ≡ python simulation
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+batch_st = st.dictionaries(
+    st.integers(1, 4),                                   # user_id (collisions)
+    st.tuples(st.sampled_from(["c", "u", "d"]), st.sampled_from([1.0, 2.0, 3.0])),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(batch_st, min_size=1, max_size=4))
+def test_soft_delete_matches_simulation_across_batches(spark, tmp_path_factory, batches):
+    cfg = user_state_config(soft_delete=True)
+    t = ParquetMergeTarget(
+        spark, str(tmp_path_factory.mktemp("sd")) + "/t", cfg, USER_STATE_SCHEMA
+    )
+    state = {}  # uid -> (value, flag, pos)
+    pos = 0
+    for i, batch in enumerate(batches):
+        rows = []
+        for uid, (op, val) in sorted(batch.items()):
+            pos += 1
+            rows.append((op, uid, val, i * 10, pos))
+            if op == "d":
+                if uid in state:
+                    state[uid] = (state[uid][0], True, pos)
+            else:
+                state[uid] = (val, False, pos)
+        t.merge(changes(spark, rows))
+    got = sorted(
+        (r["user_id"], r["value"], r["__is_deleted"], r["pos"])
+        for r in t.read().collect()
+    )
+    exp = sorted((u, v, f, p) for u, (v, f, p) in state.items())
+    assert got == exp
