@@ -308,3 +308,50 @@ def test_metadata_row_count_fail_loud_without_fingerprints(spark, tmp_path):
         t.metadata_row_count()
     # the fully-fingerprinted old version still answers
     assert t.metadata_row_count(version=1) == 2
+
+
+# ---------------------------------------------------------------------------
+# property: change_feed replay reconstructs the final state
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_batch_st = st.dictionaries(
+    st.integers(1, 4),
+    st.tuples(st.sampled_from(["c", "u", "d"]), st.sampled_from([1.0, 2.0, 3.0])),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_batch_st, min_size=1, max_size=4))
+def test_change_feed_replay_property(spark, tmp_path_factory, batches):
+    """Applying the per-commit change feed in version order onto an empty
+    consumer reproduces the final snapshot for ANY batch history —
+    inserts, updates, deletes of absent keys, re-inserts."""
+    t = make_tmp(spark, tmp_path_factory.mktemp("cf"))
+    pos = 0
+    for i, batch in enumerate(batches):
+        rows = []
+        for uid, (op, val) in sorted(batch.items()):
+            pos += 1
+            rows.append((op, uid, val, i * 10, pos))
+        t.merge(changes(spark, rows))
+    replay = {}
+    for r in sorted(
+        t.change_feed(0).collect(), key=lambda r: r["_commit_version"]
+    ):
+        if r["_change_type"] == "delete":
+            replay.pop(r["user_id"], None)
+        else:
+            replay[r["user_id"]] = r["value"]
+    assert sorted(replay.items()) == state(t)
+
+
+def make_tmp(spark, tmp_path):
+    from dataplatform_cdc_pipeline_spark.sources.cdc import user_state_config
+
+    cfg = user_state_config()
+    return SnapshotMergeTarget(spark, str(tmp_path / "t"), cfg, USER_STATE_SCHEMA)
