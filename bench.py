@@ -97,6 +97,7 @@ HEADLINE = [
     "cdc_retention_sweep", "stream_outer_attribution", "events_hll_check",
     "events_hourly_profile", "cdc_metadata_count", "array_function_suite", "cdc_merge_wap",
     "stream_topk_per_type", "events_unpivot", "map_function_suite",
+    "events_mad",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

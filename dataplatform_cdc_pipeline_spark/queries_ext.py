@@ -1543,6 +1543,80 @@ FROM kept GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# robust statistics: exact integer median + MAD
+# ---------------------------------------------------------------------------
+
+
+def _lower_median(df: DataFrame, key: str, val: str, tie: str) -> DataFrame:
+    """Exact LOWER median per key — the value at rank ⌈n/2⌉ under a total
+    (val, tie) order. No interpolation, no floats: percentile_cont's
+    midpoint averaging is float arithmetic two engines may round apart;
+    rank selection is pure integers."""
+    w = Window.partitionBy(key).orderBy(F.col(val), F.col(tie))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(key)))
+        .filter(F.col("__rn") <= (F.col("__n") + 1) / 2)
+        .groupBy(key)
+        .agg(F.max(val).alias(f"med_{val}"), F.max("__n").alias("n"))
+    )
+
+
+def q_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust spread statistics per event type: the exact lower median
+    and the median absolute deviation (MAD), both by integer rank
+    selection — two window passes on the same key partitioning (median
+    of values, then median of |value − median|), zero floating-point
+    interpolation anywhere, so the classic outlier-resistant location/
+    scale pair is hash-identical across engines. MAD is what the
+    z-score outlier query (events_outliers) would use instead of σ when
+    the data itself contains the outliers being hunted."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vus"),
+    )
+    med = _lower_median(ev, "event_type", "vus", "event_id")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("vus") - F.col("med_vus")).alias("dev"),
+    )
+    mad = _lower_median(dev, "event_type", "dev", "event_id").select(
+        "event_type", F.col("med_dev").alias("mad_us")
+    )
+    return med.join(F.broadcast(mad), "event_type").select(
+        "event_type", "n", F.col("med_vus").alias("median_us"), "mad_us"
+    )
+
+
+SQL_EVENTS_MAD = """
+WITH v AS (
+  SELECT event_type, event_id, floor(value * 1000000.0)::BIGINT AS vus
+  FROM events),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vus, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+med AS (
+  SELECT event_type, max(vus) AS median_us, max(n) AS n
+  FROM r1 WHERE rn <= (n + 1) // 2 GROUP BY event_type),
+d AS (
+  SELECT v.event_type, v.event_id, abs(vus - median_us) AS dev
+  FROM v JOIN med ON v.event_type = med.event_type),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n2
+  FROM d),
+mad AS (
+  SELECT event_type, max(dev) AS mad_us
+  FROM r2 WHERE rn <= (n2 + 1) // 2 GROUP BY event_type)
+SELECT med.event_type, n, median_us, mad_us
+FROM med JOIN mad ON med.event_type = mad.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # pivot → unpivot round trip (melt semantics pinned)
 # ---------------------------------------------------------------------------
 
@@ -2694,6 +2768,7 @@ EXT_QUERIES = {
     "array_function_suite": q_array_function_suite,
     "stream_topk_per_type": q_stream_topk_per_type,
     "events_unpivot": q_events_unpivot,
+    "events_mad": q_events_mad,
     "map_function_suite": q_map_function_suite,
     "events_hourly_profile": q_events_hourly_profile,
     "doc_global_ids": q_doc_global_ids,
@@ -2756,6 +2831,7 @@ EXT_ORACLES = {
     "array_function_suite": SQL_ARRAY_FUNCTION_SUITE,
     "stream_topk_per_type": SQL_STREAM_TOPK_PER_TYPE,
     "events_unpivot": SQL_EVENTS_UNPIVOT,
+    "events_mad": SQL_EVENTS_MAD,
     "map_function_suite": SQL_MAP_FUNCTION_SUITE,
     "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
     "doc_global_ids": SQL_DOC_GLOBAL_IDS,
