@@ -21,6 +21,8 @@ from check_parity import normalize
 from dataplatform_cdc_pipeline_spark.sources.tables import TABLES
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+#: optional name subset, like check_parity.py
+ONLY = sys.argv[1:] or None
 
 
 def main() -> int:
@@ -32,6 +34,8 @@ def main() -> int:
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
+        if ONLY and name not in ONLY:
+            continue
         try:
             sdf = fn(spark, SF).toPandas()
         except Exception as e:  # noqa: BLE001
