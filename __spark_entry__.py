@@ -101,6 +101,7 @@ _PRIORITY = [
     "events_hll_check", "events_hourly_profile", "cdc_metadata_count",
     "array_function_suite", "cdc_merge_wap", "stream_topk_per_type",
     "events_unpivot", "map_function_suite", "events_mad",
+    "events_bfs_reach",
     # … then the r4-green leftovers (r7's rotation cohort) …
     "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",
@@ -145,10 +146,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dataplatform_cdc_pipeline_spark.queries_analytic import ANALYTIC_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_curation import CURATION_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_ext import EXT_QUERIES
+    from dataplatform_cdc_pipeline_spark.queries_extra import EXTRA_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_QUERIES
 
     return _ordered(
-        {**QUERIES, **LLM_QUERIES, **CURATION_QUERIES, **ANALYTIC_QUERIES, **EXT_QUERIES}
+        {
+            **QUERIES,
+            **LLM_QUERIES,
+            **CURATION_QUERIES,
+            **ANALYTIC_QUERIES,
+            **EXT_QUERIES,
+            **EXTRA_QUERIES,
+        }
     )
 
 
@@ -157,6 +166,14 @@ def oracle_sql() -> dict[str, str]:
     from dataplatform_cdc_pipeline_spark.queries_analytic import ANALYTIC_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_curation import CURATION_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_ext import EXT_ORACLES
+    from dataplatform_cdc_pipeline_spark.queries_extra import EXTRA_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_ORACLES
 
-    return {**ORACLES, **LLM_ORACLES, **CURATION_ORACLES, **ANALYTIC_ORACLES, **EXT_ORACLES}
+    return {
+        **ORACLES,
+        **LLM_ORACLES,
+        **CURATION_ORACLES,
+        **ANALYTIC_ORACLES,
+        **EXT_ORACLES,
+        **EXTRA_ORACLES,
+    }

@@ -128,3 +128,57 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Multi-source breadth-first search over directed ``(src, dst)``
+    edges: for every node reachable from ANY seed within ``max_hops``
+    steps, the MINIMUM hop count. ``seeds`` is a one-column ``(node)``
+    frame (hop 0); returns ``(node, hops)``.
+
+    This is the relational form of a bounded recursive CTE — the oracle
+    twin is DuckDB ``WITH RECURSIVE … UNION`` — expressed as frontier
+    expansion, the only shape that scales on Spark:
+
+    - per round ONE join (frontier ⋈ edges on ``src``) and one
+      ``left_anti`` against the visited set, both shuffles on the node
+      key, so a round costs O(frontier-out-edges), never O(paths): the
+      UNION-ALL path explosion a naive recursive unrolling suffers on
+      dense graphs (measured: 263k path rows for 150 reachable nodes on
+      the sf0.01 co-occurrence graph) cannot happen here because the
+      frontier is deduplicated against ALL visited nodes each round;
+    - rounds stop EARLY when a frontier drains (``isEmpty`` on the
+      checkpointed frontier is a cheap local scan), so ``max_hops`` is a
+      bound, not a fixed cost;
+    - per-round state (visited, frontier) is eagerly truncated with
+      ``localCheckpoint`` — lineage stays flat like pagerank/k-means.
+
+    100 TB posture: visited is one (node, hops) row per reached node;
+    with edges pre-partitioned on ``src`` every round reuses the same
+    hash layout (AQE coalesces the anti-join side). Hub fan-out is
+    bounded by the distinct frontier, not path multiplicity.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    edges = edges.select("src", "dst").distinct()
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

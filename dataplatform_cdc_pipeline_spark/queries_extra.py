@@ -1,0 +1,100 @@
+"""Round-6 closing-wave surface: bounded graph traversal (the recursive-
+CTE family), LOCF time-weighted aggregation, market-basket association
+rules, deterministic KMV set-operation estimates, and hashing-trick
+feature extraction — each with a DuckDB oracle twin.
+
+Every operator keeps the repo's portability rule: arithmetic that must
+hash-match across engines is exact integer (micro-units, ppm ratios,
+truncated MD5 prefixes), never cross-engine floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# bounded multi-source BFS (operators/graph.py bfs_hops)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 4
+BFS_EDGE_MOD = 7  # keep 1-in-7 co-occurrence edges so hop depths vary
+BFS_SEED_MOD = 50  # seeds: node ids divisible by 50
+
+
+def q_events_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from a seed set over a sparsified user
+    co-occurrence graph — the engine's answer to a bounded recursive CTE
+    (``WITH RECURSIVE``), which Spark SQL lacks as a construct but whose
+    SEMANTICS the frontier-expansion operator reproduces exactly.
+
+    Edges reuse the pagerank derivation (consecutive users per ``k``
+    stream) but keep only source events with ``event_id % 7 == 0`` —
+    the full graph is so dense (sf0.01: 150 nodes, mean out-degree 54)
+    that every node sits one hop from anywhere; the sparsified graph
+    spreads nodes across hops 0..4 (sf0.01: 3/21/89/36/1), so the oracle
+    discriminates real traversal order, not just reachability.
+
+    The oracle is a genuine DuckDB ``WITH RECURSIVE … UNION`` — the
+    UNION (distinct) form, whose working-table dedup is exactly the
+    operator's visited-set anti-join. The UNION ALL form would enumerate
+    paths, not nodes (263k rows for these 150 nodes), which is the
+    scaling argument for the frontier shape on Spark.
+    """
+    from dataplatform_cdc_pipeline_spark.operators.graph import bfs_hops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "user_id",
+        "event_id",
+    )
+    w = Window.partitionBy("k").orderBy("event_id")
+    seq = ev.withColumn("nxt", F.lead("user_id").over(w))
+    edges = seq.filter(
+        (F.col("event_id") % BFS_EDGE_MOD == 0)
+        & F.col("nxt").isNotNull()
+        & (F.col("nxt") != F.col("user_id"))
+    ).select(F.col("user_id").alias("src"), F.col("nxt").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % BFS_SEED_MOD == 0)
+    return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS).select(
+        F.col("node").alias("user_id"), "hops"
+    )
+
+
+SQL_EVENTS_BFS_REACH = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id,
+         lead(user_id) OVER (
+             PARTITION BY json_extract_string(props, '$.k')::INT
+             ORDER BY event_id) AS nxt
+  FROM events),
+edges AS (
+  SELECT DISTINCT user_id AS src, nxt AS dst
+  FROM seq
+  WHERE event_id % {BFS_EDGE_MOD} = 0 AND nxt IS NOT NULL AND nxt != user_id),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+walk(node, hops) AS (
+  SELECT node, 0 FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < {BFS_MAX_HOPS})
+SELECT node AS user_id, min(hops)::INT AS hops
+FROM walk GROUP BY node ORDER BY user_id
+"""
+
+
+EXTRA_QUERIES = {
+    "events_bfs_reach": q_events_bfs_reach,
+}
+
+EXTRA_ORACLES = {
+    "events_bfs_reach": SQL_EVENTS_BFS_REACH,
+}

@@ -1203,3 +1203,27 @@ def test_triangle_counts_hand_computed(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     got = sorted((r["node"], r["n_triangles"]) for r in triangle_counts(df).collect())
     assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+
+
+def test_bfs_hops_hand_computed(spark):
+    """Chain 1→2→3→4→5 with a shortcut 1→4 and a cycle 4→1: min-hop
+    wins over path order (4 is hop 1 via the shortcut, never hop 3),
+    the cycle cannot re-visit a seed, the bound truncates (5 is hop 2
+    via 4→5; with max_hops=1 it is absent), and unreachable 9→10 never
+    appears."""
+    from dataplatform_cdc_pipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (4, 1), (9, 10)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = sorted((r["node"], r["hops"]) for r in bfs_hops(edges, seeds, 4).collect())
+    assert got == [(1, 0), (2, 1), (3, 2), (4, 1), (5, 2)]
+    shallow = sorted(
+        (r["node"], r["hops"]) for r in bfs_hops(edges, seeds, 1).collect()
+    )
+    assert shallow == [(1, 0), (2, 1), (4, 1)]
+    # early drain: bound far beyond the diameter changes nothing
+    deep = sorted((r["node"], r["hops"]) for r in bfs_hops(edges, seeds, 99).collect())
+    assert deep == got
