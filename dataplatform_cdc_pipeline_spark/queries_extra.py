@@ -91,10 +91,77 @@ FROM walk GROUP BY node ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# LOCF time-weighted average (TimescaleDB time_weight('LOCF') analog)
+# ---------------------------------------------------------------------------
+
+
+def q_events_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value over irregular samples: each
+    event's value holds until the user's next event (last-observation-
+    carried-forward), so the average is the integral of the step
+    function divided by the observed span — the irregular-sampling
+    primitive a plain AVG gets wrong whenever sampling density
+    correlates with value (TimescaleDB's ``time_weight('LOCF')``).
+
+    Exact integer end-to-end: per-segment weight = value·1e6 micro-units
+    × duration in µs, summed in DECIMAL(38,0) (peak ≈ vus 1e9 × span
+    1e12 ≈ 1e21 per user at sf0.1 — BIGINT would overflow, which is why
+    the sum is decimal like events_outliers), then ONE integer division
+    by the span. Ties in ts contribute zero-length segments, so the
+    event_id tie order cannot change the answer. One shuffle on user_id
+    (window + groupBy share it)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.withColumn("nxt_ts", F.lead("ts_us").over(w)).filter(
+        F.col("nxt_ts").isNotNull()
+    )
+    dur = F.col("nxt_ts") - F.col("ts_us")
+    agg = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(dur).alias("span_us"),
+        F.sum(F.col("vus").cast("decimal(38,0)") * dur.cast("decimal(38,0)")).alias(
+            "__wsum"
+        ),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_segments",
+        "span_us",
+        F.expr("cast(__wsum div span_us as bigint)").alias("twa_us"),
+    )
+
+
+SQL_EVENTS_TIME_WEIGHTED = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         floor(value * 1000000.0)::BIGINT AS vus
+  FROM events),
+seg AS (
+  SELECT user_id, vus, ts_us,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt_ts
+  FROM ev)
+SELECT user_id, count(*) AS n_segments,
+       sum(nxt_ts - ts_us)::BIGINT AS span_us,
+       (sum(vus::HUGEINT * (nxt_ts - ts_us)::HUGEINT)
+        // sum(nxt_ts - ts_us)::HUGEINT)::BIGINT AS twa_us
+FROM seg WHERE nxt_ts IS NOT NULL
+GROUP BY user_id HAVING sum(nxt_ts - ts_us) > 0
+ORDER BY user_id
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
+    "events_time_weighted": q_events_time_weighted,
 }
 
 EXTRA_ORACLES = {
     "events_bfs_reach": SQL_EVENTS_BFS_REACH,
+    "events_time_weighted": SQL_EVENTS_TIME_WEIGHTED,
 }

@@ -1,0 +1,65 @@
+"""Hand-computed pins for the round-6 closing-wave queries
+(queries_extra.py): LOCF time-weighted average, market-basket lift, KMV
+set operations, and hashed features — tiny inputs with answers worked
+out on paper, complementing the sf0.01 DuckDB-oracle gate."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us_offset, user_id, event_type, value, props)
+    → a testdata-shaped dir holding just events.parquet (epoch base
+    2024-01-01 UTC)."""
+    base = datetime.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(microseconds=r[1]) for r in rows],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_time_weighted_hand_computed(spark, tmp_path):
+    """User 1 holds 10.0 for 2 s then 20.0 for 1 s → TWA = 40/3 =
+    13.333333 (micro-floor 13_333_333), which a plain AVG over the three
+    samples (10+20+99)/3 = 43 would get badly wrong; user 2 has one
+    event → no span → absent; a tie-ts pair contributes a zero-length
+    segment and cannot shift the answer."""
+    from dataplatform_cdc_pipeline_spark.queries_extra import q_events_time_weighted
+
+    s = 1_000_000  # 1 second in µs
+    d = _write_events(
+        tmp_path,
+        [
+            (1, 0 * s, 1, "a", 10.0, "{}"),
+            (2, 2 * s, 1, "a", 20.0, "{}"),
+            (3, 3 * s, 1, "a", 99.0, "{}"),  # terminal sample: weight 0
+            (4, 5 * s, 2, "a", 7.0, "{}"),  # lone event: no segments
+            (5, 0 * s, 3, "a", 5.0, "{}"),  # tie pair: zero-length
+            (6, 0 * s, 3, "a", 6.0, "{}"),
+            (7, 1 * s, 3, "a", 8.0, "{}"),
+        ],
+    )
+    got = {
+        r["user_id"]: (r["n_segments"], r["span_us"], r["twa_us"])
+        for r in q_events_time_weighted(spark, d).collect()
+    }
+    assert got[1] == (2, 3 * s, 13_333_333)
+    assert 2 not in got
+    # user 3: segments (5→6, 0µs) and (6→8, 1s) → integral = 6.0 held 1s
+    assert got[3] == (2, 1 * s, 6_000_000)
