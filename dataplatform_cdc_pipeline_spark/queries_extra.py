@@ -156,12 +156,105 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3  # pair must co-occur in >= 3 orders
+
+
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for every part pair
+    co-occurring in ≥ 3 orders, exact-integer support, directional
+    confidence, and lift in parts-per-million — the frequent-itemset /
+    recommender primitive (Apriori's k=2 stage) no TPC-H query covers.
+
+    Ratios are ppm via integer division (``n·1e6 div d``) so they
+    hash-match across engines; lift's numerator ``n_ab·n_orders·1e6``
+    peaks ≈ 5e13 at sf0.1 — safely BIGINT.
+
+    100 TB posture: pair generation is the per-order self-join of the
+    DISTINCT (order, part) basket — co-partitioned on orderkey, so the
+    fan-out is Σ C(k,2) per basket (k ≤ 13 here), never |parts|²; the
+    per-part totals are a tiny dim broadcast to the pair frame, and the
+    grand total rides the same broadcast (1-row cross join). Two
+    shuffles total (orderkey, pair key). A hub PART cannot blow this
+    up — only a hub ORDER could, and basket size is naturally bounded
+    (cap k per basket before pairing if a domain ever violates that).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    part_n = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    total = baskets.select(
+        F.count_distinct(F.col("o")).alias("n_orders")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(part_n.select(F.col("p").alias("part_a"), F.col("n_p").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("p").alias("part_b"), F.col("n_p").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_orders",
+        F.expr("n_ab * 1000000 div n_orders").alias("support_ppm"),
+        F.expr("n_ab * 1000000 div n_a").alias("conf_a_b_ppm"),
+        F.expr("n_ab * 1000000 div n_b").alias("conf_b_a_ppm"),
+        F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+    )
+
+
+SQL_BASKET_PAIR_LIFT = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+part_n AS (SELECT p, count(*) AS n_p FROM b GROUP BY p),
+total AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+pairs AS (
+  SELECT a.p AS part_a, c.p AS part_b, count(*) AS n_ab
+  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT})
+SELECT part_a, part_b, n_ab,
+       pa.n_p AS n_a, pb.n_p AS n_b, n_orders,
+       n_ab * 1000000 // n_orders AS support_ppm,
+       n_ab * 1000000 // pa.n_p AS conf_a_b_ppm,
+       n_ab * 1000000 // pb.n_p AS conf_b_a_ppm,
+       n_ab * n_orders * 1000000 // (pa.n_p * pb.n_p) AS lift_ppm
+FROM pairs
+JOIN part_n pa ON pa.p = part_a
+JOIN part_n pb ON pb.p = part_b
+CROSS JOIN total
+ORDER BY part_a, part_b
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
+    "basket_pair_lift": q_basket_pair_lift,
 }
 
 EXTRA_ORACLES = {
     "events_bfs_reach": SQL_EVENTS_BFS_REACH,
     "events_time_weighted": SQL_EVENTS_TIME_WEIGHTED,
+    "basket_pair_lift": SQL_BASKET_PAIR_LIFT,
 }

@@ -63,3 +63,43 @@ def test_time_weighted_hand_computed(spark, tmp_path):
     assert 2 not in got
     # user 3: segments (5→6, 0µs) and (6→8, 1s) → integral = 6.0 held 1s
     assert got[3] == (2, 1 * s, 6_000_000)
+
+
+def test_basket_pair_lift_hand_computed(spark, tmp_path):
+    """Baskets {1,2},{1,2},{1,2,3},{3}: only pair (1,2) clears support 3
+    of 4 orders — support 750000 ppm, both confidences 1000000 ppm (2
+    never appears without 1 and vice versa), lift 3·4/(3·3) = 1333333
+    ppm > 1e6 (positively associated). Duplicate lineitems of the same
+    part collapse before pairing."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataplatform_cdc_pipeline_spark.queries_extra import q_basket_pair_lift
+
+    rows = [
+        (1, 1), (1, 2), (1, 1),  # dup (1,1) must not double-count
+        (2, 1), (2, 2),
+        (3, 1), (3, 2), (3, 3),
+        (4, 3),
+    ]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_shipdate": pa.array(
+                [datetime.datetime(2024, 1, 1)] * len(rows),
+                pa.timestamp("us", tz="UTC"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    got = [r.asDict() for r in q_basket_pair_lift(spark, str(tmp_path)).collect()]
+    assert len(got) == 1
+    r = got[0]
+    assert (r["part_a"], r["part_b"], r["n_ab"], r["n_a"], r["n_b"]) == (1, 2, 3, 3, 3)
+    assert r["n_orders"] == 4
+    assert r["support_ppm"] == 750_000
+    assert r["conf_a_b_ppm"] == 1_000_000 and r["conf_b_a_ppm"] == 1_000_000
+    assert r["lift_ppm"] == 1_333_333
