@@ -290,3 +290,51 @@ def histogram_quantiles(
             f"p{p}_ub_us", F.expr(f"shiftleft(1L, p{p}_bucket) - 1")
         )
     return out
+
+
+def kmv_set_estimate(sk_a: DataFrame, sk_b: DataFrame, k: int = 32) -> DataFrame:
+    """One-row SET-OPERATION estimates from two KMV sketches (Beyer et
+    al. SIGMOD'07 §5): build the union sketch L = bottom-k of
+    ``sk_a ∪ sk_b``, count the members of L that appear in BOTH input
+    sketches (valid because every h ∈ L is below both sketches' kth
+    thresholds whenever it is in both key sets), and scale:
+
+    - ``est_union``       = (k-1)/U over L (the plain KMV estimator);
+    - ``jaccard_ppm``     = n_both·1e6 div |L|  (ρ̂, exact integers);
+    - ``est_intersection``= n_both·est_union div |L| (ρ̂ · n̂_∪).
+
+    When |L| < k the union sketch holds EVERY distinct hash of A ∪ B, so
+    n_both and the estimates are exact, not approximate — the same
+    small-cardinality degeneracy the base estimator has, preserved here.
+
+    Input frames are sketch STATE (≤ k rows each), so every join below
+    is sketch-sized — this is coordinator algebra, not a data-plane
+    shuffle; at 100 TB the per-segment sketches are built by
+    :func:`kmv_sketch`'s two-phase shard merge and only their k-row
+    results meet here."""
+    a = sk_a.select("hv").distinct().withColumn("__in_a", F.lit(1))
+    b = sk_b.select("hv").distinct().withColumn("__in_b", F.lit(1))
+    union_sk = kmv_merge(a.select("hv").unionByName(b.select("hv")), [], k)
+    l = union_sk.join(a, "hv", "left").join(b, "hv", "left")
+    agg = l.agg(
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.max("hv").alias("kth_union"),
+        F.sum(
+            F.when(F.col("__in_a").isNotNull() & F.col("__in_b").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_both"),
+    )
+    return (
+        agg.select(
+            "n_union_sketch",
+            "kth_union",
+            "n_both",
+            _estimate(F.col("n_union_sketch"), F.col("kth_union"), k).alias(
+                "est_union"
+            ),
+        )
+        .withColumn("jaccard_ppm", F.expr("n_both * 1000000 div n_union_sketch"))
+        .withColumn(
+            "est_intersection", F.expr("n_both * est_union div n_union_sketch")
+        )
+    )

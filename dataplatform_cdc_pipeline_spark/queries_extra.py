@@ -247,14 +247,110 @@ ORDER BY part_a, part_b
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV set operations (union / intersection / Jaccard across segments)
+# ---------------------------------------------------------------------------
+
+KMV_SET_K = 64
+KMV_SEG_A = "click"
+KMV_SEG_B = "error"
+_DAY_US = 86_400_000_000
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set OVERLAP between two event segments estimated from
+    two k=64 KMV sketches — the theta-sketch set-operation workflow
+    (segment overlap / audience intersection) where exact COUNT(DISTINCT
+    … INTERSECT …) over 100 TB would be its own shuffle-heavy job.
+
+    The key is a user-day (user_id·1e5 + epoch-day), whose 'click' and
+    'error' segments genuinely partially overlap (sf0.01: 1601 vs 1612
+    with 595 common — Jaccard ≈ 0.23), so the intersection estimator is
+    exercised away from both degenerate ends. Hashes are the shared
+    60-bit MD5 primitive, so sketch contents, estimates, and the ppm
+    Jaccard are all BIT-equal across engines; the exact union and
+    intersection twins ride along to make the ~12.7% (1/√62) error
+    visible rather than asserted."""
+    from dataplatform_cdc_pipeline_spark.operators.sketches import (
+        kmv_set_estimate,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"cast(user_id * 100000 + (unix_micros(ts) div {_DAY_US}) as string)").alias(
+            "ud"
+        ),
+    )
+    sk_a = kmv_sketch(ev.filter(F.col("event_type") == KMV_SEG_A), "ud", [], KMV_SET_K)
+    sk_b = kmv_sketch(ev.filter(F.col("event_type") == KMV_SEG_B), "ud", [], KMV_SET_K)
+    est = kmv_set_estimate(sk_a, sk_b, KMV_SET_K)
+    both = ev.filter(F.col("event_type").isin(KMV_SEG_A, KMV_SEG_B))
+    ex_union = both.agg(F.count_distinct("ud").alias("exact_union"))
+    ex_int = (
+        both.filter(F.col("event_type") == KMV_SEG_A)
+        .select("ud")
+        .intersect(both.filter(F.col("event_type") == KMV_SEG_B).select("ud"))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return est.crossJoin(F.broadcast(ex_union)).crossJoin(F.broadcast(ex_int))
+
+
+_KMV_SET_EST = (
+    f"CASE WHEN {{n}} < {KMV_SET_K} THEN {{n}} "
+    f"ELSE CAST(floor({KMV_SET_K - 1}.0 * 1152921504606846976.0 "
+    f"/ CAST({{kth}} AS DOUBLE)) AS BIGINT) END"
+)
+
+SQL_KMV_SET_OPS = f"""
+WITH ud AS (
+  SELECT event_type,
+         (user_id * 100000 + epoch_us(ts::TIMESTAMP) // {_DAY_US})::VARCHAR AS ud
+  FROM events),
+ha AS (SELECT DISTINCT ('0x' || substring(md5(ud), 1, 15))::BIGINT AS hv
+       FROM ud WHERE event_type = '{KMV_SEG_A}'),
+hb AS (SELECT DISTINCT ('0x' || substring(md5(ud), 1, 15))::BIGINT AS hv
+       FROM ud WHERE event_type = '{KMV_SEG_B}'),
+ska AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM ha)
+        WHERE rk <= {KMV_SET_K}),
+skb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rk FROM hb)
+        WHERE rk <= {KMV_SET_K}),
+l AS (SELECT hv FROM (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+        FROM (SELECT DISTINCT hv FROM (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)))
+      WHERE rk <= {KMV_SET_K}),
+stats AS (
+  SELECT count(*) AS n_union_sketch, max(hv) AS kth_union,
+         sum(CASE WHEN hv IN (SELECT hv FROM ska)
+                   AND hv IN (SELECT hv FROM skb) THEN 1 ELSE 0 END)::BIGINT AS n_both
+  FROM l),
+exacts AS (
+  SELECT (SELECT count(DISTINCT ud) FROM ud
+          WHERE event_type IN ('{KMV_SEG_A}', '{KMV_SEG_B}')) AS exact_union,
+         (SELECT count(*) FROM
+            (SELECT DISTINCT ud FROM ud WHERE event_type = '{KMV_SEG_A}'
+             INTERSECT
+             SELECT DISTINCT ud FROM ud WHERE event_type = '{KMV_SEG_B}')) AS exact_intersection)
+SELECT n_union_sketch, kth_union, n_both,
+       {_KMV_SET_EST.format(n='n_union_sketch', kth='kth_union')} AS est_union,
+       n_both * 1000000 // n_union_sketch AS jaccard_ppm,
+       n_both * {_KMV_SET_EST.format(n='n_union_sketch', kth='kth_union')}
+              // n_union_sketch AS est_intersection,
+       exact_union, exact_intersection
+FROM stats CROSS JOIN exacts
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
     "basket_pair_lift": q_basket_pair_lift,
+    "kmv_set_ops": q_kmv_set_ops,
 }
 
 EXTRA_ORACLES = {
     "events_bfs_reach": SQL_EVENTS_BFS_REACH,
     "events_time_weighted": SQL_EVENTS_TIME_WEIGHTED,
     "basket_pair_lift": SQL_BASKET_PAIR_LIFT,
+    "kmv_set_ops": SQL_KMV_SET_OPS,
 }

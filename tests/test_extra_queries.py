@@ -103,3 +103,32 @@ def test_basket_pair_lift_hand_computed(spark, tmp_path):
     assert r["support_ppm"] == 750_000
     assert r["conf_a_b_ppm"] == 1_000_000 and r["conf_b_a_ppm"] == 1_000_000
     assert r["lift_ppm"] == 1_333_333
+
+
+def test_kmv_set_estimate_degenerate_ends(spark):
+    """Small-cardinality sketches (< k) are EXACT sets, so the set
+    estimator must be exact at both degenerate ends: identical segments
+    give Jaccard 1.0 and intersection == union; disjoint segments give
+    Jaccard 0 and intersection 0; a half-overlap gives the literal
+    counts."""
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+    from dataplatform_cdc_pipeline_spark.operators.sketches import kmv_set_estimate
+
+    def sk(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "key string")
+        return df.select(md5_long(F.col("key")).alias("hv"))
+
+    same = kmv_set_estimate(sk(list("abcd")), sk(list("abcd")), k=32).first()
+    assert same["n_union_sketch"] == 4 and same["n_both"] == 4
+    assert same["jaccard_ppm"] == 1_000_000
+    assert same["est_union"] == 4 and same["est_intersection"] == 4
+
+    disj = kmv_set_estimate(sk(list("abcd")), sk(list("wxyz")), k=32).first()
+    assert disj["n_union_sketch"] == 8 and disj["n_both"] == 0
+    assert disj["jaccard_ppm"] == 0 and disj["est_intersection"] == 0
+
+    half = kmv_set_estimate(sk(list("abcd")), sk(list("cdef")), k=32).first()
+    assert half["n_union_sketch"] == 6 and half["n_both"] == 2
+    assert half["est_intersection"] == 2
