@@ -341,11 +341,79 @@ FROM stats CROSS JOIN exacts
 """
 
 
+# ---------------------------------------------------------------------------
+# hashing-trick feature extraction (signed feature hashing)
+# ---------------------------------------------------------------------------
+
+FH_BUCKETS = 64
+FH_DOC_MOD = 17  # deterministic doc subset keeps the verified output compact
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (Weinberger et al. 2009 — the 'hashing
+    trick'): every token maps to ``md5 % 64`` and contributes ±1 by an
+    INDEPENDENT salted digest, so each document becomes a fixed-width
+    sparse vector with unbiased collisions (E[feature] preserves the
+    inner product) — the vectorizer for linear classifiers / quality
+    models over corpora whose vocabulary (unbounded at 100 TB) could
+    never be indexed for one-hot encoding.
+
+    Stateless per token — NO vocabulary build, no global pass, which is
+    the whole point at scale: one explode + one (doc, bucket) groupBy
+    with map-side combine; the output is bounded at 64 rows per doc
+    regardless of corpus size. Both the bucket and the sign come from
+    the shared 60-bit MD5 primitive, so every feature value hash-matches
+    DuckDB. The verified slice is a 1-in-17 deterministic doc subset;
+    the operator itself has no such restriction."""
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % FH_DOC_MOD == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = toks.select(
+        "doc_id",
+        F.pmod(md5_long(F.col("tok")), F.lit(FH_BUCKETS)).alias("bucket"),
+        F.when(F.pmod(md5_long(F.col("tok"), salt="sign"), F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    return h.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("long").alias("feat"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+
+
+def _sql_feature_hashing() -> str:
+    from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE doc_id % {FH_DOC_MOD} = 0),
+h AS (
+  SELECT doc_id,
+         {md5_long_sql('tok')} % {FH_BUCKETS} AS bucket,
+         CASE WHEN {md5_long_sql('tok', salt='sign')} % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM toks WHERE tok != '')
+SELECT doc_id, bucket, sum(sign)::BIGINT AS feat, count(*) AS n_tok
+FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+"""
+
+
+SQL_FEATURE_HASHING = _sql_feature_hashing()
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
     "basket_pair_lift": q_basket_pair_lift,
     "kmv_set_ops": q_kmv_set_ops,
+    "feature_hashing": q_feature_hashing,
 }
 
 EXTRA_ORACLES = {
@@ -353,4 +421,5 @@ EXTRA_ORACLES = {
     "events_time_weighted": SQL_EVENTS_TIME_WEIGHTED,
     "basket_pair_lift": SQL_BASKET_PAIR_LIFT,
     "kmv_set_ops": SQL_KMV_SET_OPS,
+    "feature_hashing": SQL_FEATURE_HASHING,
 }

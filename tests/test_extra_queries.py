@@ -132,3 +132,51 @@ def test_kmv_set_estimate_degenerate_ends(spark):
     half = kmv_set_estimate(sk(list("abcd")), sk(list("cdef")), k=32).first()
     assert half["n_union_sketch"] == 6 and half["n_both"] == 2
     assert half["est_intersection"] == 2
+
+
+def test_feature_hashing_hand_computed(spark, tmp_path):
+    """'a a b' → bucket(a) accumulates 2·sign(a), bucket(b) 1·sign(b),
+    with bucket/sign recomputed here from first principles (hashlib MD5,
+    60-bit prefix) — pinning the exact hash convention, not just
+    self-consistency. Requires doc_id divisible by the verified-subset
+    modulus."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataplatform_cdc_pipeline_spark.queries_extra import (
+        FH_BUCKETS,
+        FH_DOC_MOD,
+        q_feature_hashing,
+    )
+
+    def hv(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def bucket(tok):
+        return hv(tok) % FH_BUCKETS
+
+    def sign(tok):
+        return 1 if hv(f"sign|{tok}") % 2 == 0 else -1
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([FH_DOC_MOD], pa.int64()),
+            "text": pa.array(["  A a   b "], pa.string()),  # lower+trim+\s+
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["t"], pa.string()),
+            "n_chars": pa.array([10], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_id"], r["bucket"]): (r["feat"], r["n_tok"])
+        for r in q_feature_hashing(spark, str(tmp_path)).collect()
+    }
+    expect = {}
+    for tok, n in [("a", 2), ("b", 1)]:
+        key = (FH_DOC_MOD, bucket(tok))
+        f, c = expect.get(key, (0, 0))
+        expect[key] = (f + sign(tok) * n, c + n)
+    assert got == expect
