@@ -132,12 +132,27 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         with open(os.path.join(self._log_path(), f"{v:012d}.json")) as f:
             return json.load(f)
 
+    #: When set (by operators/multi_txn.MultiTableTxn during its prepare
+    #: phase), _publish STAGES the manifest instead of linking it and
+    #: appends (version, staged_path) here — the cross-table meta-commit
+    #: becomes the single atomic decision point; the coordinator links
+    #: the staged manifests afterwards (or never, if the txn aborts).
+    _prepare_capture: list | None = None
+
     def _publish(self, manifest: dict, version: int) -> None:
         """Atomic CAS publication: hard-link a staged manifest to its
         final name — the link fails if the version was already committed
         by a racing writer."""
         log = self._log_path()
         os.makedirs(log, exist_ok=True)
+        if self._prepare_capture is not None:
+            staged = os.path.join(
+                log, f".staged-{uuid.uuid4().hex[:8]}-{version:012d}.json"
+            )
+            with open(staged, "w") as f:
+                json.dump(manifest, f)
+            self._prepare_capture.append((version, staged))
+            return
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex[:8]}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)

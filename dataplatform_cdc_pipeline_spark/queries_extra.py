@@ -408,12 +408,119 @@ FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket
 SQL_FEATURE_HASHING = _sql_feature_hashing()
 
 
+# ---------------------------------------------------------------------------
+# cross-table atomic transactions (operators/multi_txn.py)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_multi_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table atomic lifecycle through the 2PC coordinator
+    (operators/multi_txn.MultiTableTxn): each of the two watermark
+    windows lands in ONE cross-table transaction — table A is the
+    user_state merge, table B is a per-event-type running total of CDC
+    records ACCUMULATED across the transactions (its thunk reads B's
+    previous committed state, so a lost or doubled window-1 commit —
+    exactly what a broken two-phase protocol produces — shifts every
+    total). The output unions both tables' final states under a table
+    tag; the oracle recomputes each side relationally, so the hash gate
+    covers the atomic-commit machinery end to end, not just one table.
+    """
+    import datetime
+    import tempfile
+
+    from dataplatform_cdc_pipeline_spark.operators.multi_txn import MultiTableTxn
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
+        build_changes,
+        window_scan,
+    )
+    from dataplatform_cdc_pipeline_spark.queries import cdc_feed
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from pyspark.sql import types as T
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg_a = user_state_config()
+    cfg_b = user_state_config(target_table="type_totals", pk="event_type")
+    b_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_mtxn_q_")
+    ta = SnapshotMergeTarget(spark, f"{tmp}/a", cfg_a, USER_STATE_SCHEMA)
+    tb = SnapshotMergeTarget(spark, f"{tmp}/b", cfg_b, b_schema)
+    txn = MultiTableTxn(f"{tmp}/txn")
+    split = datetime.datetime(2024, 1, 15)
+    for lo, hi in [(None, split), (split, None)]:
+        w = window_scan(raw, cfg_a, lo, hi)
+        changes_a = build_changes(w, USER_STATE_SCHEMA, cfg_a, deterministic_audit=True)
+        delta = (
+            w.select(F.get_json_object("data", "$.event_type").alias("event_type"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        prev = tb.read().select("event_type", F.col("n_rows").alias("__prev"))
+        changes_b = delta.join(prev, "event_type", "left").select(
+            "event_type",
+            (F.col("__d") + F.coalesce(F.col("__prev"), F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+            F.lit(None).cast("timestamp").alias("source_ts_ns_order"),
+            F.lit(0).cast("long").alias("pos"),
+            F.lit("c").alias("__op"),
+        )
+        txn.commit(
+            [
+                (ta, lambda ca=changes_a: ta.merge(ca)),
+                (tb, lambda cb=changes_b: tb.merge(cb)),
+            ]
+        )
+    a_rows = ta.read().select(
+        F.lit("state").alias("tbl"),
+        F.col("user_id").cast("string").alias("key"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("val"),
+    )
+    b_rows = tb.read().select(
+        F.lit("type_totals").alias("tbl"),
+        F.col("event_type").alias("key"),
+        F.col("n_rows").alias("val"),
+    )
+    return a_rows.unionByName(b_rows)
+
+
+SQL_CDC_MULTI_TXN = """
+WITH ranked AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op,
+         value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events)
+SELECT 'state' AS tbl, user_id::VARCHAR AS key,
+       floor(value * 1000000.0)::BIGINT AS val
+FROM ranked WHERE rn = 1 AND op != 'd'
+UNION ALL
+SELECT 'type_totals' AS tbl, event_type AS key, count(*)::BIGINT AS val
+FROM events GROUP BY event_type
+ORDER BY tbl, key
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
     "basket_pair_lift": q_basket_pair_lift,
     "kmv_set_ops": q_kmv_set_ops,
     "feature_hashing": q_feature_hashing,
+    "cdc_multi_txn": q_cdc_multi_txn,
 }
 
 EXTRA_ORACLES = {
@@ -422,4 +529,5 @@ EXTRA_ORACLES = {
     "basket_pair_lift": SQL_BASKET_PAIR_LIFT,
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "feature_hashing": SQL_FEATURE_HASHING,
+    "cdc_multi_txn": SQL_CDC_MULTI_TXN,
 }

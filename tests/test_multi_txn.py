@@ -1,0 +1,141 @@
+"""Cross-table atomic transactions (operators/multi_txn.py): both-or-
+neither commits across two snapshot tables, 2PC crash recovery, and
+cross-table snapshot-isolated reads."""
+
+import pytest
+
+from dataplatform_cdc_pipeline_spark.operators.multi_txn import MultiTableTxn
+from dataplatform_cdc_pipeline_spark.operators.snapshot_target import SnapshotMergeTarget
+from dataplatform_cdc_pipeline_spark.sources.cdc import USER_STATE_SCHEMA, user_state_config
+
+from test_merge_target_contract import changes
+
+
+def make_pair(spark, tmp_path):
+    ta = SnapshotMergeTarget(
+        spark, str(tmp_path / "a"), user_state_config(), USER_STATE_SCHEMA
+    )
+    tb = SnapshotMergeTarget(
+        spark, str(tmp_path / "b"), user_state_config(), USER_STATE_SCHEMA
+    )
+    return ta, tb, MultiTableTxn(str(tmp_path / "txn"))
+
+
+def state(t, version=None):
+    return sorted(
+        (r["user_id"], r["value"]) for r in t.read(version=version).collect()
+    )
+
+
+def test_both_tables_commit_atomically(spark, tmp_path):
+    ta, tb, txn = make_pair(spark, tmp_path)
+    tid = txn.commit(
+        [
+            (ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))),
+            (tb, lambda: tb.merge(changes(spark, [("c", 9, 9.0, 0, 1)]))),
+        ]
+    )
+    assert tid == 1
+    assert state(ta) == [(1, 1.0)] and state(tb) == [(9, 9.0)]
+    assert ta._read_version() == 1 and tb._read_version() == 1
+    tid2 = txn.commit(
+        [
+            (ta, lambda: ta.merge(changes(spark, [("u", 1, 2.0, 5, 2)]))),
+            (tb, lambda: tb.merge(changes(spark, [("d", 9, 0.0, 5, 2)]))),
+        ]
+    )
+    assert tid2 == 2
+    assert state(ta) == [(1, 2.0)] and state(tb) == []
+    assert txn.read_versions() == {ta.path: 2, tb.path: 2}
+
+
+def test_prepare_failure_publishes_nothing(spark, tmp_path):
+    """Table A prepares fully (data tree written, manifest staged), then
+    table B's thunk explodes — NEITHER table may advance: the staged
+    manifest is unlinked, A still reads its old state, and the orphaned
+    data tree never becomes reachable."""
+    ta, tb, txn = make_pair(spark, tmp_path)
+    txn.commit([(ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)])))])
+
+    def boom():
+        raise RuntimeError("poisoned table-B write")
+
+    with pytest.raises(RuntimeError, match="poisoned"):
+        txn.commit(
+            [
+                (ta, lambda: ta.merge(changes(spark, [("u", 1, 7.0, 5, 2)]))),
+                (tb, boom),
+            ]
+        )
+    assert ta._read_version() == 1 and state(ta) == [(1, 1.0)]
+    assert tb._read_version() == 0
+    assert txn._txn_ids() == [1]
+    import os
+
+    log = os.path.join(ta.path, SnapshotMergeTarget.LOG_DIR)
+    assert not [e for e in os.listdir(log) if e.startswith(".staged-")]
+    # the aborted txn does not wedge the tables: a clean retry commits
+    txn.commit(
+        [
+            (ta, lambda: ta.merge(changes(spark, [("u", 1, 7.0, 5, 2)]))),
+            (tb, lambda: tb.merge(changes(spark, [("c", 9, 9.0, 0, 2)]))),
+        ]
+    )
+    assert state(ta) == [(1, 7.0)] and state(tb) == [(9, 9.0)]
+
+
+def test_crash_between_decide_and_finalize_recovers(spark, tmp_path, monkeypatch):
+    """Once the meta-manifest is linked the transaction IS committed even
+    if the process dies before any table manifest is linked: a fresh
+    coordinator's recover() (run implicitly by read_versions) finishes
+    the finalize, and both tables then read the new state — presumed
+    commit."""
+    ta, tb, txn = make_pair(spark, tmp_path)
+
+    def crash(meta):
+        raise RuntimeError("simulated crash after decide")
+
+    monkeypatch.setattr(txn, "_finalize", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit(
+            [
+                (ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))),
+                (tb, lambda: tb.merge(changes(spark, [("c", 9, 9.0, 0, 1)]))),
+            ]
+        )
+    # in-doubt window: decided on the meta log, invisible on the tables
+    assert txn._txn_ids() == [1]
+    assert ta._read_version() == 0 and tb._read_version() == 0
+
+    fresh = MultiTableTxn(txn.path)
+    assert fresh.read_versions() == {ta.path: 1, tb.path: 1}  # recovers first
+    assert state(ta) == [(1, 1.0)] and state(tb) == [(9, 9.0)]
+    assert fresh.recover() == 0  # idempotent: nothing left to repair
+
+
+def test_cross_table_snapshot_pins_untouched_table(spark, tmp_path):
+    """txn 2 touches only table A (B's thunk commits nothing): B's
+    version is pinned unchanged in the meta-manifest, and reading AS OF
+    txn 1 returns both tables' txn-1 states even after txn 2."""
+    ta, tb, txn = make_pair(spark, tmp_path)
+    txn.commit(
+        [
+            (ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))),
+            (tb, lambda: tb.merge(changes(spark, [("c", 9, 9.0, 0, 1)]))),
+        ]
+    )
+    txn.commit(
+        [
+            (ta, lambda: ta.merge(changes(spark, [("u", 1, 2.0, 5, 2)]))),
+            (tb, lambda: None),  # no-op participant
+        ]
+    )
+    v1 = txn.read_versions(txn_id=1)
+    v2 = txn.read_versions()
+    assert v1 == {ta.path: 1, tb.path: 1}
+    assert v2 == {ta.path: 2, tb.path: 1}
+    assert state(ta, version=v1[ta.path]) == [(1, 1.0)]
+    assert state(ta, version=v2[ta.path]) == [(1, 2.0)]
+    assert state(tb, version=v2[tb.path]) == [(9, 9.0)]
+    with pytest.raises(ValueError, match="not in log"):
+        txn.read_versions(txn_id=99)
