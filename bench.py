@@ -98,6 +98,9 @@ HEADLINE = [
     "events_hourly_profile", "cdc_metadata_count", "array_function_suite", "cdc_merge_wap",
     "stream_topk_per_type", "events_unpivot", "map_function_suite",
     "events_mad",
+    # r6 additions (closing wave)
+    "events_bfs_reach", "events_time_weighted", "basket_pair_lift",
+    "kmv_set_ops", "feature_hashing", "cdc_multi_txn",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -514,6 +514,86 @@ ORDER BY tbl, key
 """
 
 
+# ---------------------------------------------------------------------------
+# window navigation-function contract (frames + IGNORE NULLS)
+# ---------------------------------------------------------------------------
+
+WNAV_USER_MOD = 20  # verified slice: user_id % 20 == 3
+
+
+def q_window_nav_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable contract for the navigation window functions the
+    ranking suite (order_window_suite) doesn't cover — the two places
+    engines classically diverge, pinned cross-engine per row:
+
+    - FRAME EXTENTS: ``last_value`` over the DEFAULT frame (… CURRENT
+      ROW) is the current row, not the partition max — the classic
+      "last_value doesn't do what you think" footgun — while the
+      explicit UNBOUNDED FOLLOWING frame gives the partition-final
+      value; ``nth_value(…, 3)`` needs the full frame to be stable.
+    - IGNORE NULLS: first non-null over the partition, the
+      last-non-null RUNNING frame (exactly the LOCF gap-fill
+      primitive), and 2nd-non-null — over a deterministically
+      sparsified column (value present only when event_id % 5 == 0).
+
+    Order is (ts_us, event_id) — unique, so RANGE-vs-ROWS peer
+    semantics cannot blur the default-frame comparison. Pure window
+    pass, one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % WNAV_USER_MOD == 3
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vus"),
+    ).withColumn(
+        "v_nn", F.when(F.col("event_id") % 5 == 0, F.col("vus"))
+    )
+    base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_ord = base  # default frame: RANGE UNBOUNDED PRECEDING .. CURRENT ROW
+    w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("vus").over(w_full).alias("fv"),
+        F.last("vus").over(w_ord).alias("lv_dflt"),
+        F.last("vus").over(w_full).alias("lv_full"),
+        F.nth_value("vus", 3).over(w_full).alias("nth3"),
+        F.first("v_nn", ignorenulls=True).over(w_full).alias("first_nn"),
+        F.last("v_nn", ignorenulls=True).over(w_run).alias("locf_nn"),
+        F.nth_value("v_nn", 2, ignoreNulls=True).over(w_full).alias("nth2_nn"),
+    )
+
+
+SQL_WINDOW_NAV_SUITE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         floor(value * 1000000.0)::BIGINT AS vus,
+         CASE WHEN event_id % 5 = 0
+              THEN floor(value * 1000000.0)::BIGINT END AS v_nn
+  FROM events WHERE user_id % {WNAV_USER_MOD} = 3)
+SELECT user_id, event_id,
+       first_value(vus) OVER w_full AS fv,
+       last_value(vus) OVER w_ord AS lv_dflt,
+       last_value(vus) OVER w_full AS lv_full,
+       nth_value(vus, 3) OVER w_full AS nth3,
+       first_value(v_nn IGNORE NULLS) OVER w_full AS first_nn,
+       last_value(v_nn IGNORE NULLS) OVER w_run AS locf_nn,
+       nth_value(v_nn, 2 IGNORE NULLS) OVER w_full AS nth2_nn
+FROM ev
+WINDOW
+  w_ord AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+  w_run AS (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_full AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id, event_id
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
@@ -521,6 +601,7 @@ EXTRA_QUERIES = {
     "kmv_set_ops": q_kmv_set_ops,
     "feature_hashing": q_feature_hashing,
     "cdc_multi_txn": q_cdc_multi_txn,
+    "window_nav_suite": q_window_nav_suite,
 }
 
 EXTRA_ORACLES = {
@@ -530,4 +611,5 @@ EXTRA_ORACLES = {
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "feature_hashing": SQL_FEATURE_HASHING,
     "cdc_multi_txn": SQL_CDC_MULTI_TXN,
+    "window_nav_suite": SQL_WINDOW_NAV_SUITE,
 }
