@@ -101,6 +101,7 @@ HEADLINE = [
     # r6 additions (closing wave)
     "events_bfs_reach", "events_time_weighted", "basket_pair_lift",
     "kmv_set_ops", "feature_hashing", "cdc_multi_txn",
+    "window_nav_suite", "revenue_share", "corpus_profile",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -594,6 +594,123 @@ ORDER BY user_id, event_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# ratio-to-parent / ratio-to-report rollup (revenue share)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue with its share of the REGION and of the GRAND
+    total in ppm — the ratio_to_report / share-of-parent pattern every
+    BI rollup needs and plain GROUP BY can't express without a second
+    pass. Shares are decimal-exact integer divisions over the same
+    DECIMAL(25,6) revenue sums the Q5 analog uses (a float ratio would
+    hash-diverge); the two window sums run over the ALREADY-aggregated
+    (region, nation) frame — 25 rows, so the empty-partition global
+    window is coordinator-scale state, not a data shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    # exact-integer shares: lift the DECIMAL(25,6) revenue into integer
+    # micro-currency FIRST — DuckDB's // on raw decimals routes through
+    # DOUBLE and its last ppm digit diverges (measured), integers don't
+    base = base.withColumn("rev_us", F.expr("cast(rev * 1000000 as decimal(38,0))"))
+    return base.selectExpr(
+        "r_name",
+        "n_name",
+        "cast(round(rev, 2) as double) as revenue",
+        "cast((rev_us * 1000000) div (sum(rev_us) over (partition by r_name))"
+        " as bigint) as share_region_ppm",
+        "cast((rev_us * 1000000) div (sum(rev_us) over ()) as bigint)"
+        " as share_total_ppm",
+    )
+
+
+SQL_REVENUE_SHARE = """
+WITH base AS (
+  SELECT r_name, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, round(rev, 2)::DOUBLE AS revenue,
+       (rev_us * 1000000 // sum(rev_us) OVER (PARTITION BY r_name))::BIGINT
+         AS share_region_ppm,
+       (rev_us * 1000000 // sum(rev_us) OVER ())::BIGINT AS share_total_ppm
+FROM (SELECT *, (rev * 1000000)::HUGEINT AS rev_us FROM base)
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# single-pass column profiler (Deequ/dbt-style table profiling)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the documents table — row count,
+    filled (non-null) count, exact distinct count, and min/max per
+    column (native-type ordering, then cast to string for the uniform
+    output shape) — the Deequ/Glue-profiler primitive that feeds DQ
+    rule suggestion and drift monitoring.
+
+    ONE aggregate over the scan computes every column's stats
+    (stack() unpivots the single row afterwards — metadata-scale).
+    The exact multi-column COUNT(DISTINCT) expands the input ×|cols|
+    (Spark's Expand operator); at 100 TB swap the distinct legs for the
+    KMV sketch (operators/sketches.py) — same output shape, one
+    map-side pass, documented trade."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__f"),
+            F.count_distinct(F.col(c)).alias(f"{c}__d"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__f, {c}__d, {c}__mn, {c}__mx" for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        "__n as n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack})"
+        " as (col, n_filled, n_distinct, min_v, max_v)",
+    ).select("col", "n_rows", "n_filled", "n_distinct", "min_v", "max_v")
+
+
+SQL_CORPUS_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col, count(*) AS n_rows, count({c}) AS n_filled,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c})::VARCHAR AS min_v, max({c})::VARCHAR AS max_v
+FROM documents"""
+    for c in PROFILE_COLS
+)
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
@@ -602,6 +719,8 @@ EXTRA_QUERIES = {
     "feature_hashing": q_feature_hashing,
     "cdc_multi_txn": q_cdc_multi_txn,
     "window_nav_suite": q_window_nav_suite,
+    "revenue_share": q_revenue_share,
+    "corpus_profile": q_corpus_profile,
 }
 
 EXTRA_ORACLES = {
@@ -612,4 +731,6 @@ EXTRA_ORACLES = {
     "feature_hashing": SQL_FEATURE_HASHING,
     "cdc_multi_txn": SQL_CDC_MULTI_TXN,
     "window_nav_suite": SQL_WINDOW_NAV_SUITE,
+    "revenue_share": SQL_REVENUE_SHARE,
+    "corpus_profile": SQL_CORPUS_PROFILE,
 }
