@@ -711,6 +711,87 @@ FROM documents"""
 )
 
 
+
+# ---------------------------------------------------------------------------
+# version-keyed result cache (operators/result_cache.py)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_cached_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-cache lifecycle over the snapshot sink: the per-type
+    aggregate is computed ONCE per table version — the second ask at the
+    same version is served from the cache with the compute function
+    POISONED (a recompute would raise, so a silent cache miss cannot
+    pass), and the window-2 commit bumps the manifest version, which
+    structurally invalidates the entry and forces the fresh numbers the
+    oracle checks. Hit/miss counters ride the output, so the hash gate
+    pins the caching BEHAVIOR (1 hit, 2 misses), not just the final
+    values."""
+    import datetime
+    import tempfile
+
+    from dataplatform_cdc_pipeline_spark.operators.result_cache import ResultCache
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
+        build_changes,
+        window_scan,
+    )
+    from dataplatform_cdc_pipeline_spark.queries import cdc_feed
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_cache_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    cache = ResultCache(spark, f"{tmp}/cache")
+
+    def compute() -> DataFrame:
+        return (
+            target.read()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+
+    def poisoned() -> DataFrame:
+        raise AssertionError("result cache recomputed at an unchanged version")
+
+    split = datetime.datetime(2024, 1, 15)
+    for i, (lo, hi) in enumerate([(None, split), (split, None)]):
+        w = window_scan(raw, cfg, lo, hi)
+        target.merge(build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True))
+        v = {"user_state": target._read_version()}
+        out = cache.get_or_compute("type_counts", v, compute)
+        if i == 0:  # same version again: must serve, must not recompute
+            out = cache.get_or_compute("type_counts", v, poisoned)
+    return out.select(
+        "event_type",
+        "n_users",
+        F.lit(cache.hits).cast("long").alias("n_hits"),
+        F.lit(cache.misses).cast("long").alias("n_misses"),
+    )
+
+
+SQL_CDC_CACHED_READ = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events)
+SELECT event_type, count(*) AS n_users,
+       1::BIGINT AS n_hits, 2::BIGINT AS n_misses
+FROM ranked WHERE rn = 1 AND op != 'd'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
@@ -721,6 +802,7 @@ EXTRA_QUERIES = {
     "window_nav_suite": q_window_nav_suite,
     "revenue_share": q_revenue_share,
     "corpus_profile": q_corpus_profile,
+    "cdc_cached_read": q_cdc_cached_read,
 }
 
 EXTRA_ORACLES = {
@@ -733,4 +815,5 @@ EXTRA_ORACLES = {
     "window_nav_suite": SQL_WINDOW_NAV_SUITE,
     "revenue_share": SQL_REVENUE_SHARE,
     "corpus_profile": SQL_CORPUS_PROFILE,
+    "cdc_cached_read": SQL_CDC_CACHED_READ,
 }

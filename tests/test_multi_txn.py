@@ -139,3 +139,68 @@ def test_cross_table_snapshot_pins_untouched_table(spark, tmp_path):
     assert state(tb, version=v2[tb.path]) == [(9, 9.0)]
     with pytest.raises(ValueError, match="not in log"):
         txn.read_versions(txn_id=99)
+
+
+# ---------------------------------------------------------------------------
+# result cache (operators/result_cache.py)
+# ---------------------------------------------------------------------------
+
+
+def test_result_cache_hit_miss_and_invalidation(spark, tmp_path):
+    """Same key + same versions serves WITHOUT recomputing (the compute
+    thunk is poisoned); a bumped version recomputes; a second cache
+    instance over the same directory shares entries (the cache is the
+    filesystem, not the object)."""
+    from dataplatform_cdc_pipeline_spark.operators.result_cache import ResultCache
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a")], "id long, v string")
+
+    def poisoned():
+        raise AssertionError("must not recompute")
+
+    r1 = cache.get_or_compute("q", {"t": 1}, compute)
+    assert [tuple(r) for r in r1.collect()] == [(1, "a")] and calls == [1]
+    r2 = cache.get_or_compute("q", {"t": 1}, poisoned)
+    assert [tuple(r) for r in r2.collect()] == [(1, "a")]
+    assert (cache.hits, cache.misses) == (1, 1)
+    # version bump → structurally a different key → recompute
+    cache.get_or_compute("q", {"t": 2}, compute)
+    assert calls == [1, 1] and cache.misses == 2
+    # a fresh instance sees the same entries (shared, restart-safe)
+    other = ResultCache(spark, str(tmp_path / "rc"))
+    other.get_or_compute("q", {"t": 2}, poisoned)
+    assert other.hits == 1
+
+
+def test_result_cache_sweep(spark, tmp_path):
+    """sweep() reclaims crash debris and version-superseded entries for
+    keys it is told about, and leaves current entries and unrelated keys
+    alone."""
+    import os
+
+    from dataplatform_cdc_pipeline_spark.operators.result_cache import ResultCache
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+
+    def compute():
+        return spark.createDataFrame([(1,)], "id long")
+
+    cache.get_or_compute("q", {"t": 1}, compute)
+    cache.get_or_compute("q", {"t": 2}, compute)
+    cache.get_or_compute("other", {"t": 1}, compute)
+    os.makedirs(os.path.join(cache.path, ".tmp-deadbeef"))
+    removed = cache.sweep(live_versions={"q": {"t": 2}})
+    assert any(e.startswith(".tmp-") for e in removed)
+    assert sum(e.startswith("q-") for e in removed) == 1  # the v1 entry
+    assert not any(e.startswith("other-") for e in removed)
+
+    def poisoned():
+        raise AssertionError("current entry must survive sweep")
+
+    assert cache.get_or_compute("q", {"t": 2}, poisoned).count() == 1
+    assert cache.get_or_compute("other", {"t": 1}, poisoned).count() == 1
