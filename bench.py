@@ -102,7 +102,7 @@ HEADLINE = [
     "events_bfs_reach", "events_time_weighted", "basket_pair_lift",
     "kmv_set_ops", "feature_hashing", "cdc_multi_txn",
     "window_nav_suite", "revenue_share", "corpus_profile",
-    "cdc_cached_read",
+    "cdc_cached_read", "cdc_merge_dlq",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

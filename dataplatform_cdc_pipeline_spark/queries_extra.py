@@ -792,6 +792,119 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+
+# ---------------------------------------------------------------------------
+# dead-letter-queue merge (plans/quarantine.py + multi_txn)
+# ---------------------------------------------------------------------------
+
+DLQ_POISON_MOD = 97  # events with event_id % 97 == 0 get an uncastable value
+
+
+def q_cdc_merge_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-mode merge: a feed where 1-in-97 payloads carry an
+    uncastable ``value`` ("oops") runs the two-window lifecycle with
+    ``quarantine_split`` — clean rows merge, poisoned rows land in a DLQ
+    table tagged with the failing column, and each window commits BOTH
+    tables in one MultiTableTxn (a crash can't drop or double either
+    side). Under the default posture this exact feed would
+    CAST_INVALID_INPUT-abort every batch (verify_probe P9); the DLQ mode
+    trades that for managed-pipeline continuity WITHOUT weakening the
+    merge itself — quarantining a row changes survivorship (the user's
+    state falls back to their latest CLEAN event), which is exactly what
+    the oracle recomputes."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dataplatform_cdc_pipeline_spark.operators.multi_txn import MultiTableTxn
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
+        build_changes,
+        window_scan,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.quarantine import quarantine_split
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        synthesize_cdc_from_events,
+        user_state_config,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    poisoned = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % DLQ_POISON_MOD == 0, F.lit("oops")).otherwise(
+            F.col("value").cast("string")
+        ),
+    )
+    raw = synthesize_cdc_from_events(poisoned)
+    cfg = user_state_config()
+    cfg_q = user_state_config(target_table="cdc_quarantine", pk="q_pos")
+    q_schema = T.StructType(
+        [
+            T.StructField("q_pos", T.LongType()),
+            T.StructField("qerror", T.StringType()),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_dlq_q_")
+    ta = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    tq = SnapshotMergeTarget(spark, f"{tmp}/q", cfg_q, q_schema)
+    txn = MultiTableTxn(f"{tmp}/txn")
+    split = datetime.datetime(2024, 1, 15)
+    for lo, hi in [(None, split), (split, None)]:
+        w = window_scan(raw, cfg, lo, hi)
+        clean, quarantined = quarantine_split(w, USER_STATE_SCHEMA, cfg)
+        ca = build_changes(clean, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+        cq = quarantined.select(
+            F.col("__pos").alias("q_pos"),
+            F.concat_ws(",", "__qerrors").alias("qerror"),
+            "data",
+            F.lit(None).cast("timestamp").alias("source_ts_ns_order"),
+            F.col("__pos").alias("pos"),
+            F.lit("c").alias("__op"),
+        )
+        txn.commit(
+            [
+                (ta, lambda c=ca: ta.merge(c)),
+                (tq, lambda c=cq: tq.merge(c)),
+            ]
+        )
+    state_rows = ta.read().select(
+        F.lit("state").alias("tbl"),
+        F.col("user_id").cast("string").alias("key"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("val"),
+    )
+    dlq_rows = tq.read().select(
+        F.lit("dlq").alias("tbl"),
+        F.concat_ws(":", F.col("q_pos").cast("string"), "qerror").alias("key"),
+        F.lit(1).cast("long").alias("val"),
+    )
+    return state_rows.unionByName(dlq_rows)
+
+
+SQL_CDC_MERGE_DLQ = f"""
+WITH clean AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op,
+         value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events WHERE event_id % {DLQ_POISON_MOD} != 0)
+SELECT 'state' AS tbl, user_id::VARCHAR AS key,
+       floor(value * 1000000.0)::BIGINT AS val
+FROM clean WHERE rn = 1 AND op != 'd'
+UNION ALL
+SELECT 'dlq' AS tbl, event_id::VARCHAR || ':value' AS key, 1::BIGINT AS val
+FROM events WHERE event_id % {DLQ_POISON_MOD} = 0
+ORDER BY tbl, key
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
@@ -803,6 +916,7 @@ EXTRA_QUERIES = {
     "revenue_share": q_revenue_share,
     "corpus_profile": q_corpus_profile,
     "cdc_cached_read": q_cdc_cached_read,
+    "cdc_merge_dlq": q_cdc_merge_dlq,
 }
 
 EXTRA_ORACLES = {
@@ -816,4 +930,5 @@ EXTRA_ORACLES = {
     "revenue_share": SQL_REVENUE_SHARE,
     "corpus_profile": SQL_CORPUS_PROFILE,
     "cdc_cached_read": SQL_CDC_CACHED_READ,
+    "cdc_merge_dlq": SQL_CDC_MERGE_DLQ,
 }

@@ -180,3 +180,49 @@ def test_feature_hashing_hand_computed(spark, tmp_path):
         f, c = expect.get(key, (0, 0))
         expect[key] = (f + sign(tok) * n, c + n)
     assert got == expect
+
+
+def test_quarantine_split_validity_rules(spark):
+    """A row quarantines only when a PRESENT value fails its cast:
+    absent keys, JSON nulls, and the 'null' string (P16) all pass;
+    multiple failing columns are all named; string targets never fail."""
+    import datetime
+    import json
+
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import window_scan
+    from dataplatform_cdc_pipeline_spark.plans.quarantine import quarantine_split
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+
+    def payload(pos, **fields):
+        return json.dumps(
+            {"__op": "c", "__ts_ns": "1704067200000000000", "__source_pos": str(pos),
+             **fields}
+        )
+
+    rows = [
+        payload(1, user_id=1, value=1.5, k=1),                 # clean
+        payload(2, user_id=2, value="oops", k=1),              # bad value
+        payload(3, user_id="x", value="oops", k="y"),          # 3 bad columns
+        payload(4, user_id=4, value=None, k=None),             # JSON nulls pass
+        payload(5, user_id=5, value="null", k="null"),         # 'null' string passes
+        payload(6, user_id=6),                                 # absent keys pass
+        payload(7, user_id=7, value="2.5", event_type=123),    # numeric string casts; int→string col fine
+    ]
+    base = datetime.datetime(2024, 1, 1)
+    raw = spark.createDataFrame(
+        [(p, base) for p in rows], "data string, load_ts timestamp"
+    )
+    cfg = user_state_config()
+    w = window_scan(raw, cfg, None, None)
+    clean, quarantined = quarantine_split(w, USER_STATE_SCHEMA, cfg)
+    q = {
+        int(r["__pos"]): sorted(r["__qerrors"])
+        for r in quarantined.select("__pos", "__qerrors").collect()
+    }
+    assert q == {2: ["value"], 3: ["k", "user_id", "value"]}
+    assert sorted(int(r["__pos"]) for r in clean.select("__pos").collect()) == [
+        1, 4, 5, 6, 7,
+    ]
