@@ -905,6 +905,111 @@ ORDER BY tbl, key
 """
 
 
+
+# ---------------------------------------------------------------------------
+# exact aggregate-function matrix + explicit NULL-ordering contract
+# ---------------------------------------------------------------------------
+
+
+def q_agg_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable contract for the EXACT aggregate surface the scalar
+    matrix doesn't touch: filtered counts (count_if / FILTER), the
+    bitwise fold family (bit_and/or/xor — order-independent by algebra,
+    so hash-stable under any partitioning), boolean quantifiers
+    (bool_and/bool_or), argmin/argmax with a UNIQUE ordering key
+    (min_by/max_by are nondeterministic under ties — event_id is unique,
+    which is the contract being documented), and GROUP_CONCAT done
+    right: sort-then-join over the distinct set, deterministic where a
+    bare string_agg's order is engine-private. That last one upgrades
+    the reference's A4 (GROUP_CONCAT codegen) from control-plane-only
+    coverage to a data-plane oracle. One map-side-combining shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("count_if(value > 50.0)").alias("n_high"),
+        F.expr("bit_and(user_id)").alias("band"),
+        F.expr("bit_or(user_id)").alias("bor"),
+        F.expr("bit_xor(user_id)").alias("bxor"),
+        F.expr("bool_and(user_id % 2 = 0)").alias("all_even"),
+        F.expr("bool_or(user_id % 2 = 0)").alias("any_even"),
+        F.expr("max_by(user_id, event_id)").alias("last_user"),
+        F.expr("min_by(user_id, event_id)").alias("first_user"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("user_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("users"),
+    )
+
+
+SQL_AGG_FUNCTION_MATRIX = """
+SELECT event_type,
+       count(*) AS n,
+       count(*) FILTER (WHERE value > 50.0) AS n_high,
+       bit_and(user_id) AS band,
+       bit_or(user_id) AS bor,
+       bit_xor(user_id) AS bxor,
+       bool_and(user_id % 2 = 0) AS all_even,
+       bool_or(user_id % 2 = 0) AS any_even,
+       max_by(user_id, event_id) AS last_user,
+       min_by(user_id, event_id) AS first_user,
+       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_null_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering contract: the engines DISAGREE by default
+    (Spark sorts NULLs first ascending, DuckDB last), so any ranking
+    over a nullable key is silently non-portable unless the query pins
+    NULLS FIRST/LAST — this suite pins both directions over a
+    deterministically sparsified key (value NULLed when event_id % 4 ==
+    0) and proves the pinned forms hash-match. Ties broken by event_id;
+    one shuffle on event_type."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 3
+    ).select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("event_id") % 4 != 0,
+            F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long"),
+        ).alias("v_nn"),
+    )
+    w_last = Window.partitionBy("event_type").orderBy(
+        F.col("v_nn").asc_nulls_last(), F.col("event_id").asc()
+    )
+    w_first = Window.partitionBy("event_type").orderBy(
+        F.col("v_nn").desc_nulls_first(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        "v_nn",
+        F.row_number().over(w_last).alias("rn_asc_nulls_last"),
+        F.row_number().over(w_first).alias("rn_desc_nulls_first"),
+    )
+
+
+SQL_NULL_ORDER_SUITE = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 4 != 0
+              THEN floor(value * 1000000.0)::BIGINT END AS v_nn
+  FROM events WHERE user_id % 25 = 3)
+SELECT event_type, event_id, v_nn,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY v_nn ASC NULLS LAST, event_id ASC)
+         AS rn_asc_nulls_last,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY v_nn DESC NULLS FIRST, event_id ASC)
+         AS rn_desc_nulls_first
+FROM ev ORDER BY event_type, event_id
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
@@ -917,6 +1022,8 @@ EXTRA_QUERIES = {
     "corpus_profile": q_corpus_profile,
     "cdc_cached_read": q_cdc_cached_read,
     "cdc_merge_dlq": q_cdc_merge_dlq,
+    "agg_function_matrix": q_agg_function_matrix,
+    "null_order_suite": q_null_order_suite,
 }
 
 EXTRA_ORACLES = {
@@ -931,4 +1038,6 @@ EXTRA_ORACLES = {
     "corpus_profile": SQL_CORPUS_PROFILE,
     "cdc_cached_read": SQL_CDC_CACHED_READ,
     "cdc_merge_dlq": SQL_CDC_MERGE_DLQ,
+    "agg_function_matrix": SQL_AGG_FUNCTION_MATRIX,
+    "null_order_suite": SQL_NULL_ORDER_SUITE,
 }
