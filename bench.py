@@ -103,7 +103,7 @@ HEADLINE = [
     "kmv_set_ops", "feature_hashing", "cdc_multi_txn",
     "window_nav_suite", "revenue_share", "corpus_profile",
     "cdc_cached_read", "cdc_merge_dlq",
-    "agg_function_matrix", "null_order_suite",
+    "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1010,6 +1010,90 @@ FROM ev ORDER BY event_type, event_id
 """
 
 
+
+def q_stream_dlq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cdc_merge_dlq: the poisoned feed arrives as two
+    mtime-ordered bronze files (one per watermark window) processed as
+    separate micro-batches (maxFilesPerTrigger=1), each split clean/DLQ
+    inside foreachBatch. Batch boundaries cannot change either table's
+    final state, so the query shares the batch oracle — and replay
+    safety here comes from BOTH legs being idempotent upserts rather
+    than a cross-table transaction (the documented trade against
+    cdc_multi_txn)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        synthesize_cdc_from_events,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        run_streaming_merge_dlq,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    poisoned = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % DLQ_POISON_MOD == 0, F.lit("oops")).otherwise(
+            F.col("value").cast("string")
+        ),
+    )
+    raw = synthesize_cdc_from_events(poisoned)
+    tmp = tempfile.mkdtemp(prefix="stream_dlq_q_")
+    src = f"{tmp}/bronze"
+    _os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        d = f"{tmp}/stage_{name}"
+        df.coalesce(1).write.parquet(d)
+        part = _glob.glob(f"{d}/part-*.parquet")[0]
+        dest = f"{src}/{name}.parquet"
+        _shutil.move(part, dest)
+        _os.utime(dest, (mtime, mtime))
+
+    import datetime
+
+    split = datetime.datetime(2024, 1, 15)
+    t0 = 1_000_000_000
+    stage(raw.filter(F.col("load_ts") <= F.lit(split)), "a_w1", t0)
+    stage(raw.filter(F.col("load_ts") > F.lit(split)), "b_w2", t0 + 100)
+
+    cfg = user_state_config()
+    cfg_q = user_state_config(target_table="cdc_quarantine", pk="q_pos")
+    q_schema = T.StructType(
+        [
+            T.StructField("q_pos", T.LongType()),
+            T.StructField("qerror", T.StringType()),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+    target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    dlq = ParquetMergeTarget(spark, f"{tmp}/q", cfg_q, q_schema)
+    run_streaming_merge_dlq(
+        spark, cfg, target, dlq, USER_STATE_SCHEMA, src, f"{tmp}/ckpt",
+        max_files_per_trigger=1,
+    )
+    state_rows = target.read().select(
+        F.lit("state").alias("tbl"),
+        F.col("user_id").cast("string").alias("key"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("val"),
+    )
+    dlq_rows = dlq.read().select(
+        F.lit("dlq").alias("tbl"),
+        F.concat_ws(":", F.col("q_pos").cast("string"), "qerror").alias("key"),
+        F.lit(1).cast("long").alias("val"),
+    )
+    return state_rows.unionByName(dlq_rows)
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
@@ -1024,6 +1108,7 @@ EXTRA_QUERIES = {
     "cdc_merge_dlq": q_cdc_merge_dlq,
     "agg_function_matrix": q_agg_function_matrix,
     "null_order_suite": q_null_order_suite,
+    "stream_dlq_merge": q_stream_dlq_merge,
 }
 
 EXTRA_ORACLES = {
@@ -1040,4 +1125,5 @@ EXTRA_ORACLES = {
     "cdc_merge_dlq": SQL_CDC_MERGE_DLQ,
     "agg_function_matrix": SQL_AGG_FUNCTION_MATRIX,
     "null_order_suite": SQL_NULL_ORDER_SUITE,
+    "stream_dlq_merge": SQL_CDC_MERGE_DLQ,
 }

@@ -356,3 +356,71 @@ def run_streaming_merge_txn(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# streaming merge with a dead-letter queue (plans/quarantine.py)
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_merge_dlq(
+    spark: SparkSession,
+    cfg: MergeConfig,
+    target: ParquetMergeTarget,
+    dlq_target: ParquetMergeTarget,
+    schema,
+    source_path: str,
+    checkpoint_path: str,
+    bronze_schema: str = "data string, load_ts timestamp, publish_time timestamp, "
+    "message_id string, source_db_table string, subscription_name string",
+    trigger_once: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming front-end of the DLQ merge mode: every micro-batch is
+    split by ``quarantine_split`` — clean rows run the normal change
+    build + merge, poisoned rows upsert into ``dlq_target`` keyed by
+    their source position.
+
+    Unlike the cross-table BATCH transaction (operators/multi_txn.py),
+    no 2PC is needed for replay safety here: BOTH legs are idempotent
+    upserts (the merge by K1-K4 semantics, the DLQ by ``q_pos``), so a
+    crash between the two merges re-runs the batch from the checkpoint
+    and converges — the same at-least-once-to-effectively-once argument
+    as the plain streaming merge, extended to the quarantine leg.
+    ``max_files_per_trigger`` bounds each micro-batch for mtime-ordered
+    file-per-batch staging (tests / the gate query)."""
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
+        build_changes,
+        window_scan,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.quarantine import quarantine_split
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = window_scan(batch_df, cfg, None, None)
+        clean, quarantined = quarantine_split(w, schema, cfg)
+        cq = quarantined.select(
+            F.col("__pos").alias("q_pos"),
+            F.concat_ws(",", "__qerrors").alias("qerror"),
+            "data",
+            F.lit(None).cast("timestamp").alias("source_ts_ns_order"),
+            F.col("__pos").alias("pos"),
+            F.lit("c").alias("__op"),
+        )
+        target.merge(build_changes(clean, schema, cfg, deterministic_audit=True))
+        dlq_target.merge(cq)
+
+    reader = spark.readStream.schema(bronze_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if trigger_once:
+        q.awaitTermination()
+    return q

@@ -226,3 +226,75 @@ def test_quarantine_split_validity_rules(spark):
     assert sorted(int(r["__pos"]) for r in clean.select("__pos").collect()) == [
         1, 4, 5, 6, 7,
     ]
+
+
+def test_stream_dlq_replay_idempotent(spark, tmp_path):
+    """Replaying the ENTIRE bronze source through a fresh checkpoint (the
+    worst-case at-least-once outcome) changes neither the merged state
+    nor the DLQ — both legs are idempotent upserts, which is the whole
+    replay-safety argument of run_streaming_merge_dlq."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        synthesize_cdc_from_events,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming.stream_merge import (
+        run_streaming_merge_dlq,
+    )
+
+    (tmp_path / "sf").mkdir()
+    d = _write_events(
+        tmp_path / "sf",
+        [
+            (1, 0, 1, "signup", 1.0, "{}"),
+            (2, 1_000_000, 1, "click", 2.0, "{}"),
+            (3, 2_000_000, 2, "signup", 3.0, "{}"),
+        ],
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, str(d), "events")
+    # poison event 2's value
+    poisoned = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") == 2, F.lit("oops")).otherwise(
+            F.col("value").cast("string")
+        ),
+    )
+    raw = synthesize_cdc_from_events(poisoned)
+    src = str(tmp_path / "bronze")
+    raw.coalesce(1).write.parquet(src)
+
+    cfg = user_state_config()
+    cfg_q = user_state_config(target_table="q", pk="q_pos")
+    q_schema = T.StructType(
+        [
+            T.StructField("q_pos", T.LongType()),
+            T.StructField("qerror", T.StringType()),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+    target = ParquetMergeTarget(spark, str(tmp_path / "t"), cfg, USER_STATE_SCHEMA)
+    dlq = ParquetMergeTarget(spark, str(tmp_path / "q"), cfg_q, q_schema)
+    for ckpt in ["ck1", "ck2"]:  # ck2 = fresh checkpoint → full replay
+        run_streaming_merge_dlq(
+            spark, cfg, target, dlq, USER_STATE_SCHEMA, src,
+            str(tmp_path / ckpt),
+        )
+        state = sorted(
+            (r["user_id"], r["value"])
+            for r in target.read().select("user_id", "value").collect()
+        )
+        q = sorted(
+            (r["q_pos"], r["qerror"])
+            for r in dlq.read().select("q_pos", "qerror").collect()
+        )
+        # user 1's poisoned click quarantined → state falls back to signup
+        assert state == [(1, 1.0), (2, 3.0)]
+        assert q == [(2, "value")]
