@@ -204,3 +204,43 @@ def test_result_cache_sweep(spark, tmp_path):
 
     assert cache.get_or_compute("q", {"t": 2}, poisoned).count() == 1
     assert cache.get_or_compute("other", {"t": 1}, poisoned).count() == 1
+
+
+def test_racing_coordinators_meta_cas(spark, tmp_path, monkeypatch):
+    """Two coordinators race the same txn id: the loser's meta hard-link
+    fails, its staged manifests are cleaned up, ConcurrentWriteError
+    propagates, and the winner's transaction is untouched."""
+    import os
+
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ConcurrentWriteError,
+    )
+
+    ta, tb, txn = make_pair(spark, tmp_path)
+    rival = MultiTableTxn(txn.path)
+
+    orig_ids = MultiTableTxn._txn_ids
+
+    def sneak(self):
+        ids = orig_ids(self)
+        # after this coordinator reads the log, the rival decides txn 1
+        if self is txn and not ids:
+            rival.commit(
+                [(tb, lambda: tb.merge(changes(spark, [("c", 9, 9.0, 0, 1)])))]
+            )
+        return ids
+
+    monkeypatch.setattr(MultiTableTxn, "_txn_ids", sneak)
+    with pytest.raises(ConcurrentWriteError, match="decided by another"):
+        txn.commit([(ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)])))])
+    monkeypatch.setattr(MultiTableTxn, "_txn_ids", orig_ids)
+    # winner intact; loser published nothing and left no staged debris
+    assert state(tb) == [(9, 9.0)]
+    assert ta._read_version() == 0
+    log = os.path.join(ta.path, SnapshotMergeTarget.LOG_DIR)
+    assert not [e for e in os.listdir(log) if e.startswith(".staged-")]
+    # the losing coordinator retries cleanly at the next id
+    assert txn.commit(
+        [(ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)])))]
+    ) == 2
+    assert state(ta) == [(1, 1.0)]
