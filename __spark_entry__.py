@@ -106,6 +106,7 @@ _PRIORITY = [
     "window_nav_suite", "revenue_share", "corpus_profile",
     "cdc_cached_read", "cdc_merge_dlq",
     "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
+    "events_percentile_check",
     # … then the r4-green leftovers (r7's rotation cohort) …
     "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",

@@ -104,6 +104,7 @@ HEADLINE = [
     "window_nav_suite", "revenue_share", "corpus_profile",
     "cdc_cached_read", "cdc_merge_dlq",
     "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
+    "events_percentile_check",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1094,6 +1094,86 @@ def q_stream_dlq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_rows.unionByName(dlq_rows)
 
 
+
+# ---------------------------------------------------------------------------
+# approx_percentile error-envelope pin (the events_hll_check pattern)
+# ---------------------------------------------------------------------------
+
+PCTL_ACCURACY = 100  # approx_percentile rank-error guarantee: <= n/accuracy
+PCTL_QS = (0.5, 0.95)
+
+
+def q_events_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins Spark's approx_percentile (Greenwald-Khanna, accuracy=100)
+    inside its DOCUMENTED rank-error envelope — for each quantile q the
+    number of values ≤/< the returned answer must sit within n/accuracy
+    of rank q·n — per event type over integer micro-values. Like
+    events_hll_check, the approximate answer itself is engine-internal
+    (DuckDB's approx_quantile is a different sketch) so the ENVELOPE is
+    the contract, enforced fail-loud Spark-side; the hash covers the
+    exact lower medians (rank selection, no interpolation floats) that
+    ride along. Complements events_value_histogram, the engine's own
+    deterministic quantile sketch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("vus"),
+    )
+    qs = ", ".join(str(q) for q in PCTL_QS)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(vus, array({qs}), {PCTL_ACCURACY})").alias("ap"),
+    )
+    probes = stats.select(
+        "event_type",
+        "n",
+        F.posexplode(F.col("ap")).alias("qi", "approx_vus"),
+    )
+    ranks = (
+        ev.join(F.broadcast(probes), "event_type")
+        .groupBy("event_type", "qi", "n", "approx_vus")
+        .agg(
+            F.sum(F.when(F.col("vus") <= F.col("approx_vus"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+            F.sum(F.when(F.col("vus") < F.col("approx_vus"), 1).otherwise(0)).alias(
+                "n_lt"
+            ),
+        )
+    )
+    bad = []
+    for r in ranks.collect():  # |types|×|qs| rows — envelope gate, not data plane
+        q = PCTL_QS[r["qi"]]
+        slack = r["n"] / PCTL_ACCURACY + 1
+        if not (r["n_le"] >= q * r["n"] - slack and r["n_lt"] <= q * r["n"] + slack):
+            bad.append(dict(r.asDict()))
+    if bad:
+        raise RuntimeError(
+            f"approx_percentile outside the n/{PCTL_ACCURACY} rank envelope: {bad}"
+        )
+    from dataplatform_cdc_pipeline_spark.queries_ext import _lower_median
+
+    med = _lower_median(ev, "event_type", "vus", "event_id")
+    return med.select(
+        "event_type", "n", F.col("med_vus").alias("exact_p50_us"),
+        F.lit(True).alias("within_envelope"),
+    )
+
+
+SQL_EVENTS_PERCENTILE_CHECK = """
+WITH v AS (
+  SELECT event_type, event_id, floor(value * 1000000.0)::BIGINT AS vus
+  FROM events),
+r AS (
+  SELECT event_type, vus,
+         row_number() OVER (PARTITION BY event_type ORDER BY vus, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type, n, vus AS exact_p50_us, TRUE AS within_envelope
+FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type
+"""
+
+
 EXTRA_QUERIES = {
     "events_bfs_reach": q_events_bfs_reach,
     "events_time_weighted": q_events_time_weighted,
@@ -1109,6 +1189,7 @@ EXTRA_QUERIES = {
     "agg_function_matrix": q_agg_function_matrix,
     "null_order_suite": q_null_order_suite,
     "stream_dlq_merge": q_stream_dlq_merge,
+    "events_percentile_check": q_events_percentile_check,
 }
 
 EXTRA_ORACLES = {
@@ -1126,4 +1207,5 @@ EXTRA_ORACLES = {
     "agg_function_matrix": SQL_AGG_FUNCTION_MATRIX,
     "null_order_suite": SQL_NULL_ORDER_SUITE,
     "stream_dlq_merge": SQL_CDC_MERGE_DLQ,
+    "events_percentile_check": SQL_EVENTS_PERCENTILE_CHECK,
 }
