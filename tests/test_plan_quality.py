@@ -296,3 +296,49 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP DATABASE IF EXISTS b CASCADE")
+
+
+def test_closing_wave_single_shuffle_plans(spark, sf_dir):
+    """The closing-wave pure-plan queries keep their intended shapes:
+    the window suites and time-weighted aggregate share ONE user-key
+    exchange; feature hashing is one explode + one map-side-combining
+    aggregate with the doc-subset filter PUSHED to the parquet scan."""
+    from dataplatform_cdc_pipeline_spark.queries_extra import (
+        q_events_time_weighted,
+        q_feature_hashing,
+        q_window_nav_suite,
+    )
+
+    import re
+
+    def n_exchanges(plan: str) -> int:  # tree nodes, not detail-header echoes
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    for q in (q_events_time_weighted, q_window_nav_suite):
+        plan = fmt_plan(q(spark, sf_dir))
+        assert n_exchanges(plan) == 1, q.__name__
+        assert "SortMergeJoin" not in plan
+
+    plan = fmt_plan(q_feature_hashing(spark, sf_dir))
+    assert n_exchanges(plan) == 1
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "doc_id" in pushed  # the 1-in-17 subset reaches the scan
+    assert "HashAggregate" in plan  # map-side partial before the exchange
+
+
+def test_basket_pair_join_co_partitioned(spark, sf_dir):
+    """basket_pair_lift's self-join keys on the order id (co-partitioned
+    pair generation) and every dimension leg broadcasts — a
+    SortMergeJoin on the part key would mean the |parts|² formulation
+    snuck back in."""
+    from dataplatform_cdc_pipeline_spark.queries_extra import q_basket_pair_lift
+
+    import re
+
+    plan = fmt_plan(q_basket_pair_lift(spark, sf_dir))
+    # dims + (at this sf) the broadcast pair join; node ids, not echoes
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+    # exactly one nested-loop node: the INTENTIONAL 1-row grand-total
+    # cross join; an unkeyed pair join would add a CartesianProduct
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "CartesianProduct" not in plan
