@@ -220,3 +220,104 @@ def test_ivm_minmax_matches_fresh_recompute(spark_sess, scenarios, op_u, guard):
         .collect()
     }
     assert maintained == fresh
+
+
+# ---------------------------------------------------------------------------
+# DLQ split (plans/quarantine.py) vs the same simulator on clean rows only
+# ---------------------------------------------------------------------------
+
+poisoned_event_st = st.tuples(event_st, st.booleans())
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(poisoned_event_st, min_size=1, max_size=12),
+                min_size=1, max_size=8))
+def test_dlq_split_matches_clean_only_simulation(spark_sess, scenarios):
+    """Quarantine-mode merge == the reference simulator run on the CLEAN
+    subsequence: a poisoned row (uncastable value) never merges — even a
+    poisoned DELETE does not delete — and the DLQ holds exactly the
+    poisoned positions, each tagged with the failing column."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
+        build_changes,
+        window_scan,
+    )
+    from dataplatform_cdc_pipeline_spark.plans.quarantine import quarantine_split
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    import tempfile
+    import uuid
+
+    rows, expected, expected_dlq = [], {}, set()
+    for si, events in enumerate(scenarios):
+        base_key = si * 1000
+        clean_events = []
+        for pos, ((op, key, ts, value), bad) in enumerate(events):
+            gpos = si * 100 + pos
+            payload = json.dumps(
+                {
+                    "__op": op,
+                    "__ts_ns": str(BASE_NS + ts * 1000),
+                    "__source_pos": str(gpos),
+                    "user_id": base_key + key,
+                    "event_type": "t",
+                    "value": "oops" if bad else round(float(value), 3),
+                    "k": 1,
+                }
+            )
+            rows.append((payload, datetime.datetime(2024, 1, 1)))
+            if bad:
+                expected_dlq.add(gpos)
+            else:
+                clean_events.append((op, key, ts, pos, value))
+        latest = {}
+        for op, key, ts, pos, value in clean_events:
+            cur = latest.get(key)
+            if cur is None or (ts, pos) > (cur[0], cur[1]):
+                latest[key] = (ts, pos, op, value)
+        for k, v in latest.items():
+            if v[2] != "d":
+                expected[base_key + k] = round(float(v[3]), 3)
+
+    raw = spark_sess.createDataFrame(rows, "data string, load_ts timestamp")
+    cfg = user_state_config()
+    cfg_q = user_state_config(target_table="q", pk="q_pos")
+    q_schema = T.StructType(
+        [
+            T.StructField("q_pos", T.LongType()),
+            T.StructField("qerror", T.StringType()),
+            T.StructField("data", T.StringType()),
+        ]
+    )
+    d = f"{tempfile.mkdtemp(prefix='dlq_prop_')}/{uuid.uuid4().hex[:6]}"
+    target = ParquetMergeTarget(spark_sess, f"{d}/t", cfg, USER_STATE_SCHEMA)
+    dlq = ParquetMergeTarget(spark_sess, f"{d}/q", cfg_q, q_schema)
+    w = window_scan(raw, cfg, None, None)
+    clean, quarantined = quarantine_split(w, USER_STATE_SCHEMA, cfg)
+    target.merge(build_changes(clean, USER_STATE_SCHEMA, cfg, deterministic_audit=True))
+    dlq.merge(
+        quarantined.select(
+            F.col("__pos").alias("q_pos"),
+            F.concat_ws(",", "__qerrors").alias("qerror"),
+            "data",
+            F.lit(None).cast("timestamp").alias("source_ts_ns_order"),
+            F.col("__pos").alias("pos"),
+            F.lit("c").alias("__op"),
+        )
+    )
+    got = {
+        r["user_id"]: round(r["value"], 3)
+        for r in target.read().select("user_id", "value").collect()
+    }
+    assert got == expected
+    got_dlq = {
+        (r["q_pos"], r["qerror"])
+        for r in dlq.read().select("q_pos", "qerror").collect()
+    }
+    assert got_dlq == {(p, "value") for p in expected_dlq}
