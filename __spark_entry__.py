@@ -80,6 +80,9 @@ _PRIORITY = [
     # locally gated by check_parity/driver_sim full sweeps — they and the
     # r4-green cohort below are FIRST in line for the r7 window; the
     # already-set 50-slot r6 window stays as planned) …
+    "boilerplate_strip", "corpus_weighted_sample", "pii_k_anonymity",
+    "embedding_pq_topk", "pq_recall_eval", "events_psi_drift",
+    "training_batches", "tfidf_keywords",
     "events_scd2_join", "table_reconcile", "snapshot_reconcile",
     "dq_expectations",
     "volume_shipping", "product_type_profit", "returned_item_report",
@@ -153,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dataplatform_cdc_pipeline_spark.queries_ext import EXT_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_extra import EXTRA_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_QUERIES
+    from dataplatform_cdc_pipeline_spark.queries_prep import PREP_QUERIES
 
     return _ordered(
         {
@@ -162,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **ANALYTIC_QUERIES,
             **EXT_QUERIES,
             **EXTRA_QUERIES,
+            **PREP_QUERIES,
         }
     )
 
@@ -173,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
     from dataplatform_cdc_pipeline_spark.queries_ext import EXT_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_extra import EXTRA_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_ORACLES
+    from dataplatform_cdc_pipeline_spark.queries_prep import PREP_ORACLES
 
     return {
         **ORACLES,
@@ -181,4 +187,5 @@ def oracle_sql() -> dict[str, str]:
         **ANALYTIC_ORACLES,
         **EXT_ORACLES,
         **EXTRA_ORACLES,
+        **PREP_ORACLES,
     }

@@ -1,0 +1,257 @@
+"""Unit tests for the training-data-prep wave (queries_prep.py):
+content-defined chunking, PQ/ADC, weighted sampling, k-anonymity, PSI,
+seeded batches, TF-IDF — each checked against an independent in-Python
+recomputation (the oracle SQL gates values; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.operators.chunking import (
+    CDC_MOD,
+    CDC_WINDOW,
+    boilerplate_strip,
+    cdc_chunk_frame,
+)
+from dataplatform_cdc_pipeline_spark.queries_prep import (
+    FOOTER_A,
+    SAMPLE_K,
+    _BATCH_SIZE,
+    q_corpus_weighted_sample,
+    q_embedding_pq_topk,
+    q_events_psi_drift,
+    q_pii_k_anonymity,
+    q_pq_recall_eval,
+    q_tfidf_keywords,
+    q_training_batches,
+)
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_chunks(tokens: list[str]) -> list[list[str]]:
+    """Reference content-defined chunker (same boundary rule)."""
+    chunks, cur = [], []
+    for i, t in enumerate(tokens):
+        cur.append(t)
+        if (
+            i >= CDC_WINDOW - 1
+            and _md5_long(" ".join(tokens[i - CDC_WINDOW + 1 : i + 1])) % CDC_MOD == 0
+        ):
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " + FOOTER_A,
+        "one two three " + FOOTER_A,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in cdc_chunk_frame(df).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = _py_chunks(t.lower().split())
+        for cid, chunk in enumerate(expected):
+            assert got[(i, cid)] == " ".join(chunk)
+        assert len([k for k in got if k[0] == i]) == len(expected)
+
+
+def test_cdc_chunks_offset_independent(spark):
+    """The SAME footer at different offsets must yield an identical
+    trailing chunk — the property fixed-offset windows lack."""
+    df = spark.createDataFrame(
+        [
+            (0, "x y z " + FOOTER_A),
+            (1, "a b c d e f g h i j k l m n o p q " + FOOTER_A),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = cdc_chunk_frame(df).collect()
+    texts0 = {r["chunk_text"] for r in chunks if r["doc_id"] == 0}
+    texts1 = {r["chunk_text"] for r in chunks if r["doc_id"] == 1}
+    shared = texts0 & texts1
+    assert shared, "no shared chunk despite identical footer"
+    # the shared chunk is footer content
+    assert any(c in FOOTER_A for c in shared)
+
+
+def test_boilerplate_strip_drops_shared_tail(spark):
+    rows = [(i, f"unique{i} filler{i} words{i} more{i} stuff{i} " + FOOTER_A)
+            for i in range(12)]
+    rows += [(100 + i, f"clean{i} doc{i} body{i} text{i} here{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_strip(df).collect()}
+    assert all(out[i]["n_boiler"] >= 1 for i in range(12))
+    for i in range(3):
+        r = out[100 + i]
+        assert r["n_boiler"] == 0
+        # survivors reassemble to the full tokenized text
+        toks = rows[12 + i][1].lower().split()
+        assert r["cleaned_md5"] == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+def test_weighted_sample_matches_python(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    tbl = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    keys = []
+    for doc_id, n_chars in zip(
+        tbl["doc_id"].to_pylist(), tbl["n_chars"].to_pylist()
+    ):
+        u = (_md5_long(str(doc_id)) + 1) / float(1 << 60)
+        keys.append((math.floor(math.log(u) / n_chars * 1e9), -doc_id, doc_id))
+    expected = {d for _, _, d in sorted(keys, reverse=True)[:SAMPLE_K]}
+    got = {r["doc_id"] for r in q_corpus_weighted_sample(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_k_anonymity_matches_pandas(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    pdf = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    ).to_pandas()
+    exp = pdf.groupby(["c_nationkey", "c_mktsegment"]).size()
+    got = q_pii_k_anonymity(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        k = exp[(r["c_nationkey"], r["c_mktsegment"])]
+        assert r["group_size"] == k
+        assert r["is_violating"] == int(k < 10)
+
+
+def test_training_batches_is_seeded_permutation(spark, sf_dir):
+    rows = q_training_batches(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["global_idx"] for r in rows) == list(range(1, n + 1))
+    # order matches the seeded md5 sort
+    by_key = sorted(rows, key=lambda r: (
+        hashlib.md5(f"shuffle42|{r['doc_id']}".encode()).hexdigest(), r["doc_id"]))
+    assert [r["global_idx"] for r in by_key] == list(range(1, n + 1))
+    # batches are full except possibly the last
+    sizes = {}
+    for r in rows:
+        sizes[r["batch_id"]] = sizes.get(r["batch_id"], 0) + 1
+    last = max(sizes)
+    assert all(v == _BATCH_SIZE for b, v in sizes.items() if b != last)
+
+
+def test_psi_bins_and_python_recompute(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    rows = q_events_psi_drift(spark, sf_dir).collect()
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    pdf = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    ).to_pandas().dropna(subset=["value"])
+    vmin, vmax = pdf["value"].min(), pdf["value"].max()
+    pdf["bin"] = (
+        ((pdf["value"] - vmin) / (vmax - vmin) * 10.0).apply(math.floor).clip(upper=9)
+    )
+    cp = pdf[pdf["event_type"] == "click"].groupby("bin").size()
+    cq = pdf[pdf["event_type"] != "click"].groupby("bin").size()
+    np_, nq_ = cp.sum(), cq.sum()
+    for r in rows:
+        p = (cp.get(r["bin"], 0) + 1) / (np_ + 10)
+        q = (cq.get(r["bin"], 0) + 1) / (nq_ + 10)
+        assert r["c_p"] == cp.get(r["bin"], 0)
+        assert r["c_q"] == cq.get(r["bin"], 0)
+        assert r["psi_nano"] == math.floor((p - q) * math.log(p / q) * 1e9)
+
+
+def test_tfidf_topk_matches_python(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    got = q_tfidf_keywords(spark, sf_dir).collect()
+    pdf = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        d: t.lower().strip().split()
+        for d, t in zip(pdf["doc_id"].to_pylist(), pdf["text"].to_pylist())
+    }
+    n = len(docs)
+    df_counts: dict[str, int] = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df_counts[t] = df_counts.get(t, 0) + 1
+    for doc_id in list(docs)[:5]:
+        toks = docs[doc_id]
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            (
+                (-c * (math.log((n + 1) / (df_counts[t] + 1)) + 1.0), t)
+                for t, c in tf.items()
+            )
+        )[:3]
+        mine = sorted(
+            (r["rk"], r["term"]) for r in got if r["doc_id"] == doc_id
+        )
+        assert [t for _, t in scored] == [t for _, t in mine]
+
+
+def test_pq_topk_adc_identity(spark, sf_dir):
+    """ADC distance must equal the exact distance from the query's
+    sub-vectors to the candidate's ASSIGNED centroids."""
+    from dataplatform_cdc_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.clustering import quantized_points
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=4, n_iter=1)
+    assert len(books) == 4
+    for cents in books:
+        assert 1 <= len(cents) <= 4
+        assert all(len(m) == 16 for _, m in cents)
+    codes = {(r["vec_id"], r["sub"]): r["code"] for r in pq_encode(emb, books).collect()}
+    pts = {
+        r["vec_id"]: r["v"] for r in quantized_points(emb).limit(50).collect()
+    }
+    top = q_embedding_pq_topk(spark, sf_dir).collect()
+    qpts = {
+        r["vec_id"]: r["v"]
+        for r in quantized_points(emb.filter(F.col("vec_id") < 10)).collect()
+    }
+    # recompute ADC for the returned pairs (fit params differ: the query
+    # uses n_iter=2 — refit to match)
+    books2 = pq_fit(emb, m=4, k=4, n_iter=2)
+    codes2 = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(emb, books2).collect()
+    }
+    cent2 = {(s, c): m for s, cb in enumerate(books2) for c, m in cb}
+    for r in top[:20]:
+        qv = qpts[r["query_id"]]
+        expect = 0
+        for s in range(4):
+            m = cent2[(s, codes2[(r["nbr_id"], s)])]
+            sub = qv[s * 16 : (s + 1) * 16]
+            expect += sum((a - b) * (a - b) for a, b in zip(sub, m))
+        assert r["adc_dist2"] == expect
+    assert codes  # n_iter=1 path also executed
+
+
+def test_pq_recall_bounds(spark, sf_dir):
+    rows = q_pq_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hit"] <= 5
+        assert r["recall_ppm"] == math.floor(r["n_hit"] * 1_000_000 / 5)
