@@ -83,6 +83,8 @@ _PRIORITY = [
     "boilerplate_strip", "corpus_weighted_sample", "pii_k_anonymity",
     "embedding_pq_topk", "pq_recall_eval", "events_psi_drift",
     "training_batches", "tfidf_keywords",
+    "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
+    "hard_negatives", "phrase_search",
     "events_scd2_join", "table_reconcile", "snapshot_reconcile",
     "dq_expectations",
     "volume_shipping", "product_type_profit", "returned_item_report",

@@ -122,6 +122,8 @@ HEADLINE = [
     "boilerplate_strip", "corpus_weighted_sample", "pii_k_anonymity",
     "embedding_pq_topk", "pq_recall_eval", "events_psi_drift",
     "training_batches", "tfidf_keywords",
+    "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
+    "hard_negatives", "phrase_search",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

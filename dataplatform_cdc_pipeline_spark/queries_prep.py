@@ -538,6 +538,378 @@ WHERE rk <= {_TFIDF_TOPK}
 """
 
 # ---------------------------------------------------------------------------
+# media perceptual-hash dedup (multimodal family)
+# ---------------------------------------------------------------------------
+
+_PHASH_N = 128
+_PHASH_GROUPS = 32
+_PHASH_SLICES = 4
+_PHASH_SLICE_BITS = 15
+_PHASH_HAMMING_T = 2
+
+
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over MEDIA assets by perceptual hash —
+    the multimodal twin of dedup_simhash. A real pipeline computes the
+    64-bit pHash at the decode seam (multimodal.py's injectable stage;
+    pHash libs aren't in this container), so the hash source here is the
+    deterministic stand-in: base = md5_long('media|'|group), variants
+    flip ONE bit — giving hamming-1/2 structure the banding must find.
+    The Spark-side operator is real and scale-shaped: 4 × 15-bit slice
+    keys per asset, ONE band-key shuffle builds candidates (pigeonhole-
+    complete for T=2 < 4 slices), verify = JVM bit_count(xor) ≤ T.
+    Cross-group 15-bit slice collisions produce candidates that FAIL
+    verify — the reject path executes too."""
+    ids = spark.range(_PHASH_N).select(F.col("id").alias("asset_id"))
+    base = md5_long(
+        F.concat(F.lit("media|"), (F.col("asset_id") % _PHASH_GROUPS).cast("string"))
+    )
+    flip = F.when(
+        (F.col("asset_id") / _PHASH_GROUPS).cast("long") > 0,
+        F.expr("shiftleft(1L, cast(asset_id % 60 as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    hashed = ids.select("asset_id", base.bitwiseXOR(flip).alias("phash"))
+    slices = hashed.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(b)),
+                        (
+                            F.shiftright(F.col("phash"), b * _PHASH_SLICE_BITS)
+                            % (1 << _PHASH_SLICE_BITS)
+                        ).cast("string"),
+                    )
+                    for b in range(_PHASH_SLICES)
+                ]
+            )
+        ).alias("slice_key"),
+    )
+    a, b = slices.alias("a"), slices.alias("b")
+    pairs = (
+        a.join(b, "slice_key")
+        .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _PHASH_HAMMING_T)
+    )
+    return pairs
+
+
+SQL_MEDIA_PHASH_DEDUP = f"""
+WITH ids AS (SELECT unnest(range({_PHASH_N})) AS asset_id),
+h AS (
+  SELECT asset_id,
+         xor({md5_long_sql(f"'media|' || (asset_id % {_PHASH_GROUPS})::VARCHAR")},
+             CASE WHEN asset_id // {_PHASH_GROUPS} > 0
+                  THEN (1::BIGINT << (asset_id % 60)) ELSE 0 END) AS phash
+  FROM ids),
+slices AS (
+  SELECT asset_id, phash,
+         unnest(list_transform(range(0, {_PHASH_SLICES}), b ->
+           b::VARCHAR || '_' ||
+           ((phash >> (b * {_PHASH_SLICE_BITS})) % {1 << _PHASH_SLICE_BITS})::VARCHAR))
+           AS slice_key
+  FROM h)
+SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM slices a JOIN slices b
+  ON a.slice_key = b.slice_key AND a.asset_id < b.asset_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_HAMMING_T}
+"""
+
+# ---------------------------------------------------------------------------
+# temperature-scaled domain sampling
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA_NOTE = "alpha = 0.5 (square-root temperature)"
+
+
+def q_domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain rebalancing (the multilingual-corpus
+    p ∝ n^α recipe, α=0.5): per-domain quotas ∝ sqrt(n_d), total budget
+    = half the corpus, members picked deterministically by smallest
+    md5(doc_id). Unlike domain_mix_plan (explicit budgets), the mix here
+    is LEARNED from the counts. sqrt is IEEE-exact in both engines; the
+    quota arithmetic moves to integers immediately (floor-scaled micro)
+    so the Σ sqrt never becomes an order-dependent float sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_d"))
+    scaled = counts.withColumn(
+        "s_d", F.floor(F.sqrt(F.col("n_d")) * F.lit(1e6)).cast("long")
+    )
+    totals = scaled.agg(
+        F.sum("s_d").alias("tot_s"), F.sum("n_d").alias("n_total")
+    )
+    quota = scaled.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_d",
+        F.floor(
+            F.floor(F.col("n_total") / 2) * F.col("s_d") / F.col("tot_s")
+        ).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", "quota")
+    )
+
+
+SQL_DOMAIN_TEMPERATURE_SAMPLE = """
+WITH counts AS (SELECT source, count(*) AS n_d FROM documents GROUP BY 1),
+scaled AS (SELECT source, n_d, floor(sqrt(n_d) * 1000000.0)::BIGINT AS s_d
+           FROM counts),
+tot AS (SELECT sum(s_d)::BIGINT AS tot_s, sum(n_d)::BIGINT AS n_total
+        FROM scaled),
+quota AS (SELECT source, floor(floor(n_total / 2) * s_d / tot_s)::BIGINT AS quota
+          FROM scaled CROSS JOIN tot),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents)
+SELECT r.doc_id, r.source, q.quota
+FROM ranked r JOIN quota q USING (source) WHERE r.rk <= q.quota
+"""
+
+# ---------------------------------------------------------------------------
+# hybrid search: reciprocal rank fusion of BM25 and dense cosine
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 10
+_RRF_LEG_TOP = 20
+_RRF_QUERY_VEC = 0  # the corpus doc whose embedding is the dense query
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranking fused with dense cosine
+    ranking by reciprocal rank fusion (Cormack et al., SIGIR'09) —
+    score = Σ 1/(60+rank), here floor(1e9/(60+rank)) per leg so the
+    fused score is an exact integer. Legs: the green bm25_search
+    operator (fixed term bag) and brute_force_topk against doc 0's
+    embedding (doc_id and vec_id share the id space). Both legs are
+    bounded top-20 frames, so the fusion join is driver-trivial at any
+    corpus size — the heavy lifting stays inside the two leg operators."""
+    from dataplatform_cdc_pipeline_spark.operators.search import bm25_search
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm = bm25_search(docs, BM25_TERMS, top_k=_RRF_LEG_TOP)
+    w_bm = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bm_rank = bm.withColumn("r_bm25", F.row_number().over(w_bm)).select(
+        "doc_id", "r_bm25"
+    )
+
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == _RRF_QUERY_VEC), k=_RRF_LEG_TOP
+    ).select(F.col("nbr_id").alias("doc_id"), F.col("rk").alias("r_cos"))
+
+    fused = bm_rank.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_bm25"), F.lit(0)).alias("r_bm25"),
+        F.coalesce(F.col("r_cos"), F.lit(0)).alias("r_cos"),
+        (
+            F.coalesce(
+                F.floor(F.lit(1_000_000_000) / (F.lit(_RRF_K) + F.col("r_bm25"))),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.floor(F.lit(1_000_000_000) / (F.lit(_RRF_K) + F.col("r_cos"))),
+                F.lit(0),
+            )
+        ).cast("long").alias("rrf_nano"),
+    )
+    return fused.orderBy(F.col("rrf_nano").desc(), F.col("doc_id")).limit(_RRF_TOP)
+
+
+_RRF_COS = (
+    "floor(list_dot_product(q.vec, c.vec) / "
+    "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec)))"
+    " * 1000000.0) / 1000000.0"
+)
+
+
+def _sql_hybrid_rrf() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
+
+    terms = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+    return f"""
+WITH base AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+qf AS (SELECT * FROM qt WHERE term IN {terms}),
+tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM qf GROUP BY doc_id, term, dl),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qf GROUP BY term),
+bm_scored AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS raw
+  FROM tf JOIN df USING (term), stats GROUP BY tf.doc_id),
+bm AS (
+  SELECT doc_id, row_number() OVER (
+           ORDER BY floor(raw * 1000000.0) / 1000000.0 DESC, doc_id) AS r_bm25
+  FROM (SELECT * FROM bm_scored
+        ORDER BY floor(raw * 1000000.0) / 1000000.0 DESC, doc_id
+        LIMIT {_RRF_LEG_TOP})),
+v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+      FROM embeddings),
+qv AS (SELECT * FROM v WHERE vec_id = {_RRF_QUERY_VEC}),
+dense AS (
+  SELECT nbr_id AS doc_id, rk AS r_cos FROM (
+    SELECT c.vec_id AS nbr_id,
+           row_number() OVER (ORDER BY {_RRF_COS} DESC, c.vec_id ASC) AS rk
+    FROM qv q, v c WHERE c.vec_id != q.vec_id) WHERE rk <= {_RRF_LEG_TOP}),
+fused AS (
+  SELECT coalesce(bm.doc_id, dense.doc_id) AS doc_id,
+         coalesce(bm.r_bm25, 0) AS r_bm25,
+         coalesce(dense.r_cos, 0) AS r_cos,
+         (CASE WHEN bm.r_bm25 IS NOT NULL
+               THEN floor(1000000000 / ({_RRF_K} + bm.r_bm25)) ELSE 0 END
+          + CASE WHEN dense.r_cos IS NOT NULL
+                 THEN floor(1000000000 / ({_RRF_K} + dense.r_cos)) ELSE 0 END
+          )::BIGINT AS rrf_nano
+  FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id)
+SELECT doc_id, r_bm25, r_cos, rrf_nano FROM fused
+ORDER BY rrf_nano DESC, doc_id LIMIT {_RRF_TOP}
+"""
+
+# ---------------------------------------------------------------------------
+# hard negatives for contrastive training
+# ---------------------------------------------------------------------------
+
+_NEG_LO = 0.30
+_NEG_HI = 0.95
+_NEG_TOPK = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 MOST similar vectors inside the band [0.30, 0.95] — similar
+    enough to be hard, dissimilar enough (and below the near-dup line)
+    to be true negatives. Same broadcast-queries/one-corpus-scan shape
+    as brute_force_topk; the band filter runs BEFORE the ranking window,
+    so only in-band rows reach the per-query shuffle."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        dot_expr,
+        floor6,
+        norm_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("nbr_id"), as_double_vec("embedding").alias("nbr_vec")
+    ).withColumn("nbr_norm", norm_expr(F.col("nbr_vec")))
+    qs = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double_vec("embedding").alias("q_vec")
+    ).withColumn("q_norm", norm_expr(F.col("q_vec")))
+    scored = corpus.join(
+        F.broadcast(qs), F.col("query_id") != F.col("nbr_id")
+    ).select(
+        "query_id",
+        "nbr_id",
+        floor6(
+            dot_expr(F.col("q_vec"), F.col("nbr_vec"))
+            / (F.col("q_norm") * F.col("nbr_norm"))
+        ).alias("cosine"),
+    ).filter(
+        (F.col("cosine") >= _NEG_LO) & (F.col("cosine") <= _NEG_HI)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NEG_TOPK)
+        .select("query_id", "rk", "nbr_id", "cosine")
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+           FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, {_RRF_COS} AS cosine
+  FROM q, v c WHERE q.vec_id != c.vec_id),
+banded AS (SELECT * FROM scored WHERE cosine >= {_NEG_LO} AND cosine <= {_NEG_HI})
+SELECT query_id, rk, nbr_id, cosine FROM (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id ASC) AS rk
+  FROM banded) WHERE rk <= {_NEG_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# positional-index phrase search
+# ---------------------------------------------------------------------------
+
+PHRASE = ("stream", "table", "hash")
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a positional inverted index: filter the
+    exploded (doc, pos, term) postings to the 3 phrase terms BEFORE any
+    shuffle (the same selectivity move as bm25_search), then two
+    co-partitioned (doc, pos) equi-joins verify adjacency. At 100 TB the
+    postings for three terms are a sliver of the corpus — nothing else
+    moves. Output = per-doc phrase occurrence counts."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "term")
+    ).filter(F.col("term").isin(*PHRASE))
+    t0 = toks.filter(F.col("term") == PHRASE[0]).select("doc_id", "pos")
+    t1 = toks.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    t2 = toks.filter(F.col("term") == PHRASE[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    return (
+        t0.join(t1, ["doc_id", "pos"]).join(t2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS term,
+         generate_subscripts({TOKS}, 1) - 1 AS pos
+  FROM documents),
+t0 AS (SELECT doc_id, pos FROM tok WHERE term = '{PHRASE[0]}'),
+t1 AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE term = '{PHRASE[1]}'),
+t2 AS (SELECT doc_id, pos - 2 AS pos FROM tok WHERE term = '{PHRASE[2]}')
+SELECT doc_id, count(*) AS n_matches
+FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
+GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -550,6 +922,11 @@ PREP_QUERIES = {
     "events_psi_drift": q_events_psi_drift,
     "training_batches": q_training_batches,
     "tfidf_keywords": q_tfidf_keywords,
+    "media_phash_dedup": q_media_phash_dedup,
+    "domain_temperature_sample": q_domain_temperature_sample,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
+    "hard_negatives": q_hard_negatives,
+    "phrase_search": q_phrase_search,
 }
 
 PREP_ORACLES = {
@@ -561,4 +938,9 @@ PREP_ORACLES = {
     "events_psi_drift": SQL_EVENTS_PSI_DRIFT,
     "training_batches": SQL_TRAINING_BATCHES,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "media_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
+    "domain_temperature_sample": SQL_DOMAIN_TEMPERATURE_SAMPLE,
+    "hybrid_search_rrf": _sql_hybrid_rrf(),
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "phrase_search": SQL_PHRASE_SEARCH,
 }

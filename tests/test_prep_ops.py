@@ -255,3 +255,126 @@ def test_pq_recall_bounds(spark, sf_dir):
         assert r["n_exact"] == 5
         assert 0 <= r["n_hit"] <= 5
         assert r["recall_ppm"] == math.floor(r["n_hit"] * 1_000_000 / 5)
+
+
+# ---------------------------------------------------------------------------
+# wave 2: media phash dedup, temperature sampling, RRF, negatives, phrase
+# ---------------------------------------------------------------------------
+
+
+def _phash(asset_id: int) -> int:
+    base = _md5_long(f"media|{asset_id % 32}")
+    if asset_id // 32 > 0:
+        base ^= 1 << (asset_id % 60)
+    return base
+
+
+def test_media_phash_pairs_match_bruteforce(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries_prep import q_media_phash_dedup
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in q_media_phash_dedup(spark, sf_dir).collect()}
+    hashes = {i: _phash(i) for i in range(128)}
+    expected = {}
+    for a in range(128):
+        for b in range(a + 1, 128):
+            h = bin(hashes[a] ^ hashes[b]).count("1")
+            if h <= 2:
+                expected[(a, b)] = h
+    # banding with 4 slices is COMPLETE for hamming <= 2 (pigeonhole):
+    # the operator must find exactly the brute-force truth
+    assert got == expected
+    assert expected, "synthetic structure produced no near-dup pairs"
+
+
+def test_domain_temperature_quota_matches_python(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from dataplatform_cdc_pipeline_spark.queries_prep import (
+        q_domain_temperature_sample,
+    )
+
+    pdf = pq_.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    counts = pdf.groupby("source").size().to_dict()
+    scaled = {s: math.floor(math.sqrt(n) * 1e6) for s, n in counts.items()}
+    tot_s, n_total = sum(scaled.values()), sum(counts.values())
+    quota = {s: (n_total // 2) * v // tot_s for s, v in scaled.items()}
+    expected = set()
+    for s in counts:
+        members = sorted(
+            pdf[pdf["source"] == s]["doc_id"],
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )[: quota[s]]
+        expected.update(members)
+    got = q_domain_temperature_sample(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in got} == expected
+    for r in got:
+        assert r["quota"] == quota[r["source"]]
+
+
+def test_hybrid_rrf_consistent_with_legs(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.operators.search import bm25_search
+    from dataplatform_cdc_pipeline_spark.operators.similarity import brute_force_topk
+    from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
+    from dataplatform_cdc_pipeline_spark.queries_prep import q_hybrid_search_rrf
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_search(docs, BM25_TERMS, top_k=20).collect()
+    bm_rank = {r["doc_id"]: i + 1 for i, r in enumerate(
+        sorted(bm, key=lambda r: (-r["bm25"], r["doc_id"])))}
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20).collect()
+    cos_rank = {r["nbr_id"]: r["rk"] for r in dense}
+    fused = {}
+    for d in set(bm_rank) | set(cos_rank):
+        s = 0
+        if d in bm_rank:
+            s += 1_000_000_000 // (60 + bm_rank[d])
+        if d in cos_rank:
+            s += 1_000_000_000 // (60 + cos_rank[d])
+        fused[d] = s
+    expected = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = q_hybrid_search_rrf(spark, sf_dir).collect()
+    assert [(r["doc_id"], r["rrf_nano"]) for r in sorted(
+        got, key=lambda r: (-r["rrf_nano"], r["doc_id"]))] == expected
+
+
+def test_hard_negatives_band_and_rank(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries_prep import q_hard_negatives
+
+    rows = q_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.30 <= r["cosine"] <= 0.95
+        assert 1 <= r["rk"] <= 5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rk"], r["cosine"]))
+    for q, lst in per_q.items():
+        lst.sort()
+        cos = [c for _, c in lst]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_phrase_search_matches_python(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from dataplatform_cdc_pipeline_spark.queries_prep import PHRASE, q_phrase_search
+
+    pdf = pq_.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    expected = {}
+    for d, t in zip(pdf["doc_id"].to_pylist(), pdf["text"].to_pylist()):
+        toks = t.lower().strip().split()
+        n = sum(
+            1
+            for i in range(len(toks) - 2)
+            if tuple(toks[i : i + 3]) == PHRASE
+        )
+        if n:
+            expected[d] = n
+    got = {r["doc_id"]: r["n_matches"] for r in q_phrase_search(spark, sf_dir).collect()}
+    assert got == expected
