@@ -84,7 +84,7 @@ _PRIORITY = [
     "embedding_pq_topk", "pq_recall_eval", "events_psi_drift",
     "training_batches", "tfidf_keywords",
     "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
-    "hard_negatives", "phrase_search",
+    "hard_negatives", "phrase_search", "cdc_branch_merge",
     "events_scd2_join", "table_reconcile", "snapshot_reconcile",
     "dq_expectations",
     "volume_shipping", "product_type_profit", "returned_item_report",

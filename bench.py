@@ -123,7 +123,7 @@ HEADLINE = [
     "embedding_pq_topk", "pq_recall_eval", "events_psi_drift",
     "training_batches", "tfidf_keywords",
     "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
-    "hard_negatives", "phrase_search",
+    "hard_negatives", "phrase_search", "cdc_branch_merge",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

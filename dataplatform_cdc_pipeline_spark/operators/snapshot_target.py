@@ -72,6 +72,12 @@ from dataplatform_cdc_pipeline_spark.operators.merge_target import (
 )
 
 
+class BranchConflictError(RuntimeError):
+    """merge_branch(): main and the branch modified the same bucket(s)
+    since the fork point — the three-way manifest merge cannot pick a
+    winner. Rebase (re-run the branch's merges on a fresh branch)."""
+
+
 def _json_stat(v):
     """Footer stat → JSON-safe scalar (timestamps/dates → ISO strings;
     bytes → utf-8 best-effort). None passes through."""
@@ -104,6 +110,10 @@ class SnapshotMergeTarget(ParquetMergeTarget):
     # -- manifest bookkeeping -------------------------------------------------
 
     def _log_path(self) -> str:
+        if self._branch_name is not None:
+            return os.path.join(
+                self.path, self.LOG_DIR, self.BRANCHES_DIR, self._branch_name
+            )
         return os.path.join(self.path, self.LOG_DIR)
 
     def _versions(self) -> list[int]:
@@ -115,6 +125,17 @@ class SnapshotMergeTarget(ParquetMergeTarget):
             for e in os.listdir(log)
             if e.endswith(".json") and e[: -len(".json")].isdigit()
         )
+
+    def _branch_live_trees(self) -> set[str]:
+        """Data trees referenced by ANY live branch's manifests — vacuum
+        must never reclaim them while the branch exists."""
+        live: set[str] = set()
+        for name in self.branches():
+            bref = self.branch_ref(name)
+            for v in bref._versions():
+                for d in bref._manifest(v)["buckets"].values():
+                    live.add(d.split(f"/{BUCKET_COL}=", 1)[0])
+        return live
 
     def _read_version(self) -> int:
         vs = self._versions()
@@ -172,6 +193,165 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         before the link leaves only an unreferenced data tree, which
         vacuum() reclaims."""
         return None
+
+    # -- branches (named mutable lines of development, Nessie-style) ---------
+    #
+    # A branch is its OWN manifest log under ``_log/branches/<name>/``,
+    # seeded with a copy of the fork-point manifest — every existing
+    # mechanism (merge, read, time travel, diff, tags, CAS publication)
+    # works on a branch unchanged because it all routes through
+    # _log_path(). Data trees are shared: branch commits write immutable
+    # trees into the same data/ root; isolation is purely which manifest a
+    # reader resolves. merge_branch() publishes the branch's changes back
+    # to main with BUCKET-level conflict detection (the manifest's unit of
+    # change — the same granularity Iceberg uses files for): a bucket
+    # modified on both main and the branch since the fork point conflicts;
+    # disjoint modifications merge as one new main manifest, atomically.
+
+    BRANCHES_DIR = "branches"
+    BRANCH_META = "branch.json"
+
+    #: set on clones returned by branch_ref(); routes _log_path
+    _branch_name: str | None = None
+
+    def _branches_root(self) -> str:
+        # branches always hang off the MAIN log, even when called on a
+        # branch clone (no branches-of-branches: one fork level keeps the
+        # conflict rule a three-way diff)
+        return os.path.join(self.path, self.LOG_DIR, self.BRANCHES_DIR)
+
+    def branches(self) -> dict[str, int]:
+        """name → fork-point (base) main version, for every live branch."""
+        root = self._branches_root()
+        if not os.path.isdir(root):
+            return {}
+        out = {}
+        for name in os.listdir(root):
+            meta = os.path.join(root, name, self.BRANCH_META)
+            if os.path.isfile(meta):
+                with open(meta) as f:
+                    out[name] = json.load(f)["base"]
+        return out
+
+    def branch_ref(self, name: str) -> "SnapshotMergeTarget":
+        """A MergeTarget whose commits/reads resolve the branch's log."""
+        import copy as _copy
+
+        if self._branch_name is not None:
+            raise ValueError("branches of branches are not supported")
+        if name not in self.branches():
+            raise ValueError(f"branch {name!r} does not exist on {self.path}")
+        clone = _copy.copy(self)
+        clone._branch_name = name
+        clone.phase_times = {}
+        clone._txn_payload = None
+        return clone
+
+    def create_branch(self, name: str) -> "SnapshotMergeTarget":
+        """Fork a branch at the current main head. The branch log is
+        seeded with a COPY of the head manifest (same version number), so
+        the branch is immediately readable and its first commit CASes
+        against the seeded version. Fails loudly if the name exists or
+        main has no commits yet."""
+        if self._branch_name is not None:
+            raise ValueError("branches of branches are not supported")
+        if "/" in name or not name:
+            raise ValueError(f"invalid branch name {name!r}")
+        base_v = self._read_version()
+        base_m = self._manifest()
+        if base_m is None:
+            raise ValueError("cannot branch an empty table (no commits yet)")
+        bdir = os.path.join(self._branches_root(), name)
+        try:
+            os.makedirs(bdir, exist_ok=False)
+        except FileExistsError as e:
+            raise ValueError(f"branch {name!r} already exists") from e
+        with open(os.path.join(bdir, self.BRANCH_META), "w") as f:
+            json.dump({"base": base_v}, f)
+        with open(os.path.join(bdir, f"{base_v:012d}.json"), "w") as f:
+            json.dump(base_m, f)
+        return self.branch_ref(name)
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch pointer (its data trees become vacuum-able the
+        moment no retained manifest references them)."""
+        bdir = os.path.join(self._branches_root(), name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} does not exist")
+        shutil.rmtree(bdir)
+
+    @staticmethod
+    def _modified_buckets(base: dict, head: dict) -> set[str]:
+        """Buckets whose manifest entry changed between two manifests
+        (rewritten, added, or dropped)."""
+        bb, hb = base["buckets"], head["buckets"]
+        return {b for b in set(bb) | set(hb) if bb.get(b) != hb.get(b)}
+
+    def merge_branch(self, name: str, delete: bool = True) -> int:
+        """Publish the branch's changes back to main as ONE atomic commit.
+
+        Three-way diff against the fork point: buckets the branch
+        modified replace main's entries; buckets main modified since the
+        fork carry main's entries; a bucket modified on BOTH sides raises
+        BranchConflictError with the bucket list (rebase by re-running
+        the branch's merges on a fresh branch — same answer Iceberg/Nessie
+        give). Content fingerprints are merged per-bucket when both sides
+        carry the same fp column set, else dropped (conservative: forces
+        a reconcile descent, never a wrong skip)."""
+        base_versions = self.branches()
+        if name not in base_versions:
+            raise ValueError(f"branch {name!r} does not exist on {self.path}")
+        base_v = base_versions[name]
+        if base_v not in self._versions():
+            raise ValueError(
+                f"branch {name!r} fork point v{base_v} was vacuumed from the "
+                "main log; the three-way diff is impossible — rebase manually"
+            )
+        base_m = self._manifest(base_v)
+        bref = self.branch_ref(name)
+        head_b = bref._manifest()
+        main_v = self._read_version()
+        head_m = self._manifest()
+        bmod = self._modified_buckets(base_m, head_b)
+        mmod = self._modified_buckets(base_m, head_m)
+        conflict = sorted(bmod & mmod, key=int)
+        if conflict:
+            raise BranchConflictError(
+                f"branch {name!r} and main both modified buckets {conflict} "
+                f"since fork point v{base_v}; rebase the branch"
+            )
+        entries = dict(head_m["buckets"])
+        stats = dict(head_m.get("stats", {}))
+        for b in bmod:
+            if b in head_b["buckets"]:
+                entries[b] = head_b["buckets"][b]
+                if b in head_b.get("stats", {}):
+                    stats[b] = head_b["stats"][b]
+                else:
+                    stats.pop(b, None)
+            else:
+                entries.pop(b, None)
+                stats.pop(b, None)
+        manifest = {
+            "version": main_v + 1,
+            "buckets": entries,
+            "stats": stats,
+            "merged_branch": {"name": name, "base": base_v,
+                              "branch_head": head_b["version"]},
+        }
+        if head_m.get("fp_cols") and head_m.get("fp_cols") == head_b.get("fp_cols"):
+            fps = dict(head_m.get("fps", {}))
+            for b in bmod:
+                if b in head_b.get("fps", {}):
+                    fps[b] = head_b["fps"][b]
+                else:
+                    fps.pop(b, None)
+            manifest["fps"] = fps
+            manifest["fp_cols"] = head_m["fp_cols"]
+        self._publish(manifest, main_v + 1)
+        if delete:
+            self.delete_branch(name)
+        return main_v + 1
 
     # -- tags (named immutable snapshots, Iceberg-style) ---------------------
 
@@ -650,6 +830,12 @@ class SnapshotMergeTarget(ParquetMergeTarget):
                 "vacuum: retain_last must be >= 1 — retaining zero manifests "
                 "would delete the CURRENT version's data"
             )
+        if self._branch_name is not None:
+            raise ValueError(
+                "vacuum runs on the MAIN table ref, not a branch — the data/ "
+                "root is shared and liveness must be judged across main, "
+                "tags, and every branch at once"
+            )
         vs = self._versions()
         latest = vs[-1] if vs else 0
         # tagged versions are durable reproducibility anchors: they (and
@@ -661,6 +847,9 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         for v in keep_vs:
             for d in self._manifest(v)["buckets"].values():
                 live.add(d.split(f"/{BUCKET_COL}=", 1)[0])
+        # live branches pin their trees: a branch's snapshots must stay
+        # readable (and mergeable) until the branch is deleted
+        live |= self._branch_live_trees()
         removed = []
         data_root = os.path.join(self.path, self.DATA_DIR)
         if os.path.isdir(data_root):

@@ -1408,6 +1408,66 @@ SELECT * FROM d WHERE _change_type IS NOT NULL ORDER BY user_id
 """
 
 
+def q_cdc_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nessie-style BRANCHES on the snapshot sink, end to end: window 1
+    seeds main; a branch forks at v1 and merges the post-split events
+    whose key buckets land in the LOW half; main concurrently merges the
+    HIGH-half post-split events (disjoint buckets by construction —
+    bucket is a pure function of the PK); ``merge_branch`` then publishes
+    the branch back as ONE atomic main commit via the three-way manifest
+    diff. Because the bucket split PARTITIONS the post-split keys, the
+    final state must equal the plain two-window lifecycle — the
+    incremental oracle gates the whole branch protocol: an isolation
+    leak, a dropped/duplicated bucket in the three-way merge, or a wrong
+    carry-forward diverges the hash. The conflict path (both sides touch
+    one bucket → BranchConflictError, both lines intact) is pinned by
+    tests/test_branches.py."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_branch_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    split = datetime.datetime(2024, 1, 15)
+    # same hash family as merge_target.bucket_expr, applied to the
+    # envelope's user_id so the feed splits along the SINK's bucket lines
+    uid = F.get_json_object(F.col("data"), "$.user_id").cast("long")
+    bkt = F.pmod(F.xxhash64(uid), F.lit(cfg.n_buckets)).cast("int")
+    half = cfg.n_buckets // 2
+
+    run_merge(
+        spark, cfg, target, WatermarkStore(spark, f"{tmp}/a0"),
+        raw=raw, window=(None, split), deterministic_audit=True,
+    )
+    branch = target.create_branch("backfill")
+    run_merge(
+        spark, cfg, branch, WatermarkStore(spark, f"{tmp}/a1"),
+        raw=raw.filter(bkt < half), window=(split, None),
+        deterministic_audit=True,
+    )
+    run_merge(
+        spark, cfg, target, WatermarkStore(spark, f"{tmp}/a2"),
+        raw=raw.filter(bkt >= half), window=(split, None),
+        deterministic_audit=True,
+    )
+    target.merge_branch("backfill")
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_BRANCH_MERGE = SQL_CDC_MERGE_INCREMENTAL
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-version change feed (SnapshotMergeTarget.change_feed —
     Delta's ``table_changes`` shape): a THREE-window merge lifecycle
@@ -2633,6 +2693,7 @@ QUERIES: dict[str, callable] = {
     "cdc_merge_wap": q_cdc_merge_wap,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
+    "cdc_branch_merge": q_cdc_branch_merge,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_zorder_read": q_cdc_zorder_read,
     "cdc_scd2_history": q_cdc_scd2_history,
@@ -2682,6 +2743,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_wap": SQL_CDC_MERGE_WAP,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
+    "cdc_branch_merge": SQL_CDC_BRANCH_MERGE,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
