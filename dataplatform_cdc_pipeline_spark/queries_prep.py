@@ -386,8 +386,13 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") != _PSI_FOCUS, 1).otherwise(0)
         ).alias("c_q"),
     )
-    totals = counts.agg(
-        F.sum("c_p").alias("n_p"), F.sum("c_q").alias("n_q")
+    # totals over the ≤10-row counts frame via a whole-frame window — a
+    # crossJoin(counts.agg(...)) would RECOMPUTE counts (and rescan
+    # events) for the totals leg; the single-partition window is free at
+    # bin-domain size
+    whole = Window.partitionBy(F.lit(1))
+    with_tot = counts.withColumn("n_p", F.sum("c_p").over(whole)).withColumn(
+        "n_q", F.sum("c_q").over(whole)
     )
     p = (F.col("c_p") + 1).cast("double") / (
         F.col("n_p") + _PSI_BINS
@@ -395,7 +400,7 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (F.col("c_q") + 1).cast("double") / (
         F.col("n_q") + _PSI_BINS
     ).cast("double")
-    return counts.crossJoin(F.broadcast(totals)).select(
+    return with_tot.select(
         "bin",
         "c_p",
         "c_q",

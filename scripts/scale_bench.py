@@ -48,6 +48,13 @@ QUERIES = [
     "embedding_sq8_topk", "events_distinct_sketch", "heavy_hitters_cms",
     "bigram_perplexity", "bpe_encode",
     "cdc_debezium_ingest", "events_value_percentiles",
+    # r6 fourth-session operators. media_phash_dedup is EXCLUDED (fixed
+    # n=128 synthetic asset table — scale-independent by construction);
+    # hybrid_search_rrf's scaling legs are measured via bm25_search and
+    # the cosine family.
+    "boilerplate_strip", "tfidf_keywords", "corpus_weighted_sample",
+    "domain_temperature_sample", "phrase_search", "events_psi_drift",
+    "hard_negatives", "embedding_pq_topk", "training_batches",
 ]
 
 

@@ -342,3 +342,56 @@ def test_basket_pair_join_co_partitioned(spark, sf_dir):
     # cross join; an unkeyed pair join would add a CartesianProduct
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_prep_wave_plan_shapes(spark, sf_dir):
+    """The fourth-session pure-plan queries keep their intended shapes:
+    the weighted sample plans as TakeOrderedAndProject (per-partition
+    heads, not a global sort); k-anonymity is one map-side-combining
+    aggregate with zero joins; phrase search has no Python stage and no
+    cartesian product; media phash dedup's candidate join keys on the
+    slice (banded, not all-pairs); hard negatives broadcasts the query
+    side; PSI is aggregates + one broadcast-back, no SMJ."""
+    import re
+
+    from dataplatform_cdc_pipeline_spark.queries_prep import (
+        q_corpus_weighted_sample,
+        q_events_psi_drift,
+        q_hard_negatives,
+        q_media_phash_dedup,
+        q_phrase_search,
+        q_pii_k_anonymity,
+    )
+
+    def n(pattern: str, plan: str) -> int:
+        return len(re.findall(r"\(\d+\) " + pattern, plan))
+
+    plan = fmt_plan(q_corpus_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert n("Sort", plan) == 0  # no global sort node
+
+    plan = fmt_plan(q_pii_k_anonymity(spark, sf_dir))
+    assert n("Exchange", plan) == 1
+    assert "Join" not in plan
+    assert "HashAggregate" in plan  # partial agg before the exchange
+
+    plan = fmt_plan(q_phrase_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    plan = fmt_plan(q_media_phash_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "slice_key" in plan  # candidates join on the band key
+
+    plan = fmt_plan(q_hard_negatives(spark, sf_dir))
+    assert n("BroadcastNestedLoopJoin", plan) == 1  # tiny query side only
+    assert "SortMergeJoin" not in plan
+
+    plan = fmt_plan(q_events_psi_drift(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # exactly one 1-row broadcast-back (the min/max stats frame); the
+    # totals leg is a window over the bin-domain counts, NOT a second
+    # events scan
+    assert n("BroadcastNestedLoopJoin", plan) == 1
+    # two events scans (stats + binning), each echoed in tree + details
+    assert plan.count("Scan parquet") <= 4
