@@ -124,6 +124,8 @@ HEADLINE = [
     "training_batches", "tfidf_keywords",
     "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
     "hard_negatives", "phrase_search", "cdc_branch_merge",
+    "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
+    "span_corruption",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

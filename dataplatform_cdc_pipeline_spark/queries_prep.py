@@ -915,6 +915,260 @@ GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# hopping (overlapping) windows, batch
+# ---------------------------------------------------------------------------
+
+_HOP_US = 6 * 3_600_000_000  # 6 h hop
+_HOP_K = 4                   # window length = 4 hops = 24 h
+
+
+def q_events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hopping-window aggregation (24 h windows every 6 h — the
+    batch twin of streaming's sliding windows): each event explodes into
+    exactly the K=4 windows covering it (window index = ts_div_hop − k),
+    then ONE map-side-combined agg per (window, type). Value sums ride
+    exact integer micros. Fan-out is K — constant, not data-dependent."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    idx = F.expr(f"unix_micros(ts) div {_HOP_US}")
+    return (
+        ev.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_HOP_K - 1)),
+                    lambda k: idx - k,
+                )
+            ).alias("w_idx"),
+            "event_type",
+            F.round(F.col("value") * F.lit(1e6)).cast("long").alias("v_micros"),
+        )
+        .filter(F.col("w_idx") >= 0)
+        .groupBy("w_idx", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_micros").alias("sum_value_micros"),
+        )
+        .select(
+            (F.col("w_idx") * _HOP_US).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value_micros",
+        )
+    )
+
+
+SQL_EVENTS_HOPPING_WINDOWS = f"""
+WITH ev AS (
+  SELECT epoch_us(ts::TIMESTAMP) // {_HOP_US} AS idx, event_type,
+         CAST(round(value * 1000000.0) AS BIGINT) AS v_micros
+  FROM events WHERE value IS NOT NULL),
+fan AS (
+  SELECT idx - k AS w_idx, event_type, v_micros
+  FROM ev, (SELECT unnest(range({_HOP_K})) AS k))
+SELECT w_idx * {_HOP_US} AS window_start_us, event_type,
+       count(*) AS n_events, sum(v_micros)::BIGINT AS sum_value_micros
+FROM fan WHERE w_idx >= 0 GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# masked read (governance)
+# ---------------------------------------------------------------------------
+
+MASK_POLICY = {
+    "c_custkey": "keep",
+    "c_name": "partial",
+    "c_nationkey": "null",
+    "c_acctbal": "bucket:100",
+    "c_mktsegment": "hash",
+}
+
+
+def q_pii_masked_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-masked read (operators/masking.py): every masking policy
+    exercised on one table — keep / partial / typed NULL / bucket
+    generalization / md5 pseudonym — as a pure projection (no shuffle,
+    no UDF; deny-by-default for unmapped columns). The enforce-side
+    twin of the pii_k_anonymity audit."""
+    from dataplatform_cdc_pipeline_spark.operators.masking import masked_view
+
+    cust = load_table(spark, sf_dir, "customer")
+    return masked_view(cust, MASK_POLICY)
+
+
+SQL_PII_MASKED_READ = """
+SELECT c_custkey,
+       substring(c_name, 1, 2) || '***' AS c_name,
+       NULL::INT AS c_nationkey,
+       (floor(c_acctbal / 100) * 100)::DOUBLE AS c_acctbal,
+       md5(c_mktsegment) AS c_mktsegment
+FROM customer
+"""
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to k-anonymity)
+# ---------------------------------------------------------------------------
+
+_L_DIVERSE = 3
+
+
+def q_pii_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity: a k-anonymous group is still unsafe when everyone in
+    it shares the sensitive value (Machanavajjhala et al.) — here the
+    sensitive attribute is the market segment and the quasi-identifier
+    is (nation, acctbal-hundred-band). One agg computes group size AND
+    distinct-sensitive count; l < 3 flags the group."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            (F.floor(F.col("c_acctbal") / 1000) * 1000).alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct("c_mktsegment").alias("l_distinct"),
+        )
+        .withColumn(
+            "is_violating", (F.col("l_distinct") < _L_DIVERSE).cast("int")
+        )
+    )
+
+
+SQL_PII_L_DIVERSITY = f"""
+SELECT c_nationkey, (floor(c_acctbal / 1000) * 1000)::BIGINT AS bal_band,
+       count(*) AS group_size,
+       count(DISTINCT c_mktsegment) AS l_distinct,
+       (count(DISTINCT c_mktsegment) < {_L_DIVERSE})::INT AS is_violating
+FROM customer GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (fixed-block variant)
+# ---------------------------------------------------------------------------
+
+_SPAN_BLOCK = 3
+_SPAN_MOD = 5  # ~1 in 5 blocks masked
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-pretraining example construction (T5 span corruption,
+    fixed-block variant: blocks of 3 tokens, a block is masked when
+    md5(doc|block) % 5 == 0 — deterministic, so both engines build the
+    SAME examples; T5's length-sampled greedy spans need RNG state and
+    are out of relational scope, documented). The input keeps unmasked
+    tokens and one <extra_id_N> sentinel per masked block (N = the
+    block's masked ordinal); the target is the sentinel-prefixed masked
+    content. One explode + per-doc window work + one rebuild agg."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
+    ).withColumn("blk", (F.col("pos") / _SPAN_BLOCK).cast("long"))
+    masked = toks.withColumn(
+        "m",
+        (
+            md5_long(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"),
+                    F.col("blk").cast("string"),
+                )
+            )
+            % _SPAN_MOD
+            == 0
+        ).cast("int"),
+    )
+    # masked ordinal per doc: dense_rank over masked blocks only
+    blocks = masked.groupBy("doc_id", "blk").agg(
+        F.max("m").alias("m"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("blk_text"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("blk")
+    ord_w = (
+        F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    )
+    pieces = blocks.withColumn(
+        "sent",
+        F.when(
+            F.col("m") == 1,
+            F.concat(F.lit("<extra_id_"), ord_w.cast("string"), F.lit(">")),
+        ),
+    )
+    return pieces.groupBy("doc_id").agg(
+        F.sum("m").alias("n_masked_blocks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "blk",
+                                F.coalesce("sent", "blk_text").alias("piece"),
+                            )
+                        )
+                    ),
+                    lambda s: s["piece"],
+                ),
+            )
+        ).alias("input_md5"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("m") == 1,
+                                F.struct(
+                                    "blk",
+                                    F.concat_ws(
+                                        " ", "sent", "blk_text"
+                                    ).alias("piece"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["piece"],
+                ),
+            )
+        ).alias("target_md5"),
+    )
+
+
+SQL_SPAN_CORRUPTION = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok,
+         generate_subscripts({TOKS}, 1) - 1 AS pos
+  FROM documents),
+tagged AS (
+  SELECT doc_id, pos, tok, pos // {_SPAN_BLOCK} AS blk,
+         CASE WHEN {md5_long_sql(f"doc_id::VARCHAR || '|' || (pos // {_SPAN_BLOCK})::VARCHAR")}
+                   % {_SPAN_MOD} = 0 THEN 1 ELSE 0 END AS m
+  FROM tok),
+blocks AS (
+  SELECT doc_id, blk, max(m) AS m,
+         string_agg(tok, ' ' ORDER BY pos) AS blk_text
+  FROM tagged GROUP BY 1, 2),
+pieces AS (
+  SELECT doc_id, blk, m, blk_text,
+         CASE WHEN m = 1 THEN '<extra_id_' ||
+              (SUM(m) OVER (PARTITION BY doc_id ORDER BY blk
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - 1)::VARCHAR || '>' END AS sent
+  FROM blocks)
+SELECT doc_id, sum(m)::BIGINT AS n_masked_blocks,
+       md5(string_agg(coalesce(sent, blk_text), ' ' ORDER BY blk)) AS input_md5,
+       md5(coalesce(string_agg(CASE WHEN m = 1 THEN sent || ' ' || blk_text END,
+                               ' ' ORDER BY blk), '')) AS target_md5
+FROM pieces GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -932,6 +1186,10 @@ PREP_QUERIES = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "hard_negatives": q_hard_negatives,
     "phrase_search": q_phrase_search,
+    "events_hopping_windows": q_events_hopping_windows,
+    "pii_masked_read": q_pii_masked_read,
+    "pii_l_diversity": q_pii_l_diversity,
+    "span_corruption": q_span_corruption,
 }
 
 PREP_ORACLES = {
@@ -948,4 +1206,8 @@ PREP_ORACLES = {
     "hybrid_search_rrf": _sql_hybrid_rrf(),
     "hard_negatives": SQL_HARD_NEGATIVES,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "events_hopping_windows": SQL_EVENTS_HOPPING_WINDOWS,
+    "pii_masked_read": SQL_PII_MASKED_READ,
+    "pii_l_diversity": SQL_PII_L_DIVERSITY,
+    "span_corruption": SQL_SPAN_CORRUPTION,
 }

@@ -378,3 +378,109 @@ def test_phrase_search_matches_python(spark, sf_dir):
             expected[d] = n
     got = {r["doc_id"]: r["n_matches"] for r in q_phrase_search(spark, sf_dir).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# wave 4: hopping windows, masking, l-diversity, span corruption
+# ---------------------------------------------------------------------------
+
+
+def test_hopping_windows_cover_each_event_k_times(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from dataplatform_cdc_pipeline_spark.queries_prep import (
+        _HOP_K,
+        _HOP_US,
+        q_events_hopping_windows,
+    )
+
+    rows = q_events_hopping_windows(spark, sf_dir).collect()
+    pdf = pq_.read_table(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"]).to_pandas().dropna(subset=["value"])
+    n = len(pdf)
+    # every event lands in exactly K windows (its epoch is >= K hops)
+    assert sum(r["n_events"] for r in rows) == n * _HOP_K
+    for r in rows:
+        assert r["window_start_us"] % _HOP_US == 0
+
+
+def test_masked_view_policies_and_errors(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.operators.masking import masked_view
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = masked_view(
+        cust,
+        {"c_custkey": "keep", "c_name": "partial", "c_acctbal": "bucket:100",
+         "c_nationkey": "null", "c_mktsegment": "hash"},
+    )
+    row = out.orderBy("c_custkey").first()
+    raw = cust.orderBy("c_custkey").first()
+    assert row["c_custkey"] == raw["c_custkey"]
+    assert row["c_name"] == raw["c_name"][:2] + "***"
+    assert row["c_nationkey"] is None
+    assert row["c_acctbal"] == (raw["c_acctbal"] // 100) * 100
+    assert row["c_mktsegment"] == hashlib.md5(
+        raw["c_mktsegment"].encode()).hexdigest()
+    # deny-by-default: unmapped columns are dropped
+    out2 = masked_view(cust, {"c_custkey": "keep"})
+    assert out2.columns == ["c_custkey"]
+    with pytest.raises(ValueError, match="unknown masking policy"):
+        masked_view(cust, {"c_custkey": "rot13"}).collect()
+    with pytest.raises(ValueError, match="missing columns"):
+        masked_view(cust, {"no_such": "keep"})
+    with pytest.raises(ValueError, match="partial mask needs a string"):
+        masked_view(cust, {"c_acctbal": "partial"})
+    with pytest.raises(ValueError, match="bucket size must be positive"):
+        masked_view(cust, {"c_acctbal": "bucket:0"})
+
+
+def test_l_diversity_matches_pandas(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from dataplatform_cdc_pipeline_spark.queries_prep import q_pii_l_diversity
+
+    pdf = pq_.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    pdf["bal_band"] = (pdf["c_acctbal"] // 1000 * 1000).astype("int64")
+    exp = pdf.groupby(["c_nationkey", "bal_band"])["c_mktsegment"].agg(
+        ["size", "nunique"])
+    got = q_pii_l_diversity(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        e = exp.loc[(r["c_nationkey"], r["bal_band"])]
+        assert r["group_size"] == e["size"]
+        assert r["l_distinct"] == e["nunique"]
+        assert r["is_violating"] == int(e["nunique"] < 3)
+
+
+def test_span_corruption_matches_python(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from dataplatform_cdc_pipeline_spark.queries_prep import (
+        _SPAN_BLOCK,
+        _SPAN_MOD,
+        q_span_corruption,
+    )
+
+    got = {r["doc_id"]: r for r in q_span_corruption(spark, sf_dir).collect()}
+    pdf = pq_.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    checked = 0
+    for d, t in zip(pdf["doc_id"].to_pylist()[:20], pdf["text"].to_pylist()[:20]):
+        toks = t.lower().strip().split()
+        blocks = [toks[i : i + _SPAN_BLOCK] for i in range(0, len(toks), _SPAN_BLOCK)]
+        inp, tgt, ordn = [], [], 0
+        for b, blk in enumerate(blocks):
+            if _md5_long(f"{d}|{b}") % _SPAN_MOD == 0:
+                sent = f"<extra_id_{ordn}>"
+                inp.append(sent)
+                tgt.append(sent + " " + " ".join(blk))
+                ordn += 1
+            else:
+                inp.append(" ".join(blk))
+        r = got[d]
+        assert r["n_masked_blocks"] == ordn
+        assert r["input_md5"] == hashlib.md5(" ".join(inp).encode()).hexdigest()
+        assert r["target_md5"] == hashlib.md5(" ".join(tgt).encode()).hexdigest()
+        checked += 1
+    assert checked == min(20, len(got))
