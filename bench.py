@@ -125,7 +125,7 @@ HEADLINE = [
     "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
     "hard_negatives", "phrase_search", "cdc_branch_merge",
     "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
-    "span_corruption",
+    "span_corruption", "stream_psi_drift",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1169,6 +1169,112 @@ FROM pieces GROUP BY doc_id
 """
 
 # ---------------------------------------------------------------------------
+# streaming PSI drift monitor
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-15 00:00:00"
+
+
+def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (streaming/drift.py): the pre-split window
+    is the FROZEN reference (it fixes the bin edges); the post-split
+    events drain through a Structured Streaming loop that maintains
+    per-bin counts as write-once-per-batch-id state (replay rewrites
+    identical content — exactly-once without sketch idempotence); the
+    drained live histogram then scores PSI against the reference. The
+    drained counts must equal a batch aggregation of the same rows, so
+    the whole pipeline is gated by a pure-SQL oracle."""
+    import tempfile as _tf
+
+    from dataplatform_cdc_pipeline_spark.streaming.drift import (
+        bin_expr,
+        histogram_state,
+        run_streaming_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split)
+    stats = ref.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax")).first()
+    vmin, vmax = float(stats["vmin"]), float(stats["vmax"])
+
+    tmp = _tf.mkdtemp(prefix="stream_psi_q_")
+    live = ev.filter(F.col("ts") >= split).select("event_id", "ts", "value")
+    live.repartition(4).write.parquet(f"{tmp}/src")
+    run_streaming_histogram(
+        spark,
+        f"{tmp}/src",
+        "event_id long, ts timestamp, value double",
+        value_col="value",
+        state_path=f"{tmp}/state",
+        checkpoint_path=f"{tmp}/ckpt",
+        vmin=vmin,
+        vmax=vmax,
+        n_bins=_PSI_BINS,
+    )
+    live_counts = histogram_state(spark, f"{tmp}/state").select(
+        "bin", F.col("n").alias("c_live")
+    )
+    ref_counts = (
+        ref.select(bin_expr("value", vmin, vmax, _PSI_BINS).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    joined = (
+        ref_counts.join(live_counts, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_live", F.lit(0)).alias("c_live"),
+        )
+    )
+    whole = Window.partitionBy(F.lit(1))
+    with_tot = joined.withColumn("n_ref", F.sum("c_ref").over(whole)).withColumn(
+        "n_live", F.sum("c_live").over(whole)
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref") + _PSI_BINS
+    ).cast("double")
+    q = (F.col("c_live") + 1).cast("double") / (
+        F.col("n_live") + _PSI_BINS
+    ).cast("double")
+    return with_tot.select(
+        "bin",
+        "c_ref",
+        "c_live",
+        F.floor((p - q) * F.log(p / q) * F.lit(1e9)).cast("long").alias("psi_nano"),
+    )
+
+
+SQL_STREAM_PSI_DRIFT = f"""
+WITH ev AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
+ref AS (SELECT value FROM ev WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}'),
+st AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ref),
+rc AS (
+  SELECT greatest(0, least({_PSI_BINS - 1},
+           floor((value - vmin) / (vmax - vmin) * {float(_PSI_BINS)})))::INT AS bin,
+         count(*) AS c_ref
+  FROM ref CROSS JOIN st GROUP BY 1),
+lc AS (
+  SELECT greatest(0, least({_PSI_BINS - 1},
+           floor((value - vmin) / (vmax - vmin) * {float(_PSI_BINS)})))::INT AS bin,
+         count(*) AS c_live
+  FROM ev CROSS JOIN st WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}' GROUP BY 1),
+j AS (
+  SELECT coalesce(rc.bin, lc.bin) AS bin,
+         coalesce(c_ref, 0) AS c_ref, coalesce(c_live, 0) AS c_live
+  FROM rc FULL OUTER JOIN lc ON rc.bin = lc.bin),
+t AS (SELECT sum(c_ref)::BIGINT AS n_ref, sum(c_live)::BIGINT AS n_live FROM j)
+SELECT bin, c_ref, c_live,
+       floor(((c_ref + 1)::DOUBLE / (n_ref + {_PSI_BINS})::DOUBLE
+              - (c_live + 1)::DOUBLE / (n_live + {_PSI_BINS})::DOUBLE)
+             * ln(((c_ref + 1)::DOUBLE / (n_ref + {_PSI_BINS})::DOUBLE)
+                  / ((c_live + 1)::DOUBLE / (n_live + {_PSI_BINS})::DOUBLE))
+             * 1000000000.0)::BIGINT AS psi_nano
+FROM j CROSS JOIN t
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1190,6 +1296,7 @@ PREP_QUERIES = {
     "pii_masked_read": q_pii_masked_read,
     "pii_l_diversity": q_pii_l_diversity,
     "span_corruption": q_span_corruption,
+    "stream_psi_drift": q_stream_psi_drift,
 }
 
 PREP_ORACLES = {
@@ -1210,4 +1317,5 @@ PREP_ORACLES = {
     "pii_masked_read": SQL_PII_MASKED_READ,
     "pii_l_diversity": SQL_PII_L_DIVERSITY,
     "span_corruption": SQL_SPAN_CORRUPTION,
+    "stream_psi_drift": SQL_STREAM_PSI_DRIFT,
 }

@@ -484,3 +484,47 @@ def test_span_corruption_matches_python(spark, sf_dir):
         assert r["target_md5"] == hashlib.md5(" ".join(tgt).encode()).hexdigest()
         checked += 1
     assert checked == min(20, len(got))
+
+
+def test_stream_psi_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch must not double-count: the per-batch-id
+    state write is overwrite-deterministic, so re-running the SAME batch
+    function leaves the summed histogram unchanged."""
+    from dataplatform_cdc_pipeline_spark.streaming.drift import (
+        histogram_state,
+        run_streaming_histogram,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "event_id long, value double"
+    ).repartition(2).write.parquet(src)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    run_streaming_histogram(
+        spark, src, "event_id long, value double", "value",
+        state, ckpt, vmin=0.0, vmax=6.0, n_bins=10,
+    )
+    first = sorted((r["bin"], r["n"]) for r in histogram_state(spark, state).collect())
+    assert sum(n for _, n in first) == 100
+    # replay: drain again with a FRESH checkpoint → same batch content is
+    # rewritten under (possibly) the same batch ids; totals must not move
+    run_streaming_histogram(
+        spark, src, "event_id long, value double", "value",
+        state, str(tmp_path / "ckpt2"), vmin=0.0, vmax=6.0, n_bins=10,
+    )
+    again = sorted((r["bin"], r["n"]) for r in histogram_state(spark, state).collect())
+    assert again == first
+
+
+def test_stream_psi_matches_batch(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries_prep import q_stream_psi_drift
+
+    rows = q_stream_psi_drift(spark, sf_dir).collect()
+    assert rows
+    n_ref = sum(r["c_ref"] for r in rows)
+    n_live = sum(r["c_live"] for r in rows)
+    assert n_ref > 0 and n_live > 0
+    for r in rows:
+        p = (r["c_ref"] + 1) / (n_ref + 10)
+        q = (r["c_live"] + 1) / (n_live + 10)
+        assert r["psi_nano"] == math.floor((p - q) * math.log(p / q) * 1e9)
