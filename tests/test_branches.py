@@ -143,3 +143,69 @@ def test_merge_branch_fails_after_fork_point_vacuumed(spark, tmp_path):
     t.vacuum(retain_last=1)  # prunes the fork-point manifest (v1)
     with pytest.raises(ValueError, match="fork point"):
         t.merge_branch("old")
+
+
+# ---------------------------------------------------------------------------
+# property: branch-merge == sequential application on disjoint buckets
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_sess(spark):
+    # hypothesis needs a module-scope fixture handle; reuse the session one
+    return spark
+
+
+branch_events_st = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(min_value=0, max_value=8),   # key slot within its side
+        st.integers(min_value=1, max_value=9),   # ts bucket
+        st.floats(min_value=0, max_value=50, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(branch_events_st, branch_events_st, branch_events_st)
+def test_branch_merge_equals_sequential(spark_sess, seed_ev, side_a, side_b):
+    """For ANY seed batch + two post-fork batches over disjoint key
+    bucket groups, (branch applies A, main applies B, merge_branch)
+    must equal (apply A then B sequentially on one table)."""
+    spark = spark_sess
+    import tempfile
+
+    n_buckets = 8
+    lo = _keys_by_bucket(spark, n_buckets, True, 9)
+    hi = _keys_by_bucket(spark, n_buckets, False, 9)
+
+    def rows(events, keys, pos0):
+        return [
+            (op, keys[k], float(v), ts, pos0 + i)
+            for i, (op, k, ts, v) in enumerate(events)
+        ]
+
+    seed = rows(seed_ev, lo, 100) + rows(seed_ev, hi, 200)
+    a = rows(side_a, lo, 300)
+    b = rows(side_b, hi, 400)
+
+    base = tempfile.mkdtemp(prefix="branch_prop_")
+    cfg = user_state_config(n_buckets=n_buckets)
+    t1 = SnapshotMergeTarget(spark, f"{base}/branched", cfg, USER_STATE_SCHEMA)
+    t1.merge(changes(spark, seed))
+    br = t1.create_branch("side_a")
+    br.merge(changes(spark, a))
+    t1.merge(changes(spark, b))
+    t1.merge_branch("side_a")
+
+    t2 = SnapshotMergeTarget(spark, f"{base}/sequential", cfg, USER_STATE_SCHEMA)
+    t2.merge(changes(spark, seed))
+    t2.merge(changes(spark, a))
+    t2.merge(changes(spark, b))
+
+    assert state(t1) == state(t2)
