@@ -125,7 +125,8 @@ HEADLINE = [
     "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
     "hard_negatives", "phrase_search", "cdc_branch_merge",
     "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
-    "span_corruption", "stream_psi_drift",
+    "span_corruption", "stream_psi_drift", "cdc_clone_read",
+    "regression_suite", "dim_truncation_recall",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -353,6 +353,59 @@ class SnapshotMergeTarget(ParquetMergeTarget):
             self.delete_branch(name)
         return main_v + 1
 
+    # -- clone (Delta-style CLONE of one version) -----------------------------
+
+    def clone_to(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        deep: bool = True,
+    ) -> "SnapshotMergeTarget":
+        """CLONE one version of this table to ``dest_path`` as an
+        independent SnapshotMergeTarget (its own log, version 1 = the
+        cloned state; future merges on either side do not affect the
+        other's STATE).
+
+        ``deep`` (default) copies the referenced bucket directories —
+        storage-independent, always safe. ``deep=False`` is Delta's
+        shallow clone: the manifest references the SOURCE's files by
+        absolute path (zero data copied, instant) — with Delta's exact
+        hazard: a later ``vacuum()`` on the source can reclaim files the
+        shallow clone still references, breaking its reads. That trade
+        is the caller's, and the provenance block records it."""
+        m = self._manifest(version)
+        if m is None:
+            raise ValueError("cannot clone an empty table (no commits yet)")
+        clone = SnapshotMergeTarget(self.spark, dest_path, self.cfg, self.schema)
+        if clone._versions():
+            raise ValueError(f"clone destination {dest_path} already has a log")
+        if deep:
+            entries = dict(m["buckets"])
+            for d in entries.values():
+                src = os.path.join(self.path, d)
+                dst = os.path.join(dest_path, d)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copytree(src, dst)
+        else:
+            entries = {
+                b: os.path.join(self.path, d) for b, d in m["buckets"].items()
+            }
+        manifest = {
+            "version": 1,
+            "buckets": entries,
+            "stats": dict(m.get("stats", {})),
+            "cloned_from": {
+                "path": self.path,
+                "version": m["version"],
+                "deep": deep,
+            },
+        }
+        if m.get("fps") is not None:
+            manifest["fps"] = dict(m["fps"])
+            manifest["fp_cols"] = m.get("fp_cols")
+        clone._publish(manifest, 1)
+        return clone
+
     # -- tags (named immutable snapshots, Iceberg-style) ---------------------
 
     TAGS_FILE = "tags.json"

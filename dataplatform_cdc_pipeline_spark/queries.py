@@ -1468,6 +1468,47 @@ def q_cdc_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_BRANCH_MERGE = SQL_CDC_MERGE_INCREMENTAL
 
 
+def q_cdc_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style CLONE lifecycle: window 1 merges into the source
+    table; ``clone_to`` (deep) snapshots it as an INDEPENDENT table;
+    window 2 merges into the CLONE only. The clone's final state must
+    equal the plain two-window lifecycle (incremental oracle), and the
+    source staying at its window-1 state — plus the shallow-clone
+    zero-copy path and its vacuum hazard — is pinned by
+    tests/test_clone.py."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_clone_q_")
+    source = SnapshotMergeTarget(spark, f"{tmp}/src", cfg, USER_STATE_SCHEMA)
+    split = datetime.datetime(2024, 1, 15)
+    run_merge(
+        spark, cfg, source, WatermarkStore(spark, f"{tmp}/a0"),
+        raw=raw, window=(None, split), deterministic_audit=True,
+    )
+    clone = source.clone_to(f"{tmp}/clone", deep=True)
+    run_merge(
+        spark, cfg, clone, WatermarkStore(spark, f"{tmp}/a1"),
+        raw=raw, window=(split, None), deterministic_audit=True,
+    )
+    return clone.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_CLONE_READ = SQL_CDC_MERGE_INCREMENTAL
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-version change feed (SnapshotMergeTarget.change_feed —
     Delta's ``table_changes`` shape): a THREE-window merge lifecycle
@@ -2694,6 +2735,7 @@ QUERIES: dict[str, callable] = {
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_branch_merge": q_cdc_branch_merge,
+    "cdc_clone_read": q_cdc_clone_read,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_zorder_read": q_cdc_zorder_read,
     "cdc_scd2_history": q_cdc_scd2_history,
@@ -2744,6 +2786,7 @@ ORACLES: dict[str, str] = {
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_branch_merge": SQL_CDC_BRANCH_MERGE,
+    "cdc_clone_read": SQL_CDC_CLONE_READ,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,

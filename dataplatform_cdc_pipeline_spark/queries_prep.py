@@ -1275,6 +1275,163 @@ FROM j CROSS JOIN t
 """
 
 # ---------------------------------------------------------------------------
+# linear regression sufficient statistics (exact) + derived coefficients
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def q_regression_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear regression of value (milli-units) on hour-of-corpus:
+    the five SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx²) as exact BIGINTs
+    — x is centered on the corpus's min hour so every product fits int64,
+    the move that lets the whole regression avoid DECIMAL division (the
+    engines' decimal `/` rounding rules diverge — measured in r6's
+    revenue_share work). slope/intercept/r² are then ONE double op chain
+    over those exact integers, written identically in both engines, and
+    floor-scaled ppm. This is regr_slope/regr_intercept/regr_r2 rebuilt
+    on determinism-safe footing."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hr = F.expr(f"unix_micros(ts) div {_HOUR_US}")
+    base = ev.agg(F.min(hr).alias("h0"))
+    pts = ev.crossJoin(F.broadcast(base)).select(
+        "event_type",
+        (hr - F.col("h0")).alias("x"),
+        F.floor(F.col("value") * F.lit(1000.0)).cast("long").alias("y"),
+    )
+    stats = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # the SUMS are exact int64 (bounded: x ≤ corpus hours, y ≤ 5e5 milli);
+    # the n·Σ combinations would overflow int64 by sf1x (n·Σy² ~ 1e20), so
+    # they move to double FIRST — same expression in the oracle, so both
+    # engines land on the same IEEE values
+    def d(c):
+        return F.col(c).cast("double")
+
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    deny = d("n") * d("syy") - d("sy") * d("sy")
+    slope = num / den
+    intercept = (d("sy") - slope * d("sx")) / d("n")
+    r2 = num * num / (den * deny)
+    return stats.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx", "syy",
+        F.floor(slope * F.lit(1e6)).cast("long").alias("slope_ppm"),
+        F.floor(intercept * F.lit(1e6)).cast("long").alias("intercept_ppm"),
+        F.floor(r2 * F.lit(1e6)).cast("long").alias("r2_ppm"),
+    )
+
+
+SQL_REGRESSION_SUITE = f"""
+WITH base AS (
+  SELECT min(epoch_us(ts::TIMESTAMP) // {_HOUR_US}) AS h0
+  FROM events WHERE value IS NOT NULL),
+pts AS (
+  SELECT event_type,
+         epoch_us(ts::TIMESTAMP) // {_HOUR_US} - h0 AS x,
+         floor(value * 1000.0)::BIGINT AS y
+  FROM events CROSS JOIN base WHERE value IS NOT NULL),
+s AS (
+  SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy
+  FROM pts GROUP BY 1)
+SELECT event_type, n, sx, sy, sxy, sxx, syy,
+       floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             * 1000000.0)::BIGINT AS slope_ppm,
+       floor((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                           * sx::DOUBLE)
+             / n::DOUBLE * 1000000.0)::BIGINT AS intercept_ppm,
+       floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+             * 1000000.0)::BIGINT AS r2_ppm
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation recall
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = 16
+
+
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation trade-off (the Matryoshka/MRL question): how
+    much recall@5 survives searching on only the FIRST 16 of 64 dims —
+    4× less compute and bandwidth per comparison. Both rankings are the
+    existing brute-force cosine operator (floored micro scores); recall
+    is exact ppm. The third leg of the compression-eval family
+    (sq8_recall_eval = quantization, pq_recall_eval = product codes)."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _TRUNC_DIMS).alias("embedding")
+    )
+    queries_full = emb.filter(F.col("vec_id") < _N_QUERIES)
+    queries_trunc = trunc.filter(F.col("vec_id") < _N_QUERIES)
+    approx = brute_force_topk(trunc, queries_trunc, k=_PQ_TOPK).select(
+        "query_id", "nbr_id"
+    )
+    exact = brute_force_topk(emb, queries_full, k=_PQ_TOPK).select(
+        "query_id", "nbr_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.floor(
+            F.coalesce("n_hit", F.lit(0)) * F.lit(1_000_000) / F.col("n_exact")
+        ).cast("long").alias("recall_ppm"),
+    )
+
+
+SQL_DIM_TRUNCATION_RECALL = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+           FROM embeddings),
+tv AS (SELECT vec_id, vec[1:{_TRUNC_DIMS}] AS vec FROM v),
+e AS (SELECT query_id, nbr_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_RRF_COS} DESC, c.vec_id ASC) AS rk
+        FROM v q, v c
+        WHERE q.vec_id < {_N_QUERIES} AND q.vec_id != c.vec_id)
+      WHERE rk <= {_PQ_TOPK}),
+a AS (SELECT query_id, nbr_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_RRF_COS} DESC, c.vec_id ASC) AS rk
+        FROM tv q, tv c
+        WHERE q.vec_id < {_N_QUERIES} AND q.vec_id != c.vec_id)
+      WHERE rk <= {_PQ_TOPK}),
+nh AS (SELECT e.query_id, count(*) AS n_hit
+       FROM e JOIN a ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+       GROUP BY 1),
+ne AS (SELECT query_id, count(*) AS n_exact FROM e GROUP BY 1)
+SELECT ne.query_id, ne.n_exact, coalesce(nh.n_hit, 0) AS n_hit,
+       floor(coalesce(nh.n_hit, 0) * 1000000 / ne.n_exact)::BIGINT AS recall_ppm
+FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1297,6 +1454,8 @@ PREP_QUERIES = {
     "pii_l_diversity": q_pii_l_diversity,
     "span_corruption": q_span_corruption,
     "stream_psi_drift": q_stream_psi_drift,
+    "regression_suite": q_regression_suite,
+    "dim_truncation_recall": q_dim_truncation_recall,
 }
 
 PREP_ORACLES = {
@@ -1318,4 +1477,6 @@ PREP_ORACLES = {
     "pii_l_diversity": SQL_PII_L_DIVERSITY,
     "span_corruption": SQL_SPAN_CORRUPTION,
     "stream_psi_drift": SQL_STREAM_PSI_DRIFT,
+    "regression_suite": SQL_REGRESSION_SUITE,
+    "dim_truncation_recall": SQL_DIM_TRUNCATION_RECALL,
 }
