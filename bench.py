@@ -126,7 +126,7 @@ HEADLINE = [
     "hard_negatives", "phrase_search", "cdc_branch_merge",
     "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
     "span_corruption", "stream_psi_drift", "cdc_clone_read",
-    "regression_suite", "dim_truncation_recall",
+    "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1509,6 +1509,76 @@ def q_cdc_clone_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_CLONE_READ = SQL_CDC_MERGE_INCREMENTAL
 
 
+def q_cdc_erasure_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-erasure across TWO tables as ONE transaction: the
+    Type-1 state table AND the SCD2 history table hard-erase the subject
+    keys (user_id % 10 == 3) inside a single MultiTableTxn commit — a
+    regulator's deletion must not leave a window where the state table
+    forgot the subject but the history still remembers them. erase_rows
+    is bucket-pruned and rides each sink's ordinary staged commit; the
+    2PC meta-link is the one atomic decision. The oracle is the full
+    merge MINUS the erased keys, so an over-/under-erase on the state
+    table diverges the hash; the history side and the
+    poisoned-thunk-means-neither-table-moved atomicity are pinned by
+    tests/test_erasure.py."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.multi_txn import MultiTableTxn
+    from dataplatform_cdc_pipeline_spark.operators.scd2 import (
+        build_version_events,
+        snapshot_scd2_target,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.plans.merge_plan import window_scan
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_erase_q_")
+    state_t = SnapshotMergeTarget(spark, f"{tmp}/state", cfg, USER_STATE_SCHEMA)
+    hist_t = snapshot_scd2_target(spark, f"{tmp}/history", cfg, USER_STATE_SCHEMA)
+    run_merge(
+        spark, cfg, state_t, WatermarkStore(spark, f"{tmp}/a"),
+        raw=raw, window=(None, None), deterministic_audit=True,
+    )
+    hist_t.merge(
+        build_version_events(
+            window_scan(raw, cfg, None, None), USER_STATE_SCHEMA, cfg,
+            deterministic_audit=True,
+        )
+    )
+    subject = F.col("user_id") % 10 == 3
+    MultiTableTxn(f"{tmp}/txn").commit(
+        [
+            (state_t, lambda: state_t.erase_rows(subject)),
+            (hist_t, lambda: hist_t.erase_rows(subject)),
+        ]
+    )
+    return state_t.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_ERASURE_TXN = f"""
+WITH ranked AS (
+  SELECT user_id, {OP_SQL} AS op, event_type, value,
+         json_extract_string(props, '$.k')::INT AS k,
+         epoch_us(ts::TIMESTAMP) AS event_ts_us, event_id AS pos,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, value, k, event_ts_us, pos
+FROM ranked WHERE rn = 1 AND op != 'd' AND user_id % 10 != 3
+"""
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-version change feed (SnapshotMergeTarget.change_feed —
     Delta's ``table_changes`` shape): a THREE-window merge lifecycle
@@ -2736,6 +2806,7 @@ QUERIES: dict[str, callable] = {
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_branch_merge": q_cdc_branch_merge,
     "cdc_clone_read": q_cdc_clone_read,
+    "cdc_erasure_txn": q_cdc_erasure_txn,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_zorder_read": q_cdc_zorder_read,
     "cdc_scd2_history": q_cdc_scd2_history,
@@ -2787,6 +2858,7 @@ ORACLES: dict[str, str] = {
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_branch_merge": SQL_CDC_BRANCH_MERGE,
     "cdc_clone_read": SQL_CDC_CLONE_READ,
+    "cdc_erasure_txn": SQL_CDC_ERASURE_TXN,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
