@@ -1432,6 +1432,113 @@ FROM ne LEFT JOIN nh ON ne.query_id = nh.query_id
 """
 
 # ---------------------------------------------------------------------------
+# EWMA (sequential fold as an array reduce)
+# ---------------------------------------------------------------------------
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (α = 0.5) — the
+    one rolling statistic a window frame CANNOT express (each step
+    depends on the previous RESULT, not a row range). Relational
+    formulation: collect the user's (ts, id)-ordered values and fold
+    them with a linear array reduce — per-user work stays constant as
+    users scale with data. α = 0.5 makes every multiply an exact
+    exponent decrement, and both engines run the IDENTICAL sequential
+    fold (Spark aggregate over slice(2..) seeded with element 1 ==
+    DuckDB list_reduce), so the doubles match exactly."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("ts_us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").alias("n"),
+        F.floor(ewma * F.lit(1e6)).cast("long").alias("ewma_micro"),
+    )
+
+
+SQL_EVENTS_EWMA = """
+WITH seq AS (
+  SELECT user_id,
+         list(value::DOUBLE ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS vals
+  FROM events WHERE value IS NOT NULL GROUP BY user_id)
+SELECT user_id, len(vals) AS n,
+       floor(list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5)
+             * 1000000.0)::BIGINT AS ewma_micro
+FROM seq
+"""
+
+# ---------------------------------------------------------------------------
+# uncertainty sampling (hard-example mining by perplexity)
+# ---------------------------------------------------------------------------
+
+_UNCERTAIN_K = 5
+
+
+def q_curation_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example mining: the 5 most IMPROBABLE documents per domain
+    under the corpus's own unigram LM (highest mean −ln p — the
+    uncertainty-sampling move of active learning, with perplexity as
+    the uncertainty signal). Pure composition of two green operators:
+    unigram_logprob_frame scores, a per-source window selects."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+        unigram_logprob_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_frame(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_neg_logprob").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _UNCERTAIN_K)
+        .select("source", "rk", "doc_id", "n_tokens", "avg_neg_logprob")
+    )
+
+
+SQL_CURATION_UNCERTAINTY_SAMPLE = f"""
+WITH t AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+totals AS (SELECT sum(c) AS T, count(*) AS V FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(-ln((vocab.c + 1) * 1.0 / (totals.T + totals.V))
+              AS DECIMAL(28,12)) AS nlp
+  FROM t JOIN vocab USING (term), totals),
+per_doc AS (
+  SELECT doc_id, sum(nlp) AS s, count(*) AS n_tokens FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT d.source, p.doc_id, p.n_tokens,
+         floor(p.s::DOUBLE / p.n_tokens * 1000000.0) / 1000000.0
+           AS avg_neg_logprob
+  FROM per_doc p JOIN documents d USING (doc_id))
+SELECT source, rk, doc_id, n_tokens, avg_neg_logprob FROM (
+  SELECT source, doc_id, n_tokens, avg_neg_logprob,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY avg_neg_logprob DESC, doc_id ASC) AS rk
+  FROM ranked) WHERE rk <= {_UNCERTAIN_K}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1456,6 +1563,8 @@ PREP_QUERIES = {
     "stream_psi_drift": q_stream_psi_drift,
     "regression_suite": q_regression_suite,
     "dim_truncation_recall": q_dim_truncation_recall,
+    "events_ewma": q_events_ewma,
+    "curation_uncertainty_sample": q_curation_uncertainty_sample,
 }
 
 PREP_ORACLES = {
@@ -1479,4 +1588,6 @@ PREP_ORACLES = {
     "stream_psi_drift": SQL_STREAM_PSI_DRIFT,
     "regression_suite": SQL_REGRESSION_SUITE,
     "dim_truncation_recall": SQL_DIM_TRUNCATION_RECALL,
+    "events_ewma": SQL_EVENTS_EWMA,
+    "curation_uncertainty_sample": SQL_CURATION_UNCERTAINTY_SAMPLE,
 }

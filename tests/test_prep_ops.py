@@ -528,3 +528,38 @@ def test_stream_psi_matches_batch(spark, sf_dir):
         p = (r["c_ref"] + 1) / (n_ref + 10)
         q = (r["c_live"] + 1) / (n_live + 10)
         assert r["psi_nano"] == math.floor((p - q) * math.log(p / q) * 1e9)
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from dataplatform_cdc_pipeline_spark.queries_prep import q_events_ewma
+
+    got = {r["user_id"]: r for r in q_events_ewma(spark, sf_dir).collect()}
+    pdf = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    ).to_pandas().dropna(subset=["value"])
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in list(pdf.groupby("user_id"))[:25]:
+        vals = list(grp["value"])
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = acc * 0.5 + x * 0.5
+        assert got[uid]["n"] == len(vals)
+        assert got[uid]["ewma_micro"] == math.floor(acc * 1e6)
+
+
+def test_uncertainty_sample_orders_by_perplexity(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries_prep import (
+        q_curation_uncertainty_sample,
+    )
+
+    rows = q_curation_uncertainty_sample(spark, sf_dir).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append((r["rk"], r["avg_neg_logprob"]))
+    for src, lst in per_src.items():
+        lst.sort()
+        assert len(lst) <= 5
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True)
