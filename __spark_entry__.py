@@ -88,7 +88,7 @@ _PRIORITY = [
     "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
     "span_corruption", "stream_psi_drift", "cdc_clone_read",
     "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
-    "events_ewma", "curation_uncertainty_sample",
+    "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
     "events_scd2_join", "table_reconcile", "snapshot_reconcile",
     "dq_expectations",
     "volume_shipping", "product_type_profit", "returned_item_report",

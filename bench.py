@@ -127,7 +127,7 @@ HEADLINE = [
     "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
     "span_corruption", "stream_psi_drift", "cdc_clone_read",
     "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
-    "events_ewma", "curation_uncertainty_sample",
+    "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

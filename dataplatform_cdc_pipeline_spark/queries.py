@@ -1565,6 +1565,55 @@ def q_cdc_erasure_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY analog: the commit log as a queryable frame —
+    one row per version with its METADATA-ONLY row count (summed from
+    the per-bucket fingerprints each commit records; zero data files
+    touched). The oracle recomputes each phase's state cardinality
+    relationally, so a wrong carry-forward, a stale fingerprint, or a
+    miscounted commit diverges the hash."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+        SnapshotMergeTarget,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_hist_q_")
+    target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    target.harvest_fingerprints = True
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    for win in [(None, split), (split, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    rows = [
+        (v, target.metadata_row_count(version=v)) for v in target._versions()
+    ]
+    return spark.createDataFrame(rows, "version int, row_count long")
+
+
+SQL_CDC_TABLE_HISTORY = f"""
+WITH r1 AS (
+  SELECT user_id, {OP_SQL} AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+r2 AS (
+  SELECT user_id, {OP_SQL} AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events)
+SELECT 1 AS version,
+       (SELECT count(*) FROM r1 WHERE rn = 1 AND op != 'd') AS row_count
+UNION ALL
+SELECT 2 AS version,
+       (SELECT count(*) FROM r2 WHERE rn = 1 AND op != 'd') AS row_count
+"""
+
+
 SQL_CDC_ERASURE_TXN = f"""
 WITH ranked AS (
   SELECT user_id, {OP_SQL} AS op, event_type, value,
@@ -2807,6 +2856,7 @@ QUERIES: dict[str, callable] = {
     "cdc_branch_merge": q_cdc_branch_merge,
     "cdc_clone_read": q_cdc_clone_read,
     "cdc_erasure_txn": q_cdc_erasure_txn,
+    "cdc_table_history": q_cdc_table_history,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "cdc_zorder_read": q_cdc_zorder_read,
     "cdc_scd2_history": q_cdc_scd2_history,
@@ -2859,6 +2909,7 @@ ORACLES: dict[str, str] = {
     "cdc_branch_merge": SQL_CDC_BRANCH_MERGE,
     "cdc_clone_read": SQL_CDC_CLONE_READ,
     "cdc_erasure_txn": SQL_CDC_ERASURE_TXN,
+    "cdc_table_history": SQL_CDC_TABLE_HISTORY,
     "cdc_snapshot_diff": SQL_CDC_SNAPSHOT_DIFF,
     "cdc_zorder_read": SQL_CDC_ZORDER_READ,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
