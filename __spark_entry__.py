@@ -26,17 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry priority. The driver's correctness gate checks the FIRST 50
 #: entries in dict order (observed r2-r5: exactly 50), so ordering is part
-#: of the verification contract. The registry (193 entries after the r6
-#: third session) has outgrown even a three-round × 50-slot rotation —
-#: ceil(193/50) = 4 — so from r7 the invariant is FOUR rounds: every entry
-#: has a driver-green row within the last four rounds, never-verified
-#: entries always outrank stale ones, and the CONTINUOUS gate remains the
-#: local full sweeps (check_parity.py + driver_sim.py over ALL entries,
-#: run every session — both ALL MATCH as of the r6 third session).
-#: r7 window arithmetic: 13 pinned core + 37 oldest never-verified tail
-#: entries (the tail below holds 68 never-verified: 4 r6-late + 49 from
-#: the r6 second session + 15 from the third session, ordered
-#: oldest-first); the remaining 31 plus the r4-green cohort take r8.
+#: of the verification contract. The registry (219 entries after the r6
+#: fourth session) has outgrown even a three-round × 50-slot rotation —
+#: ceil(219/50) = 5 — so from r7 the invariant is rotation-by-staleness:
+#: every window = 13 pinned core + 37 slots filled oldest-first from
+#: (never-driver-verified entries first, then stalest-green), and the
+#: CONTINUOUS gate remains the local full sweeps (check_parity.py +
+#: driver_sim.py over ALL entries, run every session — both ALL MATCH as
+#: of the r6 fourth session, 219/219).
+#: r7 window arithmetic: 13 pinned core + the 37 oldest never-verified
+#: tail entries (the tail below holds 92 never-verified: the 19
+#: fourth-session additions at its head were appended AFTER the 4 r6-late
+#: + 49 second-session + 15 third-session cohorts in AGE, so those 68
+#: older ones fill r7/r8 first; the fourth-session 19 and the r4-green
+#: cohort follow in r9).
 #: The r6 window is EXACTLY 50 entries:
 #:   1-13   the §2 CDC core — oracle-checked every round, pinned;
 #:   14-39  the 26 r5-new entries that have never had a driver row
@@ -80,15 +83,6 @@ _PRIORITY = [
     # locally gated by check_parity/driver_sim full sweeps — they and the
     # r4-green cohort below are FIRST in line for the r7 window; the
     # already-set 50-slot r6 window stays as planned) …
-    "boilerplate_strip", "corpus_weighted_sample", "pii_k_anonymity",
-    "embedding_pq_topk", "pq_recall_eval", "events_psi_drift",
-    "training_batches", "tfidf_keywords",
-    "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
-    "hard_negatives", "phrase_search", "cdc_branch_merge",
-    "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
-    "span_corruption", "stream_psi_drift", "cdc_clone_read",
-    "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
-    "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
     "events_scd2_join", "table_reconcile", "snapshot_reconcile",
     "dq_expectations",
     "volume_shipping", "product_type_profit", "returned_item_report",
@@ -116,7 +110,23 @@ _PRIORITY = [
     "cdc_cached_read", "cdc_merge_dlq",
     "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
     "events_percentile_check",
-    # … then the r4-green leftovers (r7's rotation cohort) …
+    # … then the r6 fourth-session additions (never driver-verified,
+    # YOUNGEST never-verified cohort — they queue behind the older ones
+    # above per the oldest-first rule; locally gated by check_parity +
+    # driver_sim on addition and by the end-of-session full sweeps) …
+    "boilerplate_strip", "corpus_weighted_sample", "pii_k_anonymity",
+    "embedding_pq_topk", "pq_recall_eval", "events_psi_drift",
+    "training_batches", "tfidf_keywords",
+    "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
+    "hard_negatives", "phrase_search", "cdc_branch_merge",
+    "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
+    "span_corruption", "stream_psi_drift", "cdc_clone_read",
+    "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
+    "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
+    # … then the r4-green leftovers (r7's rotation cohort; the first two
+    # were implicit dict-order entries until the r6 fourth session — made
+    # explicit so the 50-slot arithmetic is auditable from this list) …
+    "cdc_merge_multi_pk_guarded", "stream_user_totals",
     "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
     "embedding_ivf_nprobe2", "embedding_dup_clusters",
     "multimodal_frame_plan", "domain_mix_plan", "domain_mix_apply",
