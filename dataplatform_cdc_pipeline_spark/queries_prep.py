@@ -1539,6 +1539,50 @@ SELECT source, rk, doc_id, n_tokens, avg_neg_logprob FROM (
 """
 
 # ---------------------------------------------------------------------------
+# cohort lifetime value
+# ---------------------------------------------------------------------------
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month, each (cohort, month-offset) cell carrying active customers
+    and revenue. Months are integer year·12+(month−1) — calendar-safe in
+    both engines on midnight-UTC dates; revenue rides exact integer
+    cents. Two map-side-combinable aggs: per-customer first month, then
+    the cell rollup."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_m", (F.col("m") - F.col("cohort_m")).alias("month_offset")
+        )
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+SQL_ORDERS_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+first AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1)
+SELECT cohort_m, m - cohort_m AS month_offset,
+       count(DISTINCT o.o_custkey) AS n_customers,
+       count(*) AS n_orders, sum(cents)::BIGINT AS revenue_cents
+FROM o JOIN first USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1565,6 +1609,7 @@ PREP_QUERIES = {
     "dim_truncation_recall": q_dim_truncation_recall,
     "events_ewma": q_events_ewma,
     "curation_uncertainty_sample": q_curation_uncertainty_sample,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
 }
 
 PREP_ORACLES = {
@@ -1590,4 +1635,5 @@ PREP_ORACLES = {
     "dim_truncation_recall": SQL_DIM_TRUNCATION_RECALL,
     "events_ewma": SQL_EVENTS_EWMA,
     "curation_uncertainty_sample": SQL_CURATION_UNCERTAINTY_SAMPLE,
+    "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
 }
