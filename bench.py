@@ -128,7 +128,8 @@ HEADLINE = [
     "span_corruption", "stream_psi_drift", "cdc_clone_read",
     "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
     "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
-    "orders_cohort_ltv",
+    "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
+    "packing_efficiency_eval",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

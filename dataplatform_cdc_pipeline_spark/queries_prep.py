@@ -1583,6 +1583,198 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# leakage-safe splits: cluster-atomic assignment + leakage audit
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: near-duplicate CLUSTERS assign
+    atomically (the split key is the cluster's canonical id, not the
+    doc's), so a near-copy of a training document can never land in
+    test — the train/test contamination channel document-level splits
+    leave open (and `split_leakage_audit` measures). Composes the CC
+    clustering with the md5-slot split."""
+    from dataplatform_cdc_pipeline_spark.operators.curation import assign_split
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
+    from dataplatform_cdc_pipeline_spark.queries_llm import scored_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    clusters = dedup_clusters(pairs, docs)  # (doc_id, canonical_id)
+    return assign_split(clusters, id_col="canonical_id").select(
+        "doc_id", "canonical_id", "split_slot", "split"
+    )
+
+
+def _sql_cluster_safe_split() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import SQL_DEDUP_CLUSTERS
+
+    slot = md5_long_sql("canonical_id::VARCHAR", "split")
+    return f"""
+WITH base AS ({SQL_DEDUP_CLUSTERS}),
+slotted AS (SELECT doc_id, canonical_id, {slot} % 100 AS split_slot FROM base)
+SELECT doc_id, canonical_id, split_slot,
+       CASE WHEN split_slot < 90 THEN 'train'
+            WHEN split_slot < 95 THEN 'val' ELSE 'test' END AS split
+FROM slotted
+"""
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much train/test contamination does the NAIVE document-level
+    split leave? Every near-dup pair is tagged with its two members'
+    doc-level splits; cross-split pairs ARE the leakage (a test doc with
+    a train near-copy). The audit that motivates cluster_safe_split."""
+    from dataplatform_cdc_pipeline_spark.operators.curation import assign_split
+    from dataplatform_cdc_pipeline_spark.queries_llm import scored_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    splits = assign_split(docs).select("doc_id", "split")
+    tagged = (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        tagged.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "is_leak", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+    )
+
+
+def _sql_split_leakage_audit() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import SQL_DEDUP_MINHASH_LSH
+
+    pairs = SQL_DEDUP_MINHASH_LSH.replace("ORDER BY id_a, id_b", "")
+    slot = md5_long_sql("doc_id::VARCHAR", "split")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {slot} % 100 < 90 THEN 'train'
+              WHEN {slot} % 100 < 95 THEN 'val' ELSE 'test' END AS split
+  FROM documents),
+tagged AS (
+  SELECT least(a.split, b.split) AS split_a,
+         greatest(a.split, b.split) AS split_b
+  FROM pairs JOIN splits a ON pairs.id_a = a.doc_id
+             JOIN splits b ON pairs.id_b = b.doc_id)
+SELECT split_a, split_b, count(*) AS n_pairs,
+       (split_a != split_b)::INT AS is_leak
+FROM tagged GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# packing efficiency: arrival-order vs length-sorted batching
+# ---------------------------------------------------------------------------
+
+_PACK_BATCH = 8
+
+
+def _global_ranked(spark: SparkSession, df: DataFrame, sort_cols) -> DataFrame:
+    """global_idx by the sort order — range partitioner + driver prefix
+    offsets (the q_doc_global_ids formulation; never a one-partition
+    window)."""
+    parts = df.repartitionByRange(8, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parts = parts.localCheckpoint(eager=True)
+    counts = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["n"]
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "__pid int, __offset long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    return (
+        parts.join(F.broadcast(off_df), "__pid")
+        .withColumn("global_idx", F.col("__offset") + F.row_number().over(w))
+        .drop("__pid", "__offset")
+    )
+
+
+def q_packing_efficiency_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why length-bucketed batching exists, measured: batch docs 8-at-a-
+    time in ARRIVAL order vs LENGTH-SORTED order and compare padding
+    waste (each batch pads to its longest member). One number per
+    strategy: batches, padded char-slots, wasted slots, waste ppm.
+    The sort-for-batching is the range-partition prefix-sum formulation
+    — no single-partition window at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def waste_for(sort_cols, label: str) -> DataFrame:
+        ranked = _global_ranked(spark, docs, sort_cols)
+        per_batch = (
+            ranked.withColumn(
+                "batch_id", ((F.col("global_idx") - 1) / _PACK_BATCH).cast("long")
+            )
+            .groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("bn"),
+                F.max("n_chars").alias("mx"),
+                F.sum("n_chars").alias("sm"),
+            )
+        )
+        return per_batch.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum(F.col("bn") * F.col("mx")).alias("padded_slots"),
+            F.sum(F.col("bn") * F.col("mx") - F.col("sm")).alias("wasted_slots"),
+            F.floor(
+                F.sum(F.col("bn") * F.col("mx") - F.col("sm"))
+                * F.lit(1_000_000)
+                / F.sum(F.col("bn") * F.col("mx"))
+            ).cast("long").alias("waste_ppm"),
+        )
+
+    arrival = waste_for([F.col("doc_id")], "arrival")
+    sorted_ = waste_for(
+        [F.col("n_chars").desc(), F.col("doc_id")], "length_sorted"
+    )
+    return arrival.unionByName(sorted_)
+
+
+SQL_PACKING_EFFICIENCY_EVAL = f"""
+WITH a AS (
+  SELECT (row_number() OVER (ORDER BY doc_id) - 1) // {_PACK_BATCH} AS batch_id,
+         n_chars
+  FROM documents),
+ab AS (SELECT batch_id, count(*) AS bn, max(n_chars) AS mx, sum(n_chars) AS sm
+       FROM a GROUP BY 1),
+s AS (
+  SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+           // {_PACK_BATCH} AS batch_id,
+         n_chars
+  FROM documents),
+sb AS (SELECT batch_id, count(*) AS bn, max(n_chars) AS mx, sum(n_chars) AS sm
+       FROM s GROUP BY 1)
+SELECT 'arrival' AS strategy, count(*) AS n_batches,
+       sum(bn * mx)::BIGINT AS padded_slots,
+       sum(bn * mx - sm)::BIGINT AS wasted_slots,
+       floor(sum(bn * mx - sm) * 1000000 / sum(bn * mx))::BIGINT AS waste_ppm
+FROM ab
+UNION ALL
+SELECT 'length_sorted', count(*),
+       sum(bn * mx)::BIGINT, sum(bn * mx - sm)::BIGINT,
+       floor(sum(bn * mx - sm) * 1000000 / sum(bn * mx))::BIGINT
+FROM sb
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1610,6 +1802,9 @@ PREP_QUERIES = {
     "events_ewma": q_events_ewma,
     "curation_uncertainty_sample": q_curation_uncertainty_sample,
     "orders_cohort_ltv": q_orders_cohort_ltv,
+    "cluster_safe_split": q_cluster_safe_split,
+    "split_leakage_audit": q_split_leakage_audit,
+    "packing_efficiency_eval": q_packing_efficiency_eval,
 }
 
 PREP_ORACLES = {
@@ -1636,4 +1831,7 @@ PREP_ORACLES = {
     "events_ewma": SQL_EVENTS_EWMA,
     "curation_uncertainty_sample": SQL_CURATION_UNCERTAINTY_SAMPLE,
     "orders_cohort_ltv": SQL_ORDERS_COHORT_LTV,
+    "cluster_safe_split": _sql_cluster_safe_split(),
+    "split_leakage_audit": _sql_split_leakage_audit(),
+    "packing_efficiency_eval": SQL_PACKING_EFFICIENCY_EVAL,
 }
