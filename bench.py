@@ -129,7 +129,7 @@ HEADLINE = [
     "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
     "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
     "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
-    "packing_efficiency_eval",
+    "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

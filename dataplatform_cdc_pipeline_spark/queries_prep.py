@@ -1775,6 +1775,120 @@ FROM sb
 """
 
 # ---------------------------------------------------------------------------
+# streaming sliding windows
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 3_600_000_000  # 1 h slide; window = 4 slides
+
+
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregation (4 h windows every 1 h —
+    every event in exactly 4 overlapping windows), drained availableNow
+    in complete mode; the result must equal the batch hopping-window
+    formula, which IS the oracle. Completes the streaming window family:
+    tumbling (stream_windowed_counts), session (stream_session_windows),
+    sliding (here — state bounded at length/slide windows per group)."""
+    import tempfile as _tf
+
+    from dataplatform_cdc_pipeline_spark.streaming.windowed import (
+        stream_sliding_counts,
+    )
+
+    tmp = _tf.mkdtemp(prefix="cdc_slide_q_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.write.parquet(f"{tmp}/src")
+    return stream_sliding_counts(
+        spark,
+        f"{tmp}/src",
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+
+SQL_STREAM_SLIDING_COUNTS = f"""
+WITH ev AS (
+  SELECT epoch_us(ts::TIMESTAMP) // {_SLIDE_US} AS idx, event_type,
+         CAST(value AS DECIMAL(25,6)) AS v
+  FROM events),
+fan AS (
+  SELECT (idx - k) * {_SLIDE_US} AS window_start_us, event_type, v
+  FROM ev, (SELECT unnest(range(4)) AS k))
+SELECT window_start_us, event_type, count(*) AS n,
+       round(sum(v), 2)::DOUBLE AS total_value
+FROM fan GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (corpus diversity curve)
+# ---------------------------------------------------------------------------
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's DISTINCT 3-grams that
+    no earlier doc (smaller doc_id — the ingest order) has used — the
+    corpus-diversity curve dedup pipelines watch (novelty collapsing to
+    0 means the crawl is re-reading itself). One explode + a distinct
+    (doc, gram) projection; first-seen is a gram-keyed MIN agg joined
+    back — map-side combined, never quadratic."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
+    )
+    per_doc = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.lag("tok", 2).over(per_doc), F.lag("tok", 1).over(per_doc),
+        F.col("tok"),
+    )
+    grams = (
+        toks.withColumn("gram", gram)
+        .filter(F.col("pos") >= 2)
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("int")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.floor(
+                F.col("n_novel") * F.lit(1_000_000) / F.col("n_grams")
+            ).cast("long").alias("novelty_ppm"),
+        )
+    )
+
+
+SQL_TEXT_NGRAM_NOVELTY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok,
+         generate_subscripts({TOKS}, 1) - 1 AS pos
+  FROM documents),
+lagged AS (
+  SELECT doc_id, pos,
+         concat_ws(' ', lag(tok, 2) OVER w, lag(tok, 1) OVER w, tok) AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grams AS (SELECT DISTINCT doc_id, gram FROM lagged WHERE pos >= 2),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+SELECT g.doc_id, count(*) AS n_grams,
+       sum((f.first_doc = g.doc_id)::INT)::BIGINT AS n_novel,
+       floor(sum((f.first_doc = g.doc_id)::INT) * 1000000 / count(*))::BIGINT
+         AS novelty_ppm
+FROM grams g JOIN first f USING (gram)
+GROUP BY g.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1805,6 +1919,8 @@ PREP_QUERIES = {
     "cluster_safe_split": q_cluster_safe_split,
     "split_leakage_audit": q_split_leakage_audit,
     "packing_efficiency_eval": q_packing_efficiency_eval,
+    "stream_sliding_counts": q_stream_sliding_counts,
+    "text_ngram_novelty": q_text_ngram_novelty,
 }
 
 PREP_ORACLES = {
@@ -1834,4 +1950,6 @@ PREP_ORACLES = {
     "cluster_safe_split": _sql_cluster_safe_split(),
     "split_leakage_audit": _sql_split_leakage_audit(),
     "packing_efficiency_eval": SQL_PACKING_EFFICIENCY_EVAL,
+    "stream_sliding_counts": SQL_STREAM_SLIDING_COUNTS,
+    "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
 }

@@ -56,6 +56,49 @@ def stream_tumbling_counts(
     return spark.table(name)
 
 
+def stream_sliding_counts(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window_len: str = "4 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window counts/sums (window length 4× the slide → every
+    event lands in exactly 4 overlapping windows). Same complete-mode
+    availableNow drain as the tumbling form; state per group is bounded
+    by (length/slide) concurrent windows past the watermark."""
+    name = f"wsc_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_len, slide).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")), 2
+            ).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            group_col,
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_session_windows(
     spark: SparkSession,
     source_path: str,

@@ -604,3 +604,26 @@ def test_packing_efficiency_sorted_never_wastes_more(spark, sf_dir):
     assert s["waste_ppm"] <= a["waste_ppm"]
     for r in rows.values():
         assert r["padded_slots"] >= r["wasted_slots"] >= 0
+
+
+def test_sliding_counts_cover_each_event_four_times(spark, sf_dir):
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from dataplatform_cdc_pipeline_spark.queries_prep import q_stream_sliding_counts
+
+    rows = q_stream_sliding_counts(spark, sf_dir).collect()
+    pdf = pq_.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+    assert sum(r["n"] for r in rows) == pdf.num_rows * 4
+
+
+def test_ngram_novelty_monotone_start_and_bounds(spark, sf_dir):
+    from dataplatform_cdc_pipeline_spark.queries_prep import q_text_ngram_novelty
+
+    rows = {r["doc_id"]: r for r in q_text_ngram_novelty(spark, sf_dir).collect()}
+    # the first doc's distinct grams are all novel by definition
+    first = rows[min(rows)]
+    assert first["n_novel"] == first["n_grams"]
+    assert first["novelty_ppm"] == 1_000_000
+    for r in rows.values():
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+        assert r["novelty_ppm"] == r["n_novel"] * 1_000_000 // r["n_grams"]
