@@ -1889,6 +1889,56 @@ GROUP BY g.doc_id
 """
 
 # ---------------------------------------------------------------------------
+# duplication rate by domain (crawl diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which domains are re-crawling themselves: per-source document
+    count, near-duplicate count (docs whose CC canonical id is another
+    doc), and dup ppm — the diagnostic that decides where to point
+    crawler politeness/dedup budgets. Composition of the CC clustering
+    with a source rollup."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
+    from dataplatform_cdc_pipeline_spark.queries_llm import scored_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    clusters = dedup_clusters(pairs, docs)
+    return (
+        clusters.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("canonical_id") != F.col("doc_id")).cast("int")
+            ).alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            F.floor(
+                F.col("n_dups") * F.lit(1_000_000) / F.col("n_docs")
+            ).cast("long").alias("dup_ppm"),
+        )
+    )
+
+
+def _sql_dup_ratio_by_source() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import SQL_DEDUP_CLUSTERS
+
+    return f"""
+WITH base AS ({SQL_DEDUP_CLUSTERS})
+SELECT d.source, count(*) AS n_docs,
+       sum((b.canonical_id != b.doc_id)::INT)::BIGINT AS n_dups,
+       floor(sum((b.canonical_id != b.doc_id)::INT) * 1000000
+             / count(*))::BIGINT AS dup_ppm
+FROM base b JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1921,6 +1971,7 @@ PREP_QUERIES = {
     "packing_efficiency_eval": q_packing_efficiency_eval,
     "stream_sliding_counts": q_stream_sliding_counts,
     "text_ngram_novelty": q_text_ngram_novelty,
+    "dup_ratio_by_source": q_dup_ratio_by_source,
 }
 
 PREP_ORACLES = {
@@ -1952,4 +2003,5 @@ PREP_ORACLES = {
     "packing_efficiency_eval": SQL_PACKING_EFFICIENCY_EVAL,
     "stream_sliding_counts": SQL_STREAM_SLIDING_COUNTS,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
+    "dup_ratio_by_source": _sql_dup_ratio_by_source(),
 }
