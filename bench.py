@@ -130,7 +130,7 @@ HEADLINE = [
     "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
     "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
     "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
-    "dup_ratio_by_source",
+    "dup_ratio_by_source", "quality_calibration",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1939,6 +1939,105 @@ GROUP BY d.source
 """
 
 # ---------------------------------------------------------------------------
+# quality-vs-perplexity calibration
+# ---------------------------------------------------------------------------
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the cheap rule-based quality score agree with the LM signal?
+    Docs bucket into perplexity QUARTILES (quantile_cont cutoffs over
+    the floored scores — a 1-row broadcast, no global sort) and each
+    bucket reports doc count, mean quality (exact integer sum of the
+    1e-4-floored scores — float means would be partition-order-
+    dependent) and keep rate. A monotone trend = the two signals agree;
+    this is the calibration read a curation pipeline does before
+    trusting the cheap filter at 100 TB."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import (
+        quality_score_expr,
+        unigram_logprob_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # quality_score_expr returns floor(raw·1e4)/1e4 — an exact k/10000;
+    # ROUND (not floor) of ·1e4 recovers the integer k: the re-scale can
+    # sit 1 ulp under k, and flooring that would read k−1 while the
+    # oracle's single floor(raw·1e4) reads k
+    scored = unigram_logprob_frame(docs).join(
+        docs.select(
+            "doc_id",
+            F.round(quality_score_expr("text") * F.lit(10_000.0))
+            .cast("long").alias("q4"),
+        ),
+        "doc_id",
+    )
+    cuts = scored.agg(
+        F.percentile(
+            F.col("avg_neg_logprob"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("c")
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "ppl_bucket",
+        F.when(F.col("avg_neg_logprob") < F.col("c")[0], 0)
+        .when(F.col("avg_neg_logprob") < F.col("c")[1], 1)
+        .when(F.col("avg_neg_logprob") < F.col("c")[2], 2)
+        .otherwise(3),
+    )
+    return bucketed.groupBy("ppl_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.sum("q4") * F.lit(100) / F.count(F.lit(1)))
+        .cast("long").alias("mean_quality_micro"),
+        F.sum((F.col("q4") >= 5_000).cast("int")).alias("n_keep"),
+    )
+
+
+def _sql_quality_calibration() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import (
+        LANG_PROFILES,
+        _stop_count_sql,
+    )
+
+    stop = _stop_count_sql(LANG_PROFILES["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+qual AS (
+  SELECT doc_id,
+         floor((least(len(toks) / 100.0, 1.0) * 0.4
+                + least(({stop} * 1.0 / len(toks)) * 10.0, 1.0) * 0.3
+                + (1.0 - least((len(regexp_extract_all(text, '[.,!?;:]'))
+                                * 1.0 / length(text)) * 20.0, 1.0)) * 0.2
+                + CASE WHEN (length(text) - len(toks) + 1) * 1.0 / len(toks)
+                            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END * 0.1)
+               * 10000.0)::BIGINT AS q4
+  FROM t),
+tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+totals AS (SELECT sum(c) AS T, count(*) AS V FROM vocab),
+nlp AS (
+  SELECT tok.doc_id,
+         CAST(-ln((vocab.c + 1) * 1.0 / (totals.T + totals.V))
+              AS DECIMAL(28,12)) AS nlp
+  FROM tok JOIN vocab USING (term), totals),
+ppl AS (
+  SELECT doc_id,
+         floor(sum(nlp)::DOUBLE / count(*) * 1000000.0) / 1000000.0 AS s
+  FROM nlp GROUP BY doc_id),
+cuts AS (
+  SELECT quantile_cont(s, 0.25) AS c1, quantile_cont(s, 0.5) AS c2,
+         quantile_cont(s, 0.75) AS c3
+  FROM ppl),
+bucketed AS (
+  SELECT p.doc_id,
+         CASE WHEN s < c1 THEN 0 WHEN s < c2 THEN 1
+              WHEN s < c3 THEN 2 ELSE 3 END AS ppl_bucket,
+         q.q4
+  FROM ppl p JOIN qual q USING (doc_id) CROSS JOIN cuts)
+SELECT ppl_bucket, count(*) AS n_docs,
+       floor(sum(q4) * 100 / count(*))::BIGINT AS mean_quality_micro,
+       sum((q4 >= 5000)::INT)::BIGINT AS n_keep
+FROM bucketed GROUP BY ppl_bucket
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1972,6 +2071,7 @@ PREP_QUERIES = {
     "stream_sliding_counts": q_stream_sliding_counts,
     "text_ngram_novelty": q_text_ngram_novelty,
     "dup_ratio_by_source": q_dup_ratio_by_source,
+    "quality_calibration": q_quality_calibration,
 }
 
 PREP_ORACLES = {
@@ -2004,4 +2104,5 @@ PREP_ORACLES = {
     "stream_sliding_counts": SQL_STREAM_SLIDING_COUNTS,
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "dup_ratio_by_source": _sql_dup_ratio_by_source(),
+    "quality_calibration": _sql_quality_calibration(),
 }
