@@ -130,7 +130,8 @@ HEADLINE = [
     "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
     "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
     "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
-    "dup_ratio_by_source", "quality_calibration",
+    "dup_ratio_by_source", "quality_calibration", "text_zipf_fit",
+    "session_window_overlap",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

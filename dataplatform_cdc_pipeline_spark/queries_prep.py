@@ -2038,6 +2038,183 @@ FROM bucketed GROUP BY ppl_bucket
 """
 
 # ---------------------------------------------------------------------------
+# Zipf fit over the vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: ln(freq) regressed on ln(rank) over the top-1000
+    vocabulary (rank by count desc, term asc — deterministic). The
+    top-k is TakeOrderedAndProject; the rank window runs on the BOUNDED
+    1000-row result, never the vocabulary. Same exactness recipe as
+    regression_suite: ln's floor-scaled to micro ints, exact integer
+    sums, ONE identical double chain for slope/intercept/r². A healthy
+    natural-language corpus fits slope ≈ −1; a synthetic or boilerplate-
+    heavy corpus doesn't — a cheap corpus-health read."""
+    from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(_ZIPF_TOP)
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    pts = vocab.withColumn("rank", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6))
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6))
+        .cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    deny = d("n") * d("syy") - d("sy") * d("sy")
+    slope = num / den
+    return s.select(
+        "n",
+        F.floor(slope * F.lit(1e6)).cast("long").alias("slope_ppm"),
+        F.floor(
+            (d("sy") - slope * d("sx")) / d("n") * F.lit(1e6)
+        ).cast("long").alias("intercept_ppm"),
+        F.floor(num * num / (den * deny) * F.lit(1e6))
+        .cast("long").alias("r2_ppm"),
+    )
+
+
+SQL_TEXT_ZIPF_FIT = f"""
+WITH tok AS (SELECT unnest({TOKS}) AS term FROM documents),
+vocab AS (SELECT term, count(*) AS c FROM tok GROUP BY term
+          ORDER BY c DESC, term ASC LIMIT {_ZIPF_TOP}),
+pts AS (
+  SELECT floor(ln(row_number() OVER (ORDER BY c DESC, term ASC)::DOUBLE)
+               * 1000000.0)::BIGINT AS x,
+         floor(ln(c::DOUBLE) * 1000000.0)::BIGINT AS y
+  FROM vocab),
+s AS (SELECT count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+             sum(y * y)::BIGINT AS syy
+      FROM pts)
+SELECT n,
+       floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+             * 1000000.0)::BIGINT AS slope_ppm,
+       floor((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                           * sx::DOUBLE)
+             / n::DOUBLE * 1000000.0)::BIGINT AS intercept_ppm,
+       floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+             * 1000000.0)::BIGINT AS r2_ppm
+FROM s
+"""
+
+# ---------------------------------------------------------------------------
+# interval-overlap join (sessions x maintenance windows)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_WIN_US = 6 * 3_600_000_000
+_SESSION_GAP_US = 30 * 60_000_000
+
+
+def q_session_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join without a range cross product: user sessions
+    (30-min-gap sessionization) against the fixed 6-hour window grid.
+    Each session explodes into its candidate window INDICES
+    (sequence(start div W, end div W) — fan bounded by session length /
+    W), then an EQUI-join on the index replaces the inequality join; the
+    exact overlap duration is computed after the match. The oracle is
+    the naive inequality join — the scalable rewrite must agree row for
+    row, overlap included."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sessions = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+    fan = sessions.select(
+        "user_id",
+        "session_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / _OVERLAP_WIN_US).cast("long"),
+                (F.col("e_us") / _OVERLAP_WIN_US).cast("long"),
+            )
+        ).alias("w_idx"),
+    )
+    w_start = F.col("w_idx") * _OVERLAP_WIN_US
+    w_end = w_start + _OVERLAP_WIN_US
+    return fan.select(
+        "user_id",
+        "session_id",
+        w_start.alias("window_start_us"),
+        (
+            F.least(F.col("e_us") + 1, w_end) - F.greatest(F.col("s_us"), w_start)
+        ).alias("overlap_us"),
+    )
+
+
+SQL_SESSION_WINDOW_OVERLAP = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+g AS (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+sess AS (
+  SELECT user_id,
+         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )::BIGINT AS session_id,
+         ts_us
+  FROM g),
+spans AS (
+  SELECT user_id, session_id, min(ts_us) AS s_us, max(ts_us) AS e_us
+  FROM sess GROUP BY 1, 2),
+grid AS (
+  SELECT unnest(range((SELECT min(s_us) FROM spans) // {_OVERLAP_WIN_US},
+                      (SELECT max(e_us) FROM spans) // {_OVERLAP_WIN_US} + 1))
+           AS w_idx)
+SELECT s.user_id, s.session_id,
+       g.w_idx * {_OVERLAP_WIN_US} AS window_start_us,
+       least(s.e_us + 1, (g.w_idx + 1) * {_OVERLAP_WIN_US})
+         - greatest(s.s_us, g.w_idx * {_OVERLAP_WIN_US}) AS overlap_us
+FROM spans s JOIN grid g
+  ON s.s_us < (g.w_idx + 1) * {_OVERLAP_WIN_US}
+ AND s.e_us >= g.w_idx * {_OVERLAP_WIN_US}
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2072,6 +2249,8 @@ PREP_QUERIES = {
     "text_ngram_novelty": q_text_ngram_novelty,
     "dup_ratio_by_source": q_dup_ratio_by_source,
     "quality_calibration": q_quality_calibration,
+    "text_zipf_fit": q_text_zipf_fit,
+    "session_window_overlap": q_session_window_overlap,
 }
 
 PREP_ORACLES = {
@@ -2105,4 +2284,6 @@ PREP_ORACLES = {
     "text_ngram_novelty": SQL_TEXT_NGRAM_NOVELTY,
     "dup_ratio_by_source": _sql_dup_ratio_by_source(),
     "quality_calibration": _sql_quality_calibration(),
+    "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
+    "session_window_overlap": SQL_SESSION_WINDOW_OVERLAP,
 }
