@@ -2346,6 +2346,50 @@ FROM documents GROUP BY source
 """
 
 
+def q_orc_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC landing-zone ingestion (sources/files.read_orc): the events
+    table round-trips parquet → ORC → scan, completing the native
+    source-format matrix (parquet / JSONL / CSV / ORC — spark-avro's
+    datasource module is absent from the sandbox jars, so Avro stays
+    out). The per-type aggregate pins LOSSLESSNESS of the round-trip:
+    exact row counts, micro-exact timestamp min/max (epoch µs — ORC's
+    timestamp encoding must not truncate), and a decimal-cast value sum
+    (order-independent) — any narrowing in the ORC writer/reader
+    diverges the hash against the parquet truth."""
+    from dataplatform_cdc_pipeline_spark.sources.files import read_orc
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="cdc_orc_")
+    ev.write.orc(f"{tmp}/events_orc")
+    back = read_orc(
+        spark,
+        f"{tmp}/events_orc",
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(F.unix_micros("ts")).alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.sum(F.length("props")).alias("props_chars"),
+    )
+
+
+SQL_ORC_EVENTS_INGEST = """
+SELECT event_type, count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       min(epoch_us(ts::TIMESTAMP)) AS min_ts_us,
+       max(epoch_us(ts::TIMESTAMP)) AS max_ts_us,
+       round(sum(value::DECIMAL(25,6)), 2)::DOUBLE AS total_value,
+       sum(length(props))::BIGINT AS props_chars
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # streaming point-in-time enrichment against the SCD2 dimension
 # ---------------------------------------------------------------------------
@@ -2755,6 +2799,7 @@ EXT_QUERIES = {
     "stream_scd2_enrich": q_stream_scd2_enrich,
     "jsonl_documents_ingest": q_jsonl_documents_ingest,
     "csv_documents_ingest": q_csv_documents_ingest,
+    "orc_events_ingest": q_orc_events_ingest,
     "events_retention_cohorts": q_events_retention_cohorts,
     "asof_next_error": q_asof_next_error,
     "stream_txn_merge": q_stream_txn_merge,
@@ -2819,6 +2864,7 @@ EXT_ORACLES = {
     "events_grouping_sets": SQL_EVENTS_GROUPING_SETS,
     "jsonl_documents_ingest": SQL_JSONL_DOCUMENTS_INGEST,
     "csv_documents_ingest": SQL_CSV_DOCUMENTS_INGEST,
+    "orc_events_ingest": SQL_ORC_EVENTS_INGEST,
     "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
     "asof_next_error": SQL_ASOF_NEXT_ERROR,
     "events_intervals_merged": SQL_EVENTS_INTERVALS_MERGED,

@@ -2218,6 +2218,76 @@ FROM spans s JOIN grid g
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (suffix-array family, windowed formulation)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8  # window length in tokens (operators/substring_dedup.DEFAULT_WINDOW)
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (operators/substring_dedup.py — the Lee et
+    al. 2022 suffix-array family, windowed): every 8-token window
+    occurring ≥2 times corpus-wide marks its positions duplicated;
+    overlapping windows merge into maximal spans; tokens inside spans
+    are REMOVED and the survivor text rebuilt. Per doc: token counts,
+    duplicated-token count, span count, dup ppm, and the kept text —
+    the hash gates the exact span boundaries, not just the rates
+    (1015 duplicated windows / 47 hit docs at sf0.01)."""
+    from dataplatform_cdc_pipeline_spark.operators.substring_dedup import (
+        strip_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, _SPAN_W)
+
+
+SQL_DEDUP_SUBSTRING_SPANS = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, u.i - 1 AS pos,
+             md5(array_to_string(toks[u.i:u.i+{_SPAN_W}-1], ' ')) AS h
+      FROM t, unnest(generate_series(1, len(toks)-{_SPAN_W}+1)) u(i)
+      WHERE len(toks) >= {_SPAN_W}),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {_SPAN_W} - 1) OVER w IS NULL
+                OR pos > max(pos + {_SPAN_W} - 1) OVER w + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sid AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl),
+spans AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + {_SPAN_W} - 1 AS e
+          FROM sid GROUP BY 1, 2),
+tok AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos
+        FROM t),
+cov AS (
+  SELECT k.doc_id, k.pos, k.tok,
+         EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = k.doc_id AND k.pos BETWEEN s.s AND s.e)
+           AS covered
+  FROM tok k),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(covered::INT)::BIGINT AS dup_tokens,
+         string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos)
+           AS kept_text
+  FROM cov GROUP BY 1),
+ns AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY 1)
+SELECT p.doc_id, p.n_tokens, p.dup_tokens,
+       coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+       floor(p.dup_tokens * 1000000 / p.n_tokens)::BIGINT AS dup_ppm,
+       coalesce(p.kept_text, '') AS kept_text
+FROM per p LEFT JOIN ns USING (doc_id)
+"""
+
+
 PREP_QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -2251,6 +2321,7 @@ PREP_QUERIES = {
     "quality_calibration": q_quality_calibration,
     "text_zipf_fit": q_text_zipf_fit,
     "session_window_overlap": q_session_window_overlap,
+    "dedup_substring_spans": q_dedup_substring_spans,
 }
 
 PREP_ORACLES = {
@@ -2286,4 +2357,5 @@ PREP_ORACLES = {
     "quality_calibration": _sql_quality_calibration(),
     "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
     "session_window_overlap": SQL_SESSION_WINDOW_OVERLAP,
+    "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
 }

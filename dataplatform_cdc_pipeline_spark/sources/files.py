@@ -58,6 +58,28 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """ORC under an optionally declared schema. ORC is self-describing
+    (no corrupt-record mode — a damaged stripe fails the read, which is
+    the fail-loud default anyway); declaring the schema still pins the
+    scan contract: extra file columns are pruned, a declared column
+    missing from every file reads as NULL, and an UNCONVERTIBLE declared
+    type also reads as NULL (measured: a string file column declared
+    double yields NULLs — Spark's ORC reader absorbs type drift the way
+    the JSONL reader absorbs missing fields; callers needing fail-loud
+    typing add an isNotNull assertion downstream). Column pruning and
+    predicate pushdown work as for parquet (orc-core ships in Spark's
+    jars)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -70,3 +70,52 @@ def test_csv_failfast_on_malformed(spark, tmp_path):
     ).coalesce(1).write.text(p)
     with pytest.raises(Exception):
         read_csv(spark, p, "id long, n long", mode="FAILFAST").collect()
+
+
+# ---------------------------------------------------------------------------
+# ORC (sources/files.read_orc): declared-schema contract
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def orc_dir(spark, tmp_path):
+    p = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, score double"
+    ).write.orc(p)
+    return p
+
+
+def test_orc_roundtrip_and_pruning(spark, orc_dir):
+    from dataplatform_cdc_pipeline_spark.sources.files import read_orc
+
+    df = read_orc(spark, orc_dir, "id long, name string")
+    assert df.columns == ["id", "name"]  # extra file column pruned
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+
+def test_orc_missing_declared_column_reads_null(spark, orc_dir):
+    from dataplatform_cdc_pipeline_spark.sources.files import read_orc
+
+    df = read_orc(spark, orc_dir, "id long, missing_col string")
+    assert [r["missing_col"] for r in df.collect()] == [None, None]
+
+
+def test_orc_type_clash_absorbs_to_null(spark, orc_dir):
+    # measured Spark behavior (pinned so a future Spark change is
+    # noticed): an unconvertible declared type reads as NULL, it does
+    # not fail the scan — same absorb posture as JSONL field drift
+    from dataplatform_cdc_pipeline_spark.sources.files import read_orc
+
+    df = read_orc(spark, orc_dir, "id long, name double")
+    assert [r["name"] for r in df.collect()] == [None, None]
+
+
+def test_orc_self_describing_without_schema(spark, orc_dir):
+    from dataplatform_cdc_pipeline_spark.sources.files import read_orc
+
+    df = read_orc(spark, orc_dir)
+    assert set(df.columns) == {"id", "name", "score"}
+    assert df.count() == 2
