@@ -62,8 +62,13 @@ def window_hashes(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
 def duplicate_window_hits(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
     """(doc_id, pos) of windows whose fingerprint occurs ≥2 times
     corpus-wide — the paper's duplication predicate. One groupBy on the
-    hash (map-side combined) + a semi-join back on the same key."""
-    g = window_hashes(docs, w)
+    hash (map-side combined) + a semi-join back on the same key.
+
+    The hash frame feeds BOTH legs, so it is materialized once (eager
+    localCheckpoint — the persist-hygiene invariant): without it the
+    tokenize+MD5 scan runs twice, which at 100 TB is the whole cost of
+    the operator (same fix as bm25_search's tokenized projection)."""
+    g = window_hashes(docs, w).localCheckpoint(eager=True)
     dup = (
         g.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -2288,6 +2288,97 @@ FROM per p LEFT JOIN ns USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental corpus dedup through a persisted LSH band index
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch corpus dedup at DELTA cost (operators/dedup_index.py):
+    the MinHash-LSH band index lives as a batch-partitioned parquet
+    table; each incoming crawl batch computes signatures only for its
+    own docs, screens against the stored index, then publishes its band
+    rows. Lifecycle here: bootstrap from the base corpus → screen batch
+    b1 (doc_id%10==3) → publish b1 (twice — replay is idempotent via
+    dynamic partition overwrite) → screen batch b2 (doc_id%10==7),
+    whose cross pairs against b1 docs can ONLY come from the index. The
+    pairs are bit-identical to from-scratch minhash_dedup_pairs over
+    the union (same signature/band/Jaccard primitives)."""
+    import tempfile
+
+    from dataplatform_cdc_pipeline_spark.operators.dedup_index import (
+        IncrementalLshIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 3).filter(F.col("doc_id") % 10 != 7)
+    d1 = docs.filter(F.col("doc_id") % 10 == 3)
+    d2 = docs.filter(F.col("doc_id") % 10 == 7)
+    idx = IncrementalLshIndex(spark, tempfile.mkdtemp(prefix="cdc_lshidx_") + "/ix")
+    idx.add_batch("base", base)
+    p1 = (
+        idx.dedup_batch(d1, docs, threshold=0.5)
+        .withColumn("batch", F.lit("b1"))
+        .localCheckpoint(eager=True)
+    )
+    idx.add_batch("b1", d1)
+    idx.add_batch("b1", d1)  # replay — rewrites its own partition only
+    p2 = idx.dedup_batch(d2, docs, threshold=0.5).withColumn("batch", F.lit("b2"))
+    return p1.unionByName(p2)
+
+
+def _sql_incremental_dedup_batch() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import _MINHASH_FAMILY, SHINGLES
+
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+sig AS (
+  SELECT doc_id, doc_id % 10 AS m,
+         CASE doc_id % 10 WHEN 3 THEN 1 WHEN 7 THEN 2 ELSE 0 END AS grp,
+         list_distinct(sh) AS shset,
+         list_transform(range(0, 8), f ->
+           list_min(list_transform(sh, g -> {_MINHASH_FAMILY}))) AS mh
+  FROM s),
+bands AS (
+  SELECT doc_id, grp,
+         unnest(list_transform(range(0, 4), b ->
+           b::VARCHAR || '_' || mh[2*b + 1]::VARCHAR || '_' || mh[2*b + 2]::VARCHAR))
+           AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.grp AS ga, b.doc_id AS id_b, b.grp AS gb
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+labeled AS (
+  SELECT 'b1' AS batch,
+         CASE WHEN ga = 1 THEN id_a ELSE id_b END AS new_id,
+         CASE WHEN ga = 1 THEN id_b ELSE id_a END AS other_id,
+         CASE WHEN ga = 1 AND gb = 1 THEN 'intra' ELSE 'cross' END AS kind,
+         id_a, id_b
+  FROM cand WHERE ga <= 1 AND gb <= 1 AND (ga = 1 OR gb = 1)
+  UNION ALL
+  SELECT 'b2',
+         CASE WHEN ga = 2 THEN id_a ELSE id_b END,
+         CASE WHEN ga = 2 THEN id_b ELSE id_a END,
+         CASE WHEN ga = 2 AND gb = 2 THEN 'intra' ELSE 'cross' END,
+         id_a, id_b
+  FROM cand WHERE ga = 2 OR gb = 2),
+v AS (
+  SELECT batch, new_id, other_id, kind,
+         floor(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+               len(list_distinct(list_concat(sa.shset, sb.shset)))
+               * 1000000.0) / 1000000.0 AS jaccard
+  FROM labeled JOIN sig sa ON labeled.id_a = sa.doc_id
+               JOIN sig sb ON labeled.id_b = sb.doc_id)
+SELECT new_id, other_id, kind, jaccard, batch
+FROM v WHERE jaccard >= 0.5
+"""
+
+
+SQL_INCREMENTAL_DEDUP_BATCH = _sql_incremental_dedup_batch()
+
+
 PREP_QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -2322,6 +2413,7 @@ PREP_QUERIES = {
     "text_zipf_fit": q_text_zipf_fit,
     "session_window_overlap": q_session_window_overlap,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "incremental_dedup_batch": q_incremental_dedup_batch,
 }
 
 PREP_ORACLES = {
@@ -2358,4 +2450,5 @@ PREP_ORACLES = {
     "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
     "session_window_overlap": SQL_SESSION_WINDOW_OVERLAP,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
+    "incremental_dedup_batch": SQL_INCREMENTAL_DEDUP_BATCH,
 }
