@@ -99,7 +99,16 @@ class IncrementalLshIndex:
         )
 
     def index_bands(self) -> DataFrame:
-        """(band_key, doc_id, batch) — the stored index."""
+        """(band_key, doc_id, batch) — the stored index. A missing path
+        is the legitimate empty-index state (nothing ingested yet) and
+        reads as zero rows; any OTHER read error propagates (fail-loud —
+        the same narrow-catch contract as streaming/sketches)."""
+        import os
+
+        if not os.path.isdir(self.path):
+            return self.spark.createDataFrame(
+                [], "band_key string, doc_id long, batch string"
+            )
         return self.spark.read.parquet(self.path).select(
             "band_key", "doc_id", "batch"
         )
@@ -112,6 +121,7 @@ class IncrementalLshIndex:
         corpus: DataFrame,
         threshold: float = 0.5,
         exclude_batches: tuple[str, ...] = (),
+        index_filter=None,
     ) -> DataFrame:
         """Near-dup pairs (exact Jaccard ≥ threshold) between ``new_docs``
         and (index ∪ new_docs): columns ``new_id`` (the incoming doc),
@@ -125,11 +135,17 @@ class IncrementalLshIndex:
         is the corpus memory" means operationally.
 
         ``exclude_batches`` masks index partitions (e.g. the batch's own
-        rows when dedup runs after its add)."""
+        rows when dedup runs after its add); ``index_filter`` is an
+        arbitrary Column predicate over the index's ``batch`` column —
+        the streaming loop uses it to see strictly EARLIER batches, so a
+        replay after checkpoint loss screens against exactly the
+        pre-crash world rather than its own future."""
         new_bands = self._band_rows(new_docs).localCheckpoint(eager=True)
         old = self.index_bands()
         for b in exclude_batches:
             old = old.filter(F.col("batch") != b)
+        if index_filter is not None:
+            old = old.filter(index_filter)
         # prune the index to buckets the delta touches BEFORE the pair
         # join — co-partitioned on the same key, so AQE reuses the
         # exchange for the join that follows

@@ -2379,6 +2379,86 @@ FROM v WHERE jaccard >= 0.5
 SQL_INCREMENTAL_DEDUP_BATCH = _sql_incremental_dedup_batch()
 
 
+def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup screening (streaming/dedup_stream.py): the
+    documents arrive as THREE mtime-ordered micro-batches (doc_id%3 =
+    0,1,2); each batch dedups against the index + archive built by the
+    batches before it, then publishes its own band rows — exactly-once
+    by partition rewrite. A pair's batch/new_id therefore encode the
+    ARRIVAL ORDER (later doc is the new side; same-batch pairs are
+    'intra'), which is what the oracle recomputes relationally."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from dataplatform_cdc_pipeline_spark.streaming.dedup_stream import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _tempfile.mkdtemp(prefix="cdc_sdix_")
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+    t0 = 1_000_000_000  # fixed mtimes: arrival order is the contract
+    for g in range(3):
+        d = f"{tmp}/stage_{g}"
+        docs.filter(F.col("doc_id") % 3 == g).coalesce(1).write.parquet(d)
+        part = _glob.glob(f"{d}/part-*.parquet")[0]
+        dest = f"{src}/batch_{g}.parquet"
+        _shutil.move(part, dest)
+        _os.utime(dest, (t0 + g * 100, t0 + g * 100))
+    return stream_incremental_dedup(
+        spark, src, "doc_id long, text string", f"{tmp}/work", threshold=0.5
+    )
+
+
+def _sql_stream_dedup_index() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import _MINHASH_FAMILY, SHINGLES
+
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {SHINGLES} AS sh FROM t),
+sig AS (
+  SELECT doc_id, doc_id % 3 AS grp,
+         list_distinct(sh) AS shset,
+         list_transform(range(0, 8), f ->
+           list_min(list_transform(sh, g -> {_MINHASH_FAMILY}))) AS mh
+  FROM s),
+bands AS (
+  SELECT doc_id, grp,
+         unnest(list_transform(range(0, 4), b ->
+           b::VARCHAR || '_' || mh[2*b + 1]::VARCHAR || '_' || mh[2*b + 2]::VARCHAR))
+           AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.grp AS ga, b.doc_id AS id_b, b.grp AS gb
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+labeled AS (
+  SELECT CASE WHEN ga = gb THEN id_a WHEN ga > gb THEN id_a ELSE id_b END
+           AS new_id,
+         CASE WHEN ga = gb THEN id_b WHEN ga > gb THEN id_b ELSE id_a END
+           AS other_id,
+         CASE WHEN ga = gb THEN 'intra' ELSE 'cross' END AS kind,
+         'b' || greatest(ga, gb)::VARCHAR AS batch, id_a, id_b
+  FROM cand)
+SELECT new_id, other_id, kind,
+       floor(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+             len(list_distinct(list_concat(sa.shset, sb.shset)))
+             * 1000000.0) / 1000000.0 AS jaccard,
+       batch
+FROM labeled JOIN sig sa ON labeled.id_a = sa.doc_id
+             JOIN sig sb ON labeled.id_b = sb.doc_id
+WHERE floor(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
+            len(list_distinct(list_concat(sa.shset, sb.shset)))
+            * 1000000.0) / 1000000.0 >= 0.5
+"""
+
+
+SQL_STREAM_DEDUP_INDEX = _sql_stream_dedup_index()
+
+
 PREP_QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -2414,6 +2494,7 @@ PREP_QUERIES = {
     "session_window_overlap": q_session_window_overlap,
     "dedup_substring_spans": q_dedup_substring_spans,
     "incremental_dedup_batch": q_incremental_dedup_batch,
+    "stream_dedup_index": q_stream_dedup_index,
 }
 
 PREP_ORACLES = {
@@ -2451,4 +2532,5 @@ PREP_ORACLES = {
     "session_window_overlap": SQL_SESSION_WINDOW_OVERLAP,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "incremental_dedup_batch": SQL_INCREMENTAL_DEDUP_BATCH,
+    "stream_dedup_index": SQL_STREAM_DEDUP_INDEX,
 }
