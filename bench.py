@@ -132,6 +132,9 @@ HEADLINE = [
     "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
     "dup_ratio_by_source", "quality_calibration", "text_zipf_fit",
     "session_window_overlap",
+    # r6 additions (fifth session)
+    "dedup_substring_spans", "orc_events_ingest",
+    "incremental_dedup_batch", "stream_dedup_index",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -78,11 +78,23 @@ def duplicate_window_hits(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame
     return g.join(dup, "h", "left_semi").select("doc_id", "pos")
 
 
-def duplicate_spans(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
-    """(doc_id, span_id, s, e): maximal duplicated token intervals
-    [s, e] (inclusive, 0-based) — overlapping or touching windows merged
-    by gaps-and-islands over the hit positions."""
-    hits = duplicate_window_hits(docs, w)
+def contaminated_window_hits(
+    docs: DataFrame, reference: DataFrame, w: int = DEFAULT_WINDOW
+) -> DataFrame:
+    """(doc_id, pos) of ``docs`` windows that appear VERBATIM anywhere in
+    ``reference`` — the benchmark-decontamination predicate (the same
+    exact-substring machinery pointed across corpora: Lee et al. 2022
+    §4 applies it to strip eval-set text out of training data). One
+    distinct over the reference's window hashes + one semi-join."""
+    g = window_hashes(docs, w)
+    ref = window_hashes(reference, w).select("h").distinct()
+    return g.join(ref, "h", "left_semi").select("doc_id", "pos")
+
+
+def spans_from_hits(hits: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
+    """(doc_id, span_id, s, e): maximal token intervals [s, e]
+    (inclusive, 0-based) — overlapping or touching hit windows merged by
+    gaps-and-islands over the hit positions."""
     per_doc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + w - 1).over(
         per_doc.rowsBetween(Window.unboundedPreceding, -1)
@@ -96,13 +108,19 @@ def duplicate_spans(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
     )
 
 
-def strip_duplicate_spans(
-    docs: DataFrame, w: int = DEFAULT_WINDOW
+def duplicate_spans(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
+    """Maximal corpus-duplicated spans of every doc (see
+    :func:`spans_from_hits`)."""
+    return spans_from_hits(duplicate_window_hits(docs, w), w)
+
+
+def strip_spans(
+    docs: DataFrame, hits: DataFrame, w: int = DEFAULT_WINDOW
 ) -> DataFrame:
-    """Per-doc dedup report: token counts, duplicated-token counts, span
-    count, dup ppm, and the text REBUILT from surviving tokens
-    (lowercased — the dedup domain). Docs with no duplicated span pass
-    through intact.
+    """Per-doc span-removal report for an arbitrary hit set: token
+    counts, covered-token counts, span count, dup ppm, and the text
+    REBUILT from surviving tokens (lowercased — the dedup domain). Docs
+    with no hit span pass through intact.
 
     The covered/uncovered decision avoids a position-range join: token
     rows and span rows union into one per-doc ordered stream, and a
@@ -119,7 +137,7 @@ def strip_duplicate_spans(
         F.lit(0).alias("is_span"),
         F.lit(None).cast("long").alias("end"),
     )
-    span_rows = duplicate_spans(docs, w).select(
+    span_rows = spans_from_hits(hits, w).select(
         "doc_id",
         F.col("s").alias("pos"),
         F.lit(None).cast("string").alias("tok"),
@@ -176,3 +194,21 @@ def strip_duplicate_spans(
             "kept_text",
         )
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame, w: int = DEFAULT_WINDOW
+) -> DataFrame:
+    """Corpus self-dedup: remove every span duplicated ≥2 times
+    corpus-wide (see :func:`strip_spans`)."""
+    return strip_spans(docs, duplicate_window_hits(docs, w), w)
+
+
+def decontaminate_against(
+    docs: DataFrame, reference: DataFrame, w: int = DEFAULT_WINDOW
+) -> DataFrame:
+    """Benchmark decontamination: remove from ``docs`` every span that
+    appears verbatim in ``reference`` (the held-out eval set). Same
+    report shape as :func:`strip_duplicate_spans`; span-level, so a
+    training doc QUOTING an eval doc loses the quote, not the doc."""
+    return strip_spans(docs, contaminated_window_hits(docs, reference, w), w)

@@ -55,6 +55,15 @@ QUERIES = [
     "boilerplate_strip", "tfidf_keywords", "corpus_weighted_sample",
     "domain_temperature_sample", "phrase_search", "events_psi_drift",
     "hard_negatives", "embedding_pq_topk", "training_batches",
+    # r6 fifth-session operators. dedup_substring_spans: the replica
+    # construction makes ~every window duplicated (docs repeat 10x minus
+    # the unique tail token), but the operator never forms pairs — hits,
+    # span-merge, and rebuild all stay linear in tokens, which is exactly
+    # the property worth measuring. incremental_dedup_batch measures the
+    # per-batch cost (delta signatures + index join); stream_dedup_index
+    # is the same math behind a drain loop and is excluded like the other
+    # streaming queries. orc_events_ingest = write+scan, linear.
+    "dedup_substring_spans", "incremental_dedup_batch", "orc_events_ingest",
 ]
 
 
@@ -110,12 +119,13 @@ def build_sf1(spark) -> None:
 
 
 def main() -> None:
+    only = sys.argv[1:] or None
     spark = get_spark("scale-bench")
     build_sf1(spark)
     queries = entrymod.queries()
     out: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (("sf0.01", SF001), ("sf0.1", SF01), ("sf1x", SF1)):
-        for name in QUERIES:
+        for name in QUERIES if only is None else [q for q in QUERIES if q in only]:
             t0 = time.time()
             try:
                 queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
