@@ -2459,6 +2459,78 @@ WHERE floor(len(list_intersect(sa.shset, sb.shset)) * 1.0 /
 SQL_STREAM_DEDUP_INDEX = _sql_stream_dedup_index()
 
 
+def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (operators/substring_dedup.
+    decontaminate_against): every 8-token window of a TRAINING doc that
+    appears verbatim in the held-out eval slice (doc_id % 5 == 0) marks
+    a span; spans strip and the survivor text rebuilds. Span-level means
+    a training doc QUOTING an eval doc loses the quote, not the doc —
+    the Lee et al. 2022 §4 decontamination, vs contamination_check's
+    doc-level shared-gram screen. Only contaminated docs are reported
+    (the clean bulk passes through untouched — and unreported, so the
+    result is the action list)."""
+    from dataplatform_cdc_pipeline_spark.operators.substring_dedup import (
+        decontaminate_against,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate_against(train, bench, _SPAN_W).filter(
+        F.col("dup_tokens") > 0
+    )
+
+
+SQL_DECONTAMINATION_SPANS = f"""
+WITH t0 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+t AS (SELECT * FROM t0 WHERE doc_id % 5 != 0),
+g AS (SELECT doc_id, u.i - 1 AS pos,
+             md5(array_to_string(toks[u.i:u.i+{_SPAN_W}-1], ' ')) AS h
+      FROM t, unnest(generate_series(1, len(toks)-{_SPAN_W}+1)) u(i)
+      WHERE len(toks) >= {_SPAN_W}),
+ref AS (SELECT DISTINCT md5(array_to_string(toks[u.i:u.i+{_SPAN_W}-1], ' ')) AS h
+        FROM t0, unnest(generate_series(1, len(toks)-{_SPAN_W}+1)) u(i)
+        WHERE doc_id % 5 = 0 AND len(toks) >= {_SPAN_W}),
+hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM ref)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {_SPAN_W} - 1) OVER w IS NULL
+                OR pos > max(pos + {_SPAN_W} - 1) OVER w + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sid AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl),
+spans AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + {_SPAN_W} - 1 AS e
+          FROM sid GROUP BY 1, 2),
+tok AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos
+        FROM t),
+cov AS (
+  SELECT k.doc_id, k.pos, k.tok,
+         EXISTS (SELECT 1 FROM spans s
+                 WHERE s.doc_id = k.doc_id AND k.pos BETWEEN s.s AND s.e)
+           AS covered
+  FROM tok k),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(covered::INT)::BIGINT AS dup_tokens,
+         string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos)
+           AS kept_text
+  FROM cov GROUP BY 1),
+ns AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY 1)
+SELECT p.doc_id, p.n_tokens, p.dup_tokens,
+       coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+       floor(p.dup_tokens * 1000000 / p.n_tokens)::BIGINT AS dup_ppm,
+       coalesce(p.kept_text, '') AS kept_text
+FROM per p LEFT JOIN ns USING (doc_id)
+WHERE p.dup_tokens > 0
+"""
+
+
 PREP_QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -2495,6 +2567,7 @@ PREP_QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "incremental_dedup_batch": q_incremental_dedup_batch,
     "stream_dedup_index": q_stream_dedup_index,
+    "decontamination_spans": q_decontamination_spans,
 }
 
 PREP_ORACLES = {
@@ -2533,4 +2606,5 @@ PREP_ORACLES = {
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
     "incremental_dedup_batch": SQL_INCREMENTAL_DEDUP_BATCH,
     "stream_dedup_index": SQL_STREAM_DEDUP_INDEX,
+    "decontamination_spans": SQL_DECONTAMINATION_SPANS,
 }

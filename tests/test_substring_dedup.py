@@ -96,3 +96,32 @@ def test_adjacent_spans_merge(spark):
     )
     spans = duplicate_spans(docs, W).filter(F.col("doc_id") == 1).collect()
     assert sorted((r["s"], r["e"]) for r in spans) == [(0, 3), (5, 8)]
+
+
+def test_decontaminate_against_reference(spark):
+    from dataplatform_cdc_pipeline_spark.operators.substring_dedup import (
+        decontaminate_against,
+    )
+
+    # train doc 1 quotes the eval doc's 6-token run; train doc 2 is clean.
+    # Span-level: doc 1 loses exactly the quote, not the doc.
+    train = _docs(
+        spark,
+        [
+            (1, "intro words p q r s t u closing words"),
+            (2, "完 different content with no overlap at all here"),
+        ],
+    )
+    bench = _docs(spark, [(100, "header p q r s t u footer")])
+    out = {r["doc_id"]: r.asDict() for r in decontaminate_against(
+        train, bench, W).collect()}
+    assert out[1]["kept_text"] == "intro words closing words"
+    assert out[1]["dup_tokens"] == 6 and out[1]["n_spans"] == 1
+    assert out[2]["dup_tokens"] == 0
+    # duplication WITHIN train alone never triggers: the predicate is
+    # membership in the reference's window set
+    train_dup = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    clean = decontaminate_against(
+        train_dup, _docs(spark, [(100, "x y z w v u")]), W
+    ).collect()
+    assert all(r["dup_tokens"] == 0 for r in clean)
