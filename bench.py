@@ -134,7 +134,8 @@ HEADLINE = [
     "session_window_overlap",
     # r6 additions (fifth session)
     "dedup_substring_spans", "orc_events_ingest",
-    "incremental_dedup_batch", "stream_dedup_index",
+    "incremental_dedup_batch", "stream_dedup_index", "decontamination_spans",
+    "dedup_soft_weights",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -2531,6 +2531,49 @@ WHERE p.dup_tokens > 0
 """
 
 
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: instead of deleting near-duplicates, every doc gets a
+    sampling weight 1/|cluster| (integer ppm) so each near-dup CLUSTER
+    contributes one doc's worth of training mass — the duplication-aware
+    reweighting some pipelines prefer over hard removal (keeps coverage,
+    removes the repetition bias; pairs with the hard keep-policy twin
+    `dedup_keep_best`). Composes the CC clustering with one cluster-size
+    agg; effective corpus mass = Σ weights = #clusters, exactly."""
+    from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
+    from dataplatform_cdc_pipeline_spark.queries_llm import scored_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    clusters = dedup_clusters(pairs, docs)
+    sizes = clusters.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.join(sizes, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        F.floor(F.lit(1_000_000) / F.col("cluster_size"))
+        .cast("long")
+        .alias("weight_ppm"),
+    )
+
+
+def _sql_dedup_soft_weights() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import SQL_DEDUP_CLUSTERS
+
+    return f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTERS}),
+sizes AS (SELECT canonical_id, count(*)::BIGINT AS cluster_size
+          FROM clusters GROUP BY 1)
+SELECT doc_id, c.canonical_id, s.cluster_size,
+       floor(1000000 / s.cluster_size)::BIGINT AS weight_ppm
+FROM clusters c JOIN sizes s USING (canonical_id)
+"""
+
+
+SQL_DEDUP_SOFT_WEIGHTS = _sql_dedup_soft_weights()
+
+
 PREP_QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -2568,6 +2611,7 @@ PREP_QUERIES = {
     "incremental_dedup_batch": q_incremental_dedup_batch,
     "stream_dedup_index": q_stream_dedup_index,
     "decontamination_spans": q_decontamination_spans,
+    "dedup_soft_weights": q_dedup_soft_weights,
 }
 
 PREP_ORACLES = {
@@ -2607,4 +2651,5 @@ PREP_ORACLES = {
     "incremental_dedup_batch": SQL_INCREMENTAL_DEDUP_BATCH,
     "stream_dedup_index": SQL_STREAM_DEDUP_INDEX,
     "decontamination_spans": SQL_DECONTAMINATION_SPANS,
+    "dedup_soft_weights": SQL_DEDUP_SOFT_WEIGHTS,
 }
