@@ -1300,6 +1300,42 @@ def q_cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_SNAPSHOT_MERGE = SQL_CDC_MERGE_INCREMENTAL
 
 
+def q_cdc_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-ON-READ sink (operators/dv_target.py): the same
+    two-window watermark lifecycle as cdc_merge_incremental, but deletes
+    land as per-bucket deletion-vector tombstones instead of bucket
+    rewrites — window 2's reads must apply window 1's masks, its upsert
+    rewrites must FOLD them (a re-inserted pk loses its mask with the
+    bucket rewrite), and the final masked read must be indistinguishable
+    from copy-on-write. Shares the incremental oracle: same merge
+    semantics, different delete representation."""
+    from dataplatform_cdc_pipeline_spark.engine import run_merge
+    from dataplatform_cdc_pipeline_spark.operators.dv_target import DvMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+
+    raw = cdc_feed(spark, sf_dir)
+    cfg = user_state_config()
+    tmp = tempfile.mkdtemp(prefix="cdc_dv_q_")
+    target = DvMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    split = datetime.datetime(2024, 1, 15)
+    for win in [(None, split), (split, None)]:
+        run_merge(
+            spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
+        )
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
+SQL_CDC_MERGE_DV = SQL_CDC_MERGE_INCREMENTAL
+
+
 def q_cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel through the snapshot sink: after BOTH windows commit,
     ``read(version=1)`` must reproduce the phase-1 state exactly — the
@@ -2852,6 +2888,7 @@ QUERIES: dict[str, callable] = {
     "cdc_metadata_count": q_cdc_metadata_count,
     "cdc_merge_wap": q_cdc_merge_wap,
     "cdc_snapshot_merge": q_cdc_snapshot_merge,
+    "cdc_merge_dv": q_cdc_merge_dv,
     "cdc_time_travel_read": q_cdc_time_travel_read,
     "cdc_branch_merge": q_cdc_branch_merge,
     "cdc_clone_read": q_cdc_clone_read,
@@ -2905,6 +2942,7 @@ ORACLES: dict[str, str] = {
     "cdc_metadata_count": SQL_CDC_METADATA_COUNT,
     "cdc_merge_wap": SQL_CDC_MERGE_WAP,
     "cdc_snapshot_merge": SQL_CDC_SNAPSHOT_MERGE,
+    "cdc_merge_dv": SQL_CDC_MERGE_DV,
     "cdc_time_travel_read": SQL_CDC_TIME_TRAVEL_READ,
     "cdc_branch_merge": SQL_CDC_BRANCH_MERGE,
     "cdc_clone_read": SQL_CDC_CLONE_READ,

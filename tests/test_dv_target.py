@@ -1,0 +1,149 @@
+"""Deletion-vector sink specifics (operators/dv_target.py) — the merge
+CONTRACT is covered by test_merge_target_contract.py (the suite runs
+against DvMergeTarget too); this file pins what makes DV mode DV mode:
+delete-only batches touch no data file, tombstones fold on rewrite,
+re-inserts clear their mask, compact survives re-bucketing, and the
+crash window reconverges on replay."""
+
+import datetime
+import glob
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.operators.dv_target import DvMergeTarget
+from dataplatform_cdc_pipeline_spark.sources.cdc import (
+    USER_STATE_SCHEMA,
+    user_state_config,
+)
+
+BASE = datetime.datetime(2024, 1, 1)
+SCH = (
+    "user_id long, event_type string, value double, k int, "
+    "source_ts_ns_order timestamp, pos long, __op string, __load_ts timestamp"
+)
+
+
+def changes(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                u,
+                "t",
+                v,
+                1,
+                BASE + datetime.timedelta(seconds=ts),
+                p,
+                op,
+                BASE + datetime.timedelta(seconds=p),
+            )
+            for op, u, v, ts, p in rows
+        ],
+        SCH,
+    )
+
+
+@pytest.fixture()
+def target(spark):
+    d = f"{tempfile.mkdtemp(prefix='dv_')}/{uuid.uuid4().hex[:6]}"
+    return DvMergeTarget(spark, f"{d}/t", user_state_config(), USER_STATE_SCHEMA)
+
+
+def state(t):
+    return sorted(
+        (r["user_id"], r["value"])
+        for r in t.read().select("user_id", "value").collect()
+    )
+
+
+def _data_files(t):
+    return {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(f"{t.path}/__bucket=*/part-*.parquet")
+    }
+
+
+def test_delete_only_batch_touches_no_data_file(spark, target):
+    target.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2)]))
+    before = _data_files(target)
+    stats = target.merge(changes(spark, [("d", 1, 1.0, 10, 3)]))
+    assert stats["records_deleted"] == 1
+    assert _data_files(target) == before  # merge-on-read: zero rewrites
+    assert state(target) == [(2, 2.0)]
+    assert len(target._dv_files()) == 1
+
+
+def test_upsert_rewrite_folds_tombstones(spark, target):
+    target.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    target.merge(changes(spark, [("d", 1, 1.0, 10, 2)]))
+    assert target._dv_files()
+    # an upsert of ANOTHER pk in the same bucket folds the tombstone:
+    # user 1's bucket is rewritten from the masked read
+    same_bucket_pk = 1  # upsert the same pk's bucket via the pk itself
+    target.merge(changes(spark, [("c", same_bucket_pk, 9.0, 20, 3)]))
+    assert state(target) == [(1, 9.0)]  # re-insert visible
+    assert target._dv_files() == []  # mask cleared with the rewrite
+
+
+def test_blind_tombstone_then_insert(spark, target):
+    target.merge(changes(spark, [("c", 2, 2.0, 0, 1)]))
+    # delete a pk that never existed: blind tombstone, no-op observable
+    target.merge(changes(spark, [("d", 99, 0.0, 10, 2)]))
+    assert state(target) == [(2, 2.0)]
+    # inserting that pk later clears the stray mask with the rewrite
+    target.merge(changes(spark, [("c", 99, 5.0, 20, 3)]))
+    assert state(target) == [(2, 2.0), (99, 5.0)]
+
+
+def test_compact_folds_and_survives_rebucket(spark, target):
+    target.merge(
+        changes(spark, [("c", i, float(i), 0, i) for i in range(1, 9)])
+    )
+    target.merge(changes(spark, [("d", 3, 0.0, 10, 20), ("d", 7, 0.0, 10, 21)]))
+    assert target._dv_files()
+    # compact re-buckets under a NEW config (cfg is frozen — rebind, the
+    # same pattern as the base rebucket lifecycle test)
+    target.cfg = user_state_config(n_buckets=4)
+    n = target.compact()
+    assert n == 6  # masked rows folded out of the rewrite
+    assert target._dv_files() == []  # all tombstones cleared
+    assert [u for u, _ in state(target)] == [1, 2, 4, 5, 6, 8]
+    # a pk deleted pre-compact is insertable post-compact (no orphan mask
+    # under an old bucket id)
+    target.merge(changes(spark, [("c", 3, 3.5, 30, 22)]))
+    assert (3, 3.5) in state(target)
+
+
+def test_crash_between_swap_and_clear_reconverges_on_replay(spark, target):
+    batch = changes(spark, [("c", 1, 7.0, 10, 5)])
+    target.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    target.merge(batch)
+    # simulate the documented crash window: the upsert swap landed but
+    # the tombstone clear didn't — a stale mask hides the fresh row
+    stale = changes(spark, [("d", 1, 0.0, 0, 0)])
+    target._write_dvs(stale.withColumn("__b", F.lit(0)).drop("__b"))
+    assert state(target) == []  # the hazard, visible
+    target.merge(batch)  # standard recovery: replay the merge window
+    assert state(target) == [(1, 7.0)]
+    assert target._dv_files() == []
+
+
+def test_erase_rows_on_masked_state(spark, target):
+    target.merge(
+        changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2), ("c", 3, 3.0, 0, 3)])
+    )
+    target.merge(changes(spark, [("d", 2, 0.0, 10, 4)]))
+    n = target.erase_rows(F.col("value") < 2.5)  # sees masked state: only user 1
+    assert n == 1
+    assert state(target) == [(3, 3.0)]
+
+
+def test_soft_delete_refused(spark):
+    d = f"{tempfile.mkdtemp(prefix='dv_')}/t"
+    with pytest.raises(ValueError, match="contradictory"):
+        DvMergeTarget(
+            spark, d, user_state_config(soft_delete=True), USER_STATE_SCHEMA
+        )

@@ -75,10 +75,25 @@ from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (  # noqa:
     SnapshotMergeTarget,
 )
 
+from dataplatform_cdc_pipeline_spark.operators.dv_target import (  # noqa: E402
+    DvMergeTarget,
+)
+
 IMPLEMENTATIONS += [
     # manifest-versioned snapshot sink: same merge semantics, table-atomic
     # commit (one hard-linked manifest), snapshot-isolated readers
     pytest.param((SnapshotMergeTarget, {}), id="snapshot"),
+    # deletion-vector sink: merge-on-read deletes (per-bucket tombstone
+    # files), same observable merge semantics — the whole point of the
+    # shared suite
+    pytest.param((DvMergeTarget, {}), id="deletion-vectors"),
+    pytest.param(
+        (
+            DvMergeTarget,
+            {"partition_field": "source_ts_ns_order", "clustering_fields": ("value",)},
+        ),
+        id="dv-datelayout-clustered",
+    ),
     pytest.param(
         (
             SnapshotMergeTarget,
