@@ -64,6 +64,7 @@ QUERIES = [
     # is the same math behind a drain loop and is excluded like the other
     # streaming queries. orc_events_ingest = write+scan, linear.
     "dedup_substring_spans", "incremental_dedup_batch", "orc_events_ingest",
+    "cdc_merge_dv",
 ]
 
 

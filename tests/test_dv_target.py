@@ -147,3 +147,13 @@ def test_soft_delete_refused(spark):
         DvMergeTarget(
             spark, d, user_state_config(soft_delete=True), USER_STATE_SCHEMA
         )
+
+
+def test_dv_mask_is_broadcast_anti_join(spark, target):
+    # the tombstone set is tiny by construction — the mask must land as
+    # a broadcast anti-join, never a shuffled one (the read-side cost of
+    # DV mode at 100 TB is the broadcast, not an exchange of the table)
+    target.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    target.merge(changes(spark, [("d", 1, 1.0, 10, 2)]))
+    plan = target.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
