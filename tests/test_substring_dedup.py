@@ -125,3 +125,13 @@ def test_decontaminate_against_reference(spark):
         train_dup, _docs(spark, [(100, "x y z w v u")]), W
     ).collect()
     assert all(r["dup_tokens"] == 0 for r in clean)
+
+
+def test_hits_plan_tokenizes_once(spark, shared_run):
+    # the window-hash frame is checkpointed before feeding both the
+    # frequency agg and the probe join: the executed plan downstream
+    # must contain NO split/md5 (tokenize+hash ran once, upstream)
+    hits = duplicate_window_hits(shared_run, W)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "split(" not in plan and "md5(" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
