@@ -26,10 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry priority. The driver's correctness gate checks the FIRST 50
 #: entries in dict order (observed r2-r5: exactly 50), so ordering is part
-#: of the verification contract. The registry (237 entries after the r6
-#: fifth session — the 8 fifth-session additions sit at the tail of the
+#: of the verification contract. The registry (236 entries after the r6
+#: fifth session — the 7 fifth-session additions sit at the tail of the
 #: fourth-session cohort, each individually parity- + driver-sim-gated,
-#: and the fifth session re-ran BOTH full sweeps at the 237 mark) has
+#: and the fifth session re-ran BOTH full sweeps at the 236 mark) has
 #: outgrown even a three-round × 50-slot rotation —
 #: ceil(229/50) = 5 — so from r7 the invariant is rotation-by-staleness:
 #: every window = 13 pinned core + 37 slots filled oldest-first from
