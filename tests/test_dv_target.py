@@ -157,3 +157,49 @@ def test_dv_mask_is_broadcast_anti_join(spark, target):
     target.merge(changes(spark, [("d", 1, 1.0, 10, 2)]))
     plan = target.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ivm_composes_with_dv_sink(spark, target):
+    # incremental view maintenance reads pre/post state through
+    # target.read() — with DV mode that's the MASKED read, so the
+    # maintained counts must track merges whose deletes never touch a
+    # data file. Same scenario as test_ivm_counts_track_merge_deltas,
+    # different delete representation.
+    from dataplatform_cdc_pipeline_spark.operators.ivm import (
+        maintain_counts_through_merge,
+    )
+
+    def fresh():
+        return {
+            r["event_type"]: r["n"]
+            for r in target.read()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    counts, _ = maintain_counts_through_merge(
+        target,
+        changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2)]),
+        None,
+        "event_type",
+    )
+    assert {r["event_type"]: r["n"] for r in counts.collect()} == fresh() == {"t": 2}
+    counts, _ = maintain_counts_through_merge(
+        target,
+        changes(
+            spark,
+            [("u", 1, 5.0, 10, 3), ("d", 2, 0.0, 10, 4), ("d", 99, 0.0, 10, 5), ("c", 3, 3.0, 10, 6)],
+        ),
+        counts,
+        "event_type",
+    )
+    assert {r["event_type"]: r["n"] for r in counts.collect()} == fresh() == {"t": 2}
+    assert target._dv_files()  # the delete really went through the DV path
+    counts, _ = maintain_counts_through_merge(
+        target,
+        changes(spark, [("d", 1, 0.0, 20, 7), ("d", 3, 0.0, 20, 8)]),
+        counts,
+        "event_type",
+    )
+    assert counts.collect() == [] and fresh() == {}
