@@ -132,7 +132,7 @@ _PRIORITY = [
     "dup_ratio_by_source", "quality_calibration", "text_zipf_fit",
     "session_window_overlap", "dedup_substring_spans", "orc_events_ingest",
     "incremental_dedup_batch", "stream_dedup_index", "decontamination_spans",
-    "dedup_soft_weights", "cdc_merge_dv",
+    "dedup_soft_weights", "cdc_merge_dv", "stream_dv_merge", "substring_dup_profile",
     # … then the r4-green leftovers (r7's rotation cohort; the first two
     # were implicit dict-order entries until the r6 fourth session — made
     # explicit so the 50-slot arithmetic is auditable from this list) …

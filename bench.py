@@ -135,7 +135,8 @@ HEADLINE = [
     # r6 additions (fifth session)
     "dedup_substring_spans", "orc_events_ingest",
     "incremental_dedup_batch", "stream_dedup_index", "decontamination_spans",
-    "dedup_soft_weights", "cdc_merge_dv",
+    "dedup_soft_weights", "cdc_merge_dv", "stream_dv_merge",
+    "substring_dup_profile",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

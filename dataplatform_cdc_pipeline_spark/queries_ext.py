@@ -426,6 +426,42 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming merge through the DELETION-VECTOR sink
+    (operators/dv_target.py): same availableNow → foreachBatch loop as
+    stream_merge_state, but every micro-batch's deletes land as
+    tombstone files and later batches' upserts must both SEE the masks
+    (resolve over the masked read) and FOLD them when they rewrite a
+    bucket. Final masked state must equal the batch copy-on-write merge
+    (same oracle) — streaming × merge-on-read, composed."""
+    from dataplatform_cdc_pipeline_spark.operators.dv_target import DvMergeTarget
+    from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
+    from dataplatform_cdc_pipeline_spark.queries import cdc_feed
+    from dataplatform_cdc_pipeline_spark.sources.cdc import (
+        USER_STATE_SCHEMA,
+        user_state_config,
+    )
+    from dataplatform_cdc_pipeline_spark.streaming import run_streaming_merge
+
+    tmp = tempfile.mkdtemp(prefix="cdc_sdv_q_")
+    bronze = f"{tmp}/bronze"
+    cdc_feed(spark, sf_dir).write.parquet(bronze)
+    cfg = user_state_config()
+    target = DvMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
+    audit = WatermarkStore(spark, f"{tmp}/a")
+    run_streaming_merge(
+        spark, cfg, target, audit, bronze, f"{tmp}/ckpt", deterministic_audit=True
+    )
+    return target.read().select(
+        "user_id",
+        "event_type",
+        "value",
+        "k",
+        F.unix_micros("source_ts_ns_order").alias("event_ts_us"),
+        "pos",
+    )
+
+
 def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming merge via manifest transactions
     (streaming/run_streaming_merge_txn — Delta's txnAppId/txnVersion on
@@ -2783,6 +2819,7 @@ EXT_QUERIES = {
     "stream_click_attribution": q_stream_click_attribution,
     "stream_dedup_events": q_stream_dedup_events,
     "stream_merge_state": q_stream_merge_state,
+    "stream_dv_merge": q_stream_dv_merge,
     "stream_scd2_history": q_stream_scd2_history,
     "stream_ivm_totals": q_stream_ivm_totals,
     "stream_user_totals": q_stream_user_totals,
@@ -2887,6 +2924,7 @@ EXT_ORACLES = {
 from dataplatform_cdc_pipeline_spark.queries import SQL_CDC_MERGE_FULL  # noqa: E402
 
 EXT_ORACLES["stream_merge_state"] = SQL_CDC_MERGE_FULL
+EXT_ORACLES["stream_dv_merge"] = SQL_CDC_MERGE_FULL
 
 # stream_txn_merge: exactly-once via manifest txns must land the same
 # final state as the batch merge (replay-skip asserted inside the query)

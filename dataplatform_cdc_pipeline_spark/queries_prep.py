@@ -2574,6 +2574,89 @@ FROM clusters c JOIN sizes s USING (canonical_id)
 SQL_DEDUP_SOFT_WEIGHTS = _sql_dedup_soft_weights()
 
 
+_PROFILE_WS = (6, 8, 12)
+
+
+def q_substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup TUNING SURFACE (same pattern as the ANN recall
+    curves): corpus duplication profile at window sizes w ∈ {6, 8, 12} —
+    window counts, duplicated-window counts, docs hit, and total
+    duplicated tokens per setting. Shorter windows catch more (and
+    falser) repeats; the curve is what picks w before a 100 TB run."""
+    from dataplatform_cdc_pipeline_spark.operators.substring_dedup import (
+        duplicate_window_hits,
+        spans_from_hits,
+        window_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    legs = []
+    for w in _PROFILE_WS:
+        g = window_hashes(docs, w)
+        hits = duplicate_window_hits(docs, w)
+        spans = spans_from_hits(hits, w)
+        totals = g.agg(F.count(F.lit(1)).alias("n_windows")).crossJoin(
+            hits.agg(
+                F.count(F.lit(1)).alias("n_dup_windows"),
+                F.countDistinct("doc_id").alias("n_docs_hit"),
+            )
+        ).crossJoin(
+            spans.agg(
+                F.coalesce(
+                    F.sum(F.col("e") - F.col("s") + 1), F.lit(0)
+                ).alias("dup_tokens")
+            )
+        )
+        legs.append(totals.select(F.lit(w).alias("w"), "*"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _sql_substring_dup_profile() -> str:
+    legs = []
+    for w in _PROFILE_WS:
+        legs.append(f"""
+SELECT {w} AS w,
+       (SELECT count(*) FROM g{w}) AS n_windows,
+       (SELECT count(*) FROM hits{w}) AS n_dup_windows,
+       (SELECT count(DISTINCT doc_id) FROM hits{w}) AS n_docs_hit,
+       (SELECT coalesce(sum(e - s + 1), 0)::BIGINT FROM spans{w})
+         AS dup_tokens""")
+    ctes = []
+    for w in _PROFILE_WS:
+        ctes.append(f"""
+g{w} AS (SELECT doc_id, u.i - 1 AS pos,
+              md5(array_to_string(toks[u.i:u.i+{w}-1], ' ')) AS h
+       FROM t, unnest(generate_series(1, len(toks)-{w}+1)) u(i)
+       WHERE len(toks) >= {w}),
+dup{w} AS (SELECT h FROM g{w} GROUP BY h HAVING count(*) >= 2),
+hits{w} AS (SELECT doc_id, pos FROM g{w} WHERE h IN (SELECT h FROM dup{w})),
+isl{w} AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {w} - 1) OVER win IS NULL
+                OR pos > max(pos + {w} - 1) OVER win + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits{w}
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sid{w} AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl{w}),
+spans{w} AS (SELECT doc_id, span_id, min(pos) AS s, max(pos) + {w} - 1 AS e
+           FROM sid{w} GROUP BY 1, 2)""")
+    return (
+        f"WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),"
+        + ",".join(ctes)
+        + "\nUNION ALL".join(legs)
+    )
+
+
+SQL_SUBSTRING_DUP_PROFILE = _sql_substring_dup_profile()
+
+
 PREP_QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "corpus_weighted_sample": q_corpus_weighted_sample,
@@ -2612,6 +2695,7 @@ PREP_QUERIES = {
     "stream_dedup_index": q_stream_dedup_index,
     "decontamination_spans": q_decontamination_spans,
     "dedup_soft_weights": q_dedup_soft_weights,
+    "substring_dup_profile": q_substring_dup_profile,
 }
 
 PREP_ORACLES = {
@@ -2652,4 +2736,5 @@ PREP_ORACLES = {
     "stream_dedup_index": SQL_STREAM_DEDUP_INDEX,
     "decontamination_spans": SQL_DECONTAMINATION_SPANS,
     "dedup_soft_weights": SQL_DEDUP_SOFT_WEIGHTS,
+    "substring_dup_profile": SQL_SUBSTRING_DUP_PROFILE,
 }
