@@ -135,8 +135,14 @@ def run_expectations(df: DataFrame, rules: list) -> DataFrame:
     if row_rules:
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i, r in enumerate(row_rules):
+            # coalesce: sum over an EMPTY frame is NULL, but "no rows"
+            # means zero violations (an empty staged state is a
+            # legitimate thing to audit — e.g. a batch that deletes a
+            # bucket's last rows)
             aggs.append(
-                F.sum(r.violates().cast("long")).alias(f"__v{i}")
+                F.coalesce(
+                    F.sum(r.violates().cast("long")), F.lit(0)
+                ).alias(f"__v{i}")
             )
         one = df.agg(*aggs)
         stack_args = ", ".join(
@@ -159,7 +165,9 @@ def run_expectations(df: DataFrame, rules: list) -> DataFrame:
             parts.append(
                 counts.agg(
                     F.lit(r.name).alias("rule"),
-                    F.sum((F.col("__c") > 1).cast("long")).alias("n_violations"),
+                    F.coalesce(
+                        F.sum((F.col("__c") > 1).cast("long")), F.lit(0)
+                    ).alias("n_violations"),
                     F.count(F.lit(1)).alias("n_checked"),
                 )
             )

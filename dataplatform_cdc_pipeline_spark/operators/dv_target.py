@@ -161,29 +161,60 @@ class DvMergeTarget(ParquetMergeTarget):
         """Deletes → tombstone files; upserts → the base copy-on-write
         merge over the MASKED state, then the rewritten buckets'
         tombstones clear. Stats are candidate accounting over the full
-        change set, same as the base class."""
+        change set, same as the base class.
+
+        Write-audit-publish: ``validate_staged`` runs ONCE, up front, on
+        the full post-batch visible state of every affected bucket
+        (masked read + this batch's deletes and upserts resolved through
+        the same ``resolve_changes`` the sink applies) — BEFORE either
+        leg commits, so a refused batch leaves the target untouched.
+        The base class's per-leg validation is suppressed during the
+        upsert sub-merge: its frame would omit this batch's deletes, so
+        a guard could wrongly fire on a row the batch is deleting.
+
+        Leg order is upserts THEN tombstones: the upsert leg's
+        optimistic-concurrency check runs before any tombstone commits,
+        so a batch refused with :class:`ConcurrentWriteError` applies
+        nothing. The two legs still commit separately — a crash BETWEEN
+        them leaves the upserts visible without the deletes (documented
+        partial-batch window, the mirror of the swap-vs-clear window);
+        replaying the merge window reconverges both.
+        """
+        from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+            resolve_changes,
+        )
+
         self._enforce_changes_schema(changes)
         pk = list(self.cfg.pk)
         n = self.cfg.n_buckets
         s = changes.withColumn(BUCKET_COL, bucket_expr(pk, n))
         s.cache()
+        guard = self.validate_staged
         try:
             stats, _affected = self._batch_stats(s)
             if not _affected:
                 return stats
-            if stats["records_deleted"]:
-                if self.audit_composer is not None:
-                    raise NotImplementedError(
-                        "transactional audit requires the snapshot sink; "
-                        "the DV delete path has no single publish to attach "
-                        "the record to"
-                    )
-                self._write_dvs(s.filter(F.col("__op") == "d"))
+            if stats["records_deleted"] and self.audit_composer is not None:
+                raise NotImplementedError(
+                    "transactional audit requires the snapshot sink; "
+                    "the DV delete path has no single publish to attach "
+                    "the record to"
+                )
+            if guard is not None:
+                data_cols = [f.name for f in self.schema.fields]
+                staged = resolve_changes(
+                    self.read(buckets=_affected), s, self.cfg, data_cols
+                )
+                guard(staged)  # raises → nothing has committed
             if stats["records_inserted"]:
                 upserts = changes.filter(F.col("__op") != "d")
                 # window stats come from the FULL-set _batch_stats above;
                 # the sub-merge's are a projection of the same columns
-                super().merge(upserts)
+                self.validate_staged = None  # already validated, full view
+                try:
+                    super().merge(upserts)
+                finally:
+                    self.validate_staged = guard
                 up_buckets = [
                     r[BUCKET_COL]
                     for r in s.filter(F.col("__op") != "d")
@@ -195,6 +226,8 @@ class DvMergeTarget(ParquetMergeTarget):
                 # hold no tombstoned rows anymore, and a re-inserted pk
                 # MUST lose its mask
                 self._clear_dvs(up_buckets)
+            if stats["records_deleted"]:
+                self._write_dvs(s.filter(F.col("__op") == "d"))
             return stats
         finally:
             s.unpersist()

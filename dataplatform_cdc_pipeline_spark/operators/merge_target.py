@@ -623,8 +623,17 @@ class ParquetMergeTarget(MergeTarget):
         pk = list(self.cfg.pk)
         n = self.cfg.n_buckets
         v0 = self._read_version()
+        # NULL-safe predicate handling: under SQL three-valued logic a
+        # NULL-valued predicate row would be dropped by BOTH
+        # filter(predicate) (not counted) and filter(~predicate) (not
+        # kept) — i.e. silently erased without being counted, and only
+        # in buckets that also hold a true-predicate row. For a
+        # compliance primitive that is silent data loss, so NULL is
+        # pinned to False: NULL-predicate rows are deterministically
+        # RETAINED and never counted.
+        pred = F.coalesce(predicate, F.lit(False))
         cur = self.read().withColumn(BUCKET_COL, bucket_expr(pk, n))
-        stats = cur.filter(predicate).agg(
+        stats = cur.filter(pred).agg(
             F.count(F.lit(1)).alias("n"), F.collect_set(BUCKET_COL).alias("buckets")
         ).first()
         n_erased, affected = stats["n"], sorted(stats["buckets"] or [])
@@ -632,7 +641,7 @@ class ParquetMergeTarget(MergeTarget):
             return 0
         kept = (
             self.read(buckets=affected)
-            .filter(~predicate)
+            .filter(~pred)
             .withColumn(BUCKET_COL, bucket_expr(pk, n))
         )
         if self.cfg.partition_field:

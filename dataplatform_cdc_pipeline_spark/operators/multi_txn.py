@@ -52,8 +52,32 @@ from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
 )
 
 
+class TornCommitError(RuntimeError):
+    """Finalize found a DIFFERENT manifest already published at a staged
+    version — a table took an independent single-table commit between
+    prepare and finalize (the documented single-writer-per-branch
+    violation). The cross-table transaction is torn at that table and
+    must be replayed through the coordinator; passing silently here
+    would hide the tear forever."""
+
+
 class MultiTableTxn:
     LOG_DIR = "_txnlog"
+
+    @staticmethod
+    def _same_manifest(staged: str, final: str) -> bool:
+        """True iff the two manifest files carry the same commit — same
+        inode (a racing recover() hard-linked the staged file itself) or
+        byte-identical content (KB-sized JSON; a full compare is cheap
+        and immune to key-order/mtime differences a field compare could
+        miss)."""
+        try:
+            if os.path.samefile(staged, final):
+                return True
+            with open(staged, "rb") as a, open(final, "rb") as b:
+                return a.read() == b.read()
+        except OSError:
+            return False
 
     def __init__(self, path: str):
         self.path = path
@@ -150,7 +174,31 @@ class MultiTableTxn:
                 SnapshotMergeTarget.LOG_DIR,
                 f"{e['version']:012d}.json",
             )
-            if not os.path.exists(final):
+            if os.path.exists(final):
+                # Two ways a manifest can already exist at this version:
+                # a racing/earlier recover() finalized this transaction
+                # (same content — idempotent no-op), or the table took an
+                # independent single-table commit between prepare and
+                # finalize (the documented misuse) — DIFFERENT content.
+                # Passing silently on the latter would publish a torn
+                # cross-table commit with no error anywhere, so compare
+                # whenever the staged manifest is still around to compare
+                # against (once finalize has unlinked it, the existing
+                # final IS this transaction's — nothing left to check).
+                if os.path.exists(e["staged"]) and not self._same_manifest(
+                    e["staged"], final
+                ):
+                    raise TornCommitError(
+                        f"multi-table txn {meta['txn']}: version "
+                        f"{e['version']} of {e['table']} was published by "
+                        "an independent single-table commit between "
+                        "prepare and finalize — the transaction's staged "
+                        f"manifest {e['staged']} conflicts with the "
+                        "published one. The cross-table snapshot is torn "
+                        "at this table; replay the window through the "
+                        "coordinator."
+                    )
+            else:
                 if not os.path.exists(e["staged"]):
                     raise RuntimeError(
                         f"multi-table txn {meta['txn']}: staged manifest "
@@ -161,7 +209,17 @@ class MultiTableTxn:
                 try:
                     os.link(e["staged"], final)
                 except FileExistsError:
-                    pass  # racing recover() finalized it first — same content
+                    # the exists-check raced a concurrent finalize: same
+                    # content passes (idempotent), different content is
+                    # the same torn-commit misuse as above
+                    if not self._same_manifest(e["staged"], final):
+                        raise TornCommitError(
+                            f"multi-table txn {meta['txn']}: version "
+                            f"{e['version']} of {e['table']} was concurrently "
+                            "published with different content during "
+                            "finalize — torn cross-table commit; replay the "
+                            "window through the coordinator."
+                        )
             # the final link exists now; drop the staged name (hard links
             # share content, so this never orphans the manifest)
             try:

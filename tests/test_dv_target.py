@@ -203,3 +203,66 @@ def test_ivm_composes_with_dv_sink(spark, target):
         "event_type",
     )
     assert counts.collect() == [] and fresh() == {}
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish on the DV sink (ADVICE r6: the delete-only path
+# used to commit tombstones without ever running validate_staged)
+# ---------------------------------------------------------------------------
+
+
+def _one_bucket_target(spark):
+    # the guard's scope is the AFFECTED buckets (same as the base class),
+    # so these tests co-locate all rows in one bucket
+    d = f"{tempfile.mkdtemp(prefix='dv_')}/{uuid.uuid4().hex[:6]}"
+    return DvMergeTarget(
+        spark, f"{d}/t", user_state_config(n_buckets=1), USER_STATE_SCHEMA
+    )
+
+
+def test_delete_only_batch_is_audited_and_refusable(spark):
+    """A guard installed on a DV sink must audit DELETE batches too: the
+    staged preview is the full post-batch masked state, validated BEFORE
+    any tombstone commits — a refused batch leaves data files AND the
+    tombstone tree untouched."""
+    from dataplatform_cdc_pipeline_spark.operators.dq import (
+        ExpectationViolation,
+        InRange,
+        expectations_guard,
+    )
+
+    target = _one_bucket_target(spark)
+    target.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 5.0, 0, 2)]))
+    # guard: post-batch state may not contain values > 4.0 — deleting
+    # user 1 would leave exactly such a state, so the batch is refused
+    target.validate_staged = expectations_guard([InRange("value", 0.0, 4.0)])
+    before = _data_files(target)
+    with pytest.raises(ExpectationViolation):
+        target.merge(changes(spark, [("d", 1, 0.0, 10, 3)]))
+    assert target._dv_files() == []  # no tombstone committed
+    assert _data_files(target) == before  # no data file touched
+    assert state(target) == [(1, 1.0), (2, 5.0)]  # target untouched
+
+
+def test_guard_sees_full_post_batch_state_not_per_leg(spark):
+    """The audit frame reflects BOTH legs: a batch that deletes the only
+    violating row while inserting a clean one must pass, even though the
+    upsert leg's own frame (without this batch's deletes) would fire."""
+    from dataplatform_cdc_pipeline_spark.operators.dq import (
+        InRange,
+        expectations_guard,
+    )
+
+    target = _one_bucket_target(spark)
+    target.merge(changes(spark, [("c", 1, 9.0, 0, 1)]))  # violates 0..4
+    target.validate_staged = expectations_guard([InRange("value", 0.0, 4.0)])
+    stats = target.merge(
+        changes(spark, [("d", 1, 0.0, 10, 2), ("c", 2, 1.0, 10, 3)])
+    )
+    assert stats == {
+        **stats,
+        "records_inserted": 1,
+        "records_deleted": 1,
+    }
+    assert state(target) == [(2, 1.0)]
+    assert target.validate_staged is not None  # guard restored after leg

@@ -66,3 +66,33 @@ def test_poisoned_participant_moves_neither_table(spark, tmp_path):
     assert hist_t._read_version() == v_hist
     assert 3 in {r["user_id"] for r in state_t.read().collect()}
     assert 3 in {r["user_id"] for r in hist_t.read().collect()}
+
+
+def test_erase_rows_null_predicate_rows_are_retained_and_uncounted(spark, tmp_path):
+    """ADVICE r6: under SQL three-valued logic a NULL-valued predicate row
+    was dropped by BOTH filter(pred) (not counted) and filter(~pred) (not
+    kept) — silently erased without being counted, and only in buckets
+    that also held a true-predicate row. NULL is now pinned to False:
+    the row is deterministically RETAINED and never counted."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+
+    cfg = user_state_config(n_buckets=1)  # NULL row shares the bucket
+    t = ParquetMergeTarget(spark, str(tmp_path / "t"), cfg, USER_STATE_SCHEMA)
+    t.merge(
+        changes(
+            spark,
+            [("c", 1, 1.0, 0, 1), ("c", 2, None, 0, 2), ("c", 3, 3.0, 0, 3)],
+        )
+    )
+    # predicate: value < 2.5 — TRUE for user 1, NULL for user 2 (value is
+    # NULL), FALSE for user 3. The shipped retention predicate has the
+    # same shape (source_ts < cutoff with NULL-ts rows).
+    n = t.erase_rows(F.col("value") < 2.5)
+    assert n == 1  # only the TRUE row is erased...
+    kept = sorted(
+        (r["user_id"], r["value"])
+        for r in t.read().select("user_id", "value").collect()
+    )
+    assert kept == [(2, None), (3, 3.0)]  # ...and the NULL row survives

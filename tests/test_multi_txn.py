@@ -244,3 +244,54 @@ def test_racing_coordinators_meta_cas(spark, tmp_path, monkeypatch):
         [(ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)])))]
     ) == 2
     assert state(ta) == [(1, 1.0)]
+
+
+def test_independent_commit_between_prepare_and_finalize_is_torn(
+    spark, tmp_path, monkeypatch
+):
+    """The documented misuse — a table takes an independent single-table
+    commit between decide and finalize — must be a LOUD TornCommitError
+    on recovery, not a silent pass: the published manifest at that
+    version is different content, and dropping the transaction's staged
+    manifest would tear the cross-table snapshot invisibly."""
+    from dataplatform_cdc_pipeline_spark.operators.multi_txn import TornCommitError
+
+    ta, tb, txn = make_pair(spark, tmp_path)
+
+    def crash(meta):
+        raise RuntimeError("simulated crash after decide")
+
+    monkeypatch.setattr(txn, "_finalize", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit(
+            [
+                (ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))),
+                (tb, lambda: tb.merge(changes(spark, [("c", 9, 9.0, 0, 1)]))),
+            ]
+        )
+    monkeypatch.undo()
+    # the misuse: table B commits independently while the txn is in-doubt;
+    # it publishes version 1 with DIFFERENT content than the staged manifest
+    tb.merge(changes(spark, [("c", 77, 7.0, 0, 2)]))
+    assert tb._read_version() == 1
+    fresh = MultiTableTxn(txn.path)
+    with pytest.raises(TornCommitError, match="independent single-table"):
+        fresh.recover()
+    # the racing-recover() case stays idempotent: table A's finalize (same
+    # content, re-run) already linked fine before the error surfaced — a
+    # second recover over a repaired log with identical manifests is a no-op
+    # (covered by test_crash_between_decide_and_finalize_recovers)
+
+
+def test_refinalize_same_content_still_passes(spark, tmp_path):
+    """recover() over an already-finalized log re-runs finalize for every
+    txn; the existing manifests are the SAME content (often the same
+    inode), so the FileExistsError path must stay a silent no-op."""
+    ta, tb, txn = make_pair(spark, tmp_path)
+    txn.commit(
+        [
+            (ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))),
+            (tb, lambda: tb.merge(changes(spark, [("c", 9, 9.0, 0, 1)]))),
+        ]
+    )
+    assert MultiTableTxn(txn.path).recover() == 0
