@@ -25,102 +25,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Registry priority. The driver's correctness gate checks the FIRST 50
-#: entries in dict order (observed r2-r5: exactly 50), so ordering is part
-#: of the verification contract. The registry (236 entries after the r6
-#: fifth session — the 7 fifth-session additions sit at the tail of the
-#: fourth-session cohort, each individually parity- + driver-sim-gated,
-#: and the fifth session re-ran BOTH full sweeps at the 236 mark) has
-#: outgrown even a three-round × 50-slot rotation —
-#: ceil(229/50) = 5 — so from r7 the invariant is rotation-by-staleness:
-#: every window = 13 pinned core + 37 slots filled oldest-first from
-#: (never-driver-verified entries first, then stalest-green), and the
-#: CONTINUOUS gate remains the local full sweeps (check_parity.py +
-#: driver_sim.py over ALL entries, run every session — both ALL MATCH as
-#: of the r6 fourth session (final full sweeps at the 226 mark; the
-#: last three additions gated individually + by the closing driver_sim)).
-#: r7 window arithmetic: 13 pinned core + the 37 oldest never-verified
-#: tail entries (the tail below holds 92 never-verified: the 19
-#: fourth-session additions at its head were appended AFTER the 4 r6-late
-#: + 49 second-session + 15 third-session cohorts in AGE, so those 68
-#: older ones fill r7/r8 first; the fourth-session 19 and the r4-green
-#: cohort follow in r9).
-#: The r6 window is EXACTLY 50 entries:
-#:   1-13   the §2 CDC core — oracle-checked every round, pinned;
-#:   14-39  the 26 r5-new entries that have never had a driver row
-#:          (first verification is non-negotiable — they were gated only
-#:          by local check_parity/driver_sim sweeps so far);
-#:   40-50  filled from the r4-green set oldest-first (plus any r6-new
-#:          queries, which displace r4-green picks — never-verified
-#:          beats stale); the remaining r4-green entries rotate into the
-#:          r7 window (green within r4..r6 → the three-round invariant
-#:          holds for every entry).
-#:   51+    long tail — r4-green leftovers first (r7's window), then the
-#:          r5-green rotation cohort, then the always-core twins; all
-#:          still locally gated by scripts/check_parity.py /
-#:          driver_sim.py full sweeps (ALL entries).
+#: entries in dict order (observed r2-r6: exactly 50), so ordering is part
+#: of the verification contract.
+#:
+#: REGISTRY FREEZE (r6 verdict task 1): the registry is frozen at 240 —
+#: 238 r6 entries + exactly the two additions the verdict itself mandated
+#: (`dedup_substring_bpe`, task 3; `incremental_ivf_batch`, task 5), each
+#: displacing one backlog slot for cause. No other new queries until the
+#: never-driver-verified backlog is drained.
+#:
+#: Rotation-by-staleness invariant (in force since r7): every window =
+#: 13 pinned §2 core + 37 slots filled oldest-first from
+#: (never-driver-verified first, then stalest-green), with the r6
+#: verdict's named exceptions scheduled explicitly in the list below:
+#: the full r7/r8/r9/r10 windows are laid out IN ORDER with their
+#: arithmetic in inline comments, so the driver's 50-entry reads walk the
+#: plan mechanically round by round. The CONTINUOUS gate for everything
+#: outside the current window remains the local full sweeps
+#: (scripts/check_parity.py + scripts/driver_sim.py over ALL entries,
+#: run every session).
 _PRIORITY = [
-    # 1-13: §2 CDC core (pinned every round)
-    "cdc_window_scan", "cdc_dedup_latest",
-    "cdc_cast_projection", "cdc_delete_survivorship", "cdc_merge_full",
-    "cdc_merge_incremental", "cdc_merge_multi_pk", "cdc_merge_op_u",
-    "cdc_merge_late_replay", "cdc_rowkey_timestamp",
-    "cdc_watermark_stats", "cdc_bucket_pruned_read", "cdc_job_log",
-    # 14-39: r5-new, never driver-verified — first driver rows
-    "cdc_snapshot_merge", "cdc_time_travel_read", "cdc_snapshot_diff",
-    "cdc_debezium_ingest", "stream_debezium_merge", "cdc_zorder_read",
-    "cdc_ivm_minmax", "stream_ivm_totals",
-    "embedding_ivf_learned", "embedding_sq8_topk", "sq8_recall_eval",
-    "embedding_ivf_sq8", "ivf_sq8_recall_eval", "semantic_dedup",
-    "dedup_containment", "interdoc_repetition", "bigram_perplexity",
-    "bpe_learn", "bpe_encode",
-    "events_cube", "events_distinct_sketch", "events_value_percentiles",
-    "heavy_hitters_cms", "customer_pareto", "fuzzy_name_match",
-    "stream_distinct_sketch",
-    # 40-50: r6-new (never driver-verified — SCD2 family, zone maps,
-    # range export, gap-fill, moving avg, PageRank, bloom pruning,
-    # Maxwell, histogram sketch)
-    "cdc_scd2_history", "cdc_skipping_read", "events_gapfill",
-    "events_pagerank", "bloom_join_prune", "cdc_maxwell_ingest",
-    "cdc_scd2_asof", "stream_scd2_history", "events_value_histogram",
-    "cdc_range_export", "events_moving_avg",
-    # 51+: tail. First the r6-late additions (never driver-verified;
-    # locally gated by check_parity/driver_sim full sweeps — they and the
-    # r4-green cohort below are FIRST in line for the r7 window; the
-    # already-set 50-slot r6 window stays as planned) …
+    # ---- r7 WINDOW (the driver checks the first 50 entries) -------------
+    # 1-13: §2 CDC core — pinned every round
+    "cdc_window_scan", "cdc_dedup_latest", "cdc_cast_projection",
+    "cdc_delete_survivorship", "cdc_merge_full", "cdc_merge_incremental",
+    "cdc_merge_multi_pk", "cdc_merge_op_u", "cdc_merge_late_replay",
+    "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
+    "cdc_job_log",
+    # 14-16: verdict-mandated picks — cdc_merge_dv (task 7, never
+    # driver-verified DV sink) + the two r7-new queries (tasks 3 and 5,
+    # each displacing a backlog slot for cause)
+    "cdc_merge_dv", "dedup_substring_bpe", "incremental_ivf_batch",
+    # 17-50: the 34 OLDEST never-driver-verified entries (the r6-late
+    # cohort heads the queue, as ordered by the r6 verdict)
     "events_scd2_join", "table_reconcile", "snapshot_reconcile",
-    "dq_expectations",
-    "volume_shipping", "product_type_profit", "returned_item_report",
-    "customer_order_histogram", "supplier_part_variety",
-    "exclusive_open_supplier",
-    "events_funnel", "events_transitions", "events_outliers",
-    "cdc_canal_ingest", "cdc_change_feed", "supplier_triangles",
-    "part_skyline", "events_grouping_sets", "stream_scd2_enrich",
-    "jsonl_documents_ingest", "csv_documents_ingest",
-    "events_retention_cohorts", "asof_next_error",
+    "dq_expectations", "volume_shipping", "product_type_profit",
+    "returned_item_report", "customer_order_histogram",
+    "supplier_part_variety", "exclusive_open_supplier", "events_funnel",
+    "events_transitions", "events_outliers", "cdc_canal_ingest",
+    "cdc_change_feed", "supplier_triangles", "part_skyline",
+    "events_grouping_sets", "stream_scd2_enrich", "jsonl_documents_ingest",
+    "csv_documents_ingest", "events_retention_cohorts", "asof_next_error",
     "unshipped_priority", "forecast_revenue", "important_parts",
     "order_window_suite", "cdc_txn_audit", "stream_txn_merge",
-    "lsh_recall_eval",
-    "events_intervals_merged", "doc_global_ids", "cdc_tagged_read",
-    "cdc_merge_patch", "cdc_merge_soft_delete", "multimodal_packing",
-    "events_growth_accounting", "events_bag_set_ops",
-    "scalar_function_matrix", "stream_late_data_drop", "text_normalize", "langid_confusion", "corpus_dedup_funnel",
-    "cdc_retention_sweep", "stream_outer_attribution",
-    "events_hll_check", "events_hourly_profile", "cdc_metadata_count",
-    "array_function_suite", "cdc_merge_wap", "stream_topk_per_type",
-    "events_unpivot", "map_function_suite", "events_mad",
-    "events_bfs_reach", "events_time_weighted", "basket_pair_lift",
-    "kmv_set_ops", "feature_hashing", "cdc_multi_txn",
-    "window_nav_suite", "revenue_share", "corpus_profile",
-    "cdc_cached_read", "cdc_merge_dlq",
+    "lsh_recall_eval", "events_intervals_merged", "doc_global_ids",
+    "cdc_tagged_read", "cdc_merge_patch",
+    # ---- r8 WINDOW PLAN (51-100): 13 core + the 6 aging §2-adjacent
+    # flank rows (all last driver-green r4 — verdict task 2: every §2
+    # row green within r5..r8) + the next 31 never-verified
+    "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
+    "stream_merge_state", "cdc_dedup_latest_salted",
+    "cdc_date_partitioned_read", "stream_user_totals",
+    "cdc_merge_soft_delete", "multimodal_packing", "events_growth_accounting",
+    "events_bag_set_ops", "scalar_function_matrix", "stream_late_data_drop",
+    "text_normalize", "langid_confusion", "corpus_dedup_funnel",
+    "cdc_retention_sweep", "stream_outer_attribution", "events_hll_check",
+    "events_hourly_profile", "cdc_metadata_count", "array_function_suite",
+    "cdc_merge_wap", "stream_topk_per_type", "events_unpivot",
+    "map_function_suite", "events_mad", "events_bfs_reach",
+    "events_time_weighted", "basket_pair_lift", "kmv_set_ops",
+    "feature_hashing", "cdc_multi_txn", "window_nav_suite", "revenue_share",
+    "corpus_profile", "cdc_cached_read", "cdc_merge_dlq",
+    # ---- r9 WINDOW PLAN: 13 core + the next 37 never-verified
     "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
-    "events_percentile_check",
-    # … then the r6 fourth-session additions (never driver-verified,
-    # YOUNGEST never-verified cohort — they queue behind the older ones
-    # above per the oldest-first rule; locally gated by check_parity +
-    # driver_sim on addition and by the end-of-session full sweeps) …
-    "boilerplate_strip", "corpus_weighted_sample", "pii_k_anonymity",
-    "embedding_pq_topk", "pq_recall_eval", "events_psi_drift",
-    "training_batches", "tfidf_keywords",
+    "events_percentile_check", "boilerplate_strip", "corpus_weighted_sample",
+    "pii_k_anonymity", "embedding_pq_topk", "pq_recall_eval",
+    "events_psi_drift", "training_batches", "tfidf_keywords",
     "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
     "hard_negatives", "phrase_search", "cdc_branch_merge",
     "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
@@ -129,28 +99,36 @@ _PRIORITY = [
     "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
     "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
     "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
-    "dup_ratio_by_source", "quality_calibration", "text_zipf_fit",
-    "session_window_overlap", "dedup_substring_spans", "orc_events_ingest",
-    "incremental_dedup_batch", "stream_dedup_index", "decontamination_spans",
-    "dedup_soft_weights", "cdc_merge_dv", "stream_dv_merge", "substring_dup_profile",
-    # … then the r4-green leftovers (r7's rotation cohort; the first two
-    # were implicit dict-order entries until the r6 fourth session — made
-    # explicit so the 50-slot arithmetic is auditable from this list) …
-    "cdc_merge_multi_pk_guarded", "stream_user_totals",
-    "cdc_date_partitioned_read", "embedding_ann_lsh", "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split", "token_counts", "text_stats", "contamination_check", "corpus_sample", "revenue_by_nation", "text_langid", "doc_fingerprint",
-    "embedding_ivf_nprobe2", "embedding_dup_clusters",
-    "multimodal_frame_plan", "domain_mix_plan", "domain_mix_apply",
-    "ngram_top_bigrams", "vocab_df_stats", "cross_corpus_dedup",
-    "shipping_priority_mix", "promo_revenue", "large_volume_customer",
-    "discounted_revenue", "sales_opportunity", "dedup_keep_best",
-    "doc_chunks", "bm25_search", "unigram_perplexity", "ann_recall_eval",
-    "cdc_ivm_type_counts", "stream_merge_state",
-    # … then the r5-green rotation cohort (freshest, waits longest) …
-    "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve",
-    "embedding_kmeans",
-    "dedup_minhash_lsh", "embedding_near_dup", "text_quality",
-    "training_mix", "multimodal_resize", "sessionize_events",
-    "pricing_summary",
+    "dup_ratio_by_source",
+    # ---- r10 WINDOW PLAN: 13 core + the last 11 never-verified + the
+    # 26 stalest r4-green — backlog arithmetic (written per verdict task
+    # 1): 116 never-verified after the 2 r7 additions; r7 drains 37, r8
+    # 31 (6 slots fund the §2 flank re-verification), r9 37, r10 11 →
+    # every entry has a driver row by r10, and the §2 flank never ages
+    # past 3 rounds. 114/37 ≈ 3.1 rounds was already > r9 before task
+    # 2's flank slots; the schedule spends the slack on §2 staleness
+    # first, never-verified second — the verdict's own priority order.
+    "quality_calibration", "text_zipf_fit", "session_window_overlap",
+    "dedup_substring_spans", "orc_events_ingest", "incremental_dedup_batch",
+    "stream_dedup_index", "decontamination_spans", "dedup_soft_weights",
+    "stream_dv_merge", "substring_dup_profile",
+    # ---- rotation cohorts: r4-green leftovers, then r5-green, then
+    # r6-green (freshest waits longest); all entries remain CONTINUOUSLY
+    # gated by the local full sweeps (scripts/check_parity.py +
+    # scripts/driver_sim.py over ALL entries, run every session)
+    "embedding_ann_lsh", "multimodal_features", "quality_funnel",
+    "pii_redaction", "corpus_split", "token_counts", "text_stats",
+    "contamination_check", "corpus_sample", "revenue_by_nation",
+    "text_langid", "doc_fingerprint", "embedding_ivf_nprobe2",
+    "embedding_dup_clusters", "multimodal_frame_plan", "domain_mix_plan",
+    "domain_mix_apply", "ngram_top_bigrams", "vocab_df_stats",
+    "cross_corpus_dedup", "shipping_priority_mix", "promo_revenue",
+    "large_volume_customer", "discounted_revenue", "sales_opportunity",
+    "dedup_keep_best", "doc_chunks", "bm25_search", "unigram_perplexity",
+    "ann_recall_eval", "cdc_ivm_type_counts",
+    "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
+    "dedup_minhash_lsh", "embedding_near_dup", "text_quality", "training_mix",
+    "multimodal_resize", "sessionize_events", "pricing_summary",
     "gopher_repetition", "multimodal_audio_segments", "top_supplier",
     "min_cost_supplier", "market_share", "customer_value_deciles",
     "stream_session_windows", "stream_click_attribution",
@@ -160,9 +138,18 @@ _PRIORITY = [
     "small_quantity_revenue", "stream_windowed_counts", "dedup_clusters",
     "embedding_ivf_topk", "top_orders_per_customer", "dedup_exact",
     "dedup_simhash", "dedup_ngram_jaccard", "embedding_topk",
-    # … and the equivalence-pinned twins (same oracle SQL as an in-window
-    # sibling + unit-pinned equivalence — cheapest to leave stale)
-    "cdc_dedup_latest_salted", "cdc_merge_late_guarded",
+    "cdc_snapshot_merge", "cdc_time_travel_read", "cdc_snapshot_diff",
+    "cdc_debezium_ingest", "stream_debezium_merge", "cdc_zorder_read",
+    "cdc_ivm_minmax", "stream_ivm_totals", "embedding_ivf_learned",
+    "embedding_sq8_topk", "sq8_recall_eval", "embedding_ivf_sq8",
+    "ivf_sq8_recall_eval", "semantic_dedup", "dedup_containment",
+    "interdoc_repetition", "bigram_perplexity", "bpe_learn", "bpe_encode",
+    "events_cube", "events_distinct_sketch", "events_value_percentiles",
+    "heavy_hitters_cms", "customer_pareto", "fuzzy_name_match",
+    "stream_distinct_sketch", "cdc_scd2_history", "cdc_skipping_read",
+    "events_gapfill", "events_pagerank", "bloom_join_prune",
+    "cdc_maxwell_ingest", "cdc_scd2_asof", "stream_scd2_history",
+    "events_value_histogram", "cdc_range_export", "events_moving_avg",
 ]
 
 

@@ -177,6 +177,47 @@ _LINE_PRIORITY = [
 #: the capture window.
 _LINE_BUDGET = 1800
 
+#: Calibration canary (r7): the box drifts between rounds (r5→r6 showed a
+#: uniform ~1.14-1.2× shift with byte-identical code), so raw seconds are
+#: not comparable across rounds. Each bench process runs a FIXED synthetic
+#: CPU+shuffle workload touching no repo code and no testdata; every
+#: query's raw time is also reported normalized by that process's canary
+#: factor (canary_sec / _CANARY_REF). Round-over-round regression gating
+#: uses "queries_norm" (BENCH_FULL.json); "queries" stays raw for
+#: continuity with r1-r6. _CANARY_REF pins the r7 box as the reference
+#: speed (r7 session measured warm medians ≈ 1.8-2.0 s for this
+#: workload; 2.0 is the pinned reference).
+_CANARY_REF = 2.0
+
+
+def run_canary(spark) -> float:
+    """Fixed synthetic workload: 20M-row SHA-256 map (CPU, codegen'd) +
+    a 100k-key groupBy (one real shuffle) through the noop sink. One
+    untimed warmup pass absorbs codegen, then the MEDIAN of 3 timed
+    passes is returned — the canary measures the BOX, not JVM warmup,
+    and a single GC/contention outlier must not skew the factor (r7
+    measured [2.0, 1.8, 6.3] on identical warm passes)."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 100_000).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.time() - t0
+
+    one()  # codegen warmup, untimed
+    return round(statistics.median(one() for _ in range(3)), 3)
+
 
 def _emit(payload: dict) -> None:
     """Write the full payload to BENCH_FULL.json; print a line <= budget.
@@ -200,6 +241,8 @@ def _emit(payload: dict) -> None:
         "unit": payload["unit"], "queries": line_queries,
         "warm": payload.get("warm", {}), "runs": payload["runs"],
         "sf": payload["sf"], "n_queries": len(med), "full": "BENCH_FULL.json",
+        "canary": payload.get("canary"),
+        "canary_ref": payload.get("canary_ref"),
     }
     for name in order:
         line_queries[name] = med[name]
@@ -238,12 +281,22 @@ def run_once(sf_dir: str) -> dict:
         _noop, "id long"
     ).count()
 
+    canary = run_canary(spark)
+
+    from dataplatform_cdc_pipeline_spark import bench_phases
+
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name, fn in queries.items():
+        bench_phases.reset()
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
+            t1 = time.time()
+            timings[name] = round(t1 - t0, 3)
+            ph = bench_phases.spans(end=t1)
+            if ph:
+                phases[name] = ph
         except Exception as e:  # noqa: BLE001 — record failures, keep benching
             timings[name] = -1.0
             print(f"# bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
@@ -263,7 +316,7 @@ def run_once(sf_dir: str) -> dict:
             warm[name] = -1.0
             print(f"# bench warm error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
-    return {"queries": timings, "warm": warm}
+    return {"queries": timings, "warm": warm, "canary": canary, "phases": phases}
 
 
 def main() -> None:
@@ -280,9 +333,15 @@ def main() -> None:
         result = run_once(sf_dir)
         timings = result["queries"]
         total = round(sum(t for t in timings.values() if t >= 0), 3)
+        factor = result["canary"] / _CANARY_REF if result.get("canary") else None
         _emit({
             "metric": "headline_queries_total", "value": total, "unit": "sec",
             "queries": timings, "warm": result["warm"], "runs": 1, "sf": sf,
+            "canary": [result.get("canary")], "canary_ref": _CANARY_REF,
+            "queries_norm": {
+                n: round(t / factor, 3) for n, t in timings.items() if t >= 0
+            } if factor else {},
+            "phases": result.get("phases", {}),
         })
         return
 
@@ -305,7 +364,14 @@ def main() -> None:
         raise SystemExit("all bench runs failed")
 
     names: list[str] = list(samples[0]["queries"])
+    # per-run canary factor: >1 means this process ran on a slower box
+    # than the _CANARY_REF reference session
+    factors = [
+        (s.get("canary") / _CANARY_REF) if s.get("canary") else None
+        for s in samples
+    ]
     queries_med: dict[str, float] = {}
+    queries_norm: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
         vals = [s["queries"].get(name, -1.0) for s in samples]
@@ -315,11 +381,27 @@ def main() -> None:
             continue
         queries_med[name] = round(statistics.median(ok), 3)
         spread[name] = [round(min(ok), 3), round(max(ok), 3)]
+        normed = [
+            v / f for v, f in zip(vals, factors) if v >= 0 and f
+        ]
+        if normed:
+            queries_norm[name] = round(statistics.median(normed), 3)
     warm: dict[str, float] = {}
     for s in samples:
         for name, v in s.get("warm", {}).items():
             if v >= 0 and (name not in warm or v < warm[name]):
                 warm[name] = v
+    # per-phase median across runs (lifecycle queries only — see
+    # dataplatform_cdc_pipeline_spark/bench_phases.py)
+    phases: dict[str, dict[str, float]] = {}
+    for s in samples:
+        for name, ph in s.get("phases", {}).items():
+            for label, v in ph.items():
+                phases.setdefault(name, {}).setdefault(label, []).append(v)
+    phases = {
+        n: {lb: round(statistics.median(vs), 3) for lb, vs in ph.items()}
+        for n, ph in phases.items()
+    }
 
     total = round(sum(t for t in queries_med.values() if t >= 0), 3)
     _emit({
@@ -327,8 +409,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries_med,  # per-query MEDIAN of the cold runs
+        "queries_norm": queries_norm,  # canary-normalized medians (gate on these)
         "spread": spread,        # per-query [min, max] across runs
         "warm": warm,            # best warm retry across runs
+        "phases": phases,        # per-phase medians for lifecycle queries
+        "canary": [s.get("canary") for s in samples],
+        "canary_ref": _CANARY_REF,
         "runs": len(samples),
         "sf": sf,
     })

@@ -109,6 +109,40 @@ def apply_bpe(
     )
 
 
+def bpe_tokens_expr(merges: list[dict], text_col: Column | str = "text") -> Column:
+    """Document → array<string> of its BPE symbols in document order:
+    whitespace-split words, each encoded with the learned merge table
+    (same two-pass replace as training), flattened. This is the token
+    space the exact-substring dedup runs in at paper-faithful window
+    sizes (Lee et al. 2022 use 50 BPE tokens; substring_dedup's
+    ``tokens`` parameter takes this expression).
+
+    Word boundaries are not marked (no '</w>' sentinel — consistent
+    with :func:`learn_bpe_merges`), so a symbol window can span words;
+    that matches how token-id sequences behave in the paper's setup.
+    The whole expression is built-in Columns (regexp_replace + a
+    literal replace chain + split/flatten) — whole-stage codegen, no
+    Python in the hot path. Callers running BOTH a hash leg and a
+    token-rows leg over the same corpus should materialize the token
+    arrays once (``docs.select(id, expr.alias('toks')).localCheckpoint``)
+    — the tokenize-once invariant that keeps the 100 TB cost at one
+    encode pass."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(
+        F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != F.lit("")
+    )
+
+    def encode_word(w: Column) -> Column:
+        seq = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+        for m in merges:
+            pat = F.lit(f" {m['left']} {m['right']} ")
+            rep = F.lit(f" {m['merged']} ")
+            seq = F.replace(F.replace(seq, pat, rep), pat, rep)
+        return F.split(F.trim(seq), " ")
+
+    return F.flatten(F.transform(words, encode_word))
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 3,

@@ -1,0 +1,312 @@
+"""Persisted, batch-incremental IVF,SQ8 index — the ANN mirror of the
+LSH band index (operators/dedup_index.py).
+
+The batch IVF family (similarity.ivf_topk, quantization.ivf_sq8_topk)
+recomputes centroids and codes per query; at 100 TB that makes every
+probe O(corpus), the same wrong asymptote the LSH index fixed for
+dedup. Production vector stores (FAISS on-disk indexes, Milvus
+segments) persist the index instead:
+
+- **centroids and scales are frozen at bootstrap** — the coarse
+  quantizer (per-cell FLOORED-MEAN vectors in exact integer micro-units
+  — deterministic across partitionings, see ``bootstrap``) and the
+  SQ8 per-dimension scales (quantization.sq8_scales) are learned ONCE
+  over the bootstrap corpus and written next to the rows. Freezing is
+  what makes increments cheap AND what every real IVF deployment does:
+  reassigning old rows on every centroid drift would be O(corpus) per
+  batch. Refit-and-rebuild is the escape hatch when drift accumulates
+  (same lifecycle as compaction).
+- **index rows** are ``(vec_id, codes array<long>)`` partitioned by
+  ``batch`` / ``cell``: the cell directory level is what a probe prunes
+  on (nprobe/cells of the data read, as partition filters at the scan),
+  the batch level is what an ingest overwrites (dynamic partition
+  overwrite — replaying a batch rewrites exactly its own partitions,
+  the same exactly-once-by-rewrite contract as the LSH index).
+- **batch add** computes assignment + codes for the DELTA only: one
+  broadcast of the centroid frame, one scan of the new rows. Old rows
+  are never re-read — the index is their memory.
+- **probe** routes queries full-precision against the broadcast
+  centroids (nprobe cells, ties cell-ascending), collects the routed
+  cell ids (≤ queries·nprobe ints — a bounded index artifact, annotated
+  like the bloom words / k-means centroids), scans ONLY those cell
+  partitions, and scores with the exact-integer asymmetric dot of
+  quantization.sq8_topk. Probe results are bit-identical to a
+  from-scratch ``ivf_sq8_topk`` fed the same frozen artifacts
+  (equivalence-pinned in tests/test_ivf_index.py).
+
+Out-of-range honesty: codes use the same unclamped formula as
+``sq8_codes`` — a later batch whose coordinates exceed the bootstrap's
+per-dimension range produces |code| > 127 rather than silently
+saturating (scores stay exact integers either way); monitor with
+:meth:`scale_drift` and refit when it matters.
+
+Reference parity: the reference has no vector surface — this is the
+beyond-reference LLM-data similarity family (SURVEY.md §2 flank).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.operators.clustering import quantized_points
+from dataplatform_cdc_pipeline_spark.operators.quantization import (
+    sq8_codes,
+    sq8_scales,
+)
+from dataplatform_cdc_pipeline_spark.operators.similarity import (
+    as_double_vec,
+    dot_expr,
+    norm_expr,
+)
+
+
+class IncrementalIvfIndex:
+    """IVF,SQ8 index persisted at ``path`` (``centroids/``, ``scales/``,
+    ``rows/`` partitioned by batch and cell)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.centroids_path = os.path.join(path, "centroids")
+        self.scales_path = os.path.join(path, "scales")
+        self.rows_path = os.path.join(path, "rows")
+
+    # -- frozen artifacts ----------------------------------------------------
+
+    def bootstrap(
+        self,
+        batch_id: str,
+        embeddings: DataFrame,
+        cell_col: str = "label",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Learn the coarse quantizer (per-``cell_col`` mean vectors) and
+        the SQ8 scales over the bootstrap corpus, persist both, then add
+        the corpus itself as the first batch. Bootstrapping an already-
+        bootstrapped index is a refit misuse — fail loudly."""
+        if os.path.isdir(self.centroids_path):
+            raise ValueError(
+                f"index at {self.path} is already bootstrapped; build a new "
+                "index path to refit (centroids/scales are frozen artifacts)"
+            )
+        # Exact-integer centroids: per-cell FLOORED MEAN in micro-units
+        # (round(x·1e6) → bigint sum → floor(sum/n)). A float mean's
+        # value depends on partial-sum order across partitions — a
+        # PERSISTED artifact must not change with the parallelism that
+        # built it, and row assignment compares cosines whose last bits
+        # would otherwise flip near ties. Cosine is scale-invariant per
+        # centroid, so routing in micro-units ranks identically to the
+        # true mean (modulo the floor quantization, which is part of
+        # the index definition — same convention as the k-means
+        # operator, clustering.py). ivf_centroids (float mean) remains
+        # the per-query batch path's convention.
+        pts = quantized_points(embeddings, id_col, vec_col)
+        cells = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")
+        )
+        cent = (
+            pts.join(cells, "vec_id")
+            .select("cell", F.posexplode("v").alias("pos", "m"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.sum("m") / F.count(F.lit(1))).cast("long").alias("c"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                F.transform("pc", lambda s: s["c"].cast("double")).alias(
+                    "centroid"
+                ),
+            )
+            .withColumn("c_norm", norm_expr(F.col("centroid")))
+        )
+        cent.write.parquet(self.centroids_path)
+        scales = sq8_scales(embeddings, id_col, vec_col)
+        self.spark.createDataFrame(
+            [(i, int(s)) for i, s in enumerate(scales)], "pos int, mx long"
+        ).coalesce(1).write.parquet(self.scales_path)
+        self.add_batch(batch_id, embeddings, id_col, vec_col)
+
+    def centroids(self) -> DataFrame:
+        """(cell, centroid array<double>, c_norm) — the frozen coarse
+        quantizer. Missing path = not bootstrapped (fail loud: every
+        other operation is meaningless without it)."""
+        if not os.path.isdir(self.centroids_path):
+            raise ValueError(f"index at {self.path} is not bootstrapped")
+        return self.spark.read.parquet(self.centroids_path)
+
+    def scales(self) -> list[int]:
+        rows = self.spark.read.parquet(self.scales_path).collect()
+        out = [0] * (max(r["pos"] for r in rows) + 1)
+        for r in rows:
+            out[r["pos"]] = int(r["mx"])
+        return out
+
+    # -- assignment (shared by add and the from-scratch comparator) --------
+
+    def assign_cells(
+        self, embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """(vec_id, cell): every row routed to its nearest frozen
+        centroid — rank-1 of the same (cosine desc, cell asc) order the
+        probe uses, so assignment and routing can never disagree."""
+        vecs = embeddings.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("vec")
+        ).withColumn("v_norm", norm_expr(F.col("vec")))
+        ranked = (
+            vecs.crossJoin(F.broadcast(self.centroids()))
+            .withColumn(
+                "c_cos",
+                dot_expr(F.col("vec"), F.col("centroid"))
+                / (F.col("v_norm") * F.col("c_norm")),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("c_cos").desc(), F.col("cell").asc()
+                    )
+                ),
+            )
+        )
+        return ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
+
+    # -- ingest ---------------------------------------------------------------
+
+    def add_batch(
+        self,
+        batch_id: str,
+        embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Assign + encode the DELTA with the frozen artifacts and
+        publish under ``batch=<batch_id>``; dynamic partition overwrite
+        makes replay idempotent (rewrites exactly its own partitions)."""
+        codes = sq8_codes(embeddings, self.scales(), id_col, vec_col)
+        rows = (
+            self.assign_cells(embeddings, id_col, vec_col)
+            .join(codes, "vec_id")
+            .withColumn("batch", F.lit(batch_id))
+        )
+        (
+            rows.repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "cell")
+            .parquet(self.rows_path)
+        )
+
+    def index_rows(self) -> DataFrame:
+        """(vec_id, codes, batch, cell) — the stored index. Missing path
+        is the legitimate empty state; other read errors propagate."""
+        if not os.path.isdir(self.rows_path):
+            return self.spark.createDataFrame(
+                [], "vec_id long, codes array<bigint>, batch string, cell bigint"
+            )
+        return self.spark.read.parquet(self.rows_path).select(
+            "vec_id", "codes", "batch", F.col("cell").cast("long").alias("cell")
+        )
+
+    # -- probe ------------------------------------------------------------------
+
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(query_id, rk, nbr_id, nbr_batch, score): top-k neighbors of
+        each query over the probed cells of the STORED index — old rows
+        are scored from their persisted codes, never re-encoded. Scoring
+        is the exact-integer asymmetric dot of ``sq8_topk``; candidate
+        and tie rules match ``ivf_sq8_topk`` bit for bit."""
+        qs = queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
+        ).withColumn("q_norm", norm_expr(F.col("q_vec")))
+        routed = (
+            qs.crossJoin(F.broadcast(self.centroids()))
+            .withColumn(
+                "c_cos",
+                dot_expr(F.col("q_vec"), F.col("centroid"))
+                / (F.col("q_norm") * F.col("c_norm")),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("c_cos").desc(), F.col("cell").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rk") <= nprobe)
+            .select("query_id", "cell")
+            .localCheckpoint(eager=True)
+        )
+        # bounded collect (≤ queries·nprobe ints): the routed cell ids
+        # become a LITERAL partition filter so the index scan prunes
+        # cell directories instead of reading the whole table
+        probe_cells = sorted(
+            {r["cell"] for r in routed.select("cell").distinct().collect()}
+        )
+        idx = self.index_rows().filter(F.col("cell").isin(probe_cells))
+        qm = quantized_points(queries, id_col, vec_col).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qm")
+        )
+        cand = idx.join(
+            F.broadcast(routed),
+            (idx.cell == routed.cell) & (F.col("query_id") != F.col("vec_id")),
+        ).select("query_id", F.col("vec_id").alias("nbr_id"), "batch", "codes")
+        scored = cand.join(F.broadcast(qm), "query_id").select(
+            "query_id",
+            "nbr_id",
+            F.col("batch").alias("nbr_batch"),
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("qm"), lambda c, q: c * q),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("nbr_id").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "rk", "nbr_id", "nbr_batch", "score")
+        )
+
+    # -- drift monitoring -------------------------------------------------------
+
+    def scale_drift(
+        self, embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """(pos, frozen_mx, batch_mx, drift_ratio): per-dimension range
+        of an incoming batch vs the frozen scales — the refit signal
+        (drift_ratio > 1 means |codes| > 127 for that dimension)."""
+        frozen = self.spark.createDataFrame(
+            [(i, int(s)) for i, s in enumerate(self.scales())],
+            "pos int, frozen_mx long",
+        )
+        batch = (
+            quantized_points(embeddings, id_col, vec_col)
+            .select(F.posexplode("v").alias("pos", "m"))
+            .groupBy("pos")
+            .agg(F.max(F.abs("m")).alias("batch_mx"))
+        )
+        return frozen.join(batch, "pos", "left").select(
+            "pos",
+            "frozen_mx",
+            F.coalesce("batch_mx", F.lit(0)).alias("batch_mx"),
+            F.when(F.col("frozen_mx") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.coalesce("batch_mx", F.lit(0)).cast("double")
+                / F.col("frozen_mx").cast("double")
+            )
+            .alias("drift_ratio"),
+        )

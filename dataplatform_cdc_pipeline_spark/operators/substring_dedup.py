@@ -42,15 +42,25 @@ from pyspark.sql import functions as F
 #: window length in tokens — the paper uses 50 BPE tokens at web scale;
 #: the test corpus' docs are 30-160 whitespace tokens, so 8 keeps the
 #: operator discriminating there (1015 duplicated windows at sf0.01).
+#: For the paper-faithful BPE-space variant see ``bpe.bpe_tokens_expr``
+#: composed through the ``tokens`` parameter below (w=50 BPE tokens).
 DEFAULT_WINDOW = 8
 
 
-def window_hashes(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
+def default_tokens():
+    """The default tokenization (lowercased whitespace tokens). Every
+    function below takes a ``tokens`` Column (array<string>, document
+    order) so the same span machinery runs in ANY token space — the
+    BPE-token composition uses ``bpe.bpe_tokens_expr`` here."""
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def window_hashes(docs: DataFrame, w: int = DEFAULT_WINDOW, tokens=None) -> DataFrame:
     """(doc_id, pos, h): MD5 of the ``w``-token window starting at
     0-based token position ``pos``. Docs shorter than ``w`` tokens emit
     no windows (nothing shorter can be an exact ``w``-repeat). One
     map-side explode — no shuffle."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = default_tokens() if tokens is None else tokens
     d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= w)
     grams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - w),
@@ -59,7 +69,9 @@ def window_hashes(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
     return d.select("doc_id", F.posexplode(grams).alias("pos", "h"))
 
 
-def duplicate_window_hits(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
+def duplicate_window_hits(
+    docs: DataFrame, w: int = DEFAULT_WINDOW, tokens=None
+) -> DataFrame:
     """(doc_id, pos) of windows whose fingerprint occurs ≥2 times
     corpus-wide — the paper's duplication predicate. One groupBy on the
     hash (map-side combined) + a semi-join back on the same key.
@@ -68,7 +80,7 @@ def duplicate_window_hits(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame
     localCheckpoint — the persist-hygiene invariant): without it the
     tokenize+MD5 scan runs twice, which at 100 TB is the whole cost of
     the operator (same fix as bm25_search's tokenized projection)."""
-    g = window_hashes(docs, w).localCheckpoint(eager=True)
+    g = window_hashes(docs, w, tokens).localCheckpoint(eager=True)
     dup = (
         g.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -115,7 +127,7 @@ def duplicate_spans(docs: DataFrame, w: int = DEFAULT_WINDOW) -> DataFrame:
 
 
 def strip_spans(
-    docs: DataFrame, hits: DataFrame, w: int = DEFAULT_WINDOW
+    docs: DataFrame, hits: DataFrame, w: int = DEFAULT_WINDOW, tokens=None
 ) -> DataFrame:
     """Per-doc span-removal report for an arbitrary hit set: token
     counts, covered-token counts, span count, dup ppm, and the text
@@ -127,7 +139,7 @@ def strip_spans(
     running max over span ends marks every token at or under the high-
     water mark as covered — linear per doc, no quadratic candidate set.
     """
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = default_tokens() if tokens is None else tokens
     tok_rows = docs.select(
         "doc_id", F.posexplode(toks).alias("pos", "tok")
     ).select(
@@ -197,11 +209,11 @@ def strip_spans(
 
 
 def strip_duplicate_spans(
-    docs: DataFrame, w: int = DEFAULT_WINDOW
+    docs: DataFrame, w: int = DEFAULT_WINDOW, tokens=None
 ) -> DataFrame:
     """Corpus self-dedup: remove every span duplicated ≥2 times
     corpus-wide (see :func:`strip_spans`)."""
-    return strip_spans(docs, duplicate_window_hits(docs, w), w)
+    return strip_spans(docs, duplicate_window_hits(docs, w, tokens), w, tokens)
 
 
 def decontaminate_against(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dataplatform_cdc_pipeline_spark import bench_phases
 from dataplatform_cdc_pipeline_spark.config import MergeConfig
 from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key
 from dataplatform_cdc_pipeline_spark.plans.merge_plan import (
@@ -900,6 +901,7 @@ def q_cdc_ivm_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = window_scan(raw, cfg, lo, hi)
         changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
         counts, _ = maintain_counts_through_merge(target, changes, counts, "event_type")
+        bench_phases.mark("merge_and_maintain")  # accumulates per window
     return counts.select("event_type", F.col("n").alias("n_users"))
 
 
@@ -944,6 +946,7 @@ def q_cdc_ivm_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = window_scan(raw, cfg, lo, hi)
         changes = build_changes(w, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
         view, _ = maintain_view_through_merge(target, changes, view, "event_type", sums)
+        bench_phases.mark("merge_and_maintain")  # accumulates per window
     return view.select("event_type", F.col("n").alias("n_users"), "value_micros_sum")
 
 
@@ -1006,6 +1009,7 @@ def q_cdc_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         view, _ = maintain_minmax_through_merge(
             target, changes, view, "event_type", "value"
         )
+        bench_phases.mark("merge_and_maintain")  # accumulates per window
     return view.select(
         "event_type",
         F.col("n").alias("n_users"),
@@ -1323,6 +1327,7 @@ def q_cdc_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_merge(
             spark, cfg, target, audit, raw=raw, window=win, deterministic_audit=True
         )
+        bench_phases.mark("merge_window")  # accumulates per window
     return target.read().select(
         "user_id",
         "event_type",

@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dataplatform_cdc_pipeline_spark import bench_phases
 from dataplatform_cdc_pipeline_spark.sources.tables import load_table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -1115,6 +1116,7 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     words, _ = bloom_build(dim, "key", DEFAULT_M_BITS, DEFAULT_K)
+    bench_phases.mark("index_build")  # the bounded words collect
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -1560,7 +1562,9 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage(ev.filter(in_band), "c_late", t0 + 200)
     synth("__sentinel", "d_sentinel1", m + _dt.timedelta(days=10), t0 + 300)
     synth("__sentinel", "e_sentinel2", m + _dt.timedelta(days=20), t0 + 400)
+    bench_phases.mark("setup")  # 5 staged parquet writes end here
     out = stream_tumbling_counts_append(spark, src, row_schema)
+    bench_phases.mark("drain")  # the watermark-eviction streaming drain
     return out.filter(~F.col("event_type").startswith("__"))
 
 
@@ -1983,7 +1987,10 @@ def q_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"b_sentinel{i}",
             1_000_000_000 + 100 * (i + 1),
         )
-    return stream_left_outer_attribution(spark, src, schema)
+    bench_phases.mark("setup")  # staged feed ends here
+    out = stream_left_outer_attribution(spark, src, schema)
+    bench_phases.mark("drain")  # the stream-stream outer-join drain
+    return out
 
 
 SQL_STREAM_OUTER_ATTRIBUTION = """

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dataplatform_cdc_pipeline_spark import bench_phases
 from dataplatform_cdc_pipeline_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -872,6 +873,7 @@ def q_cdc_merge_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (tq, lambda c=cq: tq.merge(c)),
             ]
         )
+        bench_phases.mark("txn_window")  # accumulates per window
     state_rows = ta.read().select(
         F.lit("state").alias("tbl"),
         F.col("user_id").cast("string").alias("key"),
@@ -1065,6 +1067,7 @@ def q_stream_dlq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = 1_000_000_000
     stage(raw.filter(F.col("load_ts") <= F.lit(split)), "a_w1", t0)
     stage(raw.filter(F.col("load_ts") > F.lit(split)), "b_w2", t0 + 100)
+    bench_phases.mark("setup")  # staged bronze feed ends here
 
     cfg = user_state_config()
     cfg_q = user_state_config(target_table="cdc_quarantine", pk="q_pos")
@@ -1081,6 +1084,7 @@ def q_stream_dlq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, cfg, target, dlq, USER_STATE_SCHEMA, src, f"{tmp}/ckpt",
         max_files_per_trigger=1,
     )
+    bench_phases.mark("drain")  # the foreachBatch merge drain
     state_rows = target.read().select(
         F.lit("state").alias("tbl"),
         F.col("user_id").cast("string").alias("key"),

@@ -2159,6 +2159,131 @@ ORDER BY query_id, rk
 """
 
 
+def q_incremental_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN at DELTA ingest cost (operators/ivf_index.py — the IVF,SQ8
+    mirror of the persisted LSH dedup index): centroids + SQ8 scales are
+    frozen at bootstrap, each batch encodes only its own rows into a
+    batch/cell-partitioned code table, and probes read nprobe cells of
+    the STORED index. Lifecycle: bootstrap on the base corpus (vec_id %
+    10 ∉ {3,7}) → probe (hits base only) → add batch b1 twice (replay is
+    idempotent via dynamic partition overwrite) → probe (b1 hits can
+    ONLY come from the index — its raw vectors are never re-supplied) →
+    add b2 → probe. Returns every phase's top-5 with the neighbor's
+    batch tag; bit-equal to from-scratch ivf_sq8_topk fed the same
+    frozen artifacts (pinned in tests/test_ivf_index.py)."""
+    import tempfile
+
+    from dataplatform_cdc_pipeline_spark.operators.ivf_index import (
+        IncrementalIvfIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter((F.col("vec_id") % 10 != 3) & (F.col("vec_id") % 10 != 7))
+    b1 = emb.filter(F.col("vec_id") % 10 == 3)
+    b2 = emb.filter(F.col("vec_id") % 10 == 7)
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivf_ix_q_") + "/ix")
+    idx.bootstrap("base", base)
+    p1 = (
+        idx.probe(queries, k=5, nprobe=2)
+        .withColumn("phase", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    idx.add_batch("b1", b1)
+    idx.add_batch("b1", b1)  # replay — rewrites exactly its own partitions
+    p2 = (
+        idx.probe(queries, k=5, nprobe=2)
+        .withColumn("phase", F.lit(2))
+        .localCheckpoint(eager=True)
+    )
+    idx.add_batch("b2", b2)
+    p3 = idx.probe(queries, k=5, nprobe=2).withColumn("phase", F.lit(3))
+    return (
+        p1.unionByName(p2)
+        .unionByName(p3)
+        .select("phase", "query_id", "rk", "nbr_id", "nbr_batch", "score")
+    )
+
+
+SQL_INCREMENTAL_IVF_BATCH = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS vec,
+         CASE WHEN vec_id % 10 = 3 THEN 1
+              WHEN vec_id % 10 = 7 THEN 2 ELSE 0 END AS bord
+  FROM embeddings),
+m AS (
+  SELECT vec_id, pos,
+         CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS mv
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+-- frozen artifacts, learned over the BOOTSTRAP rows only (bord = 0):
+-- exact-integer centroids (floored micro-unit means) + SQ8 scales
+cm AS (
+  SELECT b.label AS cell, m.pos, CAST(floor(sum(m.mv) / count(*)) AS DOUBLE) AS c
+  FROM m JOIN (SELECT vec_id, label FROM v WHERE bord = 0) b USING (vec_id)
+  GROUP BY 1, 2),
+cent AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+scale AS (
+  SELECT pos, max(abs(mv)) AS mx
+  FROM m JOIN (SELECT vec_id FROM v WHERE bord = 0) b USING (vec_id)
+  GROUP BY pos),
+codes AS (
+  SELECT vec_id, m.pos,
+         CASE WHEN s.mx = 0 THEN 0
+              ELSE (CASE WHEN mv < 0 THEN -1 ELSE 1 END)
+                   * CAST(floor(abs(mv) * 127.0 / s.mx) AS BIGINT) END AS code
+  FROM m JOIN scale s ON m.pos = s.pos),
+-- frozen-centroid assignment of EVERY row (rank-1 of the probe order)
+acell AS (
+  SELECT vec_id, bord, cell FROM (
+    SELECT r.vec_id, r.bord, c.cell,
+           row_number() OVER (
+             PARTITION BY r.vec_id
+             ORDER BY list_dot_product(r.vec, c.centroid) /
+                      (sqrt(list_dot_product(r.vec, r.vec)) *
+                       sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      c.cell ASC) AS rk
+    FROM v r CROSS JOIN cent c) WHERE rk = 1),
+qv AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < 5),
+routed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.vec, c.centroid) /
+                      (sqrt(list_dot_product(q.vec, q.vec)) *
+                       sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      c.cell ASC) AS rk
+    FROM qv q CROSS JOIN cent c) WHERE rk <= 2),
+qm AS (SELECT vec_id AS query_id, pos, mv FROM m WHERE vec_id < 5),
+ph AS (SELECT unnest([1, 2, 3]) AS phase),
+-- phase p sees batches ingested so far: bord <= p - 1
+cand AS (
+  SELECT ph.phase, r.query_id, a.vec_id AS nbr_id, a.bord
+  FROM ph CROSS JOIN routed r
+  JOIN acell a ON r.cell = a.cell AND a.vec_id <> r.query_id
+  WHERE a.bord <= ph.phase - 1),
+s AS (
+  SELECT cand.phase, cand.query_id, cand.nbr_id, max(cand.bord) AS bord,
+         CAST(SUM(c.code * qm.mv) AS BIGINT) AS score
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.nbr_id
+  JOIN qm ON qm.query_id = cand.query_id AND qm.pos = c.pos
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT phase, query_id, nbr_id, bord, score,
+         row_number() OVER (PARTITION BY phase, query_id
+                            ORDER BY score DESC, nbr_id) AS rk
+  FROM s)
+SELECT phase, query_id, rk, nbr_id,
+       CASE bord WHEN 1 THEN 'b1' WHEN 2 THEN 'b2' ELSE 'base' END AS nbr_batch,
+       score
+FROM ranked WHERE rk <= 5
+ORDER BY phase, query_id, rk
+"""
+
+
 def q_ivf_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the composed IVF,SQ8 index vs exact cosine — the last
     cell of the ANN evaluation matrix (LSH, IVF-by-nprobe, flat SQ8, and
@@ -2335,6 +2460,7 @@ LLM_QUERIES = {
     "dedup_containment": q_dedup_containment,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "embedding_ivf_sq8": q_embedding_ivf_sq8,
+    "incremental_ivf_batch": q_incremental_ivf_batch,
     "bpe_learn": q_bpe_learn,
     "bpe_encode": q_bpe_encode,
     "ivf_sq8_recall_eval": q_ivf_sq8_recall_eval,
@@ -2385,6 +2511,7 @@ LLM_ORACLES = {
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
     "embedding_ivf_sq8": SQL_EMBEDDING_IVF_SQ8,
+    "incremental_ivf_batch": SQL_INCREMENTAL_IVF_BATCH,
     "bpe_learn": SQL_BPE_LEARN,
     "bpe_encode": SQL_BPE_ENCODE,
     "ivf_sq8_recall_eval": SQL_IVF_SQ8_RECALL_EVAL,

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dataplatform_cdc_pipeline_spark import bench_phases
 from dataplatform_cdc_pipeline_spark.functions.hashing import md5_long, md5_long_sql
 from dataplatform_cdc_pipeline_spark.operators.chunking import (
     BOILER_FRACTION_DIV,
@@ -2288,6 +2289,131 @@ FROM per p LEFT JOIN ns USING (doc_id)
 """
 
 
+_BPE_SPAN_W = 50  # Lee et al. 2022's window length, in LEARNED-BPE tokens
+_BPE_SPAN_MERGES = 3  # same merge budget as bpe_learn/bpe_encode
+
+
+def q_dedup_substring_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at PAPER-FAITHFUL parameters: spans are
+    measured in learned-BPE token space with w=50 (Lee et al. 2022 §3 —
+    the whitespace w=8 variant `dedup_substring_spans` is the
+    toy-corpus tuning; this is the composition a 100 TB run ships).
+    Pipeline: learn the merge table (operators/bpe.py), encode every
+    document into its BPE symbol sequence ONCE (materialized — the
+    tokenize-once invariant), then run the same window-fingerprint →
+    maximal-span → strip machinery (operators/substring_dedup.py) over
+    that token space via its ``tokens`` parameter. 7881 duplicated
+    50-BPE-token windows across 45 docs at sf0.01 — the hash gates the
+    exact BPE-space span boundaries and the surviving symbol stream."""
+    from dataplatform_cdc_pipeline_spark.operators.bpe import (
+        bpe_tokens_expr,
+        learn_bpe_merges,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.substring_dedup import (
+        strip_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=_BPE_SPAN_MERGES)
+    toks = docs.select(
+        "doc_id", bpe_tokens_expr(merges).alias("__toks")
+    ).localCheckpoint(eager=True)
+    return strip_duplicate_spans(toks, _BPE_SPAN_W, tokens=F.col("__toks"))
+
+
+def _sql_dedup_substring_bpe() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import (
+        _bpe_merge_sql,
+        _bpe_round_sql,
+    )
+
+    def apply_keep_i(i: int, src: str) -> str:
+        pat = f"' ' || (SELECT a FROM b{i}) || ' ' || (SELECT b FROM b{i}) || ' '"
+        rep = f"' ' || (SELECT a || b FROM b{i}) || ' '"
+        return (
+            f"a{i} AS (SELECT doc_id, i, "
+            f"replace(replace(seq, {pat}, {rep}), {pat}, {rep}) AS seq FROM {src})"
+        )
+
+    w = _BPE_SPAN_W
+    return f"""
+WITH wf AS MATERIALIZED (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({TOKS}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+v0 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, freq FROM wf),
+{_bpe_round_sql(1)},
+{_bpe_merge_sql(1)},
+{_bpe_round_sql(2)},
+{_bpe_merge_sql(2)},
+{_bpe_round_sql(3)},
+dw AS MATERIALIZED (SELECT doc_id, w, i
+       FROM (SELECT doc_id, unnest({TOKS}) AS w,
+                    generate_subscripts({TOKS}, 1) AS i FROM documents)
+       WHERE w <> ''),
+a0 AS MATERIALIZED (SELECT doc_id, i, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq FROM dw),
+{apply_keep_i(1, 'a0')},
+{apply_keep_i(2, 'a1')},
+{apply_keep_i(3, 'a2')},
+t AS MATERIALIZED (SELECT doc_id,
+             flatten(list(string_split(trim(seq), ' ') ORDER BY i)) AS toks
+      FROM a3 GROUP BY doc_id),
+g AS MATERIALIZED (SELECT doc_id, u.i - 1 AS pos,
+             md5(array_to_string(toks[u.i:u.i+{w}-1], ' ')) AS h
+      FROM t, unnest(generate_series(1, len(toks)-{w}+1)) u(i)
+      WHERE len(toks) >= {w}),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {w} - 1) OVER win IS NULL
+                OR pos > max(pos + {w} - 1) OVER win + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sid AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM isl),
+spans AS MATERIALIZED (SELECT doc_id, span_id, min(pos) AS s, max(pos) + {w} - 1 AS e
+          FROM sid GROUP BY 1, 2),
+tok AS (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS pos
+        FROM t),
+-- coverage via the same linear high-water union the Spark side uses (a
+-- correlated EXISTS over tok×spans measured 138 s on the BPE token
+-- volume — ~2.2× the whitespace token count; this form is <2 s)
+mrg AS (
+  SELECT doc_id, pos, tok, 0 AS is_span, NULL::BIGINT AS e FROM tok
+  UNION ALL
+  SELECT doc_id, s AS pos, NULL AS tok, 1 AS is_span, e FROM spans),
+cov AS (
+  SELECT doc_id, pos, tok, is_span,
+         (is_span = 0)
+         AND coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY pos ASC, is_span DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) >= pos
+           AS covered
+  FROM mrg),
+per AS (
+  SELECT doc_id, (count(*) FILTER (is_span = 0))::BIGINT AS n_tokens,
+         sum((covered AND is_span = 0)::INT)::BIGINT AS dup_tokens,
+         string_agg(CASE WHEN is_span = 0 AND NOT covered THEN tok END,
+                    ' ' ORDER BY pos) AS kept_text
+  FROM cov GROUP BY 1),
+ns AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY 1)
+SELECT p.doc_id, p.n_tokens, p.dup_tokens,
+       coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+       floor(p.dup_tokens * 1000000 / p.n_tokens)::BIGINT AS dup_ppm,
+       coalesce(p.kept_text, '') AS kept_text
+FROM per p LEFT JOIN ns USING (doc_id)
+"""
+
+
+SQL_DEDUP_SUBSTRING_BPE = _sql_dedup_substring_bpe()
+
+
 # ---------------------------------------------------------------------------
 # incremental corpus dedup through a persisted LSH band index
 # ---------------------------------------------------------------------------
@@ -2408,9 +2534,12 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         dest = f"{src}/batch_{g}.parquet"
         _shutil.move(part, dest)
         _os.utime(dest, (t0 + g * 100, t0 + g * 100))
-    return stream_incremental_dedup(
+    bench_phases.mark("setup")  # 3 staged micro-batches end here
+    out = stream_incremental_dedup(
         spark, src, "doc_id long, text string", f"{tmp}/work", threshold=0.5
     )
+    bench_phases.mark("drain")  # screen -> publish -> archive drain
+    return out
 
 
 def _sql_stream_dedup_index() -> str:
@@ -2691,6 +2820,7 @@ PREP_QUERIES = {
     "text_zipf_fit": q_text_zipf_fit,
     "session_window_overlap": q_session_window_overlap,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_substring_bpe": q_dedup_substring_bpe,
     "incremental_dedup_batch": q_incremental_dedup_batch,
     "stream_dedup_index": q_stream_dedup_index,
     "decontamination_spans": q_decontamination_spans,
@@ -2732,6 +2862,7 @@ PREP_ORACLES = {
     "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
     "session_window_overlap": SQL_SESSION_WINDOW_OVERLAP,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
+    "dedup_substring_bpe": SQL_DEDUP_SUBSTRING_BPE,
     "incremental_dedup_batch": SQL_INCREMENTAL_DEDUP_BATCH,
     "stream_dedup_index": SQL_STREAM_DEDUP_INDEX,
     "decontamination_spans": SQL_DECONTAMINATION_SPANS,
