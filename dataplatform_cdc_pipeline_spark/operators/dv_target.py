@@ -79,6 +79,17 @@ class DvMergeTarget(ParquetMergeTarget):
             )
         super().__init__(spark, path, cfg, schema)
         self.dv_path = f"{self.path}.dv"
+        #: Auto-fold policy: when set, a merge whose delete leg pushes
+        #: the total tombstone count ABOVE this value triggers an
+        #: immediate fold (compact — full rewrite from the masked read,
+        #: all tombstones clear). The read-side tax of an accumulating
+        #: mask is linear in mask rows while it stays a broadcast
+        #: anti-join, then CLIFFS when the mask outgrows the broadcast
+        #: threshold and the scan pays a sort-merge join (measured in
+        #: SCALE.md "DV mask read tax"); the default keeps the mask two
+        #: orders of magnitude below that cliff. None disables (the
+        #: delete-only driver queries pin tombstone files on disk).
+        self.auto_fold_max: int | None = None
 
     # -- deletion-vector storage ------------------------------------------
 
@@ -228,9 +239,25 @@ class DvMergeTarget(ParquetMergeTarget):
                 self._clear_dvs(up_buckets)
             if stats["records_deleted"]:
                 self._write_dvs(s.filter(F.col("__op") == "d"))
+                if (
+                    self.auto_fold_max is not None
+                    and self.mask_size() > self.auto_fold_max
+                ):
+                    # fold-on-threshold: one rewrite clears every
+                    # tombstone; readers between N small delete batches
+                    # never pay more than auto_fold_max mask rows
+                    self.compact()
             return stats
         finally:
             s.unpersist()
+
+    def mask_size(self) -> int:
+        """Total tombstoned pks across all buckets — the read-tax driver
+        (each masked read broadcast-builds this many rows). A metadata-
+        cheap count over the kilobyte tombstone files."""
+        if not self._dv_files():
+            return 0
+        return self.deletion_vectors().count()
 
     # -- maintenance -----------------------------------------------------------
 

@@ -65,6 +65,12 @@ QUERIES = [
     # streaming queries. orc_events_ingest = write+scan, linear.
     "dedup_substring_spans", "incremental_dedup_batch", "orc_events_ingest",
     "cdc_merge_dv",
+    # r7 operators. dedup_substring_bpe: same no-pair-join property as
+    # dedup_substring_spans, measured in BPE token space (the encode
+    # pass is linear in characters and runs ONCE — tokenize-once
+    # materialization); incremental_ivf_batch: per-batch delta encode +
+    # cell-pruned probes against the persisted index.
+    "dedup_substring_bpe", "incremental_ivf_batch",
 ]
 
 

@@ -266,3 +266,28 @@ def test_guard_sees_full_post_batch_state_not_per_leg(spark):
     }
     assert state(target) == [(2, 1.0)]
     assert target.validate_staged is not None  # guard restored after leg
+
+
+def test_dv_fold_policy(spark, target):
+    """auto_fold_max pins the fold-on-threshold heuristic: delete batches
+    below the cap accumulate tombstones (merge-on-read economics hold);
+    the batch that pushes the mask over the cap triggers an immediate
+    fold — all tombstones clear, the visible state is unchanged, and
+    later deletes start a fresh mask."""
+    target.merge(
+        changes(spark, [("c", i, float(i), 0, i) for i in range(1, 11)])
+    )
+    target.auto_fold_max = 3
+    target.merge(changes(spark, [("d", 1, 0.0, 10, 20), ("d", 2, 0.0, 10, 21)]))
+    assert target.mask_size() == 2  # under the cap: tombstones stay
+    assert target._dv_files()
+    before = state(target)
+    target.merge(
+        changes(spark, [("d", 3, 0.0, 20, 22), ("d", 4, 0.0, 20, 23)])
+    )
+    # 4 > 3: the merge folded — mask cleared, state identical to masked
+    assert target.mask_size() == 0 and target._dv_files() == []
+    assert state(target) == [(u, v) for u, v in before if u not in (3, 4)]
+    # the fold is a rewrite: a later delete starts a fresh mask
+    target.merge(changes(spark, [("d", 5, 0.0, 30, 24)]))
+    assert target.mask_size() == 1

@@ -135,3 +135,79 @@ def test_hits_plan_tokenizes_once(spark, shared_run):
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "split(" not in plan and "md5(" not in plan
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+# ---------------------------------------------------------------------------
+# BPE-token-space composition (operators/bpe.bpe_tokens_expr through the
+# tokens parameter — the paper-faithful w=50 variant's machinery)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_token_space_spans(spark):
+    """Spans measured in BPE symbols, not words: with the merge table
+    [('a','b')→'ab'], the word 'ab' is ONE symbol while 'cd' stays two
+    ('c','d'). Docs 1 and 2 share a run that is 6 words but 8 BPE
+    symbols; at w=8 the whitespace machinery finds nothing (6 < 8) while
+    the BPE-space machinery flags the full run — the token space IS the
+    semantics."""
+    from dataplatform_cdc_pipeline_spark.operators.bpe import bpe_tokens_expr
+
+    merges = [{"rank": 1, "left": "a", "right": "b", "merged": "ab", "cnt": 9}]
+    shared = "ab cd ab cd ab cd"  # 6 words -> 8 BPE symbols? compute:
+    # per word: 'ab' -> ['ab'] (merged), 'cd' -> ['c','d']
+    # so 6 words -> 3*1 + 3*2 = 9 BPE symbols
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} k l m n o p q r s"),
+            (2, f"z y x w v {shared} u t"),
+            (3, "unrelated words only here nothing repeats at all today"),
+        ],
+    )
+    toks = docs.select(
+        "doc_id", bpe_tokens_expr(merges).alias("__toks")
+    ).localCheckpoint(eager=True)
+    # whitespace space at w=8: the shared run is only 6 words -> no hits
+    assert duplicate_window_hits(docs, 8).count() == 0
+    # BPE space at w=9: the 9-symbol shared run is exactly one window
+    hits = duplicate_window_hits(toks, 9, tokens=F.col("__toks"))
+    got = {(r["doc_id"], r["pos"]) for r in hits.collect()}
+    assert got == {(1, 0), (2, 5)}  # doc2 prefix = 5 single-char syms
+    out = strip_duplicate_spans(toks, 9, tokens=F.col("__toks"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["dup_tokens"] == 9 and rows[2]["dup_tokens"] == 9
+    assert rows[1]["n_spans"] == 1 and rows[3]["n_spans"] == 0
+    # survivor text is the remaining BPE symbol stream
+    assert rows[1]["kept_text"] == "k l m n o p q r s"
+    assert rows[2]["kept_text"] == "z y x w v u t"
+
+
+def test_bpe_tokens_expr_matches_apply_bpe_counts(spark):
+    """bpe_tokens_expr (the sequence) and apply_bpe (the counts) must
+    agree: size(tokens) == n_bpe_tokens for every doc — encoder/sequence
+    symmetry, same two-pass replace semantics."""
+    from dataplatform_cdc_pipeline_spark.operators.bpe import (
+        apply_bpe,
+        bpe_tokens_expr,
+        learn_bpe_merges,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "pack my box with five dozen liquor jugs today ok"),
+            (3, "the the the quick quick brown brown brown fox fox"),
+        ],
+    )
+    merges = learn_bpe_merges(docs, n_merges=3)
+    seq_counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(bpe_tokens_expr(merges)).alias("n")
+        ).collect()
+    }
+    enc_counts = {
+        r["doc_id"]: r["n_bpe_tokens"] for r in apply_bpe(docs, merges).collect()
+    }
+    assert seq_counts == enc_counts
