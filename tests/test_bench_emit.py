@@ -64,3 +64,33 @@ def test_headline_names_are_registered():
     assert not unknown, f"bench.HEADLINE names unknown queries: {unknown}"
     unknown_pri = [n for n in bench._LINE_PRIORITY if n not in bench.HEADLINE]
     assert not unknown_pri
+
+
+def test_bench_phases_spans_accumulate():
+    """mark() closes the span since the previous mark; repeated labels
+    accumulate (per-window loops); the tail lands in final_query."""
+    import time as _time
+
+    from dataplatform_cdc_pipeline_spark import bench_phases
+
+    bench_phases.reset()
+    _time.sleep(0.02)
+    bench_phases.mark("w")
+    _time.sleep(0.01)
+    bench_phases.mark("w")
+    _time.sleep(0.03)
+    end = _time.time()
+    spans = bench_phases.spans(end=end)
+    assert set(spans) == {"w", "final_query"}
+    assert spans["w"] >= 0.03 and spans["final_query"] >= 0.03
+    bench_phases.reset()
+    assert bench_phases.spans(end=_time.time()) == {}  # no marks -> no spans
+
+
+def test_bench_canary_normalization_math():
+    """The normalized value is raw/(canary/ref): a run on a 2x-slower box
+    (canary doubles) reports the same normalized seconds."""
+    import bench
+
+    raw, canary = 10.0, bench._CANARY_REF * 2.0
+    assert round(raw / (canary / bench._CANARY_REF), 3) == 5.0
