@@ -18,12 +18,12 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
 
 
-def test_r6_driver_window_is_pinned():
-    """The first 50 registry entries ARE the r6 correctness window the
-    rotation invariant was designed around — an accidental reorder (e.g.
+def test_r7_driver_window_is_pinned():
+    """The first 50 registry entries ARE the r7 correctness window the
+    rotation-by-staleness plan schedules — an accidental reorder (e.g.
     inserting a new query mid-list) would silently swap what the driver
-    verifies. New queries slot in at 40+ (displacing an r4-green pick);
-    everything else belongs in the tail until the next rotation."""
+    verifies. r7 = 13 pinned core + 37 FIRST-TIME rows (cdc_merge_dv,
+    the two r7-new queries, then the 34 oldest never-verified)."""
     window = list(entrymod.queries())[:50]
     # 13 pinned §2 core entries lead
     assert window[:13] == [
@@ -33,20 +33,38 @@ def test_r6_driver_window_is_pinned():
         "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
         "cdc_job_log",
     ]
-    # slots 14-39: the 26 r5-new entries getting their FIRST driver row
-    assert window[13:39] == [
-        "cdc_snapshot_merge", "cdc_time_travel_read", "cdc_snapshot_diff",
-        "cdc_debezium_ingest", "stream_debezium_merge", "cdc_zorder_read",
-        "cdc_ivm_minmax", "stream_ivm_totals",
-        "embedding_ivf_learned", "embedding_sq8_topk", "sq8_recall_eval",
-        "embedding_ivf_sq8", "ivf_sq8_recall_eval", "semantic_dedup",
-        "dedup_containment", "interdoc_repetition", "bigram_perplexity",
-        "bpe_learn", "bpe_encode",
-        "events_cube", "events_distinct_sketch", "events_value_percentiles",
-        "heavy_hitters_cms", "customer_pareto", "fuzzy_name_match",
-        "stream_distinct_sketch",
+    # slots 14-16: verdict-mandated picks (task 7 DV sink; tasks 3/5 new)
+    assert window[13:16] == [
+        "cdc_merge_dv", "dedup_substring_bpe", "incremental_ivf_batch",
+    ]
+    # slots 17-50: the 34 oldest never-driver-verified (r6-late cohort)
+    assert window[16:50] == [
+        "events_scd2_join", "table_reconcile", "snapshot_reconcile",
+        "dq_expectations", "volume_shipping", "product_type_profit",
+        "returned_item_report", "customer_order_histogram",
+        "supplier_part_variety", "exclusive_open_supplier", "events_funnel",
+        "events_transitions", "events_outliers", "cdc_canal_ingest",
+        "cdc_change_feed", "supplier_triangles", "part_skyline",
+        "events_grouping_sets", "stream_scd2_enrich",
+        "jsonl_documents_ingest", "csv_documents_ingest",
+        "events_retention_cohorts", "asof_next_error", "unshipped_priority",
+        "forecast_revenue", "important_parts", "order_window_suite",
+        "cdc_txn_audit", "stream_txn_merge", "lsh_recall_eval",
+        "events_intervals_merged", "doc_global_ids", "cdc_tagged_read",
+        "cdc_merge_patch",
     ]
     assert len(window) == len(set(window)) == 50
+
+
+def test_r8_flank_rotation_is_queued():
+    """Verdict task 2: the six aging §2-adjacent flank rows (last
+    driver-green r4) must head the r8 window plan — positions 51-56."""
+    tail = list(entrymod.queries())[50:56]
+    assert tail == [
+        "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
+        "stream_merge_state", "cdc_dedup_latest_salted",
+        "cdc_date_partitioned_read", "stream_user_totals",
+    ]
 
 
 def test_coverage_doc_names_only_real_queries():
