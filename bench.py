@@ -137,6 +137,8 @@ HEADLINE = [
     "incremental_dedup_batch", "stream_dedup_index", "decontamination_spans",
     "dedup_soft_weights", "cdc_merge_dv", "stream_dv_merge",
     "substring_dup_profile",
+    # r7 additions (the registry-freeze round's only two new queries)
+    "dedup_substring_bpe", "incremental_ivf_batch",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number
@@ -236,6 +238,7 @@ def _emit(payload: dict) -> None:
     order = [n for n in _LINE_PRIORITY if n in med]
     order += sorted(n for n in med if n not in _LINE_PRIORITY)
     line_queries: dict[str, float] = {}
+    qn = payload.get("queries_norm") or {}
     base = {
         "metric": payload["metric"], "value": payload["value"],
         "unit": payload["unit"], "queries": line_queries,
@@ -243,6 +246,11 @@ def _emit(payload: dict) -> None:
         "sf": payload["sf"], "n_queries": len(med), "full": "BENCH_FULL.json",
         "canary": payload.get("canary"),
         "canary_ref": payload.get("canary_ref"),
+        # canary-normalized total (sum of per-query normalized medians) —
+        # the round-over-round comparator on a drifting box; per-query
+        # normalized values live in BENCH_FULL.json "queries_norm"
+        "value_norm": round(sum(v for v in qn.values() if v >= 0), 3)
+        if qn else None,
     }
     for name in order:
         line_queries[name] = med[name]

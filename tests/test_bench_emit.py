@@ -94,3 +94,19 @@ def test_bench_canary_normalization_math():
 
     raw, canary = 10.0, bench._CANARY_REF * 2.0
     assert round(raw / (canary / bench._CANARY_REF), 3) == 5.0
+
+
+def test_emit_carries_canary_and_normalized_total(tmp_path, monkeypatch):
+    payload = {
+        "metric": "headline_queries_total", "value": 10.0, "unit": "sec",
+        "queries": {"cdc_merge_full": 4.0, "cdc_window_scan": 6.0},
+        "queries_norm": {"cdc_merge_full": 2.0, "cdc_window_scan": 3.0},
+        "warm": {}, "runs": 3, "sf": 0.1,
+        "canary": [2.0, 2.1, 4.0], "canary_ref": 2.0,
+    }
+    line, full_path = _emit_and_capture(tmp_path, monkeypatch, payload)
+    d = json.loads(line)
+    assert d["canary"] == [2.0, 2.1, 4.0] and d["canary_ref"] == 2.0
+    assert d["value_norm"] == 5.0  # sum of normalized medians
+    full = json.loads(full_path.read_text())
+    assert full["queries_norm"] == payload["queries_norm"]
