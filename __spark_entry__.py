@@ -45,37 +45,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (scripts/check_parity.py + scripts/driver_sim.py over ALL entries,
 #: run every session).
 _PRIORITY = [
-    # ---- r7 WINDOW (the driver checks the first 50 entries) -------------
+    # ---- r8 WINDOW (the driver checks the first 50 entries) -------------
     # 1-13: §2 CDC core — pinned every round
     "cdc_window_scan", "cdc_dedup_latest", "cdc_cast_projection",
     "cdc_delete_survivorship", "cdc_merge_full", "cdc_merge_incremental",
     "cdc_merge_multi_pk", "cdc_merge_op_u", "cdc_merge_late_replay",
     "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
     "cdc_job_log",
-    # 14-16: verdict-mandated picks — cdc_merge_dv (task 7, never
-    # driver-verified DV sink) + the two r7-new queries (tasks 3 and 5,
-    # each displacing a backlog slot for cause)
-    "cdc_merge_dv", "dedup_substring_bpe", "incremental_ivf_batch",
-    # 17-50: the 34 OLDEST never-driver-verified entries (the r6-late
-    # cohort heads the queue, as ordered by the r6 verdict)
-    "events_scd2_join", "table_reconcile", "snapshot_reconcile",
-    "dq_expectations", "volume_shipping", "product_type_profit",
-    "returned_item_report", "customer_order_histogram",
-    "supplier_part_variety", "exclusive_open_supplier", "events_funnel",
-    "events_transitions", "events_outliers", "cdc_canal_ingest",
-    "cdc_change_feed", "supplier_triangles", "part_skyline",
-    "events_grouping_sets", "stream_scd2_enrich", "jsonl_documents_ingest",
-    "csv_documents_ingest", "events_retention_cohorts", "asof_next_error",
-    "unshipped_priority", "forecast_revenue", "important_parts",
-    "order_window_suite", "cdc_txn_audit", "stream_txn_merge",
-    "lsh_recall_eval", "events_intervals_merged", "doc_global_ids",
-    "cdc_tagged_read", "cdc_merge_patch",
-    # ---- r8 WINDOW PLAN (51-100): 13 core + the 6 aging §2-adjacent
-    # flank rows (all last driver-green r4 — verdict task 2: every §2
-    # row green within r5..r8) + the next 31 never-verified
+    # 14-19: the 6 aging §2-adjacent flank rows (all last driver-green
+    # r4 — r6 verdict task 2 / r7 verdict task 1: every §2 row
+    # driver-green within r5..r8)
     "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
     "stream_merge_state", "cdc_dedup_latest_salted",
     "cdc_date_partitioned_read", "stream_user_totals",
+    # 20-50: the next 31 never-driver-verified entries (backlog head,
+    # oldest-first; drains the never-verified count 79 -> 48)
     "cdc_merge_soft_delete", "multimodal_packing", "events_growth_accounting",
     "events_bag_set_ops", "scalar_function_matrix", "stream_late_data_drop",
     "text_normalize", "langid_confusion", "corpus_dedup_funnel",
@@ -86,7 +70,7 @@ _PRIORITY = [
     "events_time_weighted", "basket_pair_lift", "kmv_set_ops",
     "feature_hashing", "cdc_multi_txn", "window_nav_suite", "revenue_share",
     "corpus_profile", "cdc_cached_read", "cdc_merge_dlq",
-    # ---- r9 WINDOW PLAN: 13 core + the next 37 never-verified
+    # ---- r9 WINDOW PLAN (51-87): 13 core + the next 37 never-verified
     "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
     "events_percentile_check", "boilerplate_strip", "corpus_weighted_sample",
     "pii_k_anonymity", "embedding_pq_topk", "pq_recall_eval",
@@ -100,14 +84,11 @@ _PRIORITY = [
     "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
     "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
     "dup_ratio_by_source",
-    # ---- r10 WINDOW PLAN: 13 core + the last 11 never-verified + the
-    # 26 stalest r4-green — backlog arithmetic (written per verdict task
-    # 1): 116 never-verified after the 2 r7 additions; r7 drains 37, r8
-    # 31 (6 slots fund the §2 flank re-verification), r9 37, r10 11 →
-    # every entry has a driver row by r10, and the §2 flank never ages
-    # past 3 rounds. 114/37 ≈ 3.1 rounds was already > r9 before task
-    # 2's flank slots; the schedule spends the slack on §2 staleness
-    # first, never-verified second — the verdict's own priority order.
+    # ---- r10 WINDOW PLAN (88-98): 13 core + the last 11 never-verified
+    # + the 26 stalest r4-green — backlog arithmetic: 116 never-verified
+    # at r7 open; r7 drained 37, r8 drains 31 (6 slots fund the §2 flank
+    # re-verification), r9 37, r10 11 → every entry has a driver row by
+    # r10, and the §2 flank never ages past 3 rounds.
     "quality_calibration", "text_zipf_fit", "session_window_overlap",
     "dedup_substring_spans", "orc_events_ingest", "incremental_dedup_batch",
     "stream_dedup_index", "decontamination_spans", "dedup_soft_weights",
@@ -150,6 +131,21 @@ _PRIORITY = [
     "events_gapfill", "events_pagerank", "bloom_join_prune",
     "cdc_maxwell_ingest", "cdc_scd2_asof", "stream_scd2_history",
     "events_value_histogram", "cdc_range_export", "events_moving_avg",
+    # ---- r7-green cohort (driver-verified in CORRECTNESS_r07; freshest
+    # greens wait longest in the staleness rotation)
+    "cdc_merge_dv", "dedup_substring_bpe", "incremental_ivf_batch",
+    "events_scd2_join", "table_reconcile", "snapshot_reconcile",
+    "dq_expectations", "volume_shipping", "product_type_profit",
+    "returned_item_report", "customer_order_histogram",
+    "supplier_part_variety", "exclusive_open_supplier", "events_funnel",
+    "events_transitions", "events_outliers", "cdc_canal_ingest",
+    "cdc_change_feed", "supplier_triangles", "part_skyline",
+    "events_grouping_sets", "stream_scd2_enrich", "jsonl_documents_ingest",
+    "csv_documents_ingest", "events_retention_cohorts", "asof_next_error",
+    "unshipped_priority", "forecast_revenue", "important_parts",
+    "order_window_suite", "cdc_txn_audit", "stream_txn_merge",
+    "lsh_recall_eval", "events_intervals_merged", "doc_global_ids",
+    "cdc_tagged_read", "cdc_merge_patch",
 ]
 
 

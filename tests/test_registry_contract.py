@@ -18,12 +18,13 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
 
 
-def test_r7_driver_window_is_pinned():
-    """The first 50 registry entries ARE the r7 correctness window the
+def test_r8_driver_window_is_pinned():
+    """The first 50 registry entries ARE the r8 correctness window the
     rotation-by-staleness plan schedules — an accidental reorder (e.g.
     inserting a new query mid-list) would silently swap what the driver
-    verifies. r7 = 13 pinned core + 37 FIRST-TIME rows (cdc_merge_dv,
-    the two r7-new queries, then the 34 oldest never-verified)."""
+    verifies. r8 (per the r7 verdict, task 1) = 13 pinned core + the 6
+    aging §2 flank rows (all last driver-green r4) + the next 31
+    never-driver-verified."""
     window = list(entrymod.queries())[:50]
     # 13 pinned §2 core entries lead
     assert window[:13] == [
@@ -33,38 +34,45 @@ def test_r7_driver_window_is_pinned():
         "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
         "cdc_job_log",
     ]
-    # slots 14-16: verdict-mandated picks (task 7 DV sink; tasks 3/5 new)
-    assert window[13:16] == [
-        "cdc_merge_dv", "dedup_substring_bpe", "incremental_ivf_batch",
-    ]
-    # slots 17-50: the 34 oldest never-driver-verified (r6-late cohort)
-    assert window[16:50] == [
-        "events_scd2_join", "table_reconcile", "snapshot_reconcile",
-        "dq_expectations", "volume_shipping", "product_type_profit",
-        "returned_item_report", "customer_order_histogram",
-        "supplier_part_variety", "exclusive_open_supplier", "events_funnel",
-        "events_transitions", "events_outliers", "cdc_canal_ingest",
-        "cdc_change_feed", "supplier_triangles", "part_skyline",
-        "events_grouping_sets", "stream_scd2_enrich",
-        "jsonl_documents_ingest", "csv_documents_ingest",
-        "events_retention_cohorts", "asof_next_error", "unshipped_priority",
-        "forecast_revenue", "important_parts", "order_window_suite",
-        "cdc_txn_audit", "stream_txn_merge", "lsh_recall_eval",
-        "events_intervals_merged", "doc_global_ids", "cdc_tagged_read",
-        "cdc_merge_patch",
-    ]
-    assert len(window) == len(set(window)) == 50
-
-
-def test_r8_flank_rotation_is_queued():
-    """Verdict task 2: the six aging §2-adjacent flank rows (last
-    driver-green r4) must head the r8 window plan — positions 51-56."""
-    tail = list(entrymod.queries())[50:56]
-    assert tail == [
+    # slots 14-19: the 6 aging §2-adjacent flank rows (r4-green; verdict
+    # requirement that every §2 row is driver-green within r5..r8)
+    assert window[13:19] == [
         "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
         "stream_merge_state", "cdc_dedup_latest_salted",
         "cdc_date_partitioned_read", "stream_user_totals",
     ]
+    # slots 20-50: the next 31 never-driver-verified (backlog 79 -> 48)
+    assert window[19:50] == [
+        "cdc_merge_soft_delete", "multimodal_packing",
+        "events_growth_accounting", "events_bag_set_ops",
+        "scalar_function_matrix", "stream_late_data_drop", "text_normalize",
+        "langid_confusion", "corpus_dedup_funnel", "cdc_retention_sweep",
+        "stream_outer_attribution", "events_hll_check",
+        "events_hourly_profile", "cdc_metadata_count", "array_function_suite",
+        "cdc_merge_wap", "stream_topk_per_type", "events_unpivot",
+        "map_function_suite", "events_mad", "events_bfs_reach",
+        "events_time_weighted", "basket_pair_lift", "kmv_set_ops",
+        "feature_hashing", "cdc_multi_txn", "window_nav_suite",
+        "revenue_share", "corpus_profile", "cdc_cached_read", "cdc_merge_dlq",
+    ]
+    assert len(window) == len(set(window)) == 50
+
+
+def test_r9_window_is_queued():
+    """The r9 window plan (next 37 never-verified) must head positions
+    51+ so the drain schedule keeps walking mechanically."""
+    tail = list(entrymod.queries())[50:56]
+    assert tail == [
+        "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
+        "events_percentile_check", "boilerplate_strip",
+        "corpus_weighted_sample",
+    ]
+
+
+def test_registry_frozen_at_240():
+    """r7 verdict task 7: the registry stays frozen at 240 entries until
+    the never-driver-verified backlog is drained (scheduled r10)."""
+    assert len(entrymod.queries()) == 240
 
 
 def test_coverage_doc_names_only_real_queries():
