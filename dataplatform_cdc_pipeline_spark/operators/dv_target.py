@@ -220,12 +220,12 @@ class DvMergeTarget(ParquetMergeTarget):
             if stats["records_inserted"]:
                 upserts = changes.filter(F.col("__op") != "d")
                 # window stats come from the FULL-set _batch_stats above;
-                # the sub-merge's are a projection of the same columns
-                self.validate_staged = None  # already validated, full view
-                try:
-                    super().merge(upserts)
-                finally:
-                    self.validate_staged = guard
+                # the sub-merge's are a projection of the same columns.
+                # Validation already ran on the full masked view; suppress
+                # the base class's per-leg guard THROUGH the call (not by
+                # mutating self.validate_staged, which a concurrent merge
+                # on this instance could observe or clobber)
+                super().merge(upserts, _skip_validation=True)
                 up_buckets = [
                     r[BUCKET_COL]
                     for r in s.filter(F.col("__op") != "d")

@@ -323,8 +323,17 @@ class ParquetMergeTarget(MergeTarget):
 
     # -- the merge -----------------------------------------------------------
 
-    def merge(self, changes: DataFrame) -> dict[str, int]:
+    def merge(
+        self, changes: DataFrame, *, _skip_validation: bool = False
+    ) -> dict[str, int]:
         """Apply a deduped change set (one row per PK + ``__op``) atomically.
+
+        ``_skip_validation`` is a per-call seam for sinks that already ran
+        ``validate_staged`` on a MORE complete view of the batch (the DV
+        sink validates the full post-batch masked state up front, then
+        delegates the upsert leg here) — threaded through the call rather
+        than mutated on the instance, so a concurrent merge on the same
+        target never sees its guard clobbered.
 
         Semantics (reference fidelity by default):
         - ``__op != 'd'`` → WHEN MATCHED UPDATE all cols / WHEN NOT MATCHED
@@ -376,7 +385,7 @@ class ParquetMergeTarget(MergeTarget):
                 merged = merged.withColumn(
                     PDATE_COL, F.to_date(F.col(self.cfg.partition_field))
                 )
-            if self.validate_staged is not None:
+            if not _skip_validation and self.validate_staged is not None:
                 # write-audit-publish: validate the post-merge state of
                 # the affected buckets BEFORE anything commits
                 self.validate_staged(merged)

@@ -70,14 +70,26 @@ class MultiTableTxn:
         inode (a racing recover() hard-linked the staged file itself) or
         byte-identical content (KB-sized JSON; a full compare is cheap
         and immune to key-order/mtime differences a field compare could
-        miss)."""
+        miss).
+
+        A staged manifest that has VANISHED means a racing finalize
+        already published this transaction's manifest and then unlinked
+        the staged name — the idempotent same-content case, so report
+        "same" rather than tearing. Any other OSError (permissions,
+        transient IO, a vanished FINAL — manifests are immutable once
+        published) propagates: an unreadable file is not evidence of a
+        torn commit and must not be diagnosed as one."""
         try:
             if os.path.samefile(staged, final):
                 return True
-            with open(staged, "rb") as a, open(final, "rb") as b:
-                return a.read() == b.read()
-        except OSError:
-            return False
+            with open(staged, "rb") as a:
+                staged_bytes = a.read()
+        except FileNotFoundError:
+            if not os.path.exists(staged):
+                return True  # racing finalize published + dropped staged
+            raise  # the FINAL vanished — surface the anomaly, don't tear
+        with open(final, "rb") as b:
+            return staged_bytes == b.read()
 
     def __init__(self, path: str):
         self.path = path

@@ -268,6 +268,39 @@ def test_guard_sees_full_post_batch_state_not_per_leg(spark):
     assert target.validate_staged is not None  # guard restored after leg
 
 
+def test_guard_not_mutated_during_upsert_leg(spark, monkeypatch):
+    """ADVICE r7: suppressing the per-leg validation must be threaded
+    through the super().merge CALL, not by nulling self.validate_staged
+    around it — a concurrent merge (or a guard raising in another
+    thread) on the same instance would otherwise run unguarded or have
+    its guard clobbered by the finally-restore. Asserted at the deepest
+    point of the upsert sub-merge: the instance attribute still holds
+    the installed guard when the leg commits."""
+    from dataplatform_cdc_pipeline_spark.operators.dq import (
+        InRange,
+        expectations_guard,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        ParquetMergeTarget,
+    )
+
+    target = _one_bucket_target(spark)
+    guard = expectations_guard([InRange("value", 0.0, 4.0)])
+    target.validate_staged = guard
+
+    real_commit = ParquetMergeTarget._commit
+    seen = []
+
+    def spying_commit(self, *a, **k):
+        seen.append(self.validate_staged)
+        return real_commit(self, *a, **k)
+
+    monkeypatch.setattr(ParquetMergeTarget, "_commit", spying_commit)
+    target.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("d", 9, 0.0, 0, 2)]))
+    assert seen and all(g is guard for g in seen)
+    assert target.validate_staged is guard
+
+
 def test_dv_fold_policy(spark, target):
     """auto_fold_max pins the fold-on-threshold heuristic: delete batches
     below the cap accumulate tombstones (merge-on-read economics hold);

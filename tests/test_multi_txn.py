@@ -283,6 +283,90 @@ def test_independent_commit_between_prepare_and_finalize_is_torn(
     # (covered by test_crash_between_decide_and_finalize_recovers)
 
 
+def test_racing_finalize_that_drops_staged_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """A racing finalize/recover can link the final manifest AND unlink
+    the staged one between this finalize's exists-check and its link
+    call. The loser's FileExistsError handler then compares a VANISHED
+    staged file — which must read as 'the racing finalize already
+    published this transaction's manifest' (idempotent pass), not as a
+    spurious TornCommitError (the pre-fix behavior: _same_manifest
+    mapped the FileNotFoundError to False)."""
+    import os
+
+    ta, tb, txn = make_pair(spark, tmp_path)
+
+    def crash(meta):
+        raise RuntimeError("simulated crash after decide")
+
+    monkeypatch.setattr(txn, "_finalize", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit(
+            [
+                (ta, lambda: ta.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))),
+                (tb, lambda: tb.merge(changes(spark, [("c", 9, 9.0, 0, 1)]))),
+            ]
+        )
+    monkeypatch.undo()
+
+    real_link = os.link
+
+    def racing_link(src, dst, *a, **k):
+        # the "other" recover wins: publishes the manifest, drops the
+        # staged name, and this process's link observes File exists
+        real_link(src, dst, *a, **k)
+        os.unlink(src)
+        raise FileExistsError(17, "File exists", dst)
+
+    monkeypatch.setattr(
+        "dataplatform_cdc_pipeline_spark.operators.multi_txn.os.link",
+        racing_link,
+    )
+    fresh = MultiTableTxn(txn.path)
+    fresh.recover()  # must NOT raise TornCommitError
+    monkeypatch.undo()
+    assert state(ta) == [(1, 1.0)] and state(tb) == [(9, 9.0)]
+    assert MultiTableTxn(txn.path).recover() == 0
+
+
+def test_same_manifest_io_error_is_not_a_torn_commit(tmp_path, monkeypatch):
+    """_same_manifest must not conflate 'cannot read the file' with
+    'different content': a transient IO error propagates (the caller
+    retries / surfaces an IO failure), a vanished STAGED file is the
+    idempotent racing-finalize pass, and a vanished FINAL (manifests are
+    immutable once published) surfaces as the anomaly it is."""
+    staged = tmp_path / "staged.json"
+    final = tmp_path / "final.json"
+    staged.write_text('{"v": 1}')
+    final.write_text('{"v": 1}')
+    assert MultiTableTxn._same_manifest(str(staged), str(final)) is True
+    final.write_text('{"v": 2}')
+    assert MultiTableTxn._same_manifest(str(staged), str(final)) is False
+
+    # transient IO error (not ENOENT) propagates instead of reading False
+    def denied(a, b):
+        raise PermissionError(13, "Permission denied")
+
+    monkeypatch.setattr(
+        "dataplatform_cdc_pipeline_spark.operators.multi_txn.os.path.samefile",
+        denied,
+    )
+    with pytest.raises(PermissionError):
+        MultiTableTxn._same_manifest(str(staged), str(final))
+    monkeypatch.undo()
+
+    # vanished staged == racing finalize already published: same
+    staged.unlink()
+    assert MultiTableTxn._same_manifest(str(staged), str(final)) is True
+
+    # vanished FINAL with staged present: an anomaly, not a quiet verdict
+    staged.write_text('{"v": 1}')
+    final.unlink()
+    with pytest.raises(FileNotFoundError):
+        MultiTableTxn._same_manifest(str(staged), str(final))
+
+
 def test_refinalize_same_content_still_passes(spark, tmp_path):
     """recover() over an already-finalized log re-runs finalize for every
     txn; the existing manifests are the SAME content (often the same
