@@ -867,13 +867,20 @@ def q_cdc_merge_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__pos").alias("pos"),
             F.lit("c").alias("__op"),
         )
-        txn.commit(
-            [
-                (ta, lambda c=ca: ta.merge(c)),
-                (tq, lambda c=cq: tq.merge(c)),
-            ]
-        )
-        bench_phases.mark("txn_window")  # accumulates per window
+        # sub-phase split (r7 verdict task 3): is the 2-window lifecycle
+        # cost the MERGES or the txn machinery? Each thunk closes its own
+        # span, so "txn_decide_finalize" is left holding only the
+        # coordinator's manifest staging + decide CAS + finalize links.
+        def _merge_state(c=ca):
+            ta.merge(c)
+            bench_phases.mark("merge_state")  # accumulates per window
+
+        def _merge_dlq(c=cq):
+            tq.merge(c)
+            bench_phases.mark("merge_dlq")  # accumulates per window
+
+        txn.commit([(ta, _merge_state), (tq, _merge_dlq)])
+        bench_phases.mark("txn_decide_finalize")  # accumulates per window
     state_rows = ta.read().select(
         F.lit("state").alias("tbl"),
         F.col("user_id").cast("string").alias("key"),
