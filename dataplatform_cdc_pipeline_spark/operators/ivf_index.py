@@ -281,6 +281,64 @@ class IncrementalIvfIndex:
             .select("query_id", "rk", "nbr_id", "nbr_batch", "score")
         )
 
+    # -- refit lifecycle ---------------------------------------------------------
+
+    def needs_refit(
+        self, embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> bool:
+        """True when the incoming batch exceeds the frozen per-dimension
+        range on ANY dimension — encoding it would produce |codes| > 127
+        (the unclamped out-of-range honesty documented on the module).
+        The standard consumer of :meth:`scale_drift`: check before
+        ``add_batch`` and schedule a :meth:`refit` when it fires."""
+        return bool(
+            self.scale_drift(embeddings, id_col, vec_col)
+            .filter(F.col("drift_ratio") > 1.0)
+            .limit(1)
+            .count()
+        )
+
+    def refit(
+        self,
+        batch_id: str,
+        corpus: DataFrame,
+        cell_col: str = "label",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Rebuild the frozen artifacts from the accumulated corpus and
+        re-encode every row — the escape hatch when drift accumulates,
+        same lifecycle as compaction: a full rewrite, not an increment.
+
+        The caller supplies the accumulated corpus with fresh coarse
+        labels (the index stores CODES, not vectors — the raw embedding
+        table is the system of record, exactly the FAISS-rebuild /
+        Milvus-segment-compaction contract). The rebuild stages a
+        complete sibling index, then swaps directories: a crash before
+        the first rename leaves the old index fully live; between the
+        two renames the index path is briefly absent (re-running refit
+        reconverges) — the same rewrite-then-swap posture as compact().
+
+        100 TB shape: one bootstrap-equivalent pass over the corpus
+        (centroid agg + scales agg + one assign/encode write) — O(corpus)
+        by necessity, which is WHY increments freeze the artifacts and
+        this runs only when :meth:`needs_refit` fires."""
+        import shutil
+        import uuid
+
+        if not os.path.isdir(self.centroids_path):
+            raise ValueError(
+                f"index at {self.path} is not bootstrapped; use bootstrap()"
+            )
+        token = uuid.uuid4().hex[:8]
+        staged = f"{self.path}.refit-{token}"
+        fresh = IncrementalIvfIndex(self.spark, staged)
+        fresh.bootstrap(batch_id, corpus, cell_col, id_col, vec_col)
+        old = f"{self.path}.pre-refit-{token}"
+        os.rename(self.path, old)
+        os.rename(staged, self.path)
+        shutil.rmtree(old)
+
     # -- drift monitoring -------------------------------------------------------
 
     def scale_drift(

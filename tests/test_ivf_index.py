@@ -126,6 +126,66 @@ def test_rebootstrap_refused_and_unbootstrapped_fails_loud(spark, emb):
         idx.bootstrap("again", base)
 
 
+def test_drift_triggers_refit_and_probe_matches_from_scratch(spark, emb):
+    """r7 verdict task 4 — the refit signal gets a consumer. A drifted
+    batch (3× the bootstrap coordinate range) makes needs_refit fire and,
+    if added anyway, produces the documented unclamped |codes| > 127.
+    refit() rebuilds centroids/scales from the accumulated corpus and
+    re-encodes: post-refit codes are back in SQ8 range, needs_refit
+    clears, and probes are BIT-EXACT against a from-scratch ivf_sq8_topk
+    fed the refitted artifacts."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import ivf_sq8_topk
+
+    base, b1, _ = _splits(emb)
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfix_") + "/ix")
+    idx.bootstrap("base", base)
+    drifted = b1.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+        "label",
+    ).localCheckpoint(eager=True)
+    assert idx.needs_refit(drifted)
+    assert not idx.needs_refit(base)
+    idx.add_batch("b1", drifted)  # unclamped honesty: out-of-range codes
+    max_code = idx.index_rows().select(
+        F.max(F.array_max(F.transform("codes", F.abs))).alias("m")
+    ).first()["m"]
+    assert max_code > 127
+
+    corpus = base.unionByName(drifted)
+    idx.refit("refit1", corpus)
+    assert not idx.needs_refit(drifted)
+    max_code = idx.index_rows().select(
+        F.max(F.array_max(F.transform("codes", F.abs))).alias("m")
+    ).first()["m"]
+    assert max_code <= 127
+    assert {r["batch"] for r in idx.index_rows().select("batch").distinct().collect()} == {"refit1"}
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = _key(idx.probe(queries, k=5, nprobe=2).collect())
+    assigned = corpus.join(idx.assign_cells(corpus), "vec_id").drop("label")
+    want = _key(
+        ivf_sq8_topk(
+            assigned,
+            queries,
+            k=5,
+            cell_col="cell",
+            nprobe=2,
+            scales=idx.scales(),
+            centroids=idx.centroids(),
+        ).collect()
+    )
+    assert got == want and len(got) == 25
+    # the drifted rows are reachable through the refitted index
+    assert any(r[2] % 10 == 3 for r in got)
+
+
+def test_refit_requires_bootstrap(spark, emb):
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfix_") + "/ix")
+    with pytest.raises(ValueError, match="not bootstrapped"):
+        idx.refit("r", emb)
+
+
 def test_scale_drift_flags_out_of_range_batch(spark, emb):
     base, _, _ = _splits(emb)
     idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfix_") + "/ix")
