@@ -856,7 +856,12 @@ def q_cdc_merge_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn = MultiTableTxn(f"{tmp}/txn")
     split = datetime.datetime(2024, 1, 15)
     for lo, hi in [(None, split), (split, None)]:
+        # both tables' merges cache their own change sets, and each cache
+        # materialization re-evaluates the upstream envelope (events scan
+        # + poison + synthesize + window filter). Cache the window ONCE so
+        # the state leg and the DLQ leg share a single upstream pass.
         w = window_scan(raw, cfg, lo, hi)
+        w.cache()
         clean, quarantined = quarantine_split(w, USER_STATE_SCHEMA, cfg)
         ca = build_changes(clean, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
         cq = quarantined.select(
@@ -880,6 +885,7 @@ def q_cdc_merge_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
             bench_phases.mark("merge_dlq")  # accumulates per window
 
         txn.commit([(ta, _merge_state), (tq, _merge_dlq)])
+        w.unpersist()
         bench_phases.mark("txn_decide_finalize")  # accumulates per window
     state_rows = ta.read().select(
         F.lit("state").alias("tbl"),

@@ -2173,6 +2173,7 @@ def q_incremental_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen artifacts (pinned in tests/test_ivf_index.py)."""
     import tempfile
 
+    from dataplatform_cdc_pipeline_spark import bench_phases
     from dataplatform_cdc_pipeline_spark.operators.ivf_index import (
         IncrementalIvfIndex,
     )
@@ -2184,19 +2185,24 @@ def q_incremental_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivf_ix_q_") + "/ix")
     idx.bootstrap("base", base)
+    bench_phases.mark("bootstrap")
     p1 = (
         idx.probe(queries, k=5, nprobe=2)
         .withColumn("phase", F.lit(1))
         .localCheckpoint(eager=True)
     )
+    bench_phases.mark("probe")
     idx.add_batch("b1", b1)
     idx.add_batch("b1", b1)  # replay — rewrites exactly its own partitions
+    bench_phases.mark("delta_adds")  # accumulates (b1 + replay, then b2)
     p2 = (
         idx.probe(queries, k=5, nprobe=2)
         .withColumn("phase", F.lit(2))
         .localCheckpoint(eager=True)
     )
+    bench_phases.mark("probe")
     idx.add_batch("b2", b2)
+    bench_phases.mark("delta_adds")
     p3 = idx.probe(queries, k=5, nprobe=2).withColumn("phase", F.lit(3))
     return (
         p1.unionByName(p2)
