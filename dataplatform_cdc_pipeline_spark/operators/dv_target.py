@@ -218,7 +218,11 @@ class DvMergeTarget(ParquetMergeTarget):
                 )
                 guard(staged)  # raises → nothing has committed
             if stats["records_inserted"]:
-                upserts = changes.filter(F.col("__op") != "d")
+                # derive the upsert leg from the CACHED bucketed frame,
+                # not the raw `changes` arg — the sub-merge's own cache
+                # materialization would otherwise re-evaluate the whole
+                # upstream change pipeline a second time
+                upserts = s.filter(F.col("__op") != "d").drop(BUCKET_COL)
                 # window stats come from the FULL-set _batch_stats above;
                 # the sub-merge's are a projection of the same columns.
                 # Validation already ran on the full masked view; suppress

@@ -459,6 +459,9 @@ def q_cdc_multi_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn = MultiTableTxn(f"{tmp}/txn")
     split = datetime.datetime(2024, 1, 15)
     for lo, hi in [(None, split), (split, None)]:
+        # NOTE: unlike cdc_merge_dlq (two heavy legs), caching `w` here
+        # measured neutral-at-best — leg B's second evaluation is a cheap
+        # column-pruned scan + agg, about the cost of the cache write
         w = window_scan(raw, cfg_a, lo, hi)
         changes_a = build_changes(w, USER_STATE_SCHEMA, cfg_a, deterministic_audit=True)
         delta = (
