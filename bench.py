@@ -400,10 +400,22 @@ def main() -> None:
 
     names: list[str] = list(samples[0]["queries"])
     # per-run canary factor: >1 means this process ran on a slower box
-    # than the _CANARY_REF reference session
+    # than the _CANARY_REF reference session. A run whose pre/post canary
+    # samples disagree by >2x had the box change speed MID-RUN — one
+    # factor cannot rescale its queries (measured r8: 1.19 -> 55.9 within
+    # one process), so unstable runs are excluded from the normalized
+    # series (raw medians keep all runs). If no run is stable, fall back
+    # to all runs rather than emitting an empty comparator.
+    def _stable(s) -> bool:
+        cs = s.get("canary_samples") or []
+        return len(cs) == 2 and min(cs) > 0 and max(cs) / min(cs) <= 2.0
+
+    stable_flags = [_stable(s) for s in samples]
+    if not any(stable_flags):
+        stable_flags = [True] * len(samples)
     factors = [
-        (s.get("canary") / _CANARY_REF) if s.get("canary") else None
-        for s in samples
+        (s.get("canary") / _CANARY_REF) if s.get("canary") and ok else None
+        for s, ok in zip(samples, stable_flags)
     ]
     queries_med: dict[str, float] = {}
     queries_norm: dict[str, float] = {}
@@ -455,6 +467,9 @@ def main() -> None:
         ),
         "canary": [s.get("canary") for s in samples],
         "canary_samples": [s.get("canary_samples") for s in samples],
+        # which runs' pre/post canaries agreed (<=2x) and so fed
+        # queries_norm; raw "queries" medians always use every run
+        "canary_stable_runs": stable_flags,
         "canary_ref": _CANARY_REF,
         "runs": len(samples),
         "sf": sf,
