@@ -411,11 +411,10 @@ def main() -> None:
         return len(cs) == 2 and min(cs) > 0 and max(cs) / min(cs) <= 2.0
 
     stable_flags = [_stable(s) for s in samples]
-    if not any(stable_flags):
-        stable_flags = [True] * len(samples)
+    norm_flags = stable_flags if any(stable_flags) else [True] * len(samples)
     factors = [
         (s.get("canary") / _CANARY_REF) if s.get("canary") and ok else None
-        for s, ok in zip(samples, stable_flags)
+        for s, ok in zip(samples, norm_flags)
     ]
     queries_med: dict[str, float] = {}
     queries_norm: dict[str, float] = {}
@@ -467,9 +466,12 @@ def main() -> None:
         ),
         "canary": [s.get("canary") for s in samples],
         "canary_samples": [s.get("canary_samples") for s in samples],
-        # which runs' pre/post canaries agreed (<=2x) and so fed
-        # queries_norm; raw "queries" medians always use every run
+        # which runs' pre/post canaries agreed (<=2x); only those feed
+        # queries_norm, UNLESS none did (then all runs feed it best-effort
+        # and canary_all_unstable flags the series as unreliable). Raw
+        # "queries" medians always use every run.
         "canary_stable_runs": stable_flags,
+        "canary_all_unstable": not any(stable_flags),
         "canary_ref": _CANARY_REF,
         "runs": len(samples),
         "sf": sf,
