@@ -36,41 +36,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #:
 #: Rotation-by-staleness invariant (in force since r7): every window =
 #: 13 pinned §2 core + 37 slots filled oldest-first from
-#: (never-driver-verified first, then stalest-green), with the r6
-#: verdict's named exceptions scheduled explicitly in the list below:
-#: the full r7/r8/r9/r10 windows are laid out IN ORDER with their
-#: arithmetic in inline comments, so the driver's 50-entry reads walk the
-#: plan mechanically round by round. The CONTINUOUS gate for everything
+#: (never-driver-verified first, then stalest-green). The r9 window and
+#: the full r10 window plan are laid out IN ORDER with their arithmetic
+#: in inline comments, so the driver's 50-entry reads walk the plan
+#: mechanically round by round. The CONTINUOUS gate for everything
 #: outside the current window remains the local full sweeps
 #: (scripts/check_parity.py + scripts/driver_sim.py over ALL entries,
 #: run every session).
 _PRIORITY = [
-    # ---- r8 WINDOW (the driver checks the first 50 entries) -------------
+    # ---- r9 WINDOW (the driver checks the first 50 entries) -------------
     # 1-13: §2 CDC core — pinned every round
     "cdc_window_scan", "cdc_dedup_latest", "cdc_cast_projection",
     "cdc_delete_survivorship", "cdc_merge_full", "cdc_merge_incremental",
     "cdc_merge_multi_pk", "cdc_merge_op_u", "cdc_merge_late_replay",
     "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
     "cdc_job_log",
-    # 14-19: the 6 aging §2-adjacent flank rows (all last driver-green
-    # r4 — r6 verdict task 2 / r7 verdict task 1: every §2 row
-    # driver-green within r5..r8)
-    "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
-    "stream_merge_state", "cdc_dedup_latest_salted",
-    "cdc_date_partitioned_read", "stream_user_totals",
-    # 20-50: the next 31 never-driver-verified entries (backlog head,
-    # oldest-first; drains the never-verified count 79 -> 48)
-    "cdc_merge_soft_delete", "multimodal_packing", "events_growth_accounting",
-    "events_bag_set_ops", "scalar_function_matrix", "stream_late_data_drop",
-    "text_normalize", "langid_confusion", "corpus_dedup_funnel",
-    "cdc_retention_sweep", "stream_outer_attribution", "events_hll_check",
-    "events_hourly_profile", "cdc_metadata_count", "array_function_suite",
-    "cdc_merge_wap", "stream_topk_per_type", "events_unpivot",
-    "map_function_suite", "events_mad", "events_bfs_reach",
-    "events_time_weighted", "basket_pair_lift", "kmv_set_ops",
-    "feature_hashing", "cdc_multi_txn", "window_nav_suite", "revenue_share",
-    "corpus_profile", "cdc_cached_read", "cdc_merge_dlq",
-    # ---- r9 WINDOW PLAN (51-87): 13 core + the next 37 never-verified
+    # 14-50: the next 37 never-driver-verified entries (backlog head,
+    # oldest-first; drains the never-verified count 48 -> 11) — exactly
+    # the cohort the r8 mid-round sweep pre-verified 37/37 and the r8
+    # verdict (task 1) ordered executed verbatim.
     "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
     "events_percentile_check", "boilerplate_strip", "corpus_weighted_sample",
     "pii_k_anonymity", "embedding_pq_topk", "pq_recall_eval",
@@ -84,19 +68,17 @@ _PRIORITY = [
     "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
     "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
     "dup_ratio_by_source",
-    # ---- r10 WINDOW PLAN (88-98): 13 core + the last 11 never-verified
-    # + the 26 stalest r4-green — backlog arithmetic: 116 never-verified
-    # at r7 open; r7 drained 37, r8 drains 31 (6 slots fund the §2 flank
+    # ---- r10 WINDOW PLAN (51-87): 13 core + the last 11 never-verified
+    # + the 26 stalest r4-green (r8 verdict task 7: enumerated below and
+    # pinned by contract test) — backlog arithmetic: 116 never-verified
+    # at r7 open; r7 drained 37, r8 31 (6 slots funded the §2 flank
     # re-verification), r9 37, r10 11 → every entry has a driver row by
     # r10, and the §2 flank never ages past 3 rounds.
     "quality_calibration", "text_zipf_fit", "session_window_overlap",
     "dedup_substring_spans", "orc_events_ingest", "incremental_dedup_batch",
     "stream_dedup_index", "decontamination_spans", "dedup_soft_weights",
     "stream_dv_merge", "substring_dup_profile",
-    # ---- rotation cohorts: r4-green leftovers, then r5-green, then
-    # r6-green (freshest waits longest); all entries remain CONTINUOUSLY
-    # gated by the local full sweeps (scripts/check_parity.py +
-    # scripts/driver_sim.py over ALL entries, run every session)
+    # the 26 stalest r4-green rotation names (r10 slots 25-50)
     "embedding_ann_lsh", "multimodal_features", "quality_funnel",
     "pii_redaction", "corpus_split", "token_counts", "text_stats",
     "contamination_check", "corpus_sample", "revenue_by_nation",
@@ -105,7 +87,13 @@ _PRIORITY = [
     "domain_mix_apply", "ngram_top_bigrams", "vocab_df_stats",
     "cross_corpus_dedup", "shipping_priority_mix", "promo_revenue",
     "large_volume_customer", "discounted_revenue", "sales_opportunity",
-    "dedup_keep_best", "doc_chunks", "bm25_search", "unigram_perplexity",
+    "dedup_keep_best",
+    # ---- rotation cohorts: r4-green leftovers, then r5-green, then
+    # r6-green, then r7-green, then r8-green (freshest waits longest);
+    # all entries remain CONTINUOUSLY gated by the local full sweeps
+    # (scripts/check_parity.py + scripts/driver_sim.py over ALL entries,
+    # run every session)
+    "doc_chunks", "bm25_search", "unigram_perplexity",
     "ann_recall_eval", "cdc_ivm_type_counts",
     "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
     "dedup_minhash_lsh", "embedding_near_dup", "text_quality", "training_mix",
@@ -146,6 +134,22 @@ _PRIORITY = [
     "order_window_suite", "cdc_txn_audit", "stream_txn_merge",
     "lsh_recall_eval", "events_intervals_merged", "doc_global_ids",
     "cdc_tagged_read", "cdc_merge_patch",
+    # ---- r8-green cohort (driver-verified in CORRECTNESS_r08: the 6 §2
+    # flank rows re-greened + the 31 backlog names drained that round;
+    # freshest greens wait longest in the staleness rotation)
+    "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
+    "stream_merge_state", "cdc_dedup_latest_salted",
+    "cdc_date_partitioned_read", "stream_user_totals",
+    "cdc_merge_soft_delete", "multimodal_packing", "events_growth_accounting",
+    "events_bag_set_ops", "scalar_function_matrix", "stream_late_data_drop",
+    "text_normalize", "langid_confusion", "corpus_dedup_funnel",
+    "cdc_retention_sweep", "stream_outer_attribution", "events_hll_check",
+    "events_hourly_profile", "cdc_metadata_count", "array_function_suite",
+    "cdc_merge_wap", "stream_topk_per_type", "events_unpivot",
+    "map_function_suite", "events_mad", "events_bfs_reach",
+    "events_time_weighted", "basket_pair_lift", "kmv_set_ops",
+    "feature_hashing", "cdc_multi_txn", "window_nav_suite", "revenue_share",
+    "corpus_profile", "cdc_cached_read", "cdc_merge_dlq",
 ]
 
 

@@ -192,6 +192,17 @@ _LINE_BUDGET = 1800
 _CANARY_REF = 2.0
 
 
+def _canary_stable(sample: dict) -> bool:
+    """A run whose pre/post canary samples disagree by >2x had the box
+    change speed MID-RUN (measured r8: 1.28 s -> 137.8 s within one
+    process) — one factor cannot rescale its queries, so such a run must
+    not feed the normalized series. Shared by the multi-run and
+    single-run paths (ADVICE r8: the runs<=1 branch used to skip this
+    check and silently emit a mis-scaled queries_norm)."""
+    cs = sample.get("canary_samples") or []
+    return len(cs) == 2 and min(cs) > 0 and max(cs) / min(cs) <= 2.0
+
+
 def run_canary(spark) -> float:
     """Fixed synthetic workload: 20M-row SHA-256 map (CPU, codegen'd) +
     a 100k-key groupBy (one real shuffle) through the noop sink. One
@@ -365,11 +376,17 @@ def main() -> None:
         timings = result["queries"]
         total = round(sum(t for t in timings.values() if t >= 0), 3)
         factor = result["canary"] / _CANARY_REF if result.get("canary") else None
+        # same stability contract as the multi-run path: an unstable
+        # lone run still emits queries_norm best-effort (there is no
+        # other run to fall back to) but is flagged unreliable
+        stable = _canary_stable(result)
         _emit({
             "metric": "headline_queries_total", "value": total, "unit": "sec",
             "queries": timings, "warm": result["warm"], "runs": 1, "sf": sf,
             "canary": [result.get("canary")], "canary_ref": _CANARY_REF,
             "canary_samples": [result.get("canary_samples")],
+            "canary_stable_runs": [stable],
+            "canary_all_unstable": not stable,
             "setup_excluded_from_headline": sorted(
                 n for n, ph in result.get("phases", {}).items() if "setup" in ph
             ),
@@ -406,11 +423,7 @@ def main() -> None:
     # one process), so unstable runs are excluded from the normalized
     # series (raw medians keep all runs). If no run is stable, fall back
     # to all runs rather than emitting an empty comparator.
-    def _stable(s) -> bool:
-        cs = s.get("canary_samples") or []
-        return len(cs) == 2 and min(cs) > 0 and max(cs) / min(cs) <= 2.0
-
-    stable_flags = [_stable(s) for s in samples]
+    stable_flags = [_canary_stable(s) for s in samples]
     norm_flags = stable_flags if any(stable_flags) else [True] * len(samples)
     factors = [
         (s.get("canary") / _CANARY_REF) if s.get("canary") and ok else None

@@ -316,28 +316,50 @@ class IncrementalIvfIndex:
         Milvus-segment-compaction contract). The rebuild stages a
         complete sibling index, then swaps directories: a crash before
         the first rename leaves the old index fully live; between the
-        two renames the index path is briefly absent (re-running refit
-        reconverges) — the same rewrite-then-swap posture as compact().
+        two renames the index path is briefly absent — re-running refit
+        detects the leftover swap siblings, rebuilds from the supplied
+        corpus (the system of record), and reconverges — the same
+        rewrite-then-swap posture as compact(). A sibling staged by a
+        refit whose bootstrap failed is removed before the error
+        propagates, and any orphans from earlier crashed swaps are swept
+        once the new index is live.
 
         100 TB shape: one bootstrap-equivalent pass over the corpus
         (centroid agg + scales agg + one assign/encode write) — O(corpus)
         by necessity, which is WHY increments freeze the artifacts and
         this runs only when :meth:`needs_refit` fires."""
+        import glob
         import shutil
         import uuid
 
-        if not os.path.isdir(self.centroids_path):
+        swap_orphans = glob.glob(f"{self.path}.refit-*") + glob.glob(
+            f"{self.path}.pre-refit-*"
+        )
+        if not os.path.isdir(self.centroids_path) and not swap_orphans:
+            # absent index + no swap debris = never bootstrapped; a
+            # crashed swap instead leaves its siblings behind and is
+            # resumed below (ADVICE r8: this guard used to fire on the
+            # documented crash-between-renames recovery path too)
             raise ValueError(
                 f"index at {self.path} is not bootstrapped; use bootstrap()"
             )
         token = uuid.uuid4().hex[:8]
         staged = f"{self.path}.refit-{token}"
         fresh = IncrementalIvfIndex(self.spark, staged)
-        fresh.bootstrap(batch_id, corpus, cell_col, id_col, vec_col)
-        old = f"{self.path}.pre-refit-{token}"
-        os.rename(self.path, old)
+        try:
+            fresh.bootstrap(batch_id, corpus, cell_col, id_col, vec_col)
+        except BaseException:
+            # a failed rebuild must not orphan the staged sibling
+            # (ADVICE r8: new token per call, so leaks accumulated)
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
+        if os.path.isdir(self.path):
+            old = f"{self.path}.pre-refit-{token}"
+            os.rename(self.path, old)
+            swap_orphans.append(old)
         os.rename(staged, self.path)
-        shutil.rmtree(old)
+        for orphan in swap_orphans:
+            shutil.rmtree(orphan, ignore_errors=True)
 
     # -- drift monitoring -------------------------------------------------------
 

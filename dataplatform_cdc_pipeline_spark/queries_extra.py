@@ -865,30 +865,34 @@ def q_cdc_merge_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the state leg and the DLQ leg share a single upstream pass.
         w = window_scan(raw, cfg, lo, hi)
         w.cache()
-        clean, quarantined = quarantine_split(w, USER_STATE_SCHEMA, cfg)
-        ca = build_changes(clean, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
-        cq = quarantined.select(
-            F.col("__pos").alias("q_pos"),
-            F.concat_ws(",", "__qerrors").alias("qerror"),
-            "data",
-            F.lit(None).cast("timestamp").alias("source_ts_ns_order"),
-            F.col("__pos").alias("pos"),
-            F.lit("c").alias("__op"),
-        )
-        # sub-phase split (r7 verdict task 3): is the 2-window lifecycle
-        # cost the MERGES or the txn machinery? Each thunk closes its own
-        # span, so "txn_decide_finalize" is left holding only the
-        # coordinator's manifest staging + decide CAS + finalize links.
-        def _merge_state(c=ca):
-            ta.merge(c)
-            bench_phases.mark("merge_state")  # accumulates per window
+        try:
+            clean, quarantined = quarantine_split(w, USER_STATE_SCHEMA, cfg)
+            ca = build_changes(clean, USER_STATE_SCHEMA, cfg, deterministic_audit=True)
+            cq = quarantined.select(
+                F.col("__pos").alias("q_pos"),
+                F.concat_ws(",", "__qerrors").alias("qerror"),
+                "data",
+                F.lit(None).cast("timestamp").alias("source_ts_ns_order"),
+                F.col("__pos").alias("pos"),
+                F.lit("c").alias("__op"),
+            )
+            # sub-phase split (r7 verdict task 3): is the 2-window lifecycle
+            # cost the MERGES or the txn machinery? Each thunk closes its own
+            # span, so "txn_decide_finalize" is left holding only the
+            # coordinator's manifest staging + decide CAS + finalize links.
+            def _merge_state(c=ca):
+                ta.merge(c)
+                bench_phases.mark("merge_state")  # accumulates per window
 
-        def _merge_dlq(c=cq):
-            tq.merge(c)
-            bench_phases.mark("merge_dlq")  # accumulates per window
+            def _merge_dlq(c=cq):
+                tq.merge(c)
+                bench_phases.mark("merge_dlq")  # accumulates per window
 
-        txn.commit([(ta, _merge_state), (tq, _merge_dlq)])
-        w.unpersist()
+            txn.commit([(ta, _merge_state), (tq, _merge_dlq)])
+        finally:
+            # a failed merge/commit must not leak the cached frame for
+            # the rest of the bench/driver process (ADVICE r8)
+            w.unpersist()
         bench_phases.mark("txn_decide_finalize")  # accumulates per window
     state_rows = ta.read().select(
         F.lit("state").alias("tbl"),

@@ -96,6 +96,31 @@ def test_bench_canary_normalization_math():
     assert round(raw / (canary / bench._CANARY_REF), 3) == 5.0
 
 
+def test_canary_stable_shared_predicate():
+    """ADVICE r8: the single-run path must apply the SAME mid-run
+    stability check as the multi-run path — the predicate is one shared
+    function, and it flags >2x pre/post disagreement."""
+    assert bench._canary_stable({"canary_samples": [1.0, 1.9]})
+    assert not bench._canary_stable({"canary_samples": [1.28, 137.8]})  # measured r8
+    assert not bench._canary_stable({"canary_samples": [2.0]})
+    assert not bench._canary_stable({"canary_samples": None})
+    assert not bench._canary_stable({})
+    assert not bench._canary_stable({"canary_samples": [0.0, 1.0]})
+
+
+def test_single_run_branch_flags_unstable_canary():
+    """The runs<=1 emission carries canary_stable_runs/canary_all_unstable
+    exactly like the multi-run path (the r8 gap: a lone unstable run
+    silently produced a mis-scaled queries_norm)."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    single = src.split("if runs <= 1:")[1].split("# process-isolated")[0]
+    assert "_canary_stable(result)" in single
+    assert "canary_all_unstable" in single
+    assert "canary_stable_runs" in single
+
+
 def test_emit_carries_canary_and_normalized_total(tmp_path, monkeypatch):
     payload = {
         "metric": "headline_queries_total", "value": 10.0, "unit": "sec",

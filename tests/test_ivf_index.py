@@ -186,6 +186,54 @@ def test_refit_requires_bootstrap(spark, emb):
         idx.refit("r", emb)
 
 
+def test_refit_resumes_after_crash_between_renames(spark, emb):
+    """ADVICE r8: the documented crash-between-renames recovery must
+    actually run. Simulate the crash window (index path renamed away to
+    the pre-refit sibling, swap not finished): re-running refit() over
+    the corpus must reconverge — probes bit-equal a clean refit — and
+    sweep the swap debris."""
+    import shutil
+
+    base, b1, _ = _splits(emb)
+    root = tempfile.mkdtemp(prefix="ivfix_")
+    corpus = base.unionByName(b1)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    crashed = IncrementalIvfIndex(spark, root + "/ix")
+    crashed.bootstrap("base", base)
+    # crash window: first rename done, second never happened
+    os.rename(crashed.path, crashed.path + ".pre-refit-deadbeef")
+    crashed.refit("refit1", corpus)
+    got = _key(crashed.probe(queries, k=5, nprobe=2).collect())
+
+    clean = IncrementalIvfIndex(spark, root + "/clean")
+    clean.bootstrap("base", base)
+    clean.refit("refit1", corpus)
+    want = _key(clean.probe(queries, k=5, nprobe=2).collect())
+
+    assert got == want and len(got) == 25
+    assert not glob.glob(crashed.path + ".pre-refit-*")
+    assert not glob.glob(crashed.path + ".refit-*")
+    shutil.rmtree(root)
+
+
+def test_refit_failed_bootstrap_leaves_no_orphan_and_old_index_live(spark, emb):
+    """ADVICE r8: a refit whose rebuild fails partway must remove its
+    staged sibling (new token per call → silent accumulation) and leave
+    the old index fully live."""
+    base, _, _ = _splits(emb)
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfix_") + "/ix")
+    idx.bootstrap("base", base)
+    before = _key(idx.probe(emb.filter(F.col("vec_id") < 5), k=5, nprobe=2).collect())
+    bad = base.select("vec_id", F.lit(None).cast("array<double>").alias("embedding"), "label")
+    with pytest.raises(Exception):
+        idx.refit("refit-bad", bad)
+    assert not glob.glob(idx.path + ".refit-*")
+    assert not glob.glob(idx.path + ".pre-refit-*")
+    after = _key(idx.probe(emb.filter(F.col("vec_id") < 5), k=5, nprobe=2).collect())
+    assert after == before
+
+
 def test_scale_drift_flags_out_of_range_batch(spark, emb):
     base, _, _ = _splits(emb)
     idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfix_") + "/ix")

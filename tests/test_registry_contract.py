@@ -18,13 +18,13 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
 
 
-def test_r8_driver_window_is_pinned():
-    """The first 50 registry entries ARE the r8 correctness window the
+def test_r9_driver_window_is_pinned():
+    """The first 50 registry entries ARE the r9 correctness window the
     rotation-by-staleness plan schedules — an accidental reorder (e.g.
     inserting a new query mid-list) would silently swap what the driver
-    verifies. r8 (per the r7 verdict, task 1) = 13 pinned core + the 6
-    aging §2 flank rows (all last driver-green r4) + the next 31
-    never-driver-verified."""
+    verifies. r9 (per the r8 verdict, task 1) = 13 pinned core + the
+    next 37 never-driver-verified (backlog 48 -> 11), exactly the cohort
+    the r8 mid-round sweep pre-verified 37/37."""
     window = list(entrymod.queries())[:50]
     # 13 pinned §2 core entries lead
     assert window[:13] == [
@@ -34,38 +34,49 @@ def test_r8_driver_window_is_pinned():
         "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
         "cdc_job_log",
     ]
-    # slots 14-19: the 6 aging §2-adjacent flank rows (r4-green; verdict
-    # requirement that every §2 row is driver-green within r5..r8)
-    assert window[13:19] == [
-        "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
-        "stream_merge_state", "cdc_dedup_latest_salted",
-        "cdc_date_partitioned_read", "stream_user_totals",
-    ]
-    # slots 20-50: the next 31 never-driver-verified (backlog 79 -> 48)
-    assert window[19:50] == [
-        "cdc_merge_soft_delete", "multimodal_packing",
-        "events_growth_accounting", "events_bag_set_ops",
-        "scalar_function_matrix", "stream_late_data_drop", "text_normalize",
-        "langid_confusion", "corpus_dedup_funnel", "cdc_retention_sweep",
-        "stream_outer_attribution", "events_hll_check",
-        "events_hourly_profile", "cdc_metadata_count", "array_function_suite",
-        "cdc_merge_wap", "stream_topk_per_type", "events_unpivot",
-        "map_function_suite", "events_mad", "events_bfs_reach",
-        "events_time_weighted", "basket_pair_lift", "kmv_set_ops",
-        "feature_hashing", "cdc_multi_txn", "window_nav_suite",
-        "revenue_share", "corpus_profile", "cdc_cached_read", "cdc_merge_dlq",
+    # slots 14-50: the next 37 never-driver-verified, oldest-first
+    assert window[13:50] == [
+        "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
+        "events_percentile_check", "boilerplate_strip",
+        "corpus_weighted_sample", "pii_k_anonymity", "embedding_pq_topk",
+        "pq_recall_eval", "events_psi_drift", "training_batches",
+        "tfidf_keywords", "media_phash_dedup", "domain_temperature_sample",
+        "hybrid_search_rrf", "hard_negatives", "phrase_search",
+        "cdc_branch_merge", "events_hopping_windows", "pii_masked_read",
+        "pii_l_diversity", "span_corruption", "stream_psi_drift",
+        "cdc_clone_read", "regression_suite", "dim_truncation_recall",
+        "cdc_erasure_txn", "events_ewma", "curation_uncertainty_sample",
+        "cdc_table_history", "orders_cohort_ltv", "cluster_safe_split",
+        "split_leakage_audit", "packing_efficiency_eval",
+        "stream_sliding_counts", "text_ngram_novelty", "dup_ratio_by_source",
     ]
     assert len(window) == len(set(window)) == 50
 
 
-def test_r9_window_is_queued():
-    """The r9 window plan (next 37 never-verified) must head positions
-    51+ so the drain schedule keeps walking mechanically."""
-    tail = list(entrymod.queries())[50:56]
+def test_r10_window_is_queued():
+    """The FULL r10 window plan must head positions 51-87 (r8 verdict
+    task 7: the 26 stalest r4-green names are enumerated, not implied):
+    the last 11 never-driver-verified + the 26 stalest r4-green rows, so
+    after r10 every registry entry has a driver row and the oldest
+    rotation green is refreshed."""
+    tail = list(entrymod.queries())[50:87]
     assert tail == [
-        "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
-        "events_percentile_check", "boilerplate_strip",
-        "corpus_weighted_sample",
+        # the last 11 never-driver-verified
+        "quality_calibration", "text_zipf_fit", "session_window_overlap",
+        "dedup_substring_spans", "orc_events_ingest",
+        "incremental_dedup_batch", "stream_dedup_index",
+        "decontamination_spans", "dedup_soft_weights", "stream_dv_merge",
+        "substring_dup_profile",
+        # the 26 stalest r4-green rotation names
+        "embedding_ann_lsh", "multimodal_features", "quality_funnel",
+        "pii_redaction", "corpus_split", "token_counts", "text_stats",
+        "contamination_check", "corpus_sample", "revenue_by_nation",
+        "text_langid", "doc_fingerprint", "embedding_ivf_nprobe2",
+        "embedding_dup_clusters", "multimodal_frame_plan", "domain_mix_plan",
+        "domain_mix_apply", "ngram_top_bigrams", "vocab_df_stats",
+        "cross_corpus_dedup", "shipping_priority_mix", "promo_revenue",
+        "large_volume_customer", "discounted_revenue", "sales_opportunity",
+        "dedup_keep_best",
     ]
 
 
