@@ -232,6 +232,50 @@ def run_canary(spark) -> float:
     return round(statistics.median(one() for _ in range(3)), 3)
 
 
+def run_canary_io(spark) -> float:
+    """I/O companion to the CPU+shuffle canary (r8 verdict task 4: the
+    CPU canary decoupled from real query speed under I/O contention).
+    Writes a fixed 2M-row parquet to a per-process temp dir ONCE
+    (untimed), then returns the median of 3 timed full scans — a pure
+    read-path probe. DIAGNOSTIC ONLY: it is reported next to the CPU
+    samples (canary_io / canary_io_samples) and feeds neither the
+    normalization factor nor the stability check, so the comparator
+    lanes keep their r7-pinned meaning."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="bench_canary_io_")
+    try:
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .select(
+                "id",
+                F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+                (F.col("id") % 1000).alias("k"),
+            )
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+
+        def one() -> float:
+            t0 = time.time()
+            (
+                spark.read.parquet(d)
+                .agg(F.count(F.lit(1)), F.max("payload"))
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            return time.time() - t0
+
+        one()  # listing/footer warmup, untimed
+        return round(statistics.median(one() for _ in range(3)), 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _emit(payload: dict) -> None:
     """Write the full payload to BENCH_FULL.json; print a line <= budget.
 
@@ -301,6 +345,7 @@ def run_once(sf_dir: str) -> dict:
     ).count()
 
     canary_pre = run_canary(spark)
+    canary_io_pre = run_canary_io(spark)
 
     from dataplatform_cdc_pipeline_spark import bench_phases
 
@@ -335,6 +380,7 @@ def run_once(sf_dir: str) -> dict:
     # mid-run contention shift. The factor uses the median of both
     # samples' medians; both land in BENCH_FULL.json for diagnostics.
     canary_post = run_canary(spark)
+    canary_io_post = run_canary_io(spark)
     canary = round(statistics.median([canary_pre, canary_post]), 3)
 
     warm: dict[str, float] = {}
@@ -357,6 +403,8 @@ def run_once(sf_dir: str) -> dict:
         "warm": warm,
         "canary": canary,
         "canary_samples": [canary_pre, canary_post],
+        "canary_io": round(statistics.median([canary_io_pre, canary_io_post]), 3),
+        "canary_io_samples": [canary_io_pre, canary_io_post],
         "phases": phases,
     }
 
@@ -385,6 +433,8 @@ def main() -> None:
             "queries": timings, "warm": result["warm"], "runs": 1, "sf": sf,
             "canary": [result.get("canary")], "canary_ref": _CANARY_REF,
             "canary_samples": [result.get("canary_samples")],
+            "canary_io": [result.get("canary_io")],
+            "canary_io_samples": [result.get("canary_io_samples")],
             "canary_stable_runs": [stable],
             "canary_all_unstable": not stable,
             "setup_excluded_from_headline": sorted(
@@ -479,6 +529,11 @@ def main() -> None:
         ),
         "canary": [s.get("canary") for s in samples],
         "canary_samples": [s.get("canary_samples") for s in samples],
+        # I/O companion probe (parquet scan) — diagnostic only: tracks
+        # read-path contention the CPU canary cannot see; feeds neither
+        # the factor nor the stability flags (BASELINE.md gate rule)
+        "canary_io": [s.get("canary_io") for s in samples],
+        "canary_io_samples": [s.get("canary_io_samples") for s in samples],
         # which runs' pre/post canaries agreed (<=2x); only those feed
         # queries_norm, UNLESS none did (then all runs feed it best-effort
         # and canary_all_unstable flags the series as unreliable). Raw
