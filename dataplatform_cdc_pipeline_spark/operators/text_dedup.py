@@ -370,32 +370,37 @@ def dedup_clusters(
     )
     prev_sum = None
     prev_labels = None
-    for _ in range(max_iterations):
-        # candidate label for each node: min over neighbors' labels + own
-        neighbor_labels = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), "label")
-        )
-        labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        # the new checkpoint is materialized (eager) — the previous
-        # iteration's checkpoint blocks are dead; release them instead of
-        # letting every iteration's RDD pile up until session end
-        if prev_labels is not None:
-            prev_labels.unpersist()
-        prev_labels = labels
-        # min-labels only ever decrease → Σlabel strictly decreases until
-        # fixpoint; one cheap agg replaces a join-based change check
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    # edges fed only the loop; the final labels checkpoint is self-contained
-    edges.unpersist()
+    try:
+        for _ in range(max_iterations):
+            # candidate label for each node: min over neighbors' labels + own
+            neighbor_labels = (
+                edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .select(F.col("src").alias("node"), "label")
+            )
+            labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            # the new checkpoint is materialized (eager) — the previous
+            # iteration's checkpoint blocks are dead; release them instead of
+            # letting every iteration's RDD pile up until session end
+            if prev_labels is not None:
+                prev_labels.unpersist()
+            prev_labels = labels
+            # min-labels only ever decrease → Σlabel strictly decreases until
+            # fixpoint; one cheap agg replaces a join-based change check
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        # edges fed only the loop; the final labels checkpoint is
+        # self-contained — and a failed iteration must not leak the
+        # checkpoint blocks for the rest of the process (same contract
+        # as the r8 q_cdc_merge_dlq cache fix)
+        edges.unpersist()
     return (
         all_ids.select(F.col(id_col))
         .join(labels.withColumnRenamed("node", id_col), id_col, "left")
