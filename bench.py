@@ -301,6 +301,7 @@ def _emit(payload: dict) -> None:
         "sf": payload["sf"], "n_queries": len(med), "full": "BENCH_FULL.json",
         "canary": payload.get("canary"),
         "canary_ref": payload.get("canary_ref"),
+        "canary_io": payload.get("canary_io"),
         # canary-normalized total (sum of per-query normalized medians) —
         # the round-over-round comparator on a drifting box; per-query
         # normalized values live in BENCH_FULL.json "queries_norm"
