@@ -513,7 +513,13 @@ class ParquetMergeTarget(MergeTarget):
                 *part_cols, *[F.col(c) for c in self.cfg.clustering_fields]
             )
         t0 = time.time()
-        merged.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+        try:
+            merged.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+        except BaseException:
+            # a failed staging write leaves a partial, never-referenced
+            # tree — reclaim it now instead of waiting for vacuum()
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         self.phase_times["resolve_write"] = round(time.time() - t0, 3)
         t0 = time.time()
         try:

@@ -66,7 +66,13 @@ class ResultCache:
             return self.spark.read.parquet(entry)
         self.misses += 1
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
-        compute().write.mode("errorifexists").parquet(tmp)
+        try:
+            compute().write.mode("errorifexists").parquet(tmp)
+        except BaseException:
+            # a failed compute/write leaves a partial, never-published
+            # tree — reclaim now rather than waiting for sweep()
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:
             os.rename(tmp, entry)
         except OSError:

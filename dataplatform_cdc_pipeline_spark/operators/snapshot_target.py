@@ -575,7 +575,13 @@ class SnapshotMergeTarget(ParquetMergeTarget):
                 *part_cols, *[F.col(c) for c in self.cfg.clustering_fields]
             )
         t0 = time.time()
-        merged.write.mode("errorifexists").partitionBy(*part_cols).parquet(staging)
+        try:
+            merged.write.mode("errorifexists").partitionBy(*part_cols).parquet(staging)
+        except BaseException:
+            # a failed staging write leaves a partial, never-referenced
+            # tree — reclaim it now instead of waiting for vacuum()
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         self.phase_times["resolve_write"] = round(time.time() - t0, 3)
         t0 = time.time()
         try:
@@ -622,6 +628,22 @@ class SnapshotMergeTarget(ParquetMergeTarget):
             # losing writer: its tree was never referenced — reclaim now
             # rather than waiting for vacuum()
             shutil.rmtree(staging, ignore_errors=True)
+            raise
+        except BaseException:
+            # any other pre-publish failure: reclaim only when the tree is
+            # provably unreferenced — the published manifest (ours, if
+            # _publish linked before raising; a racing writer's otherwise)
+            # must not name it. Unreadable state keeps the tree for
+            # vacuum() — never risk deleting a referenced commit.
+            try:
+                refs = ((self._manifest() or {}).get("buckets", {})).values()
+                unreferenced = not any(str(d).startswith(tree) for d in refs)
+            except Exception:
+                unreferenced = False
+            if unreferenced and not (txn is not None and self._prepare_capture):
+                # (a txn-staged manifest also references the tree; keep it
+                # for the coordinator's finalize/abort to resolve)
+                shutil.rmtree(staging, ignore_errors=True)
             raise
         self.phase_times["swap"] = round(time.time() - t0, 3)
 

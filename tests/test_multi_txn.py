@@ -206,6 +206,37 @@ def test_result_cache_sweep(spark, tmp_path):
     assert cache.get_or_compute("other", {"t": 1}, poisoned).count() == 1
 
 
+def test_result_cache_failed_compute_leaves_no_tmp_debris(spark, tmp_path):
+    """A compute/write that fails mid-miss reclaims its .tmp- tree
+    immediately (r9 hardening — same class as the staged-commit orphan
+    fixes) instead of leaving crash debris for sweep(); the key stays a
+    clean miss afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataplatform_cdc_pipeline_spark.operators.result_cache import ResultCache
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+
+    @F.udf("long")
+    def boom(v):
+        raise RuntimeError("poisoned compute")
+
+    def failing():
+        return spark.range(3).select(boom(F.col("id")).alias("id"))
+
+    with pytest.raises(Exception, match="poisoned"):
+        cache.get_or_compute("q", {"t": 1}, failing)
+    assert not any(e.startswith(".tmp-") for e in os.listdir(cache.path))
+
+    def compute():
+        return spark.createDataFrame([(1,)], "id long")
+
+    assert cache.get_or_compute("q", {"t": 1}, compute).count() == 1
+    assert cache.misses == 2  # both attempts were misses; nothing cached the failure
+
+
 def test_racing_coordinators_meta_cas(spark, tmp_path, monkeypatch):
     """Two coordinators race the same txn id: the loser's meta hard-link
     fails, its staged manifests are cleaned up, ConcurrentWriteError

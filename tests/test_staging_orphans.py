@@ -1,0 +1,124 @@
+"""Staging-tree lifecycle on FAILED commits (r9 hardening, same defect
+class as the r8 ADVICE refit-orphan item): a commit that fails before its
+tree is referenced must reclaim the tree immediately instead of leaving
+an orphan for vacuum() to find later — and must never reclaim a tree a
+manifest references.
+
+Covers operators/merge_target.py ``_commit`` (sibling ``.staging-*``
+dirs) and operators/snapshot_target.py ``_commit`` (``data/v*-*`` trees):
+(a) the staging parquet write itself failing, (b) a pre-publish failure
+after a successful write (snapshot sink's except-BaseException reclaim).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+    BUCKET_COL,
+    ParquetMergeTarget,
+    bucket_expr,
+)
+from dataplatform_cdc_pipeline_spark.operators.snapshot_target import (
+    SnapshotMergeTarget,
+)
+from dataplatform_cdc_pipeline_spark.sources.cdc import (
+    USER_STATE_SCHEMA,
+    user_state_config,
+)
+
+from test_merge_target_contract import changes
+
+
+def _poison(df):
+    """Replace `value` with a same-typed column that raises at execution
+    time — analysis passes, the staging write's first task fails."""
+
+    @F.udf("double")
+    def boom(v):
+        raise RuntimeError("poisoned staging write")
+
+    return df.withColumn("value", boom(F.col("value")))
+
+
+def _staging_siblings(path):
+    base, parent = os.path.basename(path), os.path.dirname(path)
+    return [e for e in os.listdir(parent) if e.startswith(f"{base}.staging-")]
+
+
+def _snapshot_trees(t):
+    data_root = os.path.join(t.path, t.DATA_DIR)
+    return set(os.listdir(data_root)) if os.path.isdir(data_root) else set()
+
+
+def _referenced_trees(t):
+    m = t._manifest() or {"buckets": {}}
+    return {str(d).split("/")[1] for d in m["buckets"].values()}
+
+
+def state(t):
+    return sorted((r["user_id"], r["value"]) for r in t.read().collect())
+
+
+def test_parquet_failed_staging_write_leaves_no_orphan(spark, tmp_path):
+    t = ParquetMergeTarget(
+        spark, str(tmp_path / "t"), user_state_config(), USER_STATE_SCHEMA
+    )
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1), ("c", 2, 2.0, 0, 2)]))
+    before = state(t)
+    pk, n = list(t.cfg.pk), t.cfg.n_buckets
+    poisoned = _poison(t.read()).withColumn(BUCKET_COL, bucket_expr(pk, n))
+    with pytest.raises(Exception, match="poisoned"):
+        t._commit(poisoned, affected=list(range(n)))
+    assert _staging_siblings(t.path) == []  # reclaimed, not orphaned
+    assert t.pending_commit() is None  # never reached the manifest
+    assert state(t) == before  # old state intact and readable
+    # and the sink still commits cleanly afterwards
+    t.merge(changes(spark, [("u", 1, 9.0, 5, 3)]))
+    assert state(t) == [(1, 9.0), (2, 2.0)]
+
+
+def test_snapshot_failed_staging_write_leaves_no_orphan(spark, tmp_path):
+    t = SnapshotMergeTarget(
+        spark, str(tmp_path / "t"), user_state_config(), USER_STATE_SCHEMA
+    )
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    v0, before = t._read_version(), state(t)
+    pk, n = list(t.cfg.pk), t.cfg.n_buckets
+    poisoned = _poison(t.read()).withColumn(BUCKET_COL, bucket_expr(pk, n))
+    with pytest.raises(Exception, match="poisoned"):
+        t._commit(poisoned, affected=list(range(n)))
+    assert _snapshot_trees(t) == _referenced_trees(t)  # no orphan tree
+    assert (t._read_version(), state(t)) == (v0, before)
+    t.merge(changes(spark, [("u", 1, 7.0, 5, 2)]))
+    assert state(t) == [(1, 7.0)]
+
+
+def test_snapshot_pre_publish_failure_reclaims_tree(spark, tmp_path):
+    """Write succeeds, then the commit fails BEFORE _publish links the
+    manifest (pre_commit_hook raises): the fully-written tree is
+    unreferenced and must be reclaimed — previously only the
+    ConcurrentWriteError path did this and everything else waited for
+    vacuum()."""
+    t = SnapshotMergeTarget(
+        spark, str(tmp_path / "t"), user_state_config(), USER_STATE_SCHEMA
+    )
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    v0, before = t._read_version(), state(t)
+
+    def hook():
+        raise RuntimeError("validation rejected the staged commit")
+
+    t.pre_commit_hook = hook
+    with pytest.raises(RuntimeError, match="rejected"):
+        t.merge(changes(spark, [("u", 1, 5.0, 5, 2)]))
+    t.pre_commit_hook = None
+    assert _snapshot_trees(t) == _referenced_trees(t)  # reclaimed
+    assert (t._read_version(), state(t)) == (v0, before)
+    t.merge(changes(spark, [("u", 1, 7.0, 10, 3)]))
+    assert state(t) == [(1, 7.0)]
+    # referenced trees were never touched: all versions still time-travel
+    assert t.read(version=v0).count() == 1
