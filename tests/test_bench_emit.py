@@ -99,13 +99,29 @@ def test_bench_canary_normalization_math():
 def test_canary_stable_shared_predicate():
     """ADVICE r8: the single-run path must apply the SAME mid-run
     stability check as the multi-run path — the predicate is one shared
-    function, and it flags >2x pre/post disagreement."""
-    assert bench._canary_stable({"canary_samples": [1.0, 1.9]})
-    assert not bench._canary_stable({"canary_samples": [1.28, 137.8]})  # measured r8
-    assert not bench._canary_stable({"canary_samples": [2.0]})
-    assert not bench._canary_stable({"canary_samples": None})
+    function. It flags >2x pre/post disagreement AND (r9) a uniform
+    contention plateau whose median canary is far off the pinned box."""
+    ref = bench._CANARY_REF
+    assert bench._canary_stable({"canary_samples": [1.0, 1.9], "canary": 1.45})
+    assert not bench._canary_stable(
+        {"canary_samples": [1.28, 137.8], "canary": 69.5}  # measured r8
+    )
+    assert not bench._canary_stable({"canary_samples": [2.0], "canary": 2.0})
+    assert not bench._canary_stable({"canary_samples": None, "canary": 2.0})
     assert not bench._canary_stable({})
-    assert not bench._canary_stable({"canary_samples": [0.0, 1.0]})
+    assert not bench._canary_stable({"canary_samples": [0.0, 1.0], "canary": 0.5})
+    # r9 measured plateau: pre/post agree (ratio 1.49) but the box ran
+    # ~18x slower than reference the whole time — not a usable baseline
+    assert not bench._canary_stable(
+        {"canary_samples": [44.2, 29.7], "canary": 36.97}
+    )
+    # boundary: exactly 5x reference is still accepted, beyond is not
+    assert bench._canary_stable({"canary_samples": [9.0, 10.0], "canary": 5.0 * ref})
+    assert not bench._canary_stable(
+        {"canary_samples": [10.0, 11.0], "canary": 5.0 * ref + 0.1}
+    )
+    # a stable-looking pre/post pair without the median is not enough
+    assert not bench._canary_stable({"canary_samples": [1.0, 1.9]})
 
 
 def test_single_run_branch_flags_unstable_canary():
