@@ -640,9 +640,11 @@ class SnapshotMergeTarget(ParquetMergeTarget):
                 unreferenced = not any(str(d).startswith(tree) for d in refs)
             except Exception:
                 unreferenced = False
-            if unreferenced and not (txn is not None and self._prepare_capture):
-                # (a txn-staged manifest also references the tree; keep it
-                # for the coordinator's finalize/abort to resolve)
+            if unreferenced and self._prepare_capture is None:
+                # (under prepare-capture a txn-staged manifest may already
+                # reference the tree — even a partially-written one the
+                # capture list doesn't record yet; leave it for the
+                # coordinator's finalize/abort/recover to resolve)
                 shutil.rmtree(staging, ignore_errors=True)
             raise
         self.phase_times["swap"] = round(time.time() - t0, 3)

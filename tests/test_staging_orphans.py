@@ -122,3 +122,38 @@ def test_snapshot_pre_publish_failure_reclaims_tree(spark, tmp_path):
     assert state(t) == [(1, 7.0)]
     # referenced trees were never touched: all versions still time-travel
     assert t.read(version=v0).count() == 1
+
+
+def test_snapshot_txn_capture_failure_keeps_tree_for_vacuum(spark, tmp_path):
+    """Under txn prepare-capture a pre-publish failure must NOT reclaim
+    the staged tree — a (possibly partially-written) txn-staged manifest
+    may reference it and only the coordinator can resolve that. The tree
+    is left as an ahead-tree and a later vacuum reclaims it once commits
+    advance past its version."""
+    from dataplatform_cdc_pipeline_spark.operators.multi_txn import MultiTableTxn
+
+    t = SnapshotMergeTarget(
+        spark, str(tmp_path / "t"), user_state_config(), USER_STATE_SCHEMA
+    )
+    t.merge(changes(spark, [("c", 1, 1.0, 0, 1)]))
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+
+    def hook():
+        raise RuntimeError("validation rejected the staged commit")
+
+    t.pre_commit_hook = hook
+    with pytest.raises(RuntimeError, match="rejected"):
+        txn.commit([(t, lambda: t.merge(changes(spark, [("u", 1, 5.0, 5, 2)])))])
+    t.pre_commit_hook = None
+    assert t._read_version() == 1 and state(t) == [(1, 1.0)]
+    # tree KEPT (conservative: coordinator owns its fate), 1 orphan ahead
+    orphans = _snapshot_trees(t) - _referenced_trees(t)
+    assert len(orphans) == 1 and next(iter(orphans)).startswith("v2-")
+    orphan = next(iter(orphans))
+    # commits advance past the orphan's version; vacuum then reclaims it
+    t.merge(changes(spark, [("u", 1, 7.0, 10, 3)]))
+    t.merge(changes(spark, [("u", 1, 8.0, 15, 4)]))
+    removed = t.vacuum(retain_last=2)
+    assert any(orphan in r for r in removed)
+    assert orphan not in _snapshot_trees(t)
+    assert state(t) == [(1, 8.0)]
