@@ -199,11 +199,14 @@ def _canary_stable(sample: dict) -> bool:
     - pre/post samples within 2x of each other — the box must not change
       speed mid-run (measured r8: 1.28 s -> 137.8 s within one process);
       one factor cannot rescale that run's queries.
-    - median canary within 5x of _CANARY_REF — a run that is uniformly
-      18x slower than the pinned box (measured r9: samples [44.2, 29.7],
-      ratio 1.49, so the pre/post check alone called it "stable") is a
-      contention plateau, not a usable baseline; normalizing by a factor
-      that large extrapolates far outside anything validated.
+    - median canary within 5x of _CANARY_REF, EITHER side — a run that is
+      uniformly 18x slower than the pinned box (measured r9: samples
+      [44.2, 29.7], ratio 1.49, so the pre/post check alone called it
+      "stable") is a contention plateau, not a usable baseline; a run
+      uniformly 5x FASTER would extrapolate the factor just as far
+      outside anything validated (ADVICE r9: the fence must be
+      symmetric — either way queries_norm would rescale by a factor no
+      round has ever measured; raw gate medians remain authoritative).
 
     Shared by the multi-run and single-run paths (ADVICE r8: the runs<=1
     branch used to skip this check and silently emit a mis-scaled
@@ -212,7 +215,10 @@ def _canary_stable(sample: dict) -> bool:
     if not (len(cs) == 2 and min(cs) > 0 and max(cs) / min(cs) <= 2.0):
         return False
     med = sample.get("canary")
-    return med is not None and med <= 5.0 * _CANARY_REF
+    return (
+        med is not None
+        and _CANARY_REF / 5.0 <= med <= 5.0 * _CANARY_REF
+    )
 
 
 def run_canary(spark) -> float:
@@ -314,6 +320,12 @@ def _emit(payload: dict) -> None:
         "canary": payload.get("canary"),
         "canary_ref": payload.get("canary_ref"),
         "canary_io": payload.get("canary_io"),
+        # stability flags on the PRINTED line (r9 verdict task 3): the
+        # driver records only this line, and without the flags a
+        # contended run reads as a real gate-query regression unless the
+        # reader digs into BENCH_FULL.json
+        "canary_stable_runs": payload.get("canary_stable_runs"),
+        "canary_all_unstable": payload.get("canary_all_unstable"),
         # canary-normalized total (sum of per-query normalized medians) —
         # the round-over-round comparator on a drifting box; per-query
         # normalized values live in BENCH_FULL.json "queries_norm"
@@ -328,6 +340,87 @@ def _emit(payload: dict) -> None:
     out = json.dumps(base)
     assert len(out) <= _LINE_BUDGET + 100, "printed bench line over budget"
     print(out)
+
+
+#: Round-over-round movement that triggers an automatic isolated warm
+#: probe (r9 verdict task 4): cluster_safe_split benched 3.85x its r8
+#: cold median purely because the window rotation changed what ran
+#: before it — a warm probe in a FRESH process disambiguates position
+#: effects from real regressions without a manual A/B. Only queries
+#: above the 0.5 s noise floor in BOTH rounds are compared.
+_WARM_PROBE_RATIO = 1.35
+_WARM_PROBE_CAP = 15
+
+
+def _prior_medians() -> dict:
+    """Cold medians from the previous round's committed BENCH_FULL.json
+    (read before _emit overwrites it). Empty when absent/unreadable —
+    the probe lane simply stays empty on a first run."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json")
+    try:
+        with open(p) as f:
+            d = json.load(f)
+        return {
+            k: float(v)
+            for k, v in (d.get("queries") or {}).items()
+            if isinstance(v, (int, float)) and v >= 0
+        }
+    except Exception:
+        return {}
+
+
+def _warm_probe_outliers(prior: dict, current: dict) -> list[str]:
+    """Names whose cold median moved >_WARM_PROBE_RATIO in EITHER
+    direction vs the prior round, biggest mover first (a position effect
+    can also make a query look 1.4x FASTER — that spurious 'win' would
+    mislead the next round's comparison just the same)."""
+    moved = []
+    for name, cur in current.items():
+        prev = prior.get(name)
+        if prev is None or prev < 0.5 or cur < 0.5:
+            continue
+        r = cur / prev
+        r = max(r, 1.0 / r)
+        if r > _WARM_PROBE_RATIO:
+            moved.append((r, name))
+    moved.sort(reverse=True)
+    return [n for _, n in moved]
+
+
+def run_warm_probes(sf_dir: str, names: list[str]) -> dict:
+    """Isolated warm probes (fresh process): one untimed cold pass per
+    query absorbs codegen/first-use staging, then best-of-2 timed passes
+    with the same setup-span exclusion as the cold path."""
+    import __spark_entry__ as entrymod
+    from dataplatform_cdc_pipeline_spark import bench_phases
+    from dataplatform_cdc_pipeline_spark.session import get_spark
+
+    spark = get_spark("cdc-engine-bench-warmprobe")
+    queries = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            tries = []
+            for _ in range(2):
+                bench_phases.reset()
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                t1 = time.time()
+                ph = bench_phases.spans(end=t1)
+                tries.append(round(t1 - t0 - ph.get("setup", 0.0), 3))
+            out[name] = round(min(tries), 3)
+        except Exception as e:  # noqa: BLE001 — record failures, keep probing
+            out[name] = -1.0
+            print(
+                f"# warm probe error {name}: {type(e).__name__}: {str(e)[:200]}",
+                file=sys.stderr,
+            )
+    return out
 
 
 def run_once(sf_dir: str) -> dict:
@@ -427,6 +520,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    wp = os.environ.get("SPARK_GRAFT_BENCH_WARM_PROBE")
+    if wp:
+        print(json.dumps(run_warm_probes(sf_dir, wp.split(","))))
+        return
+
     if os.environ.get("SPARK_GRAFT_BENCH_WORKER"):
         print(json.dumps(run_once(sf_dir)))
         return
@@ -513,6 +611,41 @@ def main() -> None:
         for name, v in s.get("warm", {}).items():
             if v >= 0 and (name not in warm or v < warm[name]):
                 warm[name] = v
+
+    # automatic isolated warm probes for round-over-round movers (r9
+    # verdict task 4): any query whose cold median moved >1.35x vs the
+    # previous round's committed BENCH_FULL.json gets a fresh-process
+    # warm number so position effects are disambiguated from real
+    # regressions inside the record itself. Results merge into "warm";
+    # the probed set (with prior/current colds) lands under
+    # "warm_probed_outliers".
+    prior = _prior_medians()
+    outliers = _warm_probe_outliers(prior, queries_med)
+    probed: dict[str, float] = {}
+    if outliers:
+        take = outliers[:_WARM_PROBE_CAP]
+        if len(outliers) > len(take):
+            print(
+                f"# warm probes truncated to {_WARM_PROBE_CAP} of "
+                f"{len(outliers)} movers: dropped {outliers[_WARM_PROBE_CAP:]}",
+                file=sys.stderr,
+            )
+        env = dict(os.environ, SPARK_GRAFT_BENCH_WARM_PROBE=",".join(take))
+        env.pop("SPARK_GRAFT_BENCH_WORKER", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env,
+        )
+        sys.stderr.write(proc.stderr)
+        line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+        if proc.returncode == 0 and line:
+            probed = json.loads(line[-1])
+            for name, v in probed.items():
+                if v >= 0 and (name not in warm or v < warm[name]):
+                    warm[name] = v
+        else:
+            print(f"# warm probe run failed (rc={proc.returncode})", file=sys.stderr)
+
     # per-phase median across runs (lifecycle queries only — see
     # dataplatform_cdc_pipeline_spark/bench_phases.py)
     phases: dict[str, dict[str, float]] = {}
@@ -534,6 +667,17 @@ def main() -> None:
         "queries_norm": queries_norm,  # canary-normalized medians (gate on these)
         "spread": spread,        # per-query [min, max] across runs
         "warm": warm,            # best warm retry across runs
+        # round-over-round movers (>1.35x either way vs the prior
+        # committed BENCH_FULL.json) that got an isolated warm probe,
+        # with the numbers needed to adjudicate position effects in place
+        "warm_probed_outliers": {
+            n: {
+                "warm": probed.get(n),
+                "cold": queries_med.get(n),
+                "prior_cold": prior.get(n),
+            }
+            for n in (outliers[:_WARM_PROBE_CAP] if outliers else [])
+        },
         "phases": phases,        # per-phase medians for lifecycle queries
         # queries whose headline EXCLUDES their fixture-staging span
         # (the setup median still appears under "phases")

@@ -153,6 +153,18 @@ class SnapshotMergeTarget(ParquetMergeTarget):
         with open(os.path.join(self._log_path(), f"{v:012d}.json")) as f:
             return json.load(f)
 
+    @staticmethod
+    def _tree_referenced(tree: str, refs) -> bool:
+        """True when any manifest bucket entry lives INSIDE ``tree``.
+
+        Exact containment, not string-prefix: entries are always
+        ``f"{tree}/{BUCKET_COL}=..."``, so matching on ``tree + "/"``
+        stays correct even if a future naming scheme made one tree name
+        a string-prefix of a sibling's (ADVICE r9 — a bare
+        ``startswith(tree)`` only worked because tree names end in a
+        fixed-length uuid suffix)."""
+        return any(str(d).startswith(tree + "/") for d in refs)
+
     #: When set (by operators/multi_txn.MultiTableTxn during its prepare
     #: phase), _publish STAGES the manifest instead of linking it and
     #: appends (version, staged_path) here — the cross-table meta-commit
@@ -637,7 +649,7 @@ class SnapshotMergeTarget(ParquetMergeTarget):
             # vacuum() — never risk deleting a referenced commit.
             try:
                 refs = ((self._manifest() or {}).get("buckets", {})).values()
-                unreferenced = not any(str(d).startswith(tree) for d in refs)
+                unreferenced = not self._tree_referenced(tree, refs)
             except Exception:
                 unreferenced = False
             if unreferenced and self._prepare_capture is None:

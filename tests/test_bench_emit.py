@@ -122,6 +122,67 @@ def test_canary_stable_shared_predicate():
     )
     # a stable-looking pre/post pair without the median is not enough
     assert not bench._canary_stable({"canary_samples": [1.0, 1.9]})
+    # ADVICE r9: the plateau fence is symmetric — a box uniformly 5x
+    # FASTER than reference extrapolates the factor just as far outside
+    # anything validated as a 5x-slower plateau does
+    assert not bench._canary_stable(
+        {"canary_samples": [0.3, 0.35], "canary": 0.325}
+    )
+    assert bench._canary_stable(
+        {"canary_samples": [0.4, 0.45], "canary": ref / 5.0}  # boundary in
+    )
+    assert not bench._canary_stable(
+        {"canary_samples": [0.3, 0.4], "canary": ref / 5.0 - 0.01}
+    )
+
+
+def test_emit_line_carries_stability_flags(tmp_path, monkeypatch):
+    """r9 verdict task 3: the PRINTED line (the only thing the driver
+    records) must carry canary_stable_runs/canary_all_unstable — without
+    them a contended run reads as a real gate-query regression."""
+    payload = {
+        "metric": "headline_queries_total", "value": 10.0, "unit": "sec",
+        "queries": {"cdc_merge_full": 10.0}, "warm": {}, "runs": 3, "sf": 0.1,
+        "canary": [2.0, 13.7, 15.0], "canary_ref": 2.0,
+        "canary_stable_runs": [True, False, False],
+        "canary_all_unstable": False,
+    }
+    line, _ = _emit_and_capture(tmp_path, monkeypatch, payload)
+    d = json.loads(line)
+    assert d["canary_stable_runs"] == [True, False, False]
+    assert d["canary_all_unstable"] is False
+
+
+def test_warm_probe_outlier_selection():
+    """r9 verdict task 4: movers >1.35x round-over-round (either
+    direction), biggest first; sub-noise-floor queries and queries with
+    no prior record are excluded."""
+    prior = {
+        "a": 1.0, "b": 2.0, "c": 4.0, "noise": 0.2, "gone": 3.0, "flat": 5.0,
+        "fast": 2.0,
+    }
+    current = {
+        "a": 1.4,      # 1.40x — probed
+        "b": 2.6,      # 1.30x — inside the fence
+        "c": 17.0,     # 4.25x — biggest mover, first
+        "noise": 0.4,  # below 0.5 s floor in prior round
+        "new": 9.9,    # no prior record
+        "flat": 5.1,
+        "fast": 1.0,   # 2x FASTER — also probed (spurious win)
+    }
+    assert bench._warm_probe_outliers(prior, current) == ["c", "fast", "a"]
+    assert bench._warm_probe_outliers({}, current) == []
+
+
+def test_prior_medians_reads_committed_bench_full(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path), raising=False
+    )
+    assert bench._prior_medians() == {}  # absent file -> empty, no raise
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"queries": {"a": 1.5, "failed": -1.0, "bad": "x"}})
+    )
+    assert bench._prior_medians() == {"a": 1.5}
 
 
 def test_single_run_branch_flags_unstable_canary():

@@ -157,3 +157,19 @@ def test_snapshot_txn_capture_failure_keeps_tree_for_vacuum(spark, tmp_path):
     assert any(orphan in r for r in removed)
     assert orphan not in _snapshot_trees(t)
     assert state(t) == [(1, 8.0)]
+
+
+def test_tree_referenced_is_exact_containment_not_prefix():
+    """ADVICE r9: the provably-unreferenced check must match entries
+    INSIDE the tree (tree + "/"), not string-prefixes — a sibling tree
+    whose name extends ours must not make our unreferenced tree look
+    referenced (which would skip a valid reclaim)."""
+    ref = SnapshotMergeTarget._tree_referenced
+    assert ref("data/v2-aaaa0000", ["data/v2-aaaa0000/bucket=3/part.parquet"])
+    # sibling whose name string-extends ours: NOT a reference to ours
+    assert not ref("data/v2-aaaa", ["data/v2-aaaa0000/bucket=3/part.parquet"])
+    assert not ref("data/v2-aaaa0000", ["data/v3-bbbb1111/bucket=0/p.parquet"])
+    assert not ref("data/v2-aaaa0000", [])
+    # an entry equal to the tree name itself (no inner path) is not a
+    # bucket entry and must not count
+    assert not ref("data/v2-aaaa0000", ["data/v2-aaaa0000"])
