@@ -44,41 +44,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (scripts/check_parity.py + scripts/driver_sim.py over ALL entries,
 #: run every session).
 _PRIORITY = [
-    # ---- r9 WINDOW (the driver checks the first 50 entries) -------------
+    # ---- r10 WINDOW (the driver checks the first 50 entries) ------------
     # 1-13: §2 CDC core — pinned every round
     "cdc_window_scan", "cdc_dedup_latest", "cdc_cast_projection",
     "cdc_delete_survivorship", "cdc_merge_full", "cdc_merge_incremental",
     "cdc_merge_multi_pk", "cdc_merge_op_u", "cdc_merge_late_replay",
     "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
     "cdc_job_log",
-    # 14-50: the next 37 never-driver-verified entries (backlog head,
-    # oldest-first; drains the never-verified count 48 -> 11) — exactly
-    # the cohort the r8 mid-round sweep pre-verified 37/37 and the r8
+    # 14-24: the LAST 11 never-driver-verified entries (drains the
+    # backlog 11 -> 0 — every registry entry driver-green at least once).
+    # Exactly the cohort the r9 mid-round sweep pre-verified and the r9
     # verdict (task 1) ordered executed verbatim.
-    "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
-    "events_percentile_check", "boilerplate_strip", "corpus_weighted_sample",
-    "pii_k_anonymity", "embedding_pq_topk", "pq_recall_eval",
-    "events_psi_drift", "training_batches", "tfidf_keywords",
-    "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
-    "hard_negatives", "phrase_search", "cdc_branch_merge",
-    "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
-    "span_corruption", "stream_psi_drift", "cdc_clone_read",
-    "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
-    "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
-    "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
-    "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
-    "dup_ratio_by_source",
-    # ---- r10 WINDOW PLAN (51-87): 13 core + the last 11 never-verified
-    # + the 26 stalest r4-green (r8 verdict task 7: enumerated below and
-    # pinned by contract test) — backlog arithmetic: 116 never-verified
-    # at r7 open; r7 drained 37, r8 31 (6 slots funded the §2 flank
-    # re-verification), r9 37, r10 11 → every entry has a driver row by
-    # r10, and the §2 flank never ages past 3 rounds.
     "quality_calibration", "text_zipf_fit", "session_window_overlap",
     "dedup_substring_spans", "orc_events_ingest", "incremental_dedup_batch",
     "stream_dedup_index", "decontamination_spans", "dedup_soft_weights",
     "stream_dv_merge", "substring_dup_profile",
-    # the 26 stalest r4-green rotation names (r10 slots 25-50)
+    # 25-50: the 26 stalest r4-green rotation names (staleness refresh)
     "embedding_ann_lsh", "multimodal_features", "quality_funnel",
     "pii_redaction", "corpus_split", "token_counts", "text_stats",
     "contamination_check", "corpus_sample", "revenue_by_nation",
@@ -88,11 +69,18 @@ _PRIORITY = [
     "cross_corpus_dedup", "shipping_priority_mix", "promo_revenue",
     "large_volume_customer", "discounted_revenue", "sales_opportunity",
     "dedup_keep_best",
+    # ---- r11 WINDOW PLAN (51-87): post-drain steady state (r9 verdict
+    # task 5) — every window = 13 pinned core + 37 stalest entries, with
+    # never-driver-verified first. After the r10 drain the only
+    # never-verified entries are the three r10 promotions (registry
+    # tail, 241-243): ivf_refit_lifecycle, txn_recover_torn,
+    # dv_fold_crossover — they lead the r11 37, followed by the 34
+    # stalest greens below (r4-green leftovers, list order).
     # ---- rotation cohorts: r4-green leftovers, then r5-green, then
-    # r6-green, then r7-green, then r8-green (freshest waits longest);
-    # all entries remain CONTINUOUSLY gated by the local full sweeps
-    # (scripts/check_parity.py + scripts/driver_sim.py over ALL entries,
-    # run every session)
+    # r6-green, then r7-green, then r8-green, then r9-green (freshest
+    # waits longest); all entries remain CONTINUOUSLY gated by the local
+    # full sweeps (scripts/check_parity.py + scripts/driver_sim.py over
+    # ALL entries, run every session)
     "doc_chunks", "bm25_search", "unigram_perplexity",
     "ann_recall_eval", "cdc_ivm_type_counts",
     "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
@@ -150,6 +138,27 @@ _PRIORITY = [
     "events_time_weighted", "basket_pair_lift", "kmv_set_ops",
     "feature_hashing", "cdc_multi_txn", "window_nav_suite", "revenue_share",
     "corpus_profile", "cdc_cached_read", "cdc_merge_dlq",
+    # ---- r9-green cohort (driver-verified in CORRECTNESS_r09: the 37
+    # backlog names drained that round; freshest greens wait longest in
+    # the staleness rotation)
+    "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
+    "events_percentile_check", "boilerplate_strip", "corpus_weighted_sample",
+    "pii_k_anonymity", "embedding_pq_topk", "pq_recall_eval",
+    "events_psi_drift", "training_batches", "tfidf_keywords",
+    "media_phash_dedup", "domain_temperature_sample", "hybrid_search_rrf",
+    "hard_negatives", "phrase_search", "cdc_branch_merge",
+    "events_hopping_windows", "pii_masked_read", "pii_l_diversity",
+    "span_corruption", "stream_psi_drift", "cdc_clone_read",
+    "regression_suite", "dim_truncation_recall", "cdc_erasure_txn",
+    "events_ewma", "curation_uncertainty_sample", "cdc_table_history",
+    "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
+    "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
+    "dup_ratio_by_source",
+    # ---- r10 promotions (registry 240 -> 243 once the backlog drained;
+    # r9 verdict task 2): staged + oracle-gated at two scale factors
+    # through r9 (queries_promoted.py), never driver-verified yet — they
+    # lead the r11 window as its never-verified head.
+    "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
 ]
 
 
@@ -170,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dataplatform_cdc_pipeline_spark.queries_extra import EXTRA_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_prep import PREP_QUERIES
+    from dataplatform_cdc_pipeline_spark.queries_promoted import PROMOTED_QUERIES
 
     return _ordered(
         {
@@ -180,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **EXT_QUERIES,
             **EXTRA_QUERIES,
             **PREP_QUERIES,
+            **PROMOTED_QUERIES,
         }
     )
 
@@ -192,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
     from dataplatform_cdc_pipeline_spark.queries_extra import EXTRA_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_prep import PREP_ORACLES
+    from dataplatform_cdc_pipeline_spark.queries_promoted import PROMOTED_ORACLES
 
     return {
         **ORACLES,
@@ -201,4 +213,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT_ORACLES,
         **EXTRA_ORACLES,
         **PREP_ORACLES,
+        **PROMOTED_ORACLES,
     }

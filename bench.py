@@ -139,6 +139,9 @@ HEADLINE = [
     "substring_dup_profile",
     # r7 additions (the registry-freeze round's only two new queries)
     "dedup_substring_bpe", "incremental_ivf_batch",
+    # r10 additions (the three post-freeze promotions; establishes their
+    # bench record)
+    "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -1,12 +1,13 @@
-"""r10 promotion candidates — STAGED, NOT REGISTERED.
+"""The three r10-promoted registry queries (registry 240 -> 243).
 
-The registry is frozen at 240 until the never-driver-verified backlog
-drains (r8 verdict task 6; scheduled to hit zero in r10). These three
-queries are the backlog ideas the r8 verdict named for promotion, in its
-priority order, implemented and oracle-gated NOW so the r10 promotion is
-a three-line move of dict entries — but ``STAGED_QUERIES`` is NOT merged
-into ``__spark_entry__.queries()`` and the registry count stays 240
-(pinned by tests/test_registry_contract.py).
+Staged during the r7-r9 registry freeze (the freeze barred new entries
+until the never-driver-verified backlog drained; the r10 window drains
+it to zero) and promoted in r10 per the r9 verdict, task 2: these are
+the backlog ideas the r8 verdict named for promotion, in its priority
+order, each oracle-gated at sf0.001 AND sf0.01 for two rounds before
+registration (tests/test_promoted_queries.py). They sit at the registry
+TAIL (_PRIORITY positions 241-243) and lead the r11 driver window as
+its never-driver-verified head.
 
 1. ``ivf_refit_lifecycle`` — registry twin of the r8 refit path
    (operators/ivf_index.py): drift fires ``needs_refit``, ``refit``
@@ -558,13 +559,13 @@ ORDER BY tbl, key
 """
 
 
-STAGED_QUERIES = {
+PROMOTED_QUERIES = {
     "ivf_refit_lifecycle": q_ivf_refit_lifecycle,
     "txn_recover_torn": q_txn_recover_torn,
     "dv_fold_crossover": q_dv_fold_crossover,
 }
 
-STAGED_ORACLES = {
+PROMOTED_ORACLES = {
     "ivf_refit_lifecycle": SQL_IVF_REFIT_LIFECYCLE,
     "txn_recover_torn": SQL_TXN_RECOVER_TORN,
     "dv_fold_crossover": SQL_DV_FOLD_CROSSOVER,

@@ -18,56 +18,37 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
 
 
-def test_r9_driver_window_is_pinned():
-    """The first 50 registry entries ARE the r9 correctness window the
+#: The 13 §2 CDC core queries lead EVERY driver window (re-verified
+#: every round by construction).
+CORE_13 = [
+    "cdc_window_scan", "cdc_dedup_latest", "cdc_cast_projection",
+    "cdc_delete_survivorship", "cdc_merge_full", "cdc_merge_incremental",
+    "cdc_merge_multi_pk", "cdc_merge_op_u", "cdc_merge_late_replay",
+    "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
+    "cdc_job_log",
+]
+
+
+def test_r10_driver_window_is_pinned():
+    """The first 50 registry entries ARE the r10 correctness window the
     rotation-by-staleness plan schedules — an accidental reorder (e.g.
     inserting a new query mid-list) would silently swap what the driver
-    verifies. r9 (per the r8 verdict, task 1) = 13 pinned core + the
-    next 37 never-driver-verified (backlog 48 -> 11), exactly the cohort
-    the r8 mid-round sweep pre-verified 37/37."""
+    verifies. r10 (per the r9 verdict, task 1) = 13 pinned core + the
+    LAST 11 never-driver-verified (backlog 11 -> 0) + the 26 stalest
+    r4-green rotation names, exactly the cohort the r9 mid-round sweep
+    pre-verified 37/37."""
     window = list(entrymod.queries())[:50]
-    # 13 pinned §2 core entries lead
-    assert window[:13] == [
-        "cdc_window_scan", "cdc_dedup_latest", "cdc_cast_projection",
-        "cdc_delete_survivorship", "cdc_merge_full", "cdc_merge_incremental",
-        "cdc_merge_multi_pk", "cdc_merge_op_u", "cdc_merge_late_replay",
-        "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
-        "cdc_job_log",
-    ]
-    # slots 14-50: the next 37 never-driver-verified, oldest-first
-    assert window[13:50] == [
-        "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
-        "events_percentile_check", "boilerplate_strip",
-        "corpus_weighted_sample", "pii_k_anonymity", "embedding_pq_topk",
-        "pq_recall_eval", "events_psi_drift", "training_batches",
-        "tfidf_keywords", "media_phash_dedup", "domain_temperature_sample",
-        "hybrid_search_rrf", "hard_negatives", "phrase_search",
-        "cdc_branch_merge", "events_hopping_windows", "pii_masked_read",
-        "pii_l_diversity", "span_corruption", "stream_psi_drift",
-        "cdc_clone_read", "regression_suite", "dim_truncation_recall",
-        "cdc_erasure_txn", "events_ewma", "curation_uncertainty_sample",
-        "cdc_table_history", "orders_cohort_ltv", "cluster_safe_split",
-        "split_leakage_audit", "packing_efficiency_eval",
-        "stream_sliding_counts", "text_ngram_novelty", "dup_ratio_by_source",
-    ]
-    assert len(window) == len(set(window)) == 50
-
-
-def test_r10_window_is_queued():
-    """The FULL r10 window plan must head positions 51-87 (r8 verdict
-    task 7: the 26 stalest r4-green names are enumerated, not implied):
-    the last 11 never-driver-verified + the 26 stalest r4-green rows, so
-    after r10 every registry entry has a driver row and the oldest
-    rotation green is refreshed."""
-    tail = list(entrymod.queries())[50:87]
-    assert tail == [
-        # the last 11 never-driver-verified
+    assert window[:13] == CORE_13
+    # slots 14-24: the last 11 never-driver-verified, oldest-first
+    assert window[13:24] == [
         "quality_calibration", "text_zipf_fit", "session_window_overlap",
         "dedup_substring_spans", "orc_events_ingest",
         "incremental_dedup_batch", "stream_dedup_index",
         "decontamination_spans", "dedup_soft_weights", "stream_dv_merge",
         "substring_dup_profile",
-        # the 26 stalest r4-green rotation names
+    ]
+    # slots 25-50: the 26 stalest r4-green rotation names
+    assert window[24:50] == [
         "embedding_ann_lsh", "multimodal_features", "quality_funnel",
         "pii_redaction", "corpus_split", "token_counts", "text_stats",
         "contamination_check", "corpus_sample", "revenue_by_nation",
@@ -78,12 +59,46 @@ def test_r10_window_is_queued():
         "large_volume_customer", "discounted_revenue", "sales_opportunity",
         "dedup_keep_best",
     ]
+    assert len(window) == len(set(window)) == 50
 
 
-def test_registry_frozen_at_240():
-    """r7 verdict task 7: the registry stays frozen at 240 entries until
-    the never-driver-verified backlog is drained (scheduled r10)."""
-    assert len(entrymod.queries()) == 240
+def test_r11_window_is_queued():
+    """Post-drain steady-state rotation contract (r9 verdict task 5):
+    from r11 on, every window = 13 pinned core + 37 stalest entries with
+    never-driver-verified first. The r11 window is therefore the 3 r10
+    promotions (the only never-verified entries once the r10 drain
+    lands) followed by the 34 stalest greens — which must occupy
+    positions 51-84 and the registry tail respectively, so the r11
+    rotation is a mechanical splice: promote tail -> slots 14-16, shift
+    51-84 -> slots 17-50."""
+    q = list(entrymod.queries())
+    # the 3 promotions sit at the registry tail, never driver-verified
+    assert q[-3:] == [
+        "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
+    ]
+    # the 34 stalest greens (r4-green leftovers, list order) at 51-84
+    assert q[50:84] == [
+        "doc_chunks", "bm25_search", "unigram_perplexity",
+        "ann_recall_eval", "cdc_ivm_type_counts", "cdc_ivm_sum",
+        "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
+        "dedup_minhash_lsh", "embedding_near_dup", "text_quality",
+        "training_mix", "multimodal_resize", "sessionize_events",
+        "pricing_summary", "gopher_repetition", "multimodal_audio_segments",
+        "top_supplier", "min_cost_supplier", "market_share",
+        "customer_value_deciles", "stream_session_windows",
+        "stream_click_attribution", "stream_dedup_events", "events_rollup",
+        "events_pivot", "customer_set_ops", "asof_prior_click",
+        "value_band_join", "events_distinct_stats", "props_stats",
+        "order_priority_check", "small_quantity_revenue",
+    ]
+
+
+def test_registry_is_243_after_r10_promotion():
+    """The r7-r9 freeze held the registry at 240 until the
+    never-driver-verified backlog drained (r10 window); the r9 verdict
+    (task 2) then mandated exactly the three staged promotions — and
+    nothing else — so the registry is now pinned at 243."""
+    assert len(entrymod.queries()) == 243
 
 
 def test_coverage_doc_names_only_real_queries():
