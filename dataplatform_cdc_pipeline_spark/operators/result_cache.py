@@ -44,10 +44,32 @@ class ResultCache:
         self.misses = 0
         os.makedirs(path, exist_ok=True)
 
+    #: hex chars in an entry's version fingerprint — entry dirs are
+    #: exactly ``f"{key}-{16-hex-fp}"``, which _is_entry_of relies on
+    _FP_LEN = 16
+
     def _entry_dir(self, key: str, versions: dict[str, int]) -> str:
         canon = json.dumps({"key": key, "versions": dict(sorted(versions.items()))})
-        fp = hashlib.md5(canon.encode()).hexdigest()[:16]
+        fp = hashlib.md5(canon.encode()).hexdigest()[: self._FP_LEN]
         return os.path.join(self.path, f"{key}-{fp}")
+
+    @classmethod
+    def _is_entry_of(cls, key: str, e: str) -> bool:
+        """True when directory name ``e`` is an entry of exactly ``key``.
+
+        Shape-exact, not prefix-based (same defect class as the snapshot
+        sink's tree check, ADVICE r9): key "q" must NOT claim entries of
+        key "q-sub" — ``"q-sub-<fp>".startswith("q-")`` is true, and a
+        bare prefix match would let sweep() delete a still-addressable
+        entry of an UNLISTED key, breaking its documented contract. An
+        entry of ``key`` is ``key`` + "-" + exactly _FP_LEN lowercase
+        hex chars; no other key's entries can take that shape."""
+        suffix = e[len(key) + 1 :]
+        return (
+            e.startswith(key + "-")
+            and len(suffix) == cls._FP_LEN
+            and all(c in "0123456789abcdef" for c in suffix)
+        )
 
     def get_or_compute(
         self,
@@ -96,7 +118,6 @@ class ResultCache:
             if live_versions
             else set()
         )
-        stale_prefixes = {f"{k}-" for k in (live_versions or {})}
         for e in os.listdir(self.path):
             full = os.path.join(self.path, e)
             if e.startswith(".tmp-"):
@@ -105,7 +126,7 @@ class ResultCache:
             elif (
                 keep
                 and e not in keep
-                and any(e.startswith(p) for p in stale_prefixes)
+                and any(self._is_entry_of(k, e) for k in (live_versions or {}))
             ):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(e)

@@ -206,6 +206,35 @@ def test_result_cache_sweep(spark, tmp_path):
     assert cache.get_or_compute("other", {"t": 1}, poisoned).count() == 1
 
 
+def test_result_cache_sweep_does_not_claim_extending_key(spark, tmp_path):
+    """ADVICE-r9 defect class: key "q" must not claim entries of key
+    "q-sub" via a bare prefix match — sweeping with only "q" listed
+    would delete a still-addressable entry of the UNLISTED "q-sub",
+    breaking sweep()'s documented unlisted-keys-untouched contract."""
+    from dataplatform_cdc_pipeline_spark.operators.result_cache import ResultCache
+
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+
+    def compute():
+        return spark.createDataFrame([(1,)], "id long")
+
+    cache.get_or_compute("q", {"t": 1}, compute)
+    cache.get_or_compute("q-sub", {"t": 1}, compute)
+    removed = cache.sweep(live_versions={"q": {"t": 2}})
+    assert sum(e.startswith("q-") for e in removed) == 1  # q's v1 entry only
+
+    def poisoned():
+        raise AssertionError("unlisted key's entry must survive sweep")
+
+    assert cache.get_or_compute("q-sub", {"t": 1}, poisoned).count() == 1
+    # exact-shape attribution both ways
+    assert ResultCache._is_entry_of("q", "q-0123456789abcdef")
+    assert not ResultCache._is_entry_of("q", "q-sub-0123456789abcdef")
+    assert ResultCache._is_entry_of("q-sub", "q-sub-0123456789abcdef")
+    assert not ResultCache._is_entry_of("q", "q-0123456789ABCDEF")  # not our hex
+    assert not ResultCache._is_entry_of("q", "q-0123")  # wrong length
+
+
 def test_result_cache_failed_compute_leaves_no_tmp_debris(spark, tmp_path):
     """A compute/write that fails mid-miss reclaims its .tmp- tree
     immediately (r9 hardening — same class as the staged-commit orphan
