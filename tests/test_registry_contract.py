@@ -5,6 +5,7 @@ correctness-gate hole. These tests pin the contracts."""
 
 import os
 import re
+import sys
 
 import __spark_entry__ as entrymod
 
@@ -91,6 +92,35 @@ def test_r11_window_is_queued():
         "value_band_join", "events_distinct_stats", "props_stats",
         "order_priority_check", "small_quantity_revenue",
     ]
+
+
+def test_rotation_derivation_matches_pinned_windows():
+    """scripts/rotation_plan.py derives windows from the CORRECTNESS
+    history instead of transcribing them; the derivation must agree
+    with BOTH hand-pinned contracts — the current r10 window (check
+    mode, with the mid-round-promotion exception) and the enumerated
+    r11 plan (next mode) — so a future rotation computed by the tool
+    cannot silently diverge from the invariant these tests pin."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import rotation_plan
+
+    priority = list(entrymod.queries())
+    last = rotation_plan.last_green_rounds()
+    # check mode: never-verified entries OUTSIDE the window are
+    # same-round promotions (registry tail) and excluded by design
+    pool = [n for i, n in enumerate(priority) if n in last or i < 50]
+    assert rotation_plan.derive_window(pool, last) == priority[:50]
+    # next mode: greening the current window must yield the pinned r11
+    # splice exactly (promotions lead, then the 34 stalest greens)
+    nxt = dict(last)
+    bump = max(nxt.values(), default=0) + 1
+    for n in priority[:50]:
+        nxt[n] = bump
+    assert rotation_plan.derive_window(priority, nxt) == (
+        CORE_13
+        + ["ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover"]
+        + priority[50:84]
+    )
 
 
 def test_registry_is_243_after_r10_promotion():
