@@ -540,7 +540,9 @@ def main() -> None:
         factor = result["canary"] / _CANARY_REF if result.get("canary") else None
         # same stability contract as the multi-run path: an unstable
         # lone run still emits queries_norm best-effort (there is no
-        # other run to fall back to) but is flagged unreliable
+        # other run to fall back to) but is flagged unreliable.
+        # (warm probes for round-over-round movers are multi-run-only:
+        # a single cold pass has no median worth disambiguating)
         stable = _canary_stable(result)
         _emit({
             "metric": "headline_queries_total", "value": total, "unit": "sec",
