@@ -34,6 +34,40 @@ from pyspark.sql import functions as F
 from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
 
 
+def score_postings(
+    tf: DataFrame,
+    df_: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 scoring tail shared by the from-scratch search and the
+    incremental index (operators/bm25_index.py): rank ``tf`` rows
+    (id, __term, __dl, __tf) against broadcast document frequencies
+    (__term, __df) and corpus stats (__n_docs, __avgdl). Floor-scaled
+    at 1e-6 with the top-k cut ON the floored score + id tiebreak so
+    the selected set is engine-identical — and identical between the
+    batch and incremental paths, which share this exact expression."""
+    scored = tf.join(F.broadcast(df_), "__term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = F.col("__tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
+    )
+    contrib = idf * tf_d * F.lit(k1 + 1.0) / norm
+    per_doc = scored.groupBy(id_col).agg(F.sum(contrib).alias("__raw"))
+    floored = per_doc.select(
+        F.col(id_col),
+        (F.floor(F.col("__raw") * F.lit(1_000_000.0)) / F.lit(1_000_000.0)).alias("bm25"),
+    )
+    return floored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(top_k)
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: Sequence[str],
@@ -69,19 +103,4 @@ def bm25_search(
     tf = qt.groupBy(id_col, "__term", "__dl").agg(F.count(F.lit(1)).alias("__tf"))
     df_ = qt.groupBy("__term").agg(F.count_distinct(F.col(id_col)).alias("__df"))
 
-    scored = tf.join(F.broadcast(df_), "__term").crossJoin(F.broadcast(stats))
-    idf = F.log(
-        (F.col("__n_docs") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tf_d = F.col("__tf").cast("double")
-    norm = tf_d + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
-    )
-    contrib = idf * tf_d * F.lit(k1 + 1.0) / norm
-    per_doc = scored.groupBy(id_col).agg(F.sum(contrib).alias("__raw"))
-    floored = per_doc.select(
-        F.col(id_col),
-        (F.floor(F.col("__raw") * F.lit(1_000_000.0)) / F.lit(1_000_000.0)).alias("bm25"),
-    )
-    return floored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(top_k)
+    return score_postings(tf, df_, stats, id_col=id_col, k1=k1, b=b, top_k=top_k)

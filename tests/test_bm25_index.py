@@ -1,0 +1,95 @@
+"""Incremental BM25 index (operators/bm25_index.py): index search must
+be bit-identical to the from-scratch bm25_search over the union corpus,
+batch replay must be idempotent, and the staged r11 query must pass the
+driver-style DuckDB parity gate while staying OUT of the registry."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import __spark_entry__ as entrymod
+from check_parity import normalize
+from pyspark.sql import functions as F
+
+from dataplatform_cdc_pipeline_spark.operators.bm25_index import (
+    IncrementalBm25Index,
+)
+from dataplatform_cdc_pipeline_spark.operators.search import bm25_search
+from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
+from dataplatform_cdc_pipeline_spark.queries_staged_r11 import (
+    STAGED_R11_ORACLES,
+    STAGED_R11_QUERIES,
+)
+from dataplatform_cdc_pipeline_spark.sources.tables import TABLES, load_table
+
+
+def _ranked(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_index_search_equals_from_scratch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", docs.filter(F.col("doc_id") % 2 == 0))
+    idx.add_batch("b1", docs.filter(F.col("doc_id") % 2 == 1))
+    assert _ranked(idx.search(BM25_TERMS)) == _ranked(
+        bm25_search(docs, BM25_TERMS)
+    )
+
+
+def test_replay_add_is_idempotent(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", docs.filter(F.col("doc_id") % 2 == 0))
+    before = _ranked(idx.search(BM25_TERMS))
+    stats_before = _ranked(idx.term_stats(BM25_TERMS))
+    idx.add_batch("b0", docs.filter(F.col("doc_id") % 2 == 0))  # replay
+    assert _ranked(idx.search(BM25_TERMS)) == before
+    assert _ranked(idx.term_stats(BM25_TERMS)) == stats_before
+
+
+def test_incremental_add_shifts_global_stats(spark, sf_dir, tmp_path):
+    """Adding a batch changes idf/avgdl for EVERY doc — phase-1 ranking
+    over b0 must equal from-scratch over b0 only (not a stale slice of
+    the full-corpus ranking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", b0)
+    assert _ranked(idx.search(BM25_TERMS)) == _ranked(bm25_search(b0, BM25_TERMS))
+
+
+def test_empty_index_searches_empty(spark, tmp_path):
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    assert idx.search(BM25_TERMS).count() == 0
+    assert idx.term_stats(BM25_TERMS).count() == 0
+
+
+def test_staged_r11_not_registered():
+    q = entrymod.queries()
+    assert len(q) == 243
+    assert not set(STAGED_R11_QUERIES) & set(q)
+    assert set(STAGED_R11_QUERIES) == set(STAGED_R11_ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R11_QUERIES))
+def test_staged_r11_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = STAGED_R11_QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(STAGED_R11_ORACLES[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf) > 0
+    assert normalize(sdf) == normalize(odf)
