@@ -121,13 +121,24 @@ class IncrementalBm25Index:
         k1: float = 1.2,
         b: float = 0.75,
         top_k: int = 20,
+        batch_filter=None,
     ) -> DataFrame:
-        """Top-k (doc_id, bm25) over the whole indexed corpus — postings
-        and df key-pruned to the query terms, global stats summed from
-        the per-batch aggregates (|batches| rows, broadcast)."""
+        """Top-k (doc_id, bm25) over the indexed corpus — postings and
+        df key-pruned to the query terms, global stats summed from the
+        per-batch aggregates (|batches| rows, broadcast).
+
+        ``batch_filter`` (a boolean Column over ``batch``) restricts the
+        view to a batch subset — the streaming loop searches "batches
+        ≤ k" so a replay after checkpoint loss reconstructs exactly the
+        pre-crash view (streaming/bm25_stream.py), and time-travel
+        debugging can re-rank any historical corpus prefix."""
         terms = list(query_terms)
+
+        def scoped(frame: DataFrame) -> DataFrame:
+            return frame.filter(batch_filter) if batch_filter is not None else frame
+
         tf = (
-            self._read("postings", _POSTINGS_SCHEMA)
+            scoped(self._read("postings", _POSTINGS_SCHEMA))
             .filter(F.col("term").isin(terms))
             .select(
                 F.col("doc_id"),
@@ -137,13 +148,13 @@ class IncrementalBm25Index:
             )
         )
         df_ = (
-            self._read("df", _DF_SCHEMA)
+            scoped(self._read("df", _DF_SCHEMA))
             .filter(F.col("term").isin(terms))
             .groupBy("term")
             .agg(F.sum("df").alias("__df"))
             .select(F.col("term").alias("__term"), "__df")
         )
-        stats = self._read("docstats", _DOCSTATS_SCHEMA).agg(
+        stats = scoped(self._read("docstats", _DOCSTATS_SCHEMA)).agg(
             F.sum("n_docs").alias("__n_docs"),
             (
                 F.sum("sum_dl").cast("double") / F.sum("n_docs").cast("double")
@@ -151,11 +162,13 @@ class IncrementalBm25Index:
         )
         return score_postings(tf, df_, stats, id_col="doc_id", k1=k1, b=b, top_k=top_k)
 
-    def term_stats(self, query_terms: Sequence[str]) -> DataFrame:
+    def term_stats(self, query_terms: Sequence[str], batch_filter=None) -> DataFrame:
         """(term, df) audit over the current index for the given terms."""
+        frame = self._read("df", _DF_SCHEMA)
+        if batch_filter is not None:
+            frame = frame.filter(batch_filter)
         return (
-            self._read("df", _DF_SCHEMA)
-            .filter(F.col("term").isin(list(query_terms)))
+            frame.filter(F.col("term").isin(list(query_terms)))
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )

@@ -20,9 +20,18 @@ tests/test_bm25_index.py pins the non-registration).
    subset, so a stale df table, a lost batch, or a non-idempotent
    replay diverges the hash.
 
+2. ``stream_bm25_index`` — the SAME loop behind foreachBatch
+   (streaming/bm25_stream.py): three mtime-ordered micro-batches, each
+   add followed by a batches-≤-k-scoped search snapshot published under
+   its own partition (the replay contract shared with the dedup
+   stream). The oracle recomputes each snapshot's BM25 from scratch
+   over that batch prefix of the corpus, so a stale scope, a lost
+   batch, or a non-idempotent replay diverges the hash.
+
 Reference parity: the reference has no search surface — beyond-reference
-platform operator (SURVEY.md §2 flank), the search mirror of
-``incremental_dedup_batch`` / ``incremental_ivf_batch``.
+platform operators (SURVEY.md §2 flank), the search mirror of
+``incremental_dedup_batch`` / ``stream_dedup_index`` /
+``incremental_ivf_batch``.
 """
 
 from __future__ import annotations
@@ -136,10 +145,67 @@ GROUP BY term
 )
 
 
+def q_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 index maintenance (streaming/bm25_stream.py): the
+    documents arrive as THREE mtime-ordered micro-batches (doc_id%3 =
+    0,1,2); each batch is indexed at delta cost and a top-20 search
+    snapshot scoped to batches ≤ k is published — the snapshot sequence
+    IS the ranking's drift as the corpus grew, which the oracle
+    recomputes from scratch per batch prefix."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from dataplatform_cdc_pipeline_spark.streaming.bm25_stream import (
+        stream_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _tempfile.mkdtemp(prefix="bm25_stream_q_")
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+    t0 = 1_000_000_000  # fixed mtimes: arrival order is the contract
+    for g in range(3):
+        d = f"{tmp}/stage_{g}"
+        docs.filter(F.col("doc_id") % 3 == g).coalesce(1).write.parquet(d)
+        part = _glob.glob(f"{d}/part-*.parquet")[0]
+        dest = f"{src}/batch_{g}.parquet"
+        _shutil.move(part, dest)
+        _os.utime(dest, (t0 + g * 100, t0 + g * 100))
+    bench_phases.mark("setup")  # 3 staged micro-batches end here
+    out = stream_bm25_index(
+        spark, src, "doc_id long, text string", f"{tmp}/work", BM25_TERMS
+    )
+    bench_phases.mark("drain")  # per-batch add -> scoped search snapshots
+    return out
+
+
+def _stream_phase_sql(k: int) -> str:
+    """From-scratch BM25 over the batch prefix doc_id%3 ≤ k, labelled
+    with the micro-batch id that published that snapshot."""
+    inner = _bm25_phase_sql(k, f"doc_id % 3 <= {k}")
+    # reshape (phase, kind, doc_id, term, score) -> (batch, doc_id, bm25)
+    return f"""
+SELECT 'b{k}' AS batch, doc_id, score AS bm25
+FROM ({inner})"""
+
+
+SQL_STREAM_BM25_INDEX = (
+    _stream_phase_sql(0)
+    + "\nUNION ALL"
+    + _stream_phase_sql(1)
+    + "\nUNION ALL"
+    + _stream_phase_sql(2)
+)
+
+
 STAGED_R11_QUERIES = {
     "incremental_bm25_batch": q_incremental_bm25_batch,
+    "stream_bm25_index": q_stream_bm25_index,
 }
 
 STAGED_R11_ORACLES = {
     "incremental_bm25_batch": SQL_INCREMENTAL_BM25_BATCH,
+    "stream_bm25_index": SQL_STREAM_BM25_INDEX,
 }

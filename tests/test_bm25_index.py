@@ -70,6 +70,62 @@ def test_empty_index_searches_empty(spark, tmp_path):
     assert idx.term_stats(BM25_TERMS).count() == 0
 
 
+def _stage_batches(spark, sf_dir, tmp_path, n=3):
+    import glob
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for g in range(n):
+        d = str(tmp_path / f"stage_{g}")
+        docs.filter(F.col("doc_id") % n == g).coalesce(1).write.parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        dest = f"{src}/batch_{g}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + g * 100,) * 2)
+    return docs, src
+
+
+def test_stream_final_snapshot_equals_from_scratch(spark, sf_dir, tmp_path):
+    """The last micro-batch's ≤k-scoped snapshot sees the whole corpus
+    — it must equal bm25_search over all documents, bit-exact."""
+    from dataplatform_cdc_pipeline_spark.streaming.bm25_stream import (
+        stream_bm25_index,
+    )
+
+    docs, src = _stage_batches(spark, sf_dir, tmp_path)
+    out = stream_bm25_index(
+        spark, src, "doc_id long, text string", str(tmp_path / "work"), BM25_TERMS
+    )
+    final = out.filter(F.col("batch") == "b2").select("doc_id", "bm25")
+    assert _ranked(final) == _ranked(bm25_search(docs, BM25_TERMS))
+    # three snapshots, each top-20 (or fewer docs at tiny sf)
+    assert out.select("batch").distinct().count() == 3
+
+
+def test_stream_replay_after_checkpoint_loss_is_idempotent(spark, sf_dir, tmp_path):
+    """Checkpoint loss replays batch ids from 0 against a work dir that
+    already holds every batch's future — the ≤k search scope must
+    reconstruct the pre-crash snapshots byte-identically."""
+    import shutil
+
+    from dataplatform_cdc_pipeline_spark.streaming.bm25_stream import (
+        stream_bm25_index,
+    )
+
+    _, src = _stage_batches(spark, sf_dir, tmp_path)
+    work = str(tmp_path / "work")
+    before = _ranked(
+        stream_bm25_index(spark, src, "doc_id long, text string", work, BM25_TERMS)
+    )
+    shutil.rmtree(f"{work}/ckpt")  # simulated checkpoint loss
+    after = _ranked(
+        stream_bm25_index(spark, src, "doc_id long, text string", work, BM25_TERMS)
+    )
+    assert after == before
+
+
 def test_staged_r11_not_registered():
     q = entrymod.queries()
     assert len(q) == 243
