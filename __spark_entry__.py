@@ -44,88 +44,65 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (scripts/check_parity.py + scripts/driver_sim.py over ALL entries,
 #: run every session).
 _PRIORITY = [
-    # ---- r10 WINDOW (the driver checks the first 50 entries) ------------
+    # ---- r11 WINDOW (the driver checks the first 50 entries) ------------
     # 1-13: §2 CDC core — pinned every round
     "cdc_window_scan", "cdc_dedup_latest", "cdc_cast_projection",
     "cdc_delete_survivorship", "cdc_merge_full", "cdc_merge_incremental",
     "cdc_merge_multi_pk", "cdc_merge_op_u", "cdc_merge_late_replay",
     "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
     "cdc_job_log",
-    # 14-24: the LAST 11 never-driver-verified entries (drains the
-    # backlog 11 -> 0 — every registry entry driver-green at least once).
-    # Exactly the cohort the r9 mid-round sweep pre-verified and the r9
-    # verdict (task 1) ordered executed verbatim.
-    "quality_calibration", "text_zipf_fit", "session_window_overlap",
-    "dedup_substring_spans", "orc_events_ingest", "incremental_dedup_batch",
-    "stream_dedup_index", "decontamination_spans", "dedup_soft_weights",
-    "stream_dv_merge", "substring_dup_profile",
-    # 25-50: the 26 stalest r4-green rotation names (staleness refresh)
-    "embedding_ann_lsh", "multimodal_features", "quality_funnel",
-    "pii_redaction", "corpus_split", "token_counts", "text_stats",
-    "contamination_check", "corpus_sample", "revenue_by_nation",
-    "text_langid", "doc_fingerprint", "embedding_ivf_nprobe2",
-    "embedding_dup_clusters", "multimodal_frame_plan", "domain_mix_plan",
-    "domain_mix_apply", "ngram_top_bigrams", "vocab_df_stats",
-    "cross_corpus_dedup", "shipping_priority_mix", "promo_revenue",
-    "large_volume_customer", "discounted_revenue", "sales_opportunity",
-    "dedup_keep_best",
-    # ---- r11 WINDOW PLAN (51-87): post-drain steady state (r9 verdict
-    # task 5) — every window = 13 pinned core + 37 stalest entries, with
-    # never-driver-verified first. After the r10 drain the only
-    # never-verified entries are the three r10 promotions (registry
-    # tail, 241-243): ivf_refit_lifecycle, txn_recover_torn,
-    # dv_fold_crossover — they lead the r11 37, followed by the 34
-    # stalest greens below (r4-green leftovers, list order).
-    # ---- rotation cohorts: r4-green leftovers, then r5-green, then
-    # r6-green, then r7-green, then r8-green, then r9-green (freshest
-    # waits longest); all entries remain CONTINUOUSLY gated by the local
-    # full sweeps (scripts/check_parity.py + scripts/driver_sim.py over
-    # ALL entries, run every session)
-    "doc_chunks", "bm25_search", "unigram_perplexity",
-    "ann_recall_eval", "cdc_ivm_type_counts",
-    "cdc_ivm_sum", "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
-    "dedup_minhash_lsh", "embedding_near_dup", "text_quality", "training_mix",
-    "multimodal_resize", "sessionize_events", "pricing_summary",
-    "gopher_repetition", "multimodal_audio_segments", "top_supplier",
-    "min_cost_supplier", "market_share", "customer_value_deciles",
-    "stream_session_windows", "stream_click_attribution",
-    "stream_dedup_events", "events_rollup", "events_pivot",
-    "customer_set_ops", "asof_prior_click", "value_band_join",
+    # 14-16: the three r10 promotions — the only never-driver-verified
+    # entries after the r10 backlog drain; never-verified leads every
+    # window (steady-state rotation contract, r9 verdict task 5 /
+    # r10 verdict task 2)
+    "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
+    # 17-50: the 34 stalest greens (r4-green leftovers, list order) —
+    # exactly the splice the r10 verdict pinned and
+    # scripts/rotation_plan.py --next derived from the CORRECTNESS
+    # history (windows are COMPUTED now, not transcribed)
+    "doc_chunks", "bm25_search", "unigram_perplexity", "ann_recall_eval",
+    "cdc_ivm_type_counts", "cdc_ivm_sum", "cdc_schema_drift",
+    "ivf_recall_curve", "embedding_kmeans", "dedup_minhash_lsh",
+    "embedding_near_dup", "text_quality", "training_mix", "multimodal_resize",
+    "sessionize_events", "pricing_summary", "gopher_repetition",
+    "multimodal_audio_segments", "top_supplier", "min_cost_supplier",
+    "market_share", "customer_value_deciles", "stream_session_windows",
+    "stream_click_attribution", "stream_dedup_events", "events_rollup",
+    "events_pivot", "customer_set_ops", "asof_prior_click", "value_band_join",
     "events_distinct_stats", "props_stats", "order_priority_check",
-    "small_quantity_revenue", "stream_windowed_counts", "dedup_clusters",
-    "embedding_ivf_topk", "top_orders_per_customer", "dedup_exact",
-    "dedup_simhash", "dedup_ngram_jaccard", "embedding_topk",
-    "cdc_snapshot_merge", "cdc_time_travel_read", "cdc_snapshot_diff",
-    "cdc_debezium_ingest", "stream_debezium_merge", "cdc_zorder_read",
-    "cdc_ivm_minmax", "stream_ivm_totals", "embedding_ivf_learned",
-    "embedding_sq8_topk", "sq8_recall_eval", "embedding_ivf_sq8",
-    "ivf_sq8_recall_eval", "semantic_dedup", "dedup_containment",
-    "interdoc_repetition", "bigram_perplexity", "bpe_learn", "bpe_encode",
-    "events_cube", "events_distinct_sketch", "events_value_percentiles",
-    "heavy_hitters_cms", "customer_pareto", "fuzzy_name_match",
-    "stream_distinct_sketch", "cdc_scd2_history", "cdc_skipping_read",
-    "events_gapfill", "events_pagerank", "bloom_join_prune",
-    "cdc_maxwell_ingest", "cdc_scd2_asof", "stream_scd2_history",
-    "events_value_histogram", "cdc_range_export", "events_moving_avg",
-    # ---- r7-green cohort (driver-verified in CORRECTNESS_r07; freshest
-    # greens wait longest in the staleness rotation)
-    "cdc_merge_dv", "dedup_substring_bpe", "incremental_ivf_batch",
-    "events_scd2_join", "table_reconcile", "snapshot_reconcile",
-    "dq_expectations", "volume_shipping", "product_type_profit",
-    "returned_item_report", "customer_order_histogram",
-    "supplier_part_variety", "exclusive_open_supplier", "events_funnel",
-    "events_transitions", "events_outliers", "cdc_canal_ingest",
-    "cdc_change_feed", "supplier_triangles", "part_skyline",
-    "events_grouping_sets", "stream_scd2_enrich", "jsonl_documents_ingest",
-    "csv_documents_ingest", "events_retention_cohorts", "asof_next_error",
-    "unshipped_priority", "forecast_revenue", "important_parts",
-    "order_window_suite", "cdc_txn_audit", "stream_txn_merge",
-    "lsh_recall_eval", "events_intervals_merged", "doc_global_ids",
-    "cdc_tagged_read", "cdc_merge_patch",
-    # ---- r8-green cohort (driver-verified in CORRECTNESS_r08: the 6 §2
-    # flank rows re-greened + the 31 backlog names drained that round;
-    # freshest greens wait longest in the staleness rotation)
-    "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
+    "small_quantity_revenue",
+    # ---- rotation cohorts (r4-green remainder, then r5..r9-green;
+    # freshest greens wait longest). All entries remain CONTINUOUSLY
+    # gated by the local full sweeps (scripts/check_parity.py +
+    # scripts/driver_sim.py over ALL entries, run every session).
+    "stream_windowed_counts", "dedup_clusters", "embedding_ivf_topk",
+    "top_orders_per_customer", "dedup_exact", "dedup_simhash",
+    "dedup_ngram_jaccard", "embedding_topk", "cdc_snapshot_merge",
+    "cdc_time_travel_read", "cdc_snapshot_diff", "cdc_debezium_ingest",
+    "stream_debezium_merge", "cdc_zorder_read", "cdc_ivm_minmax",
+    "stream_ivm_totals", "embedding_ivf_learned", "embedding_sq8_topk",
+    "sq8_recall_eval", "embedding_ivf_sq8", "ivf_sq8_recall_eval",
+    "semantic_dedup", "dedup_containment", "interdoc_repetition",
+    "bigram_perplexity", "bpe_learn", "bpe_encode", "events_cube",
+    "events_distinct_sketch", "events_value_percentiles", "heavy_hitters_cms",
+    "customer_pareto", "fuzzy_name_match", "stream_distinct_sketch",
+    "cdc_scd2_history", "cdc_skipping_read", "events_gapfill",
+    "events_pagerank", "bloom_join_prune", "cdc_maxwell_ingest",
+    "cdc_scd2_asof", "stream_scd2_history", "events_value_histogram",
+    "cdc_range_export", "events_moving_avg", "cdc_merge_dv",
+    "dedup_substring_bpe", "incremental_ivf_batch", "events_scd2_join",
+    "table_reconcile", "snapshot_reconcile", "dq_expectations",
+    "volume_shipping", "product_type_profit", "returned_item_report",
+    "customer_order_histogram", "supplier_part_variety",
+    "exclusive_open_supplier", "events_funnel", "events_transitions",
+    "events_outliers", "cdc_canal_ingest", "cdc_change_feed",
+    "supplier_triangles", "part_skyline", "events_grouping_sets",
+    "stream_scd2_enrich", "jsonl_documents_ingest", "csv_documents_ingest",
+    "events_retention_cohorts", "asof_next_error", "unshipped_priority",
+    "forecast_revenue", "important_parts", "order_window_suite",
+    "cdc_txn_audit", "stream_txn_merge", "lsh_recall_eval",
+    "events_intervals_merged", "doc_global_ids", "cdc_tagged_read",
+    "cdc_merge_patch", "cdc_merge_late_guarded", "cdc_merge_multi_pk_guarded",
     "stream_merge_state", "cdc_dedup_latest_salted",
     "cdc_date_partitioned_read", "stream_user_totals",
     "cdc_merge_soft_delete", "multimodal_packing", "events_growth_accounting",
@@ -138,9 +115,6 @@ _PRIORITY = [
     "events_time_weighted", "basket_pair_lift", "kmv_set_ops",
     "feature_hashing", "cdc_multi_txn", "window_nav_suite", "revenue_share",
     "corpus_profile", "cdc_cached_read", "cdc_merge_dlq",
-    # ---- r9-green cohort (driver-verified in CORRECTNESS_r09: the 37
-    # backlog names drained that round; freshest greens wait longest in
-    # the staleness rotation)
     "agg_function_matrix", "null_order_suite", "stream_dlq_merge",
     "events_percentile_check", "boilerplate_strip", "corpus_weighted_sample",
     "pii_k_anonymity", "embedding_pq_topk", "pq_recall_eval",
@@ -154,11 +128,26 @@ _PRIORITY = [
     "orders_cohort_ltv", "cluster_safe_split", "split_leakage_audit",
     "packing_efficiency_eval", "stream_sliding_counts", "text_ngram_novelty",
     "dup_ratio_by_source",
-    # ---- r10 promotions (registry 240 -> 243 once the backlog drained;
-    # r9 verdict task 2): staged + oracle-gated at two scale factors
-    # through r9 (queries_promoted.py), never driver-verified yet — they
-    # lead the r11 window as its never-verified head.
-    "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
+    # ---- r10-green cohort (driver-verified in CORRECTNESS_r10: the 13
+    # core re-greened + the 11-name backlog drain + the 26 stalest
+    # r4-greens refreshed; freshest cohort waits longest)
+    "quality_calibration", "text_zipf_fit", "session_window_overlap",
+    "dedup_substring_spans", "orc_events_ingest", "incremental_dedup_batch",
+    "stream_dedup_index", "decontamination_spans", "dedup_soft_weights",
+    "stream_dv_merge", "substring_dup_profile", "embedding_ann_lsh",
+    "multimodal_features", "quality_funnel", "pii_redaction", "corpus_split",
+    "token_counts", "text_stats", "contamination_check", "corpus_sample",
+    "revenue_by_nation", "text_langid", "doc_fingerprint",
+    "embedding_ivf_nprobe2", "embedding_dup_clusters",
+    "multimodal_frame_plan", "domain_mix_plan", "domain_mix_apply",
+    "ngram_top_bigrams", "vocab_df_stats", "cross_corpus_dedup",
+    "shipping_priority_mix", "promo_revenue", "large_volume_customer",
+    "discounted_revenue", "sales_opportunity", "dedup_keep_best",
+    # ---- r11 promotions (registry 243 -> 245; r10 verdict task 3): the
+    # incremental BM25 pair, staged + oracle-gated at two scale factors
+    # through r10 (queries_promoted_r11.py), never driver-verified yet —
+    # they lead the r12 window as its never-verified head.
+    "incremental_bm25_batch", "stream_bm25_index",
 ]
 
 
@@ -180,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_prep import PREP_QUERIES
     from dataplatform_cdc_pipeline_spark.queries_promoted import PROMOTED_QUERIES
+    from dataplatform_cdc_pipeline_spark.queries_promoted_r11 import (
+        PROMOTED_R11_QUERIES,
+    )
 
     return _ordered(
         {
@@ -191,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **EXTRA_QUERIES,
             **PREP_QUERIES,
             **PROMOTED_QUERIES,
+            **PROMOTED_R11_QUERIES,
         }
     )
 
@@ -204,6 +197,9 @@ def oracle_sql() -> dict[str, str]:
     from dataplatform_cdc_pipeline_spark.queries_llm import LLM_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_prep import PREP_ORACLES
     from dataplatform_cdc_pipeline_spark.queries_promoted import PROMOTED_ORACLES
+    from dataplatform_cdc_pipeline_spark.queries_promoted_r11 import (
+        PROMOTED_R11_ORACLES,
+    )
 
     return {
         **ORACLES,
@@ -214,4 +210,5 @@ def oracle_sql() -> dict[str, str]:
         **EXTRA_ORACLES,
         **PREP_ORACLES,
         **PROMOTED_ORACLES,
+        **PROMOTED_R11_ORACLES,
     }

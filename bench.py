@@ -142,6 +142,8 @@ HEADLINE = [
     # r10 additions (the three post-freeze promotions; establishes their
     # bench record)
     "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
+    # r11 additions (the incremental BM25 pair; establishes their record)
+    "incremental_bm25_batch", "stream_bm25_index",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number

@@ -12,8 +12,10 @@ maintenance per the IR literature):
   expensive pass) runs ONCE per document, when its batch is added.
 - **per-batch aggregates** make the GLOBAL statistics exact without any
   O(corpus) work at either add or query time: a ``df`` table
-  ``(term, df)`` and a one-row ``docstats`` table ``(n_docs, sum_dl)``
-  per batch. Batches hold disjoint doc_ids (the ingest contract shared
+  ``(term, df)`` and a one-row ``docstats`` table
+  ``(n_docs, n_dl, sum_dl)`` per batch (docstats aggregated from the
+  docs frame itself, not the postings, so zero-token documents still
+  count toward N/avgdl). Batches hold disjoint doc_ids (the ingest contract shared
   by all the incremental indexes here), so corpus df(t) = Σ batch df,
   N = Σ n_docs, avgdl = Σ sum_dl / N — BM25's moving parts (idf, avgdl)
   are recomputed from CURRENT totals at query time, which is what makes
@@ -49,7 +51,13 @@ from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
 
 _POSTINGS_SCHEMA = "term string, doc_id long, tf long, dl int, batch string"
 _DF_SCHEMA = "term string, df long, batch string"
-_DOCSTATS_SCHEMA = "n_docs long, sum_dl long, batch string"
+#: n_docs counts EVERY delta doc (including zero-token/null-text docs that
+#: produce no posting rows); n_dl/sum_dl cover only docs with a non-null
+#: token array — mirroring bm25_search's ``count(*)`` + null-ignoring
+#: ``avg(__dl)`` exactly, so the bit-equivalence contract holds on corpora
+#: with empty or null text (r10 ADVICE: the old postings-derived stats
+#: silently dropped such docs from N and avgdl).
+_DOCSTATS_SCHEMA = "n_docs long, n_dl long, sum_dl long, batch string"
 
 
 class IncrementalBm25Index:
@@ -83,14 +91,20 @@ class IncrementalBm25Index:
     ) -> None:
         """Publish the delta's postings + per-batch df and doc stats
         under ``batch=<batch_id>``. The postings frame is eagerly
-        materialized once (localCheckpoint) so the three writes share
-        one tokenization pass instead of re-running it per table."""
+        materialized once (localCheckpoint) so the postings write and
+        the df aggregate share one tokenization pass; docstats runs its
+        own map-only pass over the DOCS frame (one row out, no shuffle)
+        because a doc whose text tokenizes to nothing produces no
+        posting rows yet still belongs in N/avgdl (r10 ADVICE)."""
         postings = self._postings(docs, text_col, id_col).localCheckpoint(eager=True)
         bdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         # one row per doc per term -> df = row count per term (doc_ids
         # are unique within a posting group by construction)
-        stats = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
+        dl = F.size(tokens_expr(text_col))
+        stats = docs.select(dl.alias("__dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__dl").alias("n_dl"),
+            F.sum("__dl").cast("long").alias("sum_dl"),
         )
         for sub, frame, part_cols in (
             ("postings", postings.repartition("term"), ["batch"]),
@@ -154,10 +168,14 @@ class IncrementalBm25Index:
             .agg(F.sum("df").alias("__df"))
             .select(F.col("term").alias("__term"), "__df")
         )
+        # avgdl divides by the docs that HAVE a length (null-text docs
+        # count in N but not avgdl — the same null-ignoring avg
+        # bm25_search computes), keeping index scores bit-identical to
+        # the from-scratch path on any corpus
         stats = scoped(self._read("docstats", _DOCSTATS_SCHEMA)).agg(
             F.sum("n_docs").alias("__n_docs"),
             (
-                F.sum("sum_dl").cast("double") / F.sum("n_docs").cast("double")
+                F.sum("sum_dl").cast("double") / F.sum("n_dl").cast("double")
             ).alias("__avgdl"),
         )
         return score_postings(tf, df_, stats, id_col="doc_id", k1=k1, b=b, top_k=top_k)

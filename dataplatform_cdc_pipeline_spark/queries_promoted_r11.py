@@ -1,14 +1,10 @@
-"""r11 promotion candidate — STAGED, NOT REGISTERED.
+"""r11 promotions — the incremental BM25 pair (registry 243 → 245).
 
-The r10 registry is settled (243 entries; the r11 driver window is
-pinned by test_r11_window_is_queued), so new queries follow the same
-stage-then-promote path the r10 promotions took: implemented and
-oracle-gated NOW, registered only WITH the r11 rotation (append to
-``_PRIORITY``'s tail → leads the r12 window as never-verified; update
-the registry-count and window contract tests). ``STAGED_R11_QUERIES``
-is NOT merged into ``__spark_entry__.queries()``
-(tests/test_registry_contract.py pins the 243 count;
-tests/test_bm25_index.py pins the non-registration).
+Staged + oracle-gated at sf0.001 AND sf0.01 through r10
+(tests/test_bm25_index.py), promoted WITH the r11 rotation per the r10
+verdict (task 3): appended to ``_PRIORITY``'s tail, so they lead the
+r12 window as its never-driver-verified head — the same
+stage-then-promote path the r10 promotions took.
 
 1. ``incremental_bm25_batch`` — the persisted inverted index
    (operators/bm25_index.py): batch 1 indexed and searched, batch 2
@@ -200,12 +196,12 @@ SQL_STREAM_BM25_INDEX = (
 )
 
 
-STAGED_R11_QUERIES = {
+PROMOTED_R11_QUERIES = {
     "incremental_bm25_batch": q_incremental_bm25_batch,
     "stream_bm25_index": q_stream_bm25_index,
 }
 
-STAGED_R11_ORACLES = {
+PROMOTED_R11_ORACLES = {
     "incremental_bm25_batch": SQL_INCREMENTAL_BM25_BATCH,
     "stream_bm25_index": SQL_STREAM_BM25_INDEX,
 }

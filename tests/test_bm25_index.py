@@ -1,7 +1,8 @@
 """Incremental BM25 index (operators/bm25_index.py): index search must
-be bit-identical to the from-scratch bm25_search over the union corpus,
-batch replay must be idempotent, and the staged r11 query must pass the
-driver-style DuckDB parity gate while staying OUT of the registry."""
+be bit-identical to the from-scratch bm25_search over the union corpus
+(including corpora with zero-token documents), batch replay must be
+idempotent, and the two r11-promoted queries must pass the driver-style
+DuckDB parity gate."""
 
 import os
 import sys
@@ -21,9 +22,9 @@ from dataplatform_cdc_pipeline_spark.operators.bm25_index import (
 )
 from dataplatform_cdc_pipeline_spark.operators.search import bm25_search
 from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
-from dataplatform_cdc_pipeline_spark.queries_staged_r11 import (
-    STAGED_R11_ORACLES,
-    STAGED_R11_QUERIES,
+from dataplatform_cdc_pipeline_spark.queries_promoted_r11 import (
+    PROMOTED_R11_ORACLES,
+    PROMOTED_R11_QUERIES,
 )
 from dataplatform_cdc_pipeline_spark.sources.tables import TABLES, load_table
 
@@ -40,6 +41,33 @@ def test_index_search_equals_from_scratch(spark, sf_dir, tmp_path):
     assert _ranked(idx.search(BM25_TERMS)) == _ranked(
         bm25_search(docs, BM25_TERMS)
     )
+
+
+def test_zero_token_docs_count_in_global_stats(spark, sf_dir, tmp_path):
+    """A doc whose text tokenizes to nothing (null text → null token
+    array, no posting rows) must still count toward N — and empty-text
+    docs toward avgdl — exactly as bm25_search's count(*) + null-
+    ignoring avg do, or the bit-equivalence contract silently breaks on
+    real corpora (r10 ADVICE: the old postings-derived docstats dropped
+    such docs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    extra = spark.createDataFrame(
+        [(mx + 1, ""), (mx + 2, "   "), (mx + 3, None)],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(extra)
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", corpus.filter(F.col("doc_id") % 2 == 0))
+    idx.add_batch("b1", corpus.filter(F.col("doc_id") % 2 == 1))
+    assert _ranked(idx.search(BM25_TERMS)) == _ranked(
+        bm25_search(corpus, BM25_TERMS)
+    )
+    # the docstats really did see all three degenerate docs
+    stats = spark.read.parquet(str(tmp_path / "ix/docstats"))
+    agg = stats.agg(F.sum("n_docs"), F.sum("n_dl")).collect()[0]
+    assert agg[0] == corpus.count()  # null-text doc in N
+    assert agg[1] == agg[0] - 1      # ...but not in the avgdl denominator
 
 
 def test_replay_add_is_idempotent(spark, sf_dir, tmp_path):
@@ -126,11 +154,15 @@ def test_stream_replay_after_checkpoint_loss_is_idempotent(spark, sf_dir, tmp_pa
     assert after == before
 
 
-def test_staged_r11_not_registered():
-    q = entrymod.queries()
-    assert len(q) == 243
-    assert not set(STAGED_R11_QUERIES) & set(q)
-    assert set(STAGED_R11_QUERIES) == set(STAGED_R11_ORACLES)
+def test_promoted_r11_registered_with_oracles():
+    """Promoted with the r11 rotation (r10 verdict task 3): both BM25
+    queries registered at the registry tail — the r12 window's
+    never-driver-verified head — with matching oracles."""
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert list(q)[-2:] == ["incremental_bm25_batch", "stream_bm25_index"]
+    for name in PROMOTED_R11_QUERIES:
+        assert q[name] is PROMOTED_R11_QUERIES[name]
+        assert o[name] == PROMOTED_R11_ORACLES[name]
 
 
 @pytest.fixture(scope="module")
@@ -142,10 +174,10 @@ def duck(sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(STAGED_R11_QUERIES))
-def test_staged_r11_query_matches_oracle(spark, sf_dir, duck, name):
-    sdf = STAGED_R11_QUERIES[name](spark, sf_dir).toPandas()
-    odf = duck.execute(STAGED_R11_ORACLES[name]).fetchdf()
+@pytest.mark.parametrize("name", sorted(PROMOTED_R11_QUERIES))
+def test_promoted_r11_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = PROMOTED_R11_QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(PROMOTED_R11_ORACLES[name]).fetchdf()
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf) > 0
     assert normalize(sdf) == normalize(odf)

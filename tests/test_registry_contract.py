@@ -10,6 +10,9 @@ import sys
 import __spark_entry__ as entrymod
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import rotation_plan
 
 
 def test_every_query_has_an_oracle_and_vice_versa():
@@ -30,55 +33,23 @@ CORE_13 = [
 ]
 
 
-def test_r10_driver_window_is_pinned():
-    """The first 50 registry entries ARE the r10 correctness window the
+def test_r11_driver_window_is_pinned():
+    """The first 50 registry entries ARE the r11 correctness window the
     rotation-by-staleness plan schedules — an accidental reorder (e.g.
     inserting a new query mid-list) would silently swap what the driver
-    verifies. r10 (per the r9 verdict, task 1) = 13 pinned core + the
-    LAST 11 never-driver-verified (backlog 11 -> 0) + the 26 stalest
-    r4-green rotation names, exactly the cohort the r9 mid-round sweep
-    pre-verified 37/37."""
+    verifies. r11 (per the r10 verdict, task 2) = 13 pinned core + the
+    3 r10 promotions (the only never-driver-verified entries after the
+    r10 backlog drain — backlog 3 -> 0 once this window greens) + the
+    34 stalest greens, exactly the splice rotation_plan.py --next
+    derived from the r1-r10 history."""
     window = list(entrymod.queries())[:50]
     assert window[:13] == CORE_13
-    # slots 14-24: the last 11 never-driver-verified, oldest-first
-    assert window[13:24] == [
-        "quality_calibration", "text_zipf_fit", "session_window_overlap",
-        "dedup_substring_spans", "orc_events_ingest",
-        "incremental_dedup_batch", "stream_dedup_index",
-        "decontamination_spans", "dedup_soft_weights", "stream_dv_merge",
-        "substring_dup_profile",
-    ]
-    # slots 25-50: the 26 stalest r4-green rotation names
-    assert window[24:50] == [
-        "embedding_ann_lsh", "multimodal_features", "quality_funnel",
-        "pii_redaction", "corpus_split", "token_counts", "text_stats",
-        "contamination_check", "corpus_sample", "revenue_by_nation",
-        "text_langid", "doc_fingerprint", "embedding_ivf_nprobe2",
-        "embedding_dup_clusters", "multimodal_frame_plan", "domain_mix_plan",
-        "domain_mix_apply", "ngram_top_bigrams", "vocab_df_stats",
-        "cross_corpus_dedup", "shipping_priority_mix", "promo_revenue",
-        "large_volume_customer", "discounted_revenue", "sales_opportunity",
-        "dedup_keep_best",
-    ]
-    assert len(window) == len(set(window)) == 50
-
-
-def test_r11_window_is_queued():
-    """Post-drain steady-state rotation contract (r9 verdict task 5):
-    from r11 on, every window = 13 pinned core + 37 stalest entries with
-    never-driver-verified first. The r11 window is therefore the 3 r10
-    promotions (the only never-verified entries once the r10 drain
-    lands) followed by the 34 stalest greens — which must occupy
-    positions 51-84 and the registry tail respectively, so the r11
-    rotation is a mechanical splice: promote tail -> slots 14-16, shift
-    51-84 -> slots 17-50."""
-    q = list(entrymod.queries())
-    # the 3 promotions sit at the registry tail, never driver-verified
-    assert q[-3:] == [
+    # slots 14-16: the r10 promotions, never driver-verified, lead
+    assert window[13:16] == [
         "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
     ]
-    # the 34 stalest greens (r4-green leftovers, list order) at 51-84
-    assert q[50:84] == [
+    # slots 17-50: the 34 stalest greens (r4-green leftovers, list order)
+    assert window[16:50] == [
         "doc_chunks", "bm25_search", "unigram_perplexity",
         "ann_recall_eval", "cdc_ivm_type_counts", "cdc_ivm_sum",
         "cdc_schema_drift", "ivf_recall_curve", "embedding_kmeans",
@@ -92,43 +63,79 @@ def test_r11_window_is_queued():
         "value_band_join", "events_distinct_stats", "props_stats",
         "order_priority_check", "small_quantity_revenue",
     ]
+    assert len(window) == len(set(window)) == 50
 
 
-def test_rotation_derivation_matches_pinned_windows():
-    """scripts/rotation_plan.py derives windows from the CORRECTNESS
-    history instead of transcribing them; the derivation must agree
-    with BOTH hand-pinned contracts — the current r10 window (check
-    mode, with the mid-round-promotion exception) and the enumerated
-    r11 plan (next mode) — so a future rotation computed by the tool
-    cannot silently diverge from the invariant these tests pin."""
-    sys.path.insert(0, os.path.join(REPO, "scripts"))
-    import rotation_plan
+def test_r12_window_is_queued():
+    """Steady-state rotation: the r12 window = 13 pinned core + the two
+    r11 promotions (the only never-driver-verified entries once the r11
+    drain lands; registry tail) + the 35 stalest greens — which sit at
+    positions 51-85, so the r12 rotation is again a mechanical splice.
+    Pinned from rotation_plan.py --next output (r10 verdict task 6: the
+    derivation tool is the source of truth for window planning)."""
+    q = list(entrymod.queries())
+    assert q[-2:] == ["incremental_bm25_batch", "stream_bm25_index"]
+    expected_r12 = CORE_13 + q[-2:] + q[50:85]
+    assert rotation_plan.plan_next(q, rotation_plan.correctness_records()) \
+        == expected_r12
+    # the 35 stalest greens r12 will refresh (r5/r6-green cohort head)
+    assert q[50] == "stream_windowed_counts" and q[84] == "cdc_scd2_history"
 
+
+def test_rotation_derivation_matches_pinned_window():
+    """The check-mode derivation must agree with the pinned current
+    window in BOTH history states a pinned window lives through (r10
+    verdict task 1 — the old single-state check turned the suite red
+    the moment the driver landed the round's own CORRECTNESS record):
+
+    1. as planned: derivation over the full on-disk history;
+    2. greened-not-yet-rotated: the driver lands round max+1 greening
+       every window entry — check_current must still pass via its
+       history-minus-newest branch (simulated with a synthetic record,
+       so the test is state-independent of what the driver has or has
+       not written this round)."""
     priority = list(entrymod.queries())
-    last = rotation_plan.last_green_rounds()
-    # check mode: never-verified entries OUTSIDE the window are
-    # same-round promotions (registry tail) and excluded by design
-    pool = [n for i, n in enumerate(priority) if n in last or i < 50]
-    assert rotation_plan.derive_window(pool, last) == priority[:50]
-    # next mode: greening the current window must yield the pinned r11
-    # splice exactly (promotions lead, then the 34 stalest greens)
-    nxt = dict(last)
-    bump = max(nxt.values(), default=0) + 1
+    records = rotation_plan.correctness_records()
+
+    ok, which, _ = rotation_plan.check_current(priority, records)
+    assert ok, which
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    mx = max(r for r, _ in records)
+    post = records + [(mx + 1, {n: green for n in priority[:50]})]
+    ok, which, _ = rotation_plan.check_current(priority, post)
+    assert ok and f"minus r{mx + 1}" in which, which
+
+
+def test_rotation_next_uses_one_shared_bump():
+    """--next must assign ONE shared synthetic round to all 50
+    just-greened entries (ties broken by registry order — the
+    documented contract). The r10 implementation recomputed the max
+    inside the bump loop, giving distinct rounds M+1..M+50 instead of
+    one shared M+1 (r10 ADVICE); this pins plan_next to the
+    shared-bump reference computation on a synthetic registry."""
+    priority = [f"c{i}" for i in range(13)] + [f"q{i}" for i in range(47)]
+    nxt = {n: 1 for n in priority}
+    bump = max(nxt.values()) + 1
     for n in priority[:50]:
         nxt[n] = bump
-    assert rotation_plan.derive_window(priority, nxt) == (
-        CORE_13
-        + ["ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover"]
-        + priority[50:84]
-    )
+    expected = rotation_plan.derive_window(priority, nxt)
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    records = [(1, {n: green for n in priority})]
+    assert rotation_plan.plan_next(priority, records) == expected
+    # the 10 entries outside the current window (still round-1 green)
+    # lead; the re-greened head follows in registry order
+    assert expected[13:23] == priority[50:60]
+    assert expected[23:50] == priority[13:40]
 
 
-def test_registry_is_243_after_r10_promotion():
+def test_registry_is_245_after_r11_promotion():
     """The r7-r9 freeze held the registry at 240 until the
     never-driver-verified backlog drained (r10 window); the r9 verdict
-    (task 2) then mandated exactly the three staged promotions — and
-    nothing else — so the registry is now pinned at 243."""
-    assert len(entrymod.queries()) == 243
+    mandated the three r10 promotions (243) and the r10 verdict (task 3)
+    exactly the two staged BM25 queries — and nothing else — so the
+    registry is now pinned at 245."""
+    assert len(entrymod.queries()) == 245
 
 
 def test_coverage_doc_names_only_real_queries():
@@ -145,7 +152,7 @@ def test_coverage_doc_names_only_real_queries():
         "revenue_", "shipping_", "promo_", "large_", "discounted_", "sales_",
         "pii_", "quality_", "domain_", "ngram_", "vocab_", "cross_", "bm25_",
         "unigram_", "bigram_", "ann_", "ivf_", "semantic_", "sq8_",
-        "heavy_", "fuzzy_", "bpe_",
+        "heavy_", "fuzzy_", "bpe_", "incremental_",
     )
     mentioned = {
         m
