@@ -23,7 +23,11 @@ stdout and parses the last line inside that window — rounds 2 and 5 lost
 their bench record because the single JSON line outgrew the window once
 the headline set passed ~60 queries (BENCH_r05.json: "parsed": null).
 The full result (every query's median + spread + warm) is therefore
-written to BENCH_FULL.json at the repo root, and the printed line carries
+written to a file at the repo root — by default the ROUND-STAMPED
+BENCH_FULL_r{N}.json so driver-invoked runs never overwrite the
+committed clean-run record; the builder's clean run opts into the
+canonical BENCH_FULL.json via SPARK_GRAFT_BENCH_OUT (r10 verdict
+task 4) — and the printed line carries
 "value" = the sum of medians over the WHOLE headline set plus a "queries"
 dict filled in _LINE_PRIORITY order (CDC core, then the queries every
 prior parsed round recorded — the round-over-round comparators — then
@@ -34,6 +38,7 @@ the rest.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -299,17 +304,46 @@ def run_canary_io(spark) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _here() -> str:
+    """Repo root (this file's directory). A function so tests can point
+    the output/baseline machinery at a sandbox without monkeypatching
+    the global os.path (which breaks subprocess's exec-path search)."""
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _out_path() -> str:
+    """Where this run's full record lands. Default: a ROUND-STAMPED file
+    (BENCH_FULL_r{N}.json, N = the round in flight — max CORRECTNESS
+    round on disk + 1), so a driver-invoked bench never overwrites the
+    committed clean-run record (r10 verdict task 4: two rounds running,
+    the driver's run silently replaced the committed BENCH_FULL.json in
+    the working tree). The builder's committed clean run opts into the
+    canonical name explicitly: SPARK_GRAFT_BENCH_OUT=BENCH_FULL.json."""
+    here = _here()
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out:
+        return out if os.path.isabs(out) else os.path.join(here, out)
+    rounds = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)", os.path.basename(f)))
+    ]
+    n = max(rounds) + 1 if rounds else 0
+    return os.path.join(here, f"BENCH_FULL_r{n}.json")
+
+
 def _emit(payload: dict) -> None:
-    """Write the full payload to BENCH_FULL.json; print a line <= budget.
+    """Write the full payload to _out_path(); print a line <= budget.
 
     The printed line keeps metric/value/unit/runs/sf intact ("value" is
     the total over the WHOLE headline set) and fills "queries" in
     _LINE_PRIORITY order until the budget is reached. "spread" stays
     file-only — it doubled the line size for information the judge reads
-    from BENCH_FULL.json anyway.
+    from the full record anyway. "full" on the line names the file this
+    run actually wrote.
     """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
+    out_path = _out_path()
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
 
     med = payload["queries"]
@@ -321,7 +355,8 @@ def _emit(payload: dict) -> None:
         "metric": payload["metric"], "value": payload["value"],
         "unit": payload["unit"], "queries": line_queries,
         "warm": payload.get("warm", {}), "runs": payload["runs"],
-        "sf": payload["sf"], "n_queries": len(med), "full": "BENCH_FULL.json",
+        "sf": payload["sf"], "n_queries": len(med),
+        "full": os.path.basename(out_path),
         "canary": payload.get("canary"),
         "canary_ref": payload.get("canary_ref"),
         "canary_io": payload.get("canary_io"),
@@ -357,22 +392,37 @@ _WARM_PROBE_RATIO = 1.35
 _WARM_PROBE_CAP = 15
 
 
-def _prior_medians() -> dict:
-    """Cold medians from the previous round's committed BENCH_FULL.json
-    (read before _emit overwrites it). Empty when absent/unreadable —
-    the probe lane simply stays empty on a first run."""
-    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL.json")
+def _prior_medians() -> tuple[dict, str]:
+    """(cold medians, source) of the prior round's COMMITTED
+    BENCH_FULL.json — read from git HEAD, so a second bench attempt in
+    the same round still compares against the committed record rather
+    than its own earlier — possibly contended — attempt (r10 ADVICE).
+    Falls back to the working-tree file outside a git checkout; empty
+    when neither is readable (the probe lane stays empty on a first
+    run). The source string lands in the output so the record says
+    which baseline the probes actually compared against."""
+    here = _here()
     try:
-        with open(p) as f:
-            d = json.load(f)
-        return {
-            k: float(v)
-            for k, v in (d.get("queries") or {}).items()
-            if isinstance(v, (int, float)) and v >= 0
-        }
+        proc = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True, text=True,
+        )
+        if proc.returncode == 0:
+            d, source = json.loads(proc.stdout), "git:HEAD:BENCH_FULL.json"
+        else:
+            raise FileNotFoundError(proc.stderr[:100])
     except Exception:
-        return {}
+        try:
+            with open(os.path.join(here, "BENCH_FULL.json")) as f:
+                d = json.load(f)
+            source = "worktree:BENCH_FULL.json"
+        except Exception:
+            return {}, "none"
+    return {
+        k: float(v)
+        for k, v in (d.get("queries") or {}).items()
+        if isinstance(v, (int, float)) and v >= 0
+    }, source
 
 
 def _warm_probe_outliers(prior: dict, current: dict) -> list[str]:
@@ -394,9 +444,13 @@ def _warm_probe_outliers(prior: dict, current: dict) -> list[str]:
 
 
 def run_warm_probes(sf_dir: str, names: list[str]) -> dict:
-    """Isolated warm probes (fresh process): one untimed cold pass per
-    query absorbs codegen/first-use staging, then best-of-2 timed passes
-    with the same setup-span exclusion as the cold path."""
+    """Isolated warm probes: one untimed cold pass per query absorbs
+    codegen/first-use staging, then best-of-2 timed passes with the same
+    setup-span exclusion as the cold path. The orchestrator spawns ONE
+    subprocess PER probed query (r10 ADVICE: a shared process re-
+    introduced the position/ordering effects the probe lane exists to
+    disambiguate), so `names` has a single element on the real path —
+    the list form remains for direct SPARK_GRAFT_BENCH_WARM_PROBE use."""
     import __spark_entry__ as entrymod
     from dataplatform_cdc_pipeline_spark import bench_phases
     from dataplatform_cdc_pipeline_spark.session import get_spark
@@ -626,7 +680,7 @@ def main() -> None:
     # regressions inside the record itself. Results merge into "warm";
     # the probed set (with prior/current colds) lands under
     # "warm_probed_outliers".
-    prior = _prior_medians()
+    prior, prior_source = _prior_medians()
     outliers = _warm_probe_outliers(prior, queries_med)
     probed: dict[str, float] = {}
     if outliers:
@@ -637,21 +691,30 @@ def main() -> None:
                 f"{len(outliers)} movers: dropped {outliers[_WARM_PROBE_CAP:]}",
                 file=sys.stderr,
             )
-        env = dict(os.environ, SPARK_GRAFT_BENCH_WARM_PROBE=",".join(take))
-        env.pop("SPARK_GRAFT_BENCH_WORKER", None)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, env=env,
-        )
-        sys.stderr.write(proc.stderr)
-        line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
-        if proc.returncode == 0 and line:
-            probed = json.loads(line[-1])
-            for name, v in probed.items():
-                if v >= 0 and (name not in warm or v < warm[name]):
-                    warm[name] = v
-        else:
-            print(f"# warm probe run failed (rc={proc.returncode})", file=sys.stderr)
+        # one FRESH process per probed query (r10 ADVICE: a shared
+        # process runs probe k after probes 1..k-1 — the very ordering
+        # effect the lane exists to rule out), bounded by the cap
+        for name in take:
+            env = dict(os.environ, SPARK_GRAFT_BENCH_WARM_PROBE=name)
+            env.pop("SPARK_GRAFT_BENCH_WORKER", None)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env,
+            )
+            sys.stderr.write(proc.stderr)
+            line = [
+                ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+            ]
+            if proc.returncode == 0 and line:
+                probed.update(json.loads(line[-1]))
+            else:
+                print(
+                    f"# warm probe {name} failed (rc={proc.returncode})",
+                    file=sys.stderr,
+                )
+        for name, v in probed.items():
+            if v >= 0 and (name not in warm or v < warm[name]):
+                warm[name] = v
 
     # per-phase median across runs (lifecycle queries only — see
     # dataplatform_cdc_pipeline_spark/bench_phases.py)
@@ -685,6 +748,10 @@ def main() -> None:
             }
             for n in (outliers[:_WARM_PROBE_CAP] if outliers else [])
         },
+        # which baseline the probe lane compared against (r10 ADVICE:
+        # a same-round second attempt used to silently compare against
+        # its own earlier attempt on disk)
+        "warm_probe_baseline": prior_source,
         "phases": phases,        # per-phase medians for lifecycle queries
         # queries whose headline EXCLUDES their fixture-staging span
         # (the setup median still appears under "phases")

@@ -15,9 +15,8 @@ import bench
 
 
 def _emit_and_capture(tmp_path, monkeypatch, payload):
-    monkeypatch.setattr(
-        bench.os.path, "dirname", lambda p: str(tmp_path), raising=False
-    )
+    monkeypatch.setattr(bench, "_here", lambda: str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         bench._emit(payload)
@@ -175,14 +174,81 @@ def test_warm_probe_outlier_selection():
 
 
 def test_prior_medians_reads_committed_bench_full(tmp_path, monkeypatch):
-    monkeypatch.setattr(
-        bench.os.path, "dirname", lambda p: str(tmp_path), raising=False
-    )
-    assert bench._prior_medians() == {}  # absent file -> empty, no raise
+    """r10 ADVICE: the probe baseline is the COMMITTED record (git
+    HEAD), so a same-round second attempt never compares against its
+    own earlier attempt sitting on disk; outside a checkout it falls
+    back to the working-tree file, and says which it used."""
+    monkeypatch.setattr(bench, "_here", lambda: str(tmp_path))
+    # tmp_path is not a git checkout -> both sources absent
+    assert bench._prior_medians() == ({}, "none")
     (tmp_path / "BENCH_FULL.json").write_text(
         json.dumps({"queries": {"a": 1.5, "failed": -1.0, "bad": "x"}})
     )
-    assert bench._prior_medians() == {"a": 1.5}
+    assert bench._prior_medians() == ({"a": 1.5}, "worktree:BENCH_FULL.json")
+    # in a checkout with a committed record, HEAD wins over the
+    # (possibly same-round-overwritten) working-tree copy
+    import subprocess as sp
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    sp.run(["git", "init", "-q"], cwd=repo, check=True)
+    (repo / "BENCH_FULL.json").write_text(json.dumps({"queries": {"a": 9.0}}))
+    sp.run(["git", "add", "-A"], cwd=repo, check=True)
+    sp.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "x"],
+        cwd=repo, check=True,
+    )
+    (repo / "BENCH_FULL.json").write_text(json.dumps({"queries": {"a": 1.0}}))
+    monkeypatch.setattr(bench, "_here", lambda: str(repo))
+    assert bench._prior_medians() == ({"a": 9.0}, "git:HEAD:BENCH_FULL.json")
+
+
+def test_out_path_is_round_stamped_by_default(tmp_path, monkeypatch):
+    """r10 verdict task 4: the default output is stamped with the round
+    in flight (max CORRECTNESS round on disk + 1) so a driver-invoked
+    bench never aliases the committed BENCH_FULL.json; the env override
+    is the builder's explicit opt-in for the clean run."""
+    monkeypatch.setattr(bench, "_here", lambda: str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+    assert bench._out_path() == str(tmp_path / "BENCH_FULL_r0.json")
+    (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r10.json").write_text("{}")
+    assert bench._out_path() == str(tmp_path / "BENCH_FULL_r11.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    assert bench._out_path() == str(tmp_path / "BENCH_FULL.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", "/abs/out.json")
+    assert bench._out_path() == "/abs/out.json"
+
+
+def test_emit_names_its_output_file(tmp_path, monkeypatch):
+    """The printed line's "full" field names the file the run actually
+    wrote (round-stamped by default)."""
+    monkeypatch.setattr(bench, "_here", lambda: str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+    (tmp_path / "CORRECTNESS_r10.json").write_text("{}")
+    payload = {
+        "metric": "headline_queries_total", "value": 1.0, "unit": "sec",
+        "queries": {"cdc_merge_full": 1.0}, "warm": {}, "runs": 1, "sf": 0.01,
+    }
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench._emit(payload)
+    d = json.loads(buf.getvalue().strip())
+    assert d["full"] == "BENCH_FULL_r11.json"
+    assert (tmp_path / "BENCH_FULL_r11.json").exists()
+
+
+def test_warm_probes_are_one_process_per_query():
+    """r10 ADVICE: the orchestrator spawns one fresh subprocess PER
+    probed query — a shared process re-introduces the ordering effects
+    the probe lane exists to disambiguate."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    probe = src.split("for name in take:")[1]
+    assert "SPARK_GRAFT_BENCH_WARM_PROBE=name" in probe
+    assert "subprocess.run" in probe
 
 
 def test_single_run_branch_flags_unstable_canary():
