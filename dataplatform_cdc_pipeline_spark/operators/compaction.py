@@ -95,10 +95,11 @@ def compact(
     plan = plan_compaction(file_profile(spark, src_path), target_rows)
     plan = plan.localCheckpoint(eager=True)  # one profile pass, reused
 
-    rewrite_files = [
-        r["file"] for r in plan.filter("rewrite").select("file").collect()
-    ]  # bounded control-plane list: |files| metadata, never data
-    if rewrite_files:
+    # emptiness probes + the carried loop below are metadata-scale
+    # driver work (counts and the carried subset only — never a full
+    # file list, which would be millions of strings at 100 TB); the
+    # rewrite itself stays distributed via the broadcast file->bin map
+    if plan.filter("rewrite").limit(1).count():
         data = spark.read.parquet(src_path).withColumn(
             "__file", F.col("_metadata.file_path")
         )
@@ -119,6 +120,8 @@ def compact(
         )
     from urllib.parse import urlparse
 
+    # carried files: coordinator-side metadata work proportional to the
+    # CARRIED subset (the same class as Iceberg's manifest rewrite)
     for row in plan.filter(~F.col("rewrite")).collect():
         bin_dir = os.path.join(dst_path, f"bin={row['bin']}")
         os.makedirs(bin_dir, exist_ok=True)
