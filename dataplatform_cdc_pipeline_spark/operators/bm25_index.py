@@ -21,11 +21,16 @@ maintenance per the IR literature):
   are recomputed from CURRENT totals at query time, which is what makes
   the index incrementally maintainable at all: a new batch shifts every
   document's score without touching any stored row.
-- **batch add** publishes all three tables under ``batch=<id>``
-  partitions with dynamic partition overwrite — replaying a batch
-  rewrites exactly its own partitions byte-identically (idempotent
-  ingest, the same exactly-once-by-rewrite contract as the streaming
-  merges).
+- **batch add** publishes the tables under ``batch=<id>`` partitions
+  with dynamic partition overwrite — replaying a batch rewrites exactly
+  its own partitions byte-identically (idempotent ingest, the same
+  exactly-once-by-rewrite contract as the streaming merges).
+- **doclens** ``(doc_id, dl)`` per batch — one skinny row per document
+  (dl NULL for null-text docs). It is the doc→batch map that makes
+  ``erase`` (right-to-be-forgotten) pruned and exact: affected batches
+  resolve from a |docs|-row table instead of a postings scan, and a
+  zero-token doc — invisible in postings — still decrements N, because
+  docstats is the doclens aggregate.
 - **search** reads postings and df pruned to the query terms (predicate
   pushdown on ``term``; on a cluster the postings table would
   additionally be bucketed by term — documented, not needed at sandbox
@@ -58,6 +63,7 @@ _DF_SCHEMA = "term string, df long, batch string"
 #: with empty or null text (r10 ADVICE: the old postings-derived stats
 #: silently dropped such docs from N and avgdl).
 _DOCSTATS_SCHEMA = "n_docs long, n_dl long, sum_dl long, batch string"
+_DOCLENS_SCHEMA = "doc_id long, dl int, batch string"
 
 
 class IncrementalBm25Index:
@@ -89,26 +95,32 @@ class IncrementalBm25Index:
         text_col: str = "text",
         id_col: str = "doc_id",
     ) -> None:
-        """Publish the delta's postings + per-batch df and doc stats
-        under ``batch=<batch_id>``. The postings frame is eagerly
+        """Publish the delta's postings + per-batch df, doclens and doc
+        stats under ``batch=<batch_id>``. The postings frame is eagerly
         materialized once (localCheckpoint) so the postings write and
-        the df aggregate share one tokenization pass; docstats runs its
-        own map-only pass over the DOCS frame (one row out, no shuffle)
-        because a doc whose text tokenizes to nothing produces no
-        posting rows yet still belongs in N/avgdl (r10 ADVICE)."""
+        the df aggregate share one tokenization pass; doclens runs its
+        own map-only pass over the DOCS frame (one skinny row per doc,
+        also checkpointed) because a doc whose text tokenizes to
+        nothing produces no posting rows yet still belongs in N/avgdl
+        (r10 ADVICE) — docstats is then the doclens aggregate (one
+        row), bit-identical to aggregating the docs frame directly."""
         postings = self._postings(docs, text_col, id_col).localCheckpoint(eager=True)
         bdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         # one row per doc per term -> df = row count per term (doc_ids
         # are unique within a posting group by construction)
-        dl = F.size(tokens_expr(text_col))
-        stats = docs.select(dl.alias("__dl")).agg(
+        doclens = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens_expr(text_col)).alias("dl"),
+        ).localCheckpoint(eager=True)
+        stats = doclens.agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.count("__dl").alias("n_dl"),
-            F.sum("__dl").cast("long").alias("sum_dl"),
+            F.count("dl").alias("n_dl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
         )
         for sub, frame, part_cols in (
             ("postings", postings.repartition("term"), ["batch"]),
             ("df", bdf, ["batch"]),
+            ("doclens", doclens, ["batch"]),
             ("docstats", stats, ["batch"]),
         ):
             (
@@ -119,11 +131,106 @@ class IncrementalBm25Index:
                 .parquet(os.path.join(self.path, sub))
             )
 
+    def erase(self, doc_ids: DataFrame | Sequence[int]) -> dict:
+        """Right-to-be-forgotten ACROSS the derived index (the GDPR
+        twin of cdc_erasure_txn: deleting a document from the corpus is
+        not enough — its postings keep its content searchable/
+        reconstructible). Removes the docs from postings/doclens and
+        recomputes the affected batches' df/docstats, so every
+        surviving document's score immediately reflects the smaller
+        corpus (idf/avgdl re-derive from the updated aggregates) and a
+        post-erase search is bit-identical to from-scratch BM25 over
+        the remaining docs (test-pinned).
+
+        Scale shape: affected batches resolve from the skinny doclens
+        table pruned by the erased-id join — never a postings scan;
+        only those batches' partitions rewrite (delta-cost, like every
+        other maintenance op here). Batches emptied entirely have their
+        partition directories removed (dynamic overwrite only replaces
+        partitions PRESENT in the written frame). Idempotent: a replay
+        finds no surviving rows for the ids and rewrites the same
+        partitions identically."""
+        import shutil
+
+        if not isinstance(doc_ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            )
+        else:
+            ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+
+        doclens = self._read("doclens", _DOCLENS_SCHEMA)
+        affected = [
+            r["batch"]
+            for r in doclens.join(ids, "doc_id")
+            .select("batch")
+            .distinct()
+            .collect()
+        ]  # bounded control list: |affected batches|
+        result = {"batches": sorted(affected), "docs_erased": 0}
+        if not affected:
+            return result
+        bpred = F.col("batch").isin(affected)
+
+        # materialize the survivors BEFORE any overwrite — the new
+        # frames read the very partitions the writes replace
+        keep_lens = (
+            doclens.filter(bpred)
+            .join(ids, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        keep_post = (
+            self._read("postings", _POSTINGS_SCHEMA)
+            .filter(bpred)
+            .join(ids, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        result["docs_erased"] = (
+            doclens.filter(bpred).join(ids, "doc_id").count()
+        )
+        new_df = keep_post.groupBy("batch", "term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        new_stats = keep_lens.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dl").alias("n_dl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        for sub, frame, cols in (
+            # re-cluster surviving postings on term, same as add_batch
+            ("postings", keep_post.repartition("term"),
+             ["term", "doc_id", "tf", "dl", "batch"]),
+            ("df", new_df, ["term", "df", "batch"]),
+            ("doclens", keep_lens, ["doc_id", "dl", "batch"]),
+            ("docstats", new_stats, ["n_docs", "n_dl", "sum_dl", "batch"]),
+        ):
+            present = {
+                r["batch"] for r in frame.select("batch").distinct().collect()
+            }
+            (
+                frame.select(*cols)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(os.path.join(self.path, sub))
+            )
+            for b in set(affected) - present:  # emptied partitions
+                shutil.rmtree(
+                    os.path.join(self.path, sub, f"batch={b}"),
+                    ignore_errors=True,
+                )
+        return result
+
     def _read(self, sub: str, schema: str) -> DataFrame:
-        """A missing subdirectory is the legitimate empty-index state
-        (nothing ingested yet); any other read error propagates."""
+        """A missing subdirectory — or one whose every partition was
+        erased (only commit markers left) — is the legitimate
+        empty-index state; any other read error propagates. The
+        file-walk probe is coordinator metadata work; a cluster
+        deployment would consult a table manifest instead."""
         p = os.path.join(self.path, sub)
-        if not os.path.isdir(p):
+        if not os.path.isdir(p) or not any(
+            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+        ):
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(p)
 

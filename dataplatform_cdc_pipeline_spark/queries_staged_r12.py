@@ -28,9 +28,19 @@ is NOT merged into ``__spark_entry__.queries()``
    batch slices; the total row pins that runs + tail = exactly the
    source.
 
+3. ``bm25_index_erasure`` — right-to-be-forgotten ACROSS the derived
+   index (operators/bm25_index.py `erase`): deleting a doc from the
+   corpus is not enough when a persisted inverted index keeps its
+   content searchable. The lifecycle: index two batches, search, erase
+   a deterministic id set spanning both batches, search again + df
+   audit. The oracle recomputes phase-2 BM25 from scratch over the
+   SURVIVOR corpus — a stale posting, an undecremented N, or an
+   unadjusted df diverges every score. The GDPR twin of
+   `cdc_erasure_txn`, extended to derived artifacts.
+
 Reference parity: the reference runs on managed warehouse tables and
-has no file-maintenance surface — beyond-reference platform operators
-(SURVEY.md §2 flank), the storage-maintenance mirror of the
+has no file-maintenance or search surface — beyond-reference platform
+operators (SURVEY.md §2 flank), the storage-maintenance mirror of the
 incremental-index family (`incremental_dedup_batch` /
 `incremental_bm25_batch`: delta-cost upkeep of a persisted physical
 layout).
@@ -268,12 +278,85 @@ FROM events
 )
 
 
+def q_bm25_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure from the persisted BM25 index. Output rows
+    (phase, kind, doc_id, term, score):
+
+    - phase 1 'search': top-20 over the full two-batch index
+    - phase 2 'search': top-20 AFTER erase(doc_id % 7 == 3) — must be
+      bit-identical to from-scratch BM25 over the survivor corpus
+      (idf/avgdl/N re-derived from the rewritten per-batch aggregates)
+    - phase 2 'df': merged per-term document frequency post-erase
+    """
+    from dataplatform_cdc_pipeline_spark.operators.bm25_index import (
+        IncrementalBm25Index,
+    )
+    from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(
+        spark, tempfile.mkdtemp(prefix="bm25_erase_q_") + "/ix"
+    )
+    idx.add_batch("b0", docs.filter(F.col("doc_id") % 2 == 0))
+    idx.add_batch("b1", docs.filter(F.col("doc_id") % 2 == 1))
+    bench_phases.mark("setup")
+
+    def rows(phase: int, kind: str, frame: DataFrame) -> DataFrame:
+        if kind == "search":
+            return frame.select(
+                F.lit(phase).alias("phase"), F.lit(kind).alias("kind"),
+                F.col("doc_id"), F.lit(None).cast("string").alias("term"),
+                F.col("bm25").alias("score"),
+            )
+        return frame.select(
+            F.lit(phase).alias("phase"), F.lit(kind).alias("kind"),
+            F.lit(None).cast("long").alias("doc_id"), F.col("term"),
+            F.col("df").cast("double").alias("score"),
+        )
+
+    p1 = rows(1, "search", idx.search(BM25_TERMS)).localCheckpoint(eager=True)
+    bench_phases.mark("search")
+    idx.erase(docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"))
+    bench_phases.mark("erase")
+    p2 = rows(2, "search", idx.search(BM25_TERMS)).localCheckpoint(eager=True)
+    audit = rows(2, "df", idx.term_stats(BM25_TERMS))
+    return p1.unionByName(p2).unionByName(audit)
+
+
+def _erasure_oracle_sql() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import TOKS
+    from dataplatform_cdc_pipeline_spark.queries_promoted_r11 import (
+        _TERMS_SQL,
+        _bm25_phase_sql,
+    )
+
+    return (
+        _bm25_phase_sql(1, "TRUE")
+        + "\nUNION ALL"
+        + _bm25_phase_sql(2, "doc_id % 7 <> 3")
+        + f"""
+UNION ALL
+SELECT 2 AS phase, 'df' AS kind, NULL::BIGINT AS doc_id, term,
+       count(DISTINCT doc_id)::DOUBLE AS score
+FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents
+      WHERE doc_id % 7 <> 3)
+WHERE term IN {_TERMS_SQL}
+GROUP BY term
+"""
+    )
+
+
+SQL_BM25_INDEX_ERASURE = _erasure_oracle_sql()
+
+
 STAGED_R12_QUERIES = {
     "cdc_compact_binpack": q_cdc_compact_binpack,
     "stream_compact_runs": q_stream_compact_runs,
+    "bm25_index_erasure": q_bm25_index_erasure,
 }
 
 STAGED_R12_ORACLES = {
     "cdc_compact_binpack": SQL_CDC_COMPACT_BINPACK,
     "stream_compact_runs": SQL_STREAM_COMPACT_RUNS,
+    "bm25_index_erasure": SQL_BM25_INDEX_ERASURE,
 }

@@ -92,6 +92,70 @@ def test_incremental_add_shifts_global_stats(spark, sf_dir, tmp_path):
     assert _ranked(idx.search(BM25_TERMS)) == _ranked(bm25_search(b0, BM25_TERMS))
 
 
+def test_erase_matches_from_scratch_over_survivors(spark, sf_dir, tmp_path):
+    """GDPR erasure across the derived index: after erase(ids), search
+    must be bit-identical to from-scratch BM25 over the remaining
+    corpus — every survivor's score shifts (idf/avgdl re-derive from
+    the updated per-batch aggregates), and the erased docs' content is
+    gone from the postings, not just the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", docs.filter(F.col("doc_id") % 2 == 0))
+    idx.add_batch("b1", docs.filter(F.col("doc_id") % 2 == 1))
+    erased = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    res = idx.erase(erased)
+    assert res["batches"] == ["b0", "b1"]  # ids span both batches
+    assert res["docs_erased"] == erased.count()
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    assert _ranked(idx.search(BM25_TERMS)) == _ranked(
+        bm25_search(survivors, BM25_TERMS)
+    )
+    # the erased docs left no posting rows behind
+    post = spark.read.parquet(str(tmp_path / "ix/postings"))
+    assert post.join(erased, post.doc_id == erased.doc_id).count() == 0
+    # idempotent: erasing again is a no-op with identical results
+    before = _ranked(idx.search(BM25_TERMS))
+    res2 = idx.erase(erased)
+    assert res2["docs_erased"] == 0 and res2["batches"] == []
+    assert _ranked(idx.search(BM25_TERMS)) == before
+
+
+def test_erase_whole_batch_removes_its_partitions(spark, sf_dir, tmp_path):
+    """Erasing every doc of a batch must remove that batch's partition
+    directories (dynamic overwrite alone would leave the stale
+    partition live) and leave search == from-scratch over the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", b0)
+    idx.add_batch("b1", b1)
+    idx.erase(b1.select("doc_id"))
+    for sub in ("postings", "df", "doclens", "docstats"):
+        assert not os.path.isdir(str(tmp_path / f"ix/{sub}/batch=b1")), sub
+    assert _ranked(idx.search(BM25_TERMS)) == _ranked(bm25_search(b0, BM25_TERMS))
+    # erase the rest: the index is empty but still readable
+    idx.erase(b0.select("doc_id"))
+    assert idx.search(BM25_TERMS).count() == 0
+
+
+def test_erase_zero_token_doc_decrements_n(spark, sf_dir, tmp_path):
+    """A null-text doc has NO posting rows — only the doclens table
+    knows its batch, and only the docstats recompute can decrement N
+    for it. Erasing it must shift every score back to the
+    without-that-doc ranking."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    extra = spark.createDataFrame([(mx + 1, None)], "doc_id long, text string")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", docs.unionByName(extra))
+    res = idx.erase([mx + 1])
+    assert res["docs_erased"] == 1
+    stats = spark.read.parquet(str(tmp_path / "ix/docstats"))
+    assert stats.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    assert _ranked(idx.search(BM25_TERMS)) == _ranked(bm25_search(docs, BM25_TERMS))
+
+
 def test_empty_index_searches_empty(spark, tmp_path):
     idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
     assert idx.search(BM25_TERMS).count() == 0
