@@ -44,37 +44,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (scripts/check_parity.py + scripts/driver_sim.py over ALL entries,
 #: run every session).
 _PRIORITY = [
-    # ---- r11 WINDOW (the driver checks the first 50 entries) ------------
+    # ---- r12 WINDOW (the driver checks the first 50 entries) ------------
     # 1-13: §2 CDC core — pinned every round
     "cdc_window_scan", "cdc_dedup_latest", "cdc_cast_projection",
     "cdc_delete_survivorship", "cdc_merge_full", "cdc_merge_incremental",
     "cdc_merge_multi_pk", "cdc_merge_op_u", "cdc_merge_late_replay",
     "cdc_rowkey_timestamp", "cdc_watermark_stats", "cdc_bucket_pruned_read",
     "cdc_job_log",
-    # 14-16: the three r10 promotions — the only never-driver-verified
-    # entries after the r10 backlog drain; never-verified leads every
-    # window (steady-state rotation contract, r9 verdict task 5 /
-    # r10 verdict task 2)
-    "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
-    # 17-50: the 34 stalest greens (r4-green leftovers, list order) —
-    # exactly the splice the r10 verdict pinned and
-    # scripts/rotation_plan.py --next derived from the CORRECTNESS
-    # history (windows are COMPUTED now, not transcribed)
-    "doc_chunks", "bm25_search", "unigram_perplexity", "ann_recall_eval",
-    "cdc_ivm_type_counts", "cdc_ivm_sum", "cdc_schema_drift",
-    "ivf_recall_curve", "embedding_kmeans", "dedup_minhash_lsh",
-    "embedding_near_dup", "text_quality", "training_mix", "multimodal_resize",
-    "sessionize_events", "pricing_summary", "gopher_repetition",
-    "multimodal_audio_segments", "top_supplier", "min_cost_supplier",
-    "market_share", "customer_value_deciles", "stream_session_windows",
-    "stream_click_attribution", "stream_dedup_events", "events_rollup",
-    "events_pivot", "customer_set_ops", "asof_prior_click", "value_band_join",
-    "events_distinct_stats", "props_stats", "order_priority_check",
-    "small_quantity_revenue",
-    # ---- rotation cohorts (r4-green remainder, then r5..r9-green;
-    # freshest greens wait longest). All entries remain CONTINUOUSLY
-    # gated by the local full sweeps (scripts/check_parity.py +
-    # scripts/driver_sim.py over ALL entries, run every session).
+    # 14-15: the two r11 promotions (incremental BM25 pair) — the only
+    # never-driver-verified entries after the r11 drain; never-verified
+    # leads every window (steady-state rotation contract). Once this
+    # window greens, every one of the pre-r12 registry entries has at
+    # least one fully-green driver row (backlog 2 -> 0).
+    "incremental_bm25_batch", "stream_bm25_index",
+    # 16-50: the 35 stalest greens (r5/r6-green cohort head, list
+    # order) — exactly the splice the r11 verdict pinned and
+    # scripts/rotation_plan.py --next derived from the r1-r11
+    # CORRECTNESS history (windows are COMPUTED, not transcribed)
     "stream_windowed_counts", "dedup_clusters", "embedding_ivf_topk",
     "top_orders_per_customer", "dedup_exact", "dedup_simhash",
     "dedup_ngram_jaccard", "embedding_topk", "cdc_snapshot_merge",
@@ -86,7 +72,12 @@ _PRIORITY = [
     "bigram_perplexity", "bpe_learn", "bpe_encode", "events_cube",
     "events_distinct_sketch", "events_value_percentiles", "heavy_hitters_cms",
     "customer_pareto", "fuzzy_name_match", "stream_distinct_sketch",
-    "cdc_scd2_history", "cdc_skipping_read", "events_gapfill",
+    "cdc_scd2_history",
+    # ---- rotation cohorts (r5..r9-green remainder; freshest greens
+    # wait longest). All entries remain CONTINUOUSLY gated by the local
+    # full sweeps (scripts/check_parity.py + scripts/driver_sim.py over
+    # ALL entries, run every session).
+    "cdc_skipping_read", "events_gapfill",
     "events_pagerank", "bloom_join_prune", "cdc_maxwell_ingest",
     "cdc_scd2_asof", "stream_scd2_history", "events_value_histogram",
     "cdc_range_export", "events_moving_avg", "cdc_merge_dv",
@@ -143,11 +134,27 @@ _PRIORITY = [
     "ngram_top_bigrams", "vocab_df_stats", "cross_corpus_dedup",
     "shipping_priority_mix", "promo_revenue", "large_volume_customer",
     "discounted_revenue", "sales_opportunity", "dedup_keep_best",
-    # ---- r11 promotions (registry 243 -> 245; r10 verdict task 3): the
-    # incremental BM25 pair, staged + oracle-gated at two scale factors
-    # through r10 (queries_promoted_r11.py), never driver-verified yet —
-    # they lead the r12 window as its never-verified head.
-    "incremental_bm25_batch", "stream_bm25_index",
+    # ---- r11-green cohort (driver-verified in CORRECTNESS_r11: the 13
+    # core re-greened + the 3 r10 promotions' first rows + the 34
+    # stalest r4-greens refreshed; freshest cohort waits longest)
+    "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
+    "doc_chunks", "bm25_search", "unigram_perplexity", "ann_recall_eval",
+    "cdc_ivm_type_counts", "cdc_ivm_sum", "cdc_schema_drift",
+    "ivf_recall_curve", "embedding_kmeans", "dedup_minhash_lsh",
+    "embedding_near_dup", "text_quality", "training_mix", "multimodal_resize",
+    "sessionize_events", "pricing_summary", "gopher_repetition",
+    "multimodal_audio_segments", "top_supplier", "min_cost_supplier",
+    "market_share", "customer_value_deciles", "stream_session_windows",
+    "stream_click_attribution", "stream_dedup_events", "events_rollup",
+    "events_pivot", "customer_set_ops", "asof_prior_click", "value_band_join",
+    "events_distinct_stats", "props_stats", "order_priority_check",
+    "small_quantity_revenue",
+    # ---- r12 promotions (registry 245 -> 248; r11 verdict task 3): the
+    # table-maintenance/erasure trio, staged + oracle-gated at two scale
+    # factors through r11 (queries_promoted_r12.py), never
+    # driver-verified yet — they lead the r13 window as its
+    # never-verified head.
+    "cdc_compact_binpack", "stream_compact_runs", "bm25_index_erasure",
 ]
 
 
@@ -172,6 +179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dataplatform_cdc_pipeline_spark.queries_promoted_r11 import (
         PROMOTED_R11_QUERIES,
     )
+    from dataplatform_cdc_pipeline_spark.queries_promoted_r12 import (
+        PROMOTED_R12_QUERIES,
+    )
 
     return _ordered(
         {
@@ -184,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **PREP_QUERIES,
             **PROMOTED_QUERIES,
             **PROMOTED_R11_QUERIES,
+            **PROMOTED_R12_QUERIES,
         }
     )
 
@@ -200,6 +211,9 @@ def oracle_sql() -> dict[str, str]:
     from dataplatform_cdc_pipeline_spark.queries_promoted_r11 import (
         PROMOTED_R11_ORACLES,
     )
+    from dataplatform_cdc_pipeline_spark.queries_promoted_r12 import (
+        PROMOTED_R12_ORACLES,
+    )
 
     return {
         **ORACLES,
@@ -211,4 +225,5 @@ def oracle_sql() -> dict[str, str]:
         **PREP_ORACLES,
         **PROMOTED_ORACLES,
         **PROMOTED_R11_ORACLES,
+        **PROMOTED_R12_ORACLES,
     }

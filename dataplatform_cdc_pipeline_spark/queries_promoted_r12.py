@@ -1,13 +1,11 @@
-"""r12 promotion candidates — STAGED, NOT REGISTERED.
+"""r12 promotions (registry 245 -> 248; r11 verdict task 3).
 
-The r11 registry is settled (245 entries; the r12 driver window is
-pinned by test_r12_window_is_queued), so new queries follow the same
-stage-then-promote path the r10/r11 promotions took: implemented and
-oracle-gated NOW, registered only WITH the r12 rotation (append to
-``_PRIORITY``'s tail → leads the r13 window as never-verified; update
-the registry-count and window contract tests). ``STAGED_R12_QUERIES``
-is NOT merged into ``__spark_entry__.queries()``
-(tests/test_compaction.py pins the non-registration).
+Staged + oracle-gated at sf0.001 and sf0.01 through r11
+(tests/test_compaction.py + SCALE.md 10× rows), promoted WITH the r12
+rotation per the stage-then-promote path the r10/r11 promotions took:
+appended to ``_PRIORITY``'s tail, so the trio leads the r13 window as
+its never-driver-verified head (tests/test_registry_contract.py pins
+the registration and the r13 queue).
 
 1. ``cdc_compact_binpack`` — bin-pack small-file compaction
    (operators/compaction.py): 16 staged small files are profiled via
@@ -140,8 +138,11 @@ def q_cdc_compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CDC_COMPACT_BINPACK = f"""
 WITH per_g AS (
+  -- sums cast to BIGINT: DuckDB sum(BIGINT) is HUGEINT, which pandas
+  -- renders float64 and the driver's value hash would diverge from
+  -- Spark's int64 (caught by check_parity before the r12 promotion)
   SELECT event_id % {_N_FILES} AS g, count(*) AS n_rows,
-         sum(event_id) AS sum_id
+         CAST(sum(event_id) AS BIGINT) AS sum_id
   FROM events GROUP BY 1
 ),
 tot AS (
@@ -159,8 +160,9 @@ plan AS (
   FROM cum, tot
 ),
 per_bin AS (
-  SELECT bin, count(*) AS n_files, sum(n_rows) AS bin_rows,
-         sum(sum_id) AS bin_sum, max(target) AS target
+  SELECT bin, count(*) AS n_files,
+         CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+         CAST(sum(sum_id) AS BIGINT) AS bin_sum, max(target) AS target
   FROM plan GROUP BY bin
 )
 SELECT 'plan' AS phase, p.g AS id, p.bin, p.n_rows,
@@ -170,7 +172,9 @@ FROM plan p JOIN per_bin b USING (bin)
 UNION ALL
 SELECT 'post', NULL, bin, bin_rows, bin_sum, NULL::INT FROM per_bin
 UNION ALL
-SELECT 'total', NULL, NULL, count(*), sum(event_id), NULL::INT FROM events
+SELECT 'total', NULL, NULL, count(*),
+       CAST(sum(event_id) AS BIGINT), NULL::INT
+FROM events
 """
 
 
@@ -245,7 +249,7 @@ def _run_sql(j: int) -> str:
     lo, hi = j * _EVERY, j * _EVERY + _EVERY - 1
     return f"""
 SELECT 'run' AS phase, 'r{j}' AS id, bin, count(*) AS n_rows,
-       sum(event_id) AS sum_key, min(event_id) AS min_key,
+       CAST(sum(event_id) AS BIGINT) AS sum_key, min(event_id) AS min_key,
        max(event_id) AS max_key
 FROM (
   WITH delta AS (
@@ -267,12 +271,12 @@ SQL_STREAM_COMPACT_RUNS = (
     + _run_sql(1)
     + f"""
 UNION ALL
-SELECT 'tail', 'b4', NULL::BIGINT, count(*), sum(event_id),
-       min(event_id), max(event_id)
+SELECT 'tail', 'b4', NULL::BIGINT, count(*),
+       CAST(sum(event_id) AS BIGINT), min(event_id), max(event_id)
 FROM events WHERE event_id % {_N_BATCHES} = 4
 UNION ALL
-SELECT 'total', NULL::VARCHAR, NULL::BIGINT, count(*), sum(event_id),
-       min(event_id), max(event_id)
+SELECT 'total', NULL::VARCHAR, NULL::BIGINT, count(*),
+       CAST(sum(event_id) AS BIGINT), min(event_id), max(event_id)
 FROM events
 """
 )
@@ -349,13 +353,13 @@ GROUP BY term
 SQL_BM25_INDEX_ERASURE = _erasure_oracle_sql()
 
 
-STAGED_R12_QUERIES = {
+PROMOTED_R12_QUERIES = {
     "cdc_compact_binpack": q_cdc_compact_binpack,
     "stream_compact_runs": q_stream_compact_runs,
     "bm25_index_erasure": q_bm25_index_erasure,
 }
 
-STAGED_R12_ORACLES = {
+PROMOTED_R12_ORACLES = {
     "cdc_compact_binpack": SQL_CDC_COMPACT_BINPACK,
     "stream_compact_runs": SQL_STREAM_COMPACT_RUNS,
     "bm25_index_erasure": SQL_BM25_INDEX_ERASURE,

@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 from dataplatform_cdc_pipeline_spark.queries_promoted_r11 import (
     PROMOTED_R11_QUERIES,
 )
-from dataplatform_cdc_pipeline_spark.queries_staged_r12 import (
-    STAGED_R12_QUERIES,
+from dataplatform_cdc_pipeline_spark.queries_promoted_r12 import (
+    PROMOTED_R12_QUERIES,
 )
 from dataplatform_cdc_pipeline_spark.session import get_spark
 from dataplatform_cdc_pipeline_spark.sources.tables import load_table
@@ -36,7 +36,7 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/sf1synth_r11"
 REPL = 10
 
-QUERIES = dict(**STAGED_R12_QUERIES, **PROMOTED_R11_QUERIES)
+QUERIES = dict(**PROMOTED_R12_QUERIES, **PROMOTED_R11_QUERIES)
 
 
 def build_sf1(spark) -> None:

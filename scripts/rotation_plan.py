@@ -9,19 +9,25 @@ tool DERIVES them from the CORRECTNESS_r*.json history so the next
 rotation is computed, not transcribed — and diverging from the pinned
 contract tests is a loud signal, not a silent drift.
 
-A pinned window lives through TWO history states (r10 verdict task 1 —
-the check must pass in both, or "pytest green" becomes time-dependent
-on an artifact the builder does not control):
+A pinned window lives through MULTIPLE history states (r10 verdict
+task 1; generalized r12 after the single-strip variant broke twice —
+the check must pass in all of them, or "pytest green" becomes
+time-dependent on an artifact the builder does not control):
 
 1. **as planned**: history = rounds 1..N (the window was derived from
    these records);
-2. **greened, not yet rotated**: the driver lands round N+1's record —
-   every window entry just became the freshest green, so the derivation
-   over FULL history now yields the NEXT window, not the current one.
+2. **greened k times, not yet rotated**: the driver lands one or MORE
+   consecutive rounds whose records fully green the pinned window —
+   each such round makes every window entry the freshest green, so the
+   derivation over the full history yields the NEXT window, not the
+   current one, until those trailing rounds are peeled off.
 
-Check mode therefore passes when the pinned window matches the
-derivation over EITHER the full history OR the history minus its newest
-round. Anything else is a real divergence.
+Check mode therefore strips CONSECUTIVE trailing rounds, but only
+while the stripped round's record fully greens the pinned current
+window (a round that does NOT green the window can never be the
+"greened, awaiting rotation" state, so hitting one ends the walk); the
+pinned window must match the derivation at some point of that walk.
+Anything else is a real divergence.
 
 Usage:
   python scripts/rotation_plan.py          # check the CURRENT window
@@ -95,29 +101,46 @@ def _derive_for_check(priority: list[str], last: dict[str, int]) -> list[str]:
     return derive_window(pool, last)
 
 
+def _greens_window(rec: dict, window: list[str]) -> bool:
+    """True when a single round's record fully greens every window entry."""
+    green = last_green_rounds([(1, rec)])
+    return all(n in green for n in window)
+
+
 def check_current(
     priority: list[str], records: list[tuple[int, dict]]
 ) -> tuple[bool, str, list[str]]:
     """(ok, which-history-matched, derived-window) for the pinned
-    current window. Tries the full history first, then — because the
-    newest record may be the driver greening this very window before
-    the rotation is spliced — the history minus its newest round."""
+    current window. Walks backwards from the full history, peeling off
+    trailing rounds — but ONLY rounds whose record fully greens the
+    pinned window (the driver greening the current window one or more
+    consecutive times before the rotation is spliced is a legitimate
+    state; r10/r11 both tripped single-state variants of this check).
+    The walk is bounded by len(records) and stops at the first
+    non-greening round, so a genuinely divergent window cannot be
+    vacuously matched by stripping unrelated history."""
     current = priority[:WINDOW]
-    derived = _derive_for_check(priority, last_green_rounds(records))
-    if derived == current:
-        return True, "full history", derived
-    if records:
-        mx = max(r for r, _ in records)
-        prev = [(r, d) for r, d in records if r != mx]
-        derived_prev = _derive_for_check(priority, last_green_rounds(prev))
-        if derived_prev == current:
+    hist = sorted(records)
+    stripped: list[int] = []
+    first_derived: list[str] | None = None
+    while True:
+        derived = _derive_for_check(priority, last_green_rounds(hist))
+        if first_derived is None:
+            first_derived = derived
+        if derived == current:
+            if not stripped:
+                return True, "full history", derived
+            rs = "+".join(f"r{r}" for r in stripped)
             return (
                 True,
-                f"history minus r{mx} (window greened r{mx}, rotation "
-                "not yet spliced)",
-                derived_prev,
+                f"history minus {rs} (window greened, rotation not yet "
+                "spliced)",
+                derived,
             )
-    return False, "none", derived
+        if not hist or not _greens_window(hist[-1][1], current):
+            return False, "none", first_derived
+        stripped.insert(0, hist[-1][0])
+        hist = hist[:-1]
 
 
 def plan_next(priority: list[str], records: list[tuple[int, dict]]) -> list[str]:

@@ -1,7 +1,7 @@
 """Small-file compaction (operators/compaction.py + the streaming run
 consolidation): plan math, content invariance, the zero-I/O carried
-path, checkpoint-loss replay idempotence, and the staged r12 queries'
-driver-style DuckDB parity gate (while they stay OUT of the registry)."""
+path, checkpoint-loss replay idempotence, and the r12-promoted queries'
+driver-style DuckDB parity gate plus their registration contract."""
 
 import os
 import sys
@@ -22,9 +22,9 @@ from dataplatform_cdc_pipeline_spark.operators.compaction import (
     plan_compaction,
     sort_pack_bins,
 )
-from dataplatform_cdc_pipeline_spark.queries_staged_r12 import (
-    STAGED_R12_ORACLES,
-    STAGED_R12_QUERIES,
+from dataplatform_cdc_pipeline_spark.queries_promoted_r12 import (
+    PROMOTED_R12_ORACLES,
+    PROMOTED_R12_QUERIES,
 )
 from dataplatform_cdc_pipeline_spark.sources.tables import TABLES, load_table
 
@@ -152,7 +152,7 @@ def test_stream_replay_after_checkpoint_loss_is_idempotent(
     partitions must be reconstructed byte-identically."""
     import shutil
 
-    q = STAGED_R12_QUERIES["stream_compact_runs"]
+    q = PROMOTED_R12_QUERIES["stream_compact_runs"]
     # run the query once, capture, then replay its stream with the same
     # work dir minus the checkpoint — easiest through the module's own
     # primitives so the work dir is under our control
@@ -185,14 +185,22 @@ def test_stream_replay_after_checkpoint_loss_is_idempotent(
         run_stats(spark, work, "event_id", "event_id long, value double", 5)
     )
     assert after == before
-    assert q is STAGED_R12_QUERIES["stream_compact_runs"]  # sanity
+    assert q is PROMOTED_R12_QUERIES["stream_compact_runs"]  # sanity
 
 
-def test_staged_r12_not_registered():
+def test_promoted_r12_registered_at_tail():
+    """Promoted WITH the r12 rotation (r11 verdict task 3): the trio is
+    registered, its oracles travel with it, and it sits at the registry
+    tail so it leads the r13 window as the never-verified head."""
     q = entrymod.queries()
-    assert len(q) == 245
-    assert not set(STAGED_R12_QUERIES) & set(q)
-    assert set(STAGED_R12_QUERIES) == set(STAGED_R12_ORACLES)
+    assert len(q) == 248
+    assert set(PROMOTED_R12_QUERIES) <= set(q)
+    assert set(PROMOTED_R12_QUERIES) == set(PROMOTED_R12_ORACLES)
+    assert list(q)[-3:] == [
+        "cdc_compact_binpack", "stream_compact_runs", "bm25_index_erasure",
+    ]
+    o = entrymod.oracle_sql()
+    assert all(o[n] == PROMOTED_R12_ORACLES[n] for n in PROMOTED_R12_ORACLES)
 
 
 @pytest.fixture(scope="module")
@@ -204,10 +212,10 @@ def duck(sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(STAGED_R12_QUERIES))
-def test_staged_r12_query_matches_oracle(spark, sf_dir, duck, name):
-    sdf = STAGED_R12_QUERIES[name](spark, sf_dir).toPandas()
-    odf = duck.execute(STAGED_R12_ORACLES[name]).fetchdf()
+@pytest.mark.parametrize("name", sorted(PROMOTED_R12_QUERIES))
+def test_promoted_r12_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = PROMOTED_R12_QUERIES[name](spark, sf_dir).toPandas()
+    odf = duck.execute(PROMOTED_R12_ORACLES[name]).fetchdf()
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf) > 0
     assert normalize(sdf) == normalize(odf)
