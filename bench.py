@@ -407,11 +407,19 @@ def _prior_medians() -> tuple[dict, str]:
             ["git", "-C", here, "show", "HEAD:BENCH_FULL.json"],
             capture_output=True, text=True,
         )
-        if proc.returncode == 0:
+    except OSError:  # git binary itself unavailable
+        proc = None
+    if proc is not None and proc.returncode == 0:
+        # a PRESENT-but-unparseable committed record must surface, not
+        # silently alias to the worktree file the git-HEAD baseline
+        # exists to avoid (r11 ADVICE)
+        try:
             d, source = json.loads(proc.stdout), "git:HEAD:BENCH_FULL.json"
-        else:
-            raise FileNotFoundError(proc.stderr[:100])
-    except Exception:
+        except ValueError:
+            return {}, "corrupt:HEAD:BENCH_FULL.json"
+    else:
+        # git failed (no binary / not a checkout / file not in HEAD):
+        # the worktree fallback is legitimate only here
         try:
             with open(os.path.join(here, "BENCH_FULL.json")) as f:
                 d = json.load(f)

@@ -158,6 +158,10 @@ class IncrementalBm25Index:
             )
         else:
             ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+        # dedup once up front: the erasure anti-joins are insensitive to
+        # duplicate ids but the docs_erased audit join would double-count
+        # them (r11 ADVICE)
+        ids = ids.distinct()
 
         doclens = self._read("doclens", _DOCLENS_SCHEMA)
         affected = [

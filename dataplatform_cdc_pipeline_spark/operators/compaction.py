@@ -141,8 +141,14 @@ def sort_pack_bins(df: DataFrame, key: str, target_rows: int) -> DataFrame:
     ``bin = floor(rank0 / target_rows)``. The unpartitioned window is
     deliberate and bounded (a run = a handful of micro-batches); the
     global order is the point — a sort-compaction's output is clustered
-    on the key so min/max footer stats prune reads again."""
-    w = Window.orderBy(key)
+    on the key so min/max footer stats prune reads again.
+
+    Every remaining column joins the ordering as a tiebreaker so the
+    bin assignment — and therefore the documented byte-identical replay
+    of run consolidation — is deterministic even when ``key`` is
+    non-unique (r11 ADVICE; rows identical in ALL columns remain
+    interchangeable, which cannot change the written bytes)."""
+    w = Window.orderBy(key, *[c for c in df.columns if c != key])
     return df.select(
         ((F.row_number().over(w) - 1) / F.lit(target_rows))
         .cast("long")

@@ -156,6 +156,26 @@ def test_erase_zero_token_doc_decrements_n(spark, sf_dir, tmp_path):
     assert _ranked(idx.search(BM25_TERMS)) == _ranked(bm25_search(docs, BM25_TERMS))
 
 
+def test_erase_duplicate_ids_count_once(spark, sf_dir, tmp_path):
+    """docs_erased must count DOCUMENTS, not id-frame rows: a
+    caller-supplied id frame with duplicates (e.g. ids joined out of an
+    un-deduplicated request log) previously inflated the audit count
+    via the doclens join, though the anti-join erasure itself was
+    unaffected (r11 ADVICE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", docs)
+    erased = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    n = erased.count()
+    tripled = erased.unionByName(erased).unionByName(erased)
+    res = idx.erase(tripled)
+    assert res["docs_erased"] == n
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    assert _ranked(idx.search(BM25_TERMS)) == _ranked(
+        bm25_search(survivors, BM25_TERMS)
+    )
+
+
 def test_empty_index_searches_empty(spark, tmp_path):
     idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
     assert idx.search(BM25_TERMS).count() == 0
@@ -219,11 +239,11 @@ def test_stream_replay_after_checkpoint_loss_is_idempotent(spark, sf_dir, tmp_pa
 
 
 def test_promoted_r11_registered_with_oracles():
-    """Promoted with the r11 rotation (r10 verdict task 3): both BM25
-    queries registered at the registry tail — the r12 window's
-    never-driver-verified head — with matching oracles."""
+    """Promoted with the r11 rotation (r10 verdict task 3); with the
+    r12 rotation the pair LEADS the window as its never-driver-verified
+    head (slots 14-15), with matching oracles."""
     q, o = entrymod.queries(), entrymod.oracle_sql()
-    assert list(q)[-2:] == ["incremental_bm25_batch", "stream_bm25_index"]
+    assert list(q)[13:15] == ["incremental_bm25_batch", "stream_bm25_index"]
     for name in PROMOTED_R11_QUERIES:
         assert q[name] is PROMOTED_R11_QUERIES[name]
         assert o[name] == PROMOTED_R11_ORACLES[name]

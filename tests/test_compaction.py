@@ -121,6 +121,24 @@ def test_sort_pack_bins_clusters_key_ranges(spark):
     assert got == {0: (40, 0, 39), 1: (40, 40, 79), 2: (20, 80, 99)}
 
 
+def test_sort_pack_bins_deterministic_with_duplicate_keys(spark):
+    """Bin assignment must be deterministic when the sort key is
+    non-unique — the documented byte-identical replay of run
+    consolidation depends on it. Full-row tiebreakers pin the order:
+    shuffling the input partitioning must not move any (k, v) pair to a
+    different bin (r11 ADVICE; row_number over the key alone let Spark
+    break ties by arrival order)."""
+    rows = [(i // 10, float(i % 7)) for i in range(200)]  # heavy dup keys
+    df = spark.createDataFrame(rows, "k long, v double")
+
+    def packing(frame):
+        return sorted(
+            map(tuple, sort_pack_bins(frame, "k", 30).collect())
+        )
+
+    assert packing(df.repartition(13)) == packing(df.repartition(3, "v"))
+
+
 def test_file_profile_counts_match(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src")
     events = _stage(spark, sf_dir, src, n=4)
