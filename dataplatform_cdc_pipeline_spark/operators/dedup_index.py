@@ -113,6 +113,77 @@ class IncrementalLshIndex:
             "band_key", "doc_id", "batch"
         )
 
+    def erase(self, doc_ids) -> dict:
+        """Right-to-be-forgotten ACROSS the derived dedup index (the
+        LSH twin of bm25_index.erase: deleting a document from the
+        corpus is not enough — its stored band rows keep matching
+        future near-duplicates against it). Removes the docs' band
+        rows; post-erase screening is bit-identical to an index that
+        never held them (test-pinned), because band rows are the
+        index's ONLY per-doc state — there are no global aggregates to
+        recompute (unlike BM25's df/docstats).
+
+        Scale shape: affected batches resolve from the narrow
+        (band_key, doc_id) scan itself joined to the broadcast id set —
+        the index IS its own skinny membership table (2 columns,
+        ``bands`` rows per doc, the same row class as BM25's doclens);
+        only those batch partitions rewrite. Emptied partitions'
+        directories are removed (dynamic overwrite only replaces
+        partitions PRESENT in the written frame). Idempotent: a replay
+        finds no surviving rows for the ids and rewrites the same
+        partitions identically."""
+        import os
+        import shutil
+
+        if not isinstance(doc_ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            )
+        else:
+            ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+        ids = ids.distinct()
+
+        index = self.index_bands()
+        affected = [
+            r["batch"]
+            for r in index.join(ids, "doc_id")
+            .select("batch")
+            .distinct()
+            .collect()
+        ]  # bounded control list: |affected batches|
+        result = {"batches": sorted(affected), "docs_erased": 0}
+        if not affected:
+            return result
+        bpred = F.col("batch").isin(affected)
+
+        # materialize survivors BEFORE the overwrite — the new frame
+        # reads the very partitions the write replaces
+        keep = (
+            index.filter(bpred)
+            .join(ids, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        result["docs_erased"] = (
+            index.filter(bpred).join(ids, "doc_id")
+            .select("doc_id").distinct().count()
+        )
+        (
+            keep.select("band_key", "doc_id", "batch")
+            .repartition("band_key")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(self.path)
+        )
+        present = {
+            r["batch"] for r in keep.select("batch").distinct().collect()
+        }
+        for b in set(affected) - present:  # emptied partitions
+            shutil.rmtree(
+                os.path.join(self.path, f"batch={b}"), ignore_errors=True
+            )
+        return result
+
     # -- incremental dedup ---------------------------------------------------
 
     def dedup_batch(

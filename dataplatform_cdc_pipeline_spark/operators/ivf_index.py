@@ -211,6 +211,91 @@ class IncrementalIvfIndex:
             "vec_id", "codes", "batch", F.col("cell").cast("long").alias("cell")
         )
 
+    def erase(self, vec_ids) -> dict:
+        """Right-to-be-forgotten ACROSS the derived ANN index (the
+        vector twin of bm25_index.erase: deleting an embedding row from
+        the corpus is not enough — its stored codes keep it retrievable
+        as a neighbor). Removes the ids' code rows; post-erase probes
+        are bit-identical to from-scratch IVF,SQ8 over the survivors
+        fed the same frozen artifacts (test-pinned).
+
+        The frozen centroids/SQ8 scales deliberately do NOT refit: like
+        every on-disk IVF deployment, an erased bootstrap vector's
+        statistical influence on the coarse quantizer persists until
+        the next :meth:`refit` — what GDPR requires gone is the
+        RETRIEVABLE datum (the code row), and full statistical
+        unlearning is exactly the refit lifecycle that already exists.
+
+        Scale shape: affected (batch, cell) partitions resolve from a
+        column-pruned scan (vec_id/batch/cell only — parquet never
+        reads the wide codes column) joined to the broadcast id set;
+        only those partitions rewrite. Emptied partitions' directories
+        are removed (dynamic overwrite only replaces partitions PRESENT
+        in the written frame). Idempotent: a replay finds no surviving
+        rows for the ids and rewrites the same partitions identically."""
+        import functools
+        import shutil
+
+        from pyspark.sql import DataFrame as _DF
+
+        if not isinstance(vec_ids, _DF):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in vec_ids], "vec_id long"
+            )
+        else:
+            ids = vec_ids.select(F.col(vec_ids.columns[0]).alias("vec_id"))
+        ids = ids.distinct()
+
+        rows = self.index_rows()
+        affected = [
+            (r["batch"], r["cell"])
+            for r in rows.select("vec_id", "batch", "cell")
+            .join(ids, "vec_id")
+            .select("batch", "cell")
+            .distinct()
+            .collect()
+        ]  # bounded control list: |affected partitions|
+        result = {"partitions": sorted(affected), "vecs_erased": 0}
+        if not affected:
+            return result
+        pred = functools.reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("batch") == b) & (F.col("cell") == c)
+                for b, c in affected
+            ],
+        )
+
+        # materialize survivors BEFORE the overwrite — the new frame
+        # reads the very partitions the write replaces
+        keep = (
+            rows.filter(pred)
+            .join(ids, "vec_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        result["vecs_erased"] = (
+            rows.filter(pred).join(ids, "vec_id")
+            .select("vec_id").distinct().count()
+        )
+        (
+            keep.select("vec_id", "codes", "batch", "cell")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "cell")
+            .parquet(self.rows_path)
+        )
+        present = {
+            (r["batch"], r["cell"])
+            for r in keep.select("batch", "cell").distinct().collect()
+        }
+        for b, c in set(affected) - present:  # emptied partitions
+            shutil.rmtree(
+                os.path.join(self.rows_path, f"batch={b}", f"cell={c}"),
+                ignore_errors=True,
+            )
+        return result
+
     # -- probe ------------------------------------------------------------------
 
     def probe(

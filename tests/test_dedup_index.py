@@ -94,3 +94,53 @@ def test_incremental_equals_from_scratch(spark, idx, sf_dir):
         if r["id_a"] % 10 == 3 or r["id_b"] % 10 == 3
     }
     assert inc == scratch
+
+
+def test_erase_equals_never_held_index(spark, idx, tmp_path, sf_dir):
+    """GDPR erasure across the derived dedup index: after erase(ids),
+    screening a probe batch must be bit-identical to screening against
+    an index that NEVER held the erased docs — band rows are the
+    index's only per-doc state, so nothing else may keep matching."""
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 3)
+    probe = docs.filter(F.col("doc_id") % 10 == 3)
+    erased = base.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    idx.add_batch("b0", base.filter(F.col("doc_id") % 2 == 0))
+    idx.add_batch("b1", base.filter(F.col("doc_id") % 2 == 1))
+    res = idx.erase(erased)
+    assert res["batches"] == ["b0", "b1"]  # ids span both partitions
+    assert res["docs_erased"] == erased.count()
+    # erased docs left no band rows behind
+    assert idx.index_bands().join(erased, "doc_id").count() == 0
+
+    survivors = base.join(erased, "doc_id", "left_anti")
+    clean = IncrementalLshIndex(spark, str(tmp_path / "clean_ix"))
+    clean.add_batch("b0", survivors.filter(F.col("doc_id") % 2 == 0))
+    clean.add_batch("b1", survivors.filter(F.col("doc_id") % 2 == 1))
+
+    def pairs(i):
+        return sorted(map(tuple, i.dedup_batch(probe, docs, 0.5).collect()))
+
+    assert pairs(idx) == pairs(clean)
+    # idempotent: erasing again is a no-op
+    res2 = idx.erase(erased)
+    assert res2 == {"batches": [], "docs_erased": 0}
+
+
+def test_erase_duplicate_ids_count_once_and_empty_batch_partition_removed(
+    spark, idx, tmp_path
+):
+    import os
+
+    idx.add_batch("b0", _docs(spark, [(1, TEXT_A), (2, TEXT_B)]))
+    idx.add_batch("b1", _docs(spark, [(3, TEXT_A)]))
+    ids = _docs(spark, [(3, ""), (3, "")]).select("doc_id")  # duplicated
+    res = idx.erase(ids)
+    assert res == {"batches": ["b1"], "docs_erased": 1}
+    assert not os.path.isdir(str(tmp_path / "ix/batch=b1"))
+    per_batch = {
+        r["batch"] for r in idx.index_bands().select("batch").distinct().collect()
+    }
+    assert per_batch == {"b0"}

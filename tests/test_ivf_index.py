@@ -246,3 +246,59 @@ def test_scale_drift_flags_out_of_range_batch(spark, emb):
     assert drift.filter(F.col("drift_ratio") > 1.0).count() > 0
     calm = idx.scale_drift(base)
     assert calm.filter(F.col("drift_ratio") > 1.0).count() == 0
+
+
+def test_erase_probe_equals_from_scratch_over_survivors(spark, emb):
+    """GDPR erasure across the derived ANN index: after erase(ids) the
+    probe must be bit-identical to from-scratch ivf_sq8_topk over the
+    SURVIVORS fed the same frozen artifacts — the erased vectors'
+    code rows are gone, while centroids/scales stay frozen (full
+    statistical unlearning is the refit lifecycle, by design)."""
+    from dataplatform_cdc_pipeline_spark.operators.quantization import ivf_sq8_topk
+
+    base, b1, b2 = _splits(emb)
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfix_er_") + "/ix")
+    idx.bootstrap("base", base)
+    idx.add_batch("b1", b1)
+    idx.add_batch("b2", b2)
+    cent_before = sorted(map(tuple, idx.centroids().collect()))
+    erased = emb.filter(F.col("vec_id") % 5 == 1).select("vec_id")
+    res = idx.erase(erased)
+    assert res["vecs_erased"] == erased.count()
+    assert len(res["partitions"]) >= 2  # spans batches/cells
+    # erased ids left no code rows behind; artifacts untouched
+    assert idx.index_rows().join(erased, "vec_id").count() == 0
+    assert sorted(map(tuple, idx.centroids().collect())) == cent_before
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = _key(idx.probe(queries, k=5, nprobe=2).collect())
+    survivors = emb.join(erased, "vec_id", "left_anti")
+    assigned = survivors.join(idx.assign_cells(survivors), "vec_id").drop("label")
+    want = _key(
+        ivf_sq8_topk(
+            assigned, queries, k=5, cell_col="cell", nprobe=2,
+            scales=idx.scales(), centroids=idx.centroids(),
+        ).collect()
+    )
+    assert got == want and len(got) == 25
+    # idempotent: erasing again is a no-op with identical probes
+    res2 = idx.erase(erased)
+    assert res2 == {"partitions": [], "vecs_erased": 0}
+    assert _key(idx.probe(queries, k=5, nprobe=2).collect()) == got
+
+
+def test_erase_duplicate_ids_count_once_and_emptied_partition_removed(spark, emb):
+    """A whole (batch, cell) partition erased to zero rows must lose its
+    directory (dynamic overwrite alone would leave it live), and a
+    duplicated id frame must not inflate vecs_erased."""
+    base, b1, _ = _splits(emb)
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfix_em_") + "/ix")
+    idx.bootstrap("base", base)
+    idx.add_batch("b1", b1)
+    b1_ids = b1.select("vec_id")
+    res = idx.erase(b1_ids.unionByName(b1_ids))  # duplicated frame
+    assert res["vecs_erased"] == b1.count()
+    assert all(b == "b1" for b, _ in res["partitions"])
+    assert not glob.glob(os.path.join(idx.rows_path, "batch=b1", "*"))
+    # the index now equals base alone
+    assert idx.index_rows().count() == base.count()
