@@ -149,6 +149,8 @@ HEADLINE = [
     "ivf_refit_lifecycle", "txn_recover_torn", "dv_fold_crossover",
     # r11 additions (the incremental BM25 pair; establishes their record)
     "incremental_bm25_batch", "stream_bm25_index",
+    # r12 additions (the maintenance/erasure trio; establishes their record)
+    "cdc_compact_binpack", "stream_compact_runs", "bm25_index_erasure",
 ]
 
 #: Codegen-heavy queries re-timed after the cold loop: the cold number
