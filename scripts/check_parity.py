@@ -21,6 +21,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 ONLY = sys.argv[1:] or None
 
 
+def dtype_mismatches(sdf, odf) -> list[str]:
+    """Columns whose numeric KIND differs (int vs float) between the
+    Spark and oracle frames. The driver's value hash is dtype-sensitive
+    ("432.0" vs "432"), so these diverge even when %.9g-normalized
+    strings agree — the exact class a DuckDB HUGEINT sum (→ float64)
+    introduces. Shared with the staging parity tests so the class is
+    caught BEFORE promotion (it slipped the r12 staging gate once)."""
+    out = []
+    for c in sdf.columns:
+        if c not in odf.columns:
+            continue
+        ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+        if {ks, ko} == {"i", "f"} or {ks, ko} == {"u", "f"}:
+            out.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return out
+
+
 def normalize(df):
     """pandas frame → column-sorted, row-sorted list of tuples."""
     df = df[sorted(df.columns)]
@@ -74,16 +91,10 @@ def main() -> int:
         s_rows, o_rows = normalize(sdf), normalize(odf)
         cols_s, cols_o = sorted(sdf.columns), sorted(odf.columns)
         ok = True
-        # The driver's value hash is dtype-sensitive: a DuckDB HUGEINT window
-        # sum comes back as float64 while Spark yields int64, and "432.0" vs
-        # "432" hash-mismatch even though %.9g-normalized strings agree.
-        # Flag any numeric-kind mismatch (int vs float) as a failure locally.
         if cols_s == cols_o:
-            for c in cols_s:
-                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
-                if {ks, ko} == {"i", "f"} or {ks, ko} == {"u", "f"}:
-                    print(f"{name}: DTYPE MISMATCH col={c} spark={sdf[c].dtype} oracle={odf[c].dtype} (driver hash would differ)")
-                    ok = False
+            for msg in dtype_mismatches(sdf, odf):
+                print(f"{name}: DTYPE MISMATCH {msg} (driver hash would differ)")
+                ok = False
         if cols_s != cols_o:
             print(f"{name}: SCHEMA MISMATCH spark={cols_s} oracle={cols_o}")
             ok = False

@@ -14,7 +14,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import __spark_entry__ as entrymod
-from check_parity import normalize
+from check_parity import dtype_mismatches, normalize
 from pyspark.sql import functions as F
 
 from dataplatform_cdc_pipeline_spark.operators.bm25_index import (
@@ -263,5 +263,6 @@ def test_promoted_r11_query_matches_oracle(spark, sf_dir, duck, name):
     sdf = PROMOTED_R11_QUERIES[name](spark, sf_dir).toPandas()
     odf = duck.execute(PROMOTED_R11_ORACLES[name]).fetchdf()
     assert sorted(sdf.columns) == sorted(odf.columns)
+    assert not dtype_mismatches(sdf, odf)  # driver hash is dtype-sensitive
     assert len(sdf) == len(odf) > 0
     assert normalize(sdf) == normalize(odf)

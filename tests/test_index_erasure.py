@@ -15,7 +15,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import __spark_entry__ as entrymod
-from check_parity import normalize
+from check_parity import dtype_mismatches, normalize
 
 from dataplatform_cdc_pipeline_spark.queries_staged_r13 import (
     STAGED_R13_ORACLES,
@@ -45,5 +45,6 @@ def test_staged_r13_query_matches_oracle(spark, sf_dir, duck, name):
     sdf = STAGED_R13_QUERIES[name](spark, sf_dir).toPandas()
     odf = duck.execute(STAGED_R13_ORACLES[name]).fetchdf()
     assert sorted(sdf.columns) == sorted(odf.columns)
+    assert not dtype_mismatches(sdf, odf)  # driver hash is dtype-sensitive
     assert len(sdf) == len(odf) > 0
     assert normalize(sdf) == normalize(odf)
