@@ -225,6 +225,104 @@ class IncrementalBm25Index:
                 )
         return result
 
+    def compact_segments(self, batch_ids: Sequence[str] | None = None) -> dict:
+        """Merge per-batch partitions into ONE consolidated segment —
+        the Lucene/LSM segment-merge analog for this index. Per-batch
+        partitioning is what makes adds delta-cost, but at 100 TB a
+        long-lived index accrues thousands of batch partitions and the
+        search's |batches|-row aggregate (and the file count under
+        every sub-table) grows with ingest history; compaction restores
+        the partition economics without touching scores, because search
+        only ever SUMS the per-batch aggregates — a merge that
+        preserves posting rows and recomputes df/docstats over the
+        merged doclens is score-bit-identical by construction
+        (test-pinned).
+
+        Crash-safe by key-deduplicated union: the segment id is a pure
+        function of the sorted REQUESTED batch ids (so a replay of the
+        same call finds its own prior segment); the merged frames are
+        ``dropDuplicates(primary key)`` over (surviving requested
+        batches ∪ any rows already under existing segment partitions in
+        the merge set), so a replay after a crash anywhere between the
+        segment write and the old-partition removals reconstructs the
+        identical segment from whatever mix of old and new partitions
+        survives — the same exactly-once-by-rewrite contract as
+        add_batch. df and docstats are RECOMPUTED from the merged
+        postings/doclens (never summed), so partial states cannot
+        double-count. ``batch_ids=None`` merges every current batch
+        (including prior segments — re-compacting is legitimate and
+        idempotent)."""
+        import hashlib
+        import shutil
+
+        current = sorted(
+            r["batch"]
+            for r in self._read("doclens", _DOCLENS_SCHEMA)
+            .select("batch").distinct().collect()
+        )  # bounded control list: |batches|
+        requested = current if batch_ids is None else sorted(set(batch_ids))
+        # the segment id is a pure function of the REQUESTED ids, so a
+        # replay of the same call finds — and idempotently rewrites —
+        # its own prior segment partition
+        seg = "seg-" + hashlib.md5(",".join(requested).encode()).hexdigest()[:12]
+        present = [b for b in requested if b in current and b != seg]
+        missing = sorted(set(requested) - set(present) - {seg})
+        if missing and seg not in current:
+            # requested batches absent from disk are only legal as the
+            # crash-replay remainder of a previous merge into THIS
+            # segment — otherwise fail loud
+            raise ValueError(
+                f"compact_segments: batches missing from the index and "
+                f"no segment {seg} to recover them from: {missing}"
+            )
+        result = {"segment": seg, "merged": present, "n_docs": 0}
+        if not present and seg not in current:
+            return result
+        bpred = F.col("batch").isin(present + [seg])
+
+        # key-deduplicated survivors (materialized BEFORE any overwrite:
+        # the new frames read the very partitions the writes replace)
+        doclens = (
+            self._read("doclens", _DOCLENS_SCHEMA)
+            .filter(bpred)
+            .dropDuplicates(["doc_id"])
+            .select("doc_id", "dl")
+            .localCheckpoint(eager=True)
+        )
+        postings = (
+            self._read("postings", _POSTINGS_SCHEMA)
+            .filter(bpred)
+            .dropDuplicates(["term", "doc_id"])
+            .select("term", "doc_id", "tf", "dl")
+            .localCheckpoint(eager=True)
+        )
+        result["n_docs"] = doclens.count()
+        bdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = doclens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dl").alias("n_dl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        for sub, frame in (
+            ("postings", postings.repartition("term")),
+            ("df", bdf),
+            ("doclens", doclens),
+            ("docstats", stats),
+        ):
+            (
+                frame.withColumn("batch", F.lit(seg))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(os.path.join(self.path, sub))
+            )
+            for b in present:  # retire the merged partitions
+                shutil.rmtree(
+                    os.path.join(self.path, sub, f"batch={b}"),
+                    ignore_errors=True,
+                )
+        return result
+
     def _read(self, sub: str, schema: str) -> DataFrame:
         """A missing subdirectory — or one whose every partition was
         erased (only commit markers left) — is the legitimate

@@ -9,12 +9,14 @@ the registry-count and window contract tests). ``STAGED_R13_QUERIES``
 is NOT merged into ``__spark_entry__.queries()``
 (tests/test_index_erasure.py pins the non-registration).
 
-The pair completes the right-to-be-forgotten story across ALL THREE
-persisted derived indexes (`bm25_index_erasure` covered the inverted
-index in r12): at 100 TB a GDPR delete that only touches the primary
-tables leaves the subject retrievable through every derived artifact —
-near-dup screening keeps matching its band rows, ANN probes keep
-returning its code rows.
+The erasure pair completes the right-to-be-forgotten story across ALL
+THREE persisted derived indexes (`bm25_index_erasure` covered the
+inverted index in r12): at 100 TB a GDPR delete that only touches the
+primary tables leaves the subject retrievable through every derived
+artifact — near-dup screening keeps matching its band rows, ANN probes
+keep returning its code rows. The third query extends the maintenance
+family the r12 compaction pair started to the index's own physical
+layout.
 
 1. ``dedup_index_erasure`` — erasure across the persisted MinHash-LSH
    band index (operators/dedup_index.py `erase`): index two batches,
@@ -36,9 +38,21 @@ returning its code rows.
    both phases from the frozen-artifact CTE chain with the erased ids
    masked out of phase 2's candidates.
 
+3. ``bm25_compact_segments`` — the Lucene/LSM segment merge for the
+   persisted BM25 index (operators/bm25_index.py `compact_segments`):
+   per-batch partitioning makes adds delta-cost, but a long-lived
+   index accrues partitions with ingest history; the merge folds them
+   into ONE segment — score-bit-identical by construction (search only
+   SUMS the per-batch aggregates; df/docstats recompute from the
+   merged doclens/postings) and crash-safe by key-deduplicated union.
+   The query's phase-2 search pins bit-equality, and the partition/
+   docstats audit rows pin that consolidation actually happened (a
+   no-op "compaction" diverges the batches=1 audit).
+
 Reference parity: the reference has no index surface — these extend
 the beyond-reference maintenance/erasure family (`cdc_erasure_txn`,
-`bm25_index_erasure`) to the remaining derived artifacts.
+`bm25_index_erasure`, the compaction pair) to the remaining derived
+artifacts.
 """
 
 from __future__ import annotations
@@ -323,12 +337,104 @@ FROM v WHERE vec_id % 5 = 1
 """
 
 
+def q_bm25_compact_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-merge lifecycle for the persisted BM25 index. Output
+    rows (phase, kind, doc_id, term, score):
+
+    - phase 1 'search': top-20 over four per-batch partitions
+    - phase 2 'search': top-20 AFTER compact_segments() — must be
+      bit-identical (search only sums the per-batch aggregates)
+    - phase 2 'batches': distinct batch partitions remaining (1.0 —
+      a no-op compaction diverges here), 'docs': docstats N after the
+      merge, 'df' per query term: merged document frequencies
+    """
+    from dataplatform_cdc_pipeline_spark.operators.bm25_index import (
+        IncrementalBm25Index,
+    )
+    from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(
+        spark, tempfile.mkdtemp(prefix="bm25_seg_q_") + "/ix"
+    )
+    for g in range(4):
+        idx.add_batch(f"b{g}", docs.filter(F.col("doc_id") % 4 == g))
+    bench_phases.mark("setup")
+
+    def search_rows(phase: int) -> DataFrame:
+        return idx.search(BM25_TERMS).select(
+            F.lit(phase).alias("phase"), F.lit("search").alias("kind"),
+            F.col("doc_id"), F.lit(None).cast("string").alias("term"),
+            F.col("bm25").alias("score"),
+        )
+
+    p1 = search_rows(1).localCheckpoint(eager=True)
+    bench_phases.mark("search")
+    idx.compact_segments()
+    bench_phases.mark("compact")
+    p2 = search_rows(2).localCheckpoint(eager=True)
+    stats = idx._read("docstats", "n_docs long, n_dl long, sum_dl long, batch string")
+    audit = stats.agg(
+        F.count_distinct("batch").alias("batches"),
+        F.sum("n_docs").alias("n_docs"),
+    ).select(
+        F.lit(2).alias("phase"), F.lit("batches").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("term"),
+        F.col("batches").cast("double").alias("score"),
+    ).unionByName(
+        stats.agg(F.sum("n_docs").alias("n")).select(
+            F.lit(2).alias("phase"), F.lit("docs").alias("kind"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("term"),
+            F.col("n").cast("double").alias("score"),
+        )
+    )
+    dfrows = idx.term_stats(BM25_TERMS).select(
+        F.lit(2).alias("phase"), F.lit("df").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"), F.col("term"),
+        F.col("df").cast("double").alias("score"),
+    )
+    return p1.unionByName(p2).unionByName(audit).unionByName(dfrows)
+
+
+def _compact_segments_oracle_sql() -> str:
+    from dataplatform_cdc_pipeline_spark.queries_llm import TOKS
+    from dataplatform_cdc_pipeline_spark.queries_promoted_r11 import (
+        _TERMS_SQL,
+        _bm25_phase_sql,
+    )
+
+    return (
+        _bm25_phase_sql(1, "TRUE")
+        + "\nUNION ALL"
+        + _bm25_phase_sql(2, "TRUE")
+        + f"""
+UNION ALL
+SELECT 2 AS phase, 'batches' AS kind, NULL::BIGINT AS doc_id,
+       NULL::VARCHAR AS term, 1.0 AS score
+UNION ALL
+SELECT 2, 'docs', NULL, NULL, count(*)::DOUBLE FROM documents
+UNION ALL
+SELECT 2, 'df', NULL::BIGINT, term, count(DISTINCT doc_id)::DOUBLE
+FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+WHERE term IN {_TERMS_SQL}
+GROUP BY term
+"""
+    )
+
+
+SQL_BM25_COMPACT_SEGMENTS = _compact_segments_oracle_sql()
+
+
 STAGED_R13_QUERIES = {
     "dedup_index_erasure": q_dedup_index_erasure,
     "ivf_index_erasure": q_ivf_index_erasure,
+    "bm25_compact_segments": q_bm25_compact_segments,
 }
 
 STAGED_R13_ORACLES = {
     "dedup_index_erasure": SQL_DEDUP_INDEX_ERASURE,
     "ivf_index_erasure": SQL_IVF_INDEX_ERASURE,
+    "bm25_compact_segments": SQL_BM25_COMPACT_SEGMENTS,
 }

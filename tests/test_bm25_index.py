@@ -266,3 +266,79 @@ def test_promoted_r11_query_matches_oracle(spark, sf_dir, duck, name):
     assert not dtype_mismatches(sdf, odf)  # driver hash is dtype-sensitive
     assert len(sdf) == len(odf) > 0
     assert normalize(sdf) == normalize(odf)
+
+
+def test_compact_segments_preserves_scores_and_consolidates(
+    spark, sf_dir, tmp_path
+):
+    """Segment merge must be score-bit-identical (search only ever SUMS
+    the per-batch aggregates) and must actually consolidate: one
+    segment partition per sub-table afterwards, df/docstats recomputed
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    for g in range(4):
+        idx.add_batch(f"b{g}", docs.filter(F.col("doc_id") % 4 == g))
+    before = _ranked(idx.search(BM25_TERMS))
+    stats_before = _ranked(idx.term_stats(BM25_TERMS))
+    res = idx.compact_segments()
+    assert res["merged"] == [f"b{g}" for g in range(4)]
+    assert res["n_docs"] == docs.count()
+    assert _ranked(idx.search(BM25_TERMS)) == before
+    assert _ranked(idx.term_stats(BM25_TERMS)) == stats_before
+    for sub in ("postings", "df", "doclens", "docstats"):
+        parts = {
+            d for d in os.listdir(str(tmp_path / f"ix/{sub}"))
+            if d.startswith("batch=")
+        }
+        assert parts == {f"batch={res['segment']}"}, sub
+    stats = spark.read.parquet(str(tmp_path / "ix/docstats"))
+    assert stats.count() == 1
+    assert stats.collect()[0]["n_docs"] == docs.count()
+
+
+def test_compact_segments_replay_heals_partial_crash(spark, sf_dir, tmp_path):
+    """Crash between the segment write and the old-partition removals
+    leaves BOTH the segment and some merged batches live; a replay of
+    the same call must key-dedup the union — never double-count — and
+    end bit-identical to the clean merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    for g in range(4):
+        idx.add_batch(f"b{g}", docs.filter(F.col("doc_id") % 4 == g))
+    res = idx.compact_segments(["b0", "b1", "b2", "b3"])
+    clean = _ranked(idx.search(BM25_TERMS))
+    # simulate the crash leftover: b0's partitions re-materialize next
+    # to the segment (write-then-remove interrupted after the write)
+    idx.add_batch("b0", docs.filter(F.col("doc_id") % 4 == 0))
+    res2 = idx.compact_segments(["b0", "b1", "b2", "b3"])
+    assert res2["segment"] == res["segment"]  # pure function of the ids
+    assert res2["merged"] == ["b0"]  # only the leftover was still live
+    assert res2["n_docs"] == docs.count()  # deduped, not double-counted
+    assert _ranked(idx.search(BM25_TERMS)) == clean
+    stats = spark.read.parquet(str(tmp_path / "ix/docstats"))
+    assert stats.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    # a request naming batches that are gone WITHOUT a segment to
+    # recover them from must fail loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing"):
+        idx.compact_segments(["b0", "nonexistent"])
+
+
+def test_compact_then_erase_still_exact(spark, sf_dir, tmp_path):
+    """Erasure after compaction resolves the segment as the affected
+    batch and stays bit-identical to from-scratch over survivors —
+    maintenance ops compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBm25Index(spark, str(tmp_path / "ix"))
+    idx.add_batch("b0", docs.filter(F.col("doc_id") % 2 == 0))
+    idx.add_batch("b1", docs.filter(F.col("doc_id") % 2 == 1))
+    res = idx.compact_segments()
+    erased = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    eres = idx.erase(erased)
+    assert eres["batches"] == [res["segment"]]
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    assert _ranked(idx.search(BM25_TERMS)) == _ranked(
+        bm25_search(survivors, BM25_TERMS)
+    )
