@@ -64,9 +64,12 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             t1 = time.time()
             spans = bench_phases.spans(end=t1)
+            # the maintenance op under test marks either "erase" or
+            # "compact"; report whichever the query emitted
+            op = "erase" if "erase" in spans else "compact"
             results[name][label] = {
                 "total": round(t1 - t0, 2),
-                "erase": round(spans.get("erase", 0.0), 2),
+                op: round(spans.get(op, 0.0), 2),
             }
     print(json.dumps(results))
     shutil.rmtree(SF1, ignore_errors=True)
