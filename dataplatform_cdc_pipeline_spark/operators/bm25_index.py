@@ -152,16 +152,11 @@ class IncrementalBm25Index:
         partitions identically."""
         import shutil
 
-        if not isinstance(doc_ids, DataFrame):
-            ids = self.spark.createDataFrame(
-                [(int(i),) for i in doc_ids], "doc_id long"
-            )
-        else:
-            ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
-        # dedup once up front: the erasure anti-joins are insensitive to
-        # duplicate ids but the docs_erased audit join would double-count
-        # them (r11 ADVICE)
-        ids = ids.distinct()
+        from dataplatform_cdc_pipeline_spark.operators.index_io import (
+            coerce_id_frame,
+        )
+
+        ids = coerce_id_frame(self.spark, doc_ids, "doc_id")
 
         doclens = self._read("doclens", _DOCLENS_SCHEMA)
         affected = [
@@ -324,17 +319,17 @@ class IncrementalBm25Index:
         return result
 
     def _read(self, sub: str, schema: str) -> DataFrame:
-        """A missing subdirectory — or one whose every partition was
-        erased (only commit markers left) — is the legitimate
-        empty-index state; any other read error propagates. The
-        file-walk probe is coordinator metadata work; a cluster
-        deployment would consult a table manifest instead."""
-        p = os.path.join(self.path, sub)
-        if not os.path.isdir(p) or not any(
-            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
-        ):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(p)
+        """Shared empty-state-aware read (operators/index_io.py): a
+        missing subdirectory — or one whose every partition was erased
+        (only commit markers left) — is the legitimate empty-index
+        state; any other read error propagates."""
+        from dataplatform_cdc_pipeline_spark.operators.index_io import (
+            read_index_table,
+        )
+
+        return read_index_table(
+            self.spark, os.path.join(self.path, sub), schema
+        )
 
     # -- search ------------------------------------------------------------
 

@@ -100,18 +100,20 @@ class IncrementalLshIndex:
 
     def index_bands(self) -> DataFrame:
         """(band_key, doc_id, batch) — the stored index. A missing path
-        is the legitimate empty-index state (nothing ingested yet) and
-        reads as zero rows; any OTHER read error propagates (fail-loud —
-        the same narrow-catch contract as streaming/sketches)."""
-        import os
-
-        if not os.path.isdir(self.path):
-            return self.spark.createDataFrame(
-                [], "band_key string, doc_id long, batch string"
-            )
-        return self.spark.read.parquet(self.path).select(
-            "band_key", "doc_id", "batch"
+        — or one whose every partition was erased (only commit markers
+        left after an erase-all) — is the legitimate empty-index state
+        and reads as zero rows; any OTHER read error propagates
+        (fail-loud — the same narrow-catch contract as
+        streaming/sketches). The guard is the shared
+        operators/index_io.read_index_table (an r12 review found the
+        erase-all state crashing here while BM25's twin guarded it)."""
+        from dataplatform_cdc_pipeline_spark.operators.index_io import (
+            read_index_table,
         )
+
+        return read_index_table(
+            self.spark, self.path, "band_key string, doc_id long, batch string"
+        ).select("band_key", "doc_id", "batch")
 
     def erase(self, doc_ids) -> dict:
         """Right-to-be-forgotten ACROSS the derived dedup index (the
@@ -135,13 +137,11 @@ class IncrementalLshIndex:
         import os
         import shutil
 
-        if not isinstance(doc_ids, DataFrame):
-            ids = self.spark.createDataFrame(
-                [(int(i),) for i in doc_ids], "doc_id long"
-            )
-        else:
-            ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
-        ids = ids.distinct()
+        from dataplatform_cdc_pipeline_spark.operators.index_io import (
+            coerce_id_frame,
+        )
+
+        ids = coerce_id_frame(self.spark, doc_ids, "doc_id")
 
         index = self.index_bands()
         affected = [

@@ -201,13 +201,21 @@ class IncrementalIvfIndex:
         )
 
     def index_rows(self) -> DataFrame:
-        """(vec_id, codes, batch, cell) — the stored index. Missing path
-        is the legitimate empty state; other read errors propagate."""
-        if not os.path.isdir(self.rows_path):
-            return self.spark.createDataFrame(
-                [], "vec_id long, codes array<bigint>, batch string, cell bigint"
-            )
-        return self.spark.read.parquet(self.rows_path).select(
+        """(vec_id, codes, batch, cell) — the stored index. A missing
+        path — or one whose every partition was erased (only commit
+        markers left after an erase-all) — is the legitimate empty
+        state; other read errors propagate. The guard is the shared
+        operators/index_io.read_index_table (an r12 review found the
+        erase-all state crashing here while BM25's twin guarded it)."""
+        from dataplatform_cdc_pipeline_spark.operators.index_io import (
+            read_index_table,
+        )
+
+        return read_index_table(
+            self.spark,
+            self.rows_path,
+            "vec_id long, codes array<bigint>, batch string, cell bigint",
+        ).select(
             "vec_id", "codes", "batch", F.col("cell").cast("long").alias("cell")
         )
 
@@ -233,18 +241,13 @@ class IncrementalIvfIndex:
         are removed (dynamic overwrite only replaces partitions PRESENT
         in the written frame). Idempotent: a replay finds no surviving
         rows for the ids and rewrites the same partitions identically."""
-        import functools
         import shutil
 
-        from pyspark.sql import DataFrame as _DF
+        from dataplatform_cdc_pipeline_spark.operators.index_io import (
+            coerce_id_frame,
+        )
 
-        if not isinstance(vec_ids, _DF):
-            ids = self.spark.createDataFrame(
-                [(int(i),) for i in vec_ids], "vec_id long"
-            )
-        else:
-            ids = vec_ids.select(F.col(vec_ids.columns[0]).alias("vec_id"))
-        ids = ids.distinct()
+        ids = coerce_id_frame(self.spark, vec_ids, "vec_id")
 
         rows = self.index_rows()
         affected = [
@@ -258,23 +261,32 @@ class IncrementalIvfIndex:
         result = {"partitions": sorted(affected), "vecs_erased": 0}
         if not affected:
             return result
-        pred = functools.reduce(
-            lambda a, b: a | b,
-            [
-                (F.col("batch") == b) & (F.col("cell") == c)
-                for b, c in affected
-            ],
+        # coarse partition-value isin filters push down to the scan and
+        # prune directories; the exact (batch, cell) pair restriction is
+        # a broadcast semi-join — NOT a per-partition OR-chain, whose
+        # Catalyst expression tree would grow linearly with the number
+        # of affected partitions (r12 review)
+        coarse = F.col("batch").isin(
+            sorted({b for b, _ in affected})
+        ) & F.col("cell").isin(sorted({c for _, c in affected}))
+        pairs = self.spark.createDataFrame(
+            affected, "batch string, cell long"
         )
+
+        def scoped(frame: DataFrame) -> DataFrame:
+            return frame.filter(coarse).join(
+                F.broadcast(pairs), ["batch", "cell"], "left_semi"
+            )
 
         # materialize survivors BEFORE the overwrite — the new frame
         # reads the very partitions the write replaces
         keep = (
-            rows.filter(pred)
+            scoped(rows)
             .join(ids, "vec_id", "left_anti")
             .localCheckpoint(eager=True)
         )
         result["vecs_erased"] = (
-            rows.filter(pred).join(ids, "vec_id")
+            scoped(rows).join(ids, "vec_id")
             .select("vec_id").distinct().count()
         )
         (

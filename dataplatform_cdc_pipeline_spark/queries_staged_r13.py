@@ -349,6 +349,7 @@ def q_bm25_compact_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       merge, 'df' per query term: merged document frequencies
     """
     from dataplatform_cdc_pipeline_spark.operators.bm25_index import (
+        _DOCSTATS_SCHEMA,
         IncrementalBm25Index,
     )
     from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
@@ -373,7 +374,7 @@ def q_bm25_compact_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.compact_segments()
     bench_phases.mark("compact")
     p2 = search_rows(2).localCheckpoint(eager=True)
-    stats = idx._read("docstats", "n_docs long, n_dl long, sum_dl long, batch string")
+    stats = idx._read("docstats", _DOCSTATS_SCHEMA)
     audit = stats.agg(
         F.count_distinct("batch").alias("batches"),
         F.sum("n_docs").alias("n_docs"),

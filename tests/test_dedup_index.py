@@ -144,3 +144,21 @@ def test_erase_duplicate_ids_count_once_and_empty_batch_partition_removed(
         r["batch"] for r in idx.index_bands().select("batch").distinct().collect()
     }
     assert per_batch == {"b0"}
+
+
+def test_erase_all_leaves_readable_empty_index(spark, idx):
+    """Erasing EVERY doc removes every batch partition directory,
+    leaving only commit markers — the next read must return the
+    legitimate empty-index state, not UNABLE_TO_INFER_SCHEMA (r12
+    review: BM25's twin guarded this; the LSH copy initially did not —
+    the guard is now the shared index_io.read_index_table)."""
+    corpus = _docs(spark, [(1, TEXT_A), (2, TEXT_B)])
+    idx.add_batch("b0", corpus)
+    res = idx.erase(corpus.select("doc_id"))
+    assert res["docs_erased"] == 2
+    assert idx.index_bands().count() == 0
+    # replayed erase (documented idempotent) and screening still work
+    assert idx.erase(corpus.select("doc_id")) == {
+        "batches": [], "docs_erased": 0,
+    }
+    assert idx.dedup_batch(corpus, corpus).count() == 0

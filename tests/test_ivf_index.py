@@ -302,3 +302,22 @@ def test_erase_duplicate_ids_count_once_and_emptied_partition_removed(spark, emb
     assert not glob.glob(os.path.join(idx.rows_path, "batch=b1", "*"))
     # the index now equals base alone
     assert idx.index_rows().count() == base.count()
+
+
+def test_erase_all_leaves_readable_empty_index(spark, emb):
+    """Erasing EVERY vector empties all (batch, cell) partitions —
+    the next read must return the empty state, not
+    UNABLE_TO_INFER_SCHEMA, and the documented idempotent erase replay
+    must be a no-op (r12 review; guard shared via
+    index_io.read_index_table)."""
+    base, b1, _ = _splits(emb)
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfix_all_") + "/ix")
+    idx.bootstrap("base", base)
+    idx.add_batch("b1", b1)
+    every = base.select("vec_id").unionByName(b1.select("vec_id"))
+    res = idx.erase(every)
+    assert res["vecs_erased"] == base.count() + b1.count()
+    assert idx.index_rows().count() == 0
+    assert idx.erase(every) == {"partitions": [], "vecs_erased": 0}
+    # probes over the empty index return no neighbors but do not crash
+    assert idx.probe(emb.filter(F.col("vec_id") < 3), k=5, nprobe=2).count() == 0
