@@ -89,13 +89,28 @@ def latest_per_key_agg(
 
     ``carry_cols`` must be orderable types (no maps) — carry the raw JSON
     string through the shuffle and re-parse only the winners.
+
+    Physical shape (r12 optimization, guide §2.3/§1.2): the aggregate is
+    ``max_by(struct(ts, pos, carry…), struct(ts, pos))`` — the ordering
+    struct is PRIMITIVE-ONLY, so the per-row comparator never touches the
+    carried JSON string. The previous ``max(struct(ts, pos, carry…))``
+    compared whole carry structs (string comparisons go through the
+    interpreted row ordering) and measured 4.5× slower on the sf0.1 CDC
+    feed (scripts/dedup_ab_bench.py: 2.65 s vs 0.58 s warm). Winner is
+    identical whenever (ts, pos) is unique within a key — the engine
+    invariant (pos is a unique source position in every feed, and the
+    row_number-based oracles would themselves be non-deterministic
+    otherwise). On an exact (ts, pos) tie the winner is engine-arbitrary
+    (was: lexicographically-largest carry); the reference's ORDER BY
+    leaves ties undefined too (SURVEY.md §7).
     """
-    packed = F.max(
+    packed = F.max_by(
         F.struct(
             F.col(ts_col).alias("__ts"),
             F.col(pos_col).alias("__pos"),
             *[F.col(c).alias(c) for c in carry_cols],
-        )
+        ),
+        F.struct(F.col(ts_col), F.col(pos_col)),
     ).alias("__best")
     out = df.groupBy(*[F.col(k) for k in key_cols]).agg(packed)
     return out.select(

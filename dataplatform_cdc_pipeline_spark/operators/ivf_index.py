@@ -51,7 +51,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dataplatform_cdc_pipeline_spark.operators.clustering import quantized_points
+from dataplatform_cdc_pipeline_spark.operators.clustering import (
+    MICRO,
+    quantized_points,
+)
 from dataplatform_cdc_pipeline_spark.operators.quantization import (
     sq8_codes,
     sq8_scales,
@@ -104,13 +107,22 @@ class IncrementalIvfIndex:
         # the index definition — same convention as the k-means
         # operator, clustering.py). ivf_centroids (float mean) remains
         # the per-query batch path's convention.
-        pts = quantized_points(embeddings, id_col, vec_col)
-        cells = embeddings.select(
-            F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")
-        )
+        # cell and coordinates live on the SAME row — no pts⋈cells
+        # self-join on vec_id (r12 optimization: the join shuffled both
+        # sides of a 1:1 self-pairing; this is one pass, zero extra
+        # shuffles before the (cell,pos) partial agg)
         cent = (
-            pts.join(cells, "vec_id")
-            .select("cell", F.posexplode("v").alias("pos", "m"))
+            embeddings.select(
+                F.col(cell_col).alias("cell"),
+                F.posexplode(
+                    F.transform(
+                        F.col(vec_col),
+                        lambda x: F.round(
+                            x.cast("double") * F.lit(MICRO), 0
+                        ).cast("long"),
+                    )
+                ).alias("pos", "m"),
+            )
             .groupBy("cell", "pos")
             .agg(F.floor(F.sum("m") / F.count(F.lit(1))).cast("long").alias("c"))
             .groupBy("cell")
@@ -147,32 +159,49 @@ class IncrementalIvfIndex:
 
     # -- assignment (shared by add and the from-scratch comparator) --------
 
+    def _assign_expr(self, vec: F.Column, v_norm: F.Column) -> F.Column:
+        """Nearest-frozen-centroid cell id as ONE map-side row expression
+        (r12 optimization, guide §2.4): ``array_max`` over literal
+        (cosine, −cell) structs. The centroid frame is a bounded frozen
+        artifact (k rows — the same class as the k-means seeds and the
+        bloom words), so inlining it removes the previous
+        crossJoin(broadcast) → n·k rows → Exchange → Window sort plan:
+        assignment is now a pure projection, zero shuffles.
+
+        Exact equivalence with the old rank-1 of (c_cos desc, cell asc):
+        cosines are computed by the same sequential-fold ``dot_expr`` over
+        the same stored doubles, struct ordering takes the max cosine
+        (Spark's total order ranks NaN above all and nulls below all,
+        matching the window's NaN-first/nulls-last desc), and the negated
+        cell id breaks exact ties toward the LOWEST cell."""
+        rows = sorted(self.centroids().collect(), key=lambda r: r["cell"])
+        entries = [
+            F.struct(
+                (
+                    dot_expr(
+                        vec, F.array(*[F.lit(float(x)) for x in r["centroid"]])
+                    )
+                    / (v_norm * F.lit(float(r["c_norm"])))
+                ).alias("cos"),
+                F.lit(-int(r["cell"])).cast("long").alias("ncell"),
+            )
+            for r in rows
+        ]
+        return (-F.array_max(F.array(*entries))["ncell"]).alias("cell")
+
     def assign_cells(
         self, embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
     ) -> DataFrame:
         """(vec_id, cell): every row routed to its nearest frozen
-        centroid — rank-1 of the same (cosine desc, cell asc) order the
-        probe uses, so assignment and routing can never disagree."""
+        centroid — the same (cosine desc, cell asc) rank-1 the probe
+        uses, so assignment and routing can never disagree. A single
+        map-side projection (see :meth:`_assign_expr`)."""
         vecs = embeddings.select(
             F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("vec")
         ).withColumn("v_norm", norm_expr(F.col("vec")))
-        ranked = (
-            vecs.crossJoin(F.broadcast(self.centroids()))
-            .withColumn(
-                "c_cos",
-                dot_expr(F.col("vec"), F.col("centroid"))
-                / (F.col("v_norm") * F.col("c_norm")),
-            )
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("c_cos").desc(), F.col("cell").asc()
-                    )
-                ),
-            )
+        return vecs.select(
+            "vec_id", self._assign_expr(F.col("vec"), F.col("v_norm"))
         )
-        return ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
 
     # -- ingest ---------------------------------------------------------------
 
@@ -185,13 +214,27 @@ class IncrementalIvfIndex:
     ) -> None:
         """Assign + encode the DELTA with the frozen artifacts and
         publish under ``batch=<batch_id>``; dynamic partition overwrite
-        makes replay idempotent (rewrites exactly its own partitions)."""
-        codes = sq8_codes(embeddings, self.scales(), id_col, vec_col)
-        rows = (
-            self.assign_cells(embeddings, id_col, vec_col)
-            .join(codes, "vec_id")
-            .withColumn("batch", F.lit(batch_id))
+        makes replay idempotent (rewrites exactly its own partitions).
+
+        One scan, one projection (r12 optimization): assignment
+        (:meth:`_assign_expr`) and SQ8 codes are both pure row
+        expressions over the frozen artifacts, so they compute in the
+        SAME select — the previous assign⋈codes self-join on vec_id
+        (two scans of the delta + a shuffle join) is gone; the only
+        remaining exchange is the repartition("cell") that sizes the
+        partitioned write."""
+        from dataplatform_cdc_pipeline_spark.operators.quantization import (
+            sq8_code_expr,
         )
+
+        vecs = embeddings.select(
+            F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("vec")
+        ).withColumn("v_norm", norm_expr(F.col("vec")))
+        rows = vecs.select(
+            "vec_id",
+            self._assign_expr(F.col("vec"), F.col("v_norm")),
+            sq8_code_expr(F.col("vec"), self.scales()).alias("codes"),
+        ).withColumn("batch", F.lit(batch_id))
         (
             rows.repartition("cell")
             .write.mode("overwrite")

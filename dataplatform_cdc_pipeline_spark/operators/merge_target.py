@@ -90,8 +90,16 @@ def resolve_changes(
     - unmatched non-delete → source row inserted;
     - unmatched target rows pass through untouched.
     """
+    # Join strategy (r12 optimization, guide §3.1): hint shuffled-hash with
+    # the CHANGE SET as build side — a full-outer SHJ (supported since
+    # Spark 3.1) replaces the SortMergeJoin's two per-partition sorts with
+    # one hash build over the bounded batch. The change set is one deduped
+    # batch (bounded per run) while the target side is the table — at any
+    # scale the batch is the side to build. Measured on the sf0.1 resolve
+    # (scripts/join_ab_bench.py): 0.29 s → 0.22 s warm, SortMergeJoin →
+    # ShuffledHashJoin with both Sort nodes gone.
     t = target_rows.withColumn("__t_present", F.lit(True)).alias("t")
-    s_a = changes.alias("s")
+    s_a = changes.hint("shuffle_hash").alias("s")
     cond = None
     for c in cfg.pk:
         # null-safe: a null-valued PK upserts its own slot (contract-tested)

@@ -40,7 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataplatform_cdc_pipeline_spark.operators.clustering import quantized_points
+from dataplatform_cdc_pipeline_spark.operators.clustering import (
+    MICRO,
+    quantized_points,
+)
 
 SQ8_MAX = 127  # int8 symmetric range
 
@@ -73,6 +76,31 @@ def _scales_lit(scales: list[int]):
     return F.array(*[F.lit(int(s)).cast("long") for s in scales])
 
 
+def sq8_code_expr(vec_col, scales: list[int]):
+    """SQ8 code array as ONE row expression over a raw embedding column:
+    code_d = sign(m_d) · floor(|m_d|·127 / M_d); 0 where M_d = 0 — the
+    exact ``sq8_codes`` arithmetic, exposed as an expression so callers
+    can fuse encoding with other projections in a single scan (the
+    incremental IVF index's add path does)."""
+    from pyspark.sql import Column
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    assert isinstance(c, Column)
+    v = F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(MICRO), 0).cast("long")
+    )
+    return F.zip_with(
+        v,
+        _scales_lit(scales),
+        lambda m, s: F.when(s == F.lit(0), F.lit(0).cast("long")).otherwise(
+            F.when(m < 0, F.lit(-1).cast("long")).otherwise(F.lit(1).cast("long"))
+            * F.floor(F.abs(m).cast("double") * F.lit(float(SQ8_MAX)) / s.cast("double")).cast(
+                "long"
+            )
+        ),
+    )
+
+
 def sq8_codes(
     embeddings: DataFrame,
     scales: list[int],
@@ -85,18 +113,10 @@ def sq8_codes(
     as long for arithmetic convenience — a physical sink would pack to
     int8/binary (the value range already fits).
     """
-    pts = quantized_points(embeddings, id_col, vec_col)
-    code = F.zip_with(
-        F.col("v"),
-        _scales_lit(scales),
-        lambda m, s: F.when(s == F.lit(0), F.lit(0).cast("long")).otherwise(
-            F.when(m < 0, F.lit(-1).cast("long")).otherwise(F.lit(1).cast("long"))
-            * F.floor(F.abs(m).cast("double") * F.lit(float(SQ8_MAX)) / s.cast("double")).cast(
-                "long"
-            )
-        ),
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        sq8_code_expr(vec_col, scales).alias("codes"),
     )
-    return pts.select(F.col("vec_id"), code.alias("codes"))
 
 
 def ivf_sq8_topk(

@@ -1120,20 +1120,33 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    passed = li.filter(
-        bloom_might_contain("l_orderkey", words, DEFAULT_M_BITS, DEFAULT_K)
-    )
-    exact = passed.join(
-        F.broadcast(dim), passed["l_orderkey"] == dim["key"], "left_semi"
-    )
-    a = li.agg(F.count(F.lit(1)).alias("n_fact"))
-    b = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
-    c = exact.agg(
-        F.count(F.lit(1)).alias("n_match"),
+    # ONE scan computes all four aggregates (r12 optimization, guide §1.2
+    # "don't compute things twice" / §2.4): the previous shape scanned
+    # lineitem three times (n_fact; bloom-filtered count; bloom-filtered →
+    # semi-join revenue), evaluating the 5×MD5 probe expression on two of
+    # the scans. Here the probe is evaluated once per row, the exact
+    # membership comes from a broadcast LEFT join against the distinct dim
+    # keys (1:1, so count(*) is still n_fact), and conditional aggregates
+    # derive the rest. Values are unchanged: the filter has no false
+    # negatives, so bloom∧match ≡ match (the invariant n_match pins).
+    matched = F.col("key").isNotNull()
+    joined = li.join(F.broadcast(dim), li["l_orderkey"] == dim["key"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.count(
+            F.when(
+                bloom_might_contain("l_orderkey", words, DEFAULT_M_BITS, DEFAULT_K),
+                1,
+            )
+        ).alias("n_bloom_pass"),
+        F.count(F.when(matched, 1)).alias("n_match"),
         F.round(
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(25,6)"
+                F.when(
+                    matched,
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(25,6)"
+                    ),
                 )
             ),
             2,
@@ -1141,7 +1154,6 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
-    return a.crossJoin(b).crossJoin(c)
 
 
 def _bloom_oracle_sql() -> str:

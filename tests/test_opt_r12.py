@@ -1,0 +1,200 @@
+"""Regression tests for the r12 optimization changes.
+
+Pins the three equivalences the optimizations rely on:
+- the pyarrow direct audit append writes a table Spark reads back
+  value-identical to the Spark-write path it replaced (timestamps
+  included), and fails loudly on schema drift;
+- the IVF map-side assignment expression routes every vector to the
+  same cell as the windowed rank-1 it replaced, including exact-tie
+  routing to the lowest cell;
+- the merge resolve join plans as a shuffled-hash join (no per-partition
+  sorts), with the change set as the build side.
+"""
+
+import datetime
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataplatform_cdc_pipeline_spark.operators.watermark import (
+    AUDIT_SCHEMA,
+    JOB_LOG_SCHEMA,
+    append_row_parquet,
+    one_row_df,
+)
+
+AUDIT_VALUES = {
+    "id": "run-1",
+    "cdc_table_name": "cdc_t",
+    "target_database": "db",
+    "target_table": "t",
+    "cdc_start_ts": datetime.datetime(2024, 1, 3, 4, 5, 6, 789000),
+    "cdc_end_ts": None,  # null timestamp slot
+    "insert_timestamp": datetime.datetime(2024, 2, 3, 23, 59, 59, 123456),
+    "run_status": "SUCCESS",
+    "error_msg": None,  # null string slot
+    "records_inserted": 42,
+    "records_deleted": 0,
+}
+
+JOB_LOG_VALUES = {
+    "run_id": "rid-1",
+    "proc_name": "merge",
+    "target_database": "db",
+    "target_table": "t",
+    "start_time": datetime.datetime(2024, 3, 1, 0, 0, 0),
+    "end_time": datetime.datetime(2024, 3, 1, 0, 0, 1, 500000),
+    "run_status": "SUCCESS",
+    "error_msg": None,
+    "records_inserted": 7,
+    "records_deleted": 3,
+}
+
+
+def _spark_append(spark, path, schema, values):
+    """The pre-r12 append path, kept verbatim as the comparison twin."""
+    one_row_df(spark, schema, values).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.mark.parametrize(
+    "schema,values",
+    [(AUDIT_SCHEMA, AUDIT_VALUES), (JOB_LOG_SCHEMA, JOB_LOG_VALUES)],
+    ids=["audit", "job_log"],
+)
+def test_append_row_parquet_roundtrip_matches_spark_write(spark, schema, values):
+    tmp = tempfile.mkdtemp(prefix="audit_rt_")
+    a, b = f"{tmp}/spark", f"{tmp}/arrow"
+    _spark_append(spark, a, schema, values)
+    append_row_parquet(b, schema, values)
+    ra = spark.read.schema(schema).parquet(a).collect()
+    rb = spark.read.schema(schema).parquet(b).collect()
+    assert len(ra) == len(rb) == 1
+    assert ra == rb
+    # no temp file left behind, exactly one visible parquet part
+    assert not glob.glob(f"{b}/.*tmp")
+    assert len(glob.glob(f"{b}/*.parquet")) == 1
+
+
+def test_append_row_parquet_appends_not_overwrites(spark):
+    tmp = tempfile.mkdtemp(prefix="audit_app_") + "/d"
+    append_row_parquet(tmp, AUDIT_SCHEMA, AUDIT_VALUES)
+    second = dict(AUDIT_VALUES, id="run-2")
+    append_row_parquet(tmp, AUDIT_SCHEMA, second)
+    got = sorted(
+        r["id"] for r in spark.read.schema(AUDIT_SCHEMA).parquet(tmp).collect()
+    )
+    assert got == ["run-1", "run-2"]
+
+
+def test_append_row_parquet_rejects_unsupported_type(spark):
+    schema = T.StructType([T.StructField("x", T.DoubleType())])
+    with pytest.raises(TypeError, match="unsupported audit column type"):
+        append_row_parquet(tempfile.mkdtemp(prefix="audit_bad_"), schema, {"x": 1.0})
+
+
+def _old_assign(idx, embeddings, id_col="vec_id", vec_col="embedding"):
+    """The pre-r12 assignment shape (crossJoin(broadcast) → window
+    rank-1), kept verbatim as the equivalence twin for _assign_expr."""
+    from dataplatform_cdc_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        dot_expr,
+        norm_expr,
+    )
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double_vec(vec_col).alias("vec")
+    ).withColumn("v_norm", norm_expr(F.col("vec")))
+    ranked = (
+        vecs.crossJoin(F.broadcast(idx.centroids()))
+        .withColumn(
+            "c_cos",
+            dot_expr(F.col("vec"), F.col("centroid"))
+            / (F.col("v_norm") * F.col("c_norm")),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("c_cos").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") == 1).select("vec_id", "cell")
+
+
+def test_assign_expr_matches_windowed_rank1(spark, sf_dir):
+    """Every corpus vector routes to the same cell under the map-side
+    expression as under the windowed rank-1 it replaced."""
+    from dataplatform_cdc_pipeline_spark.operators.ivf_index import (
+        IncrementalIvfIndex,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfassign_") + "/ix")
+    idx.bootstrap("base", emb)
+    new = {r["vec_id"]: r["cell"] for r in idx.assign_cells(emb).collect()}
+    old = {r["vec_id"]: r["cell"] for r in _old_assign(idx, emb).collect()}
+    assert new == old and len(new) == emb.count()
+
+
+def test_assign_expr_exact_tie_routes_to_lowest_cell(spark):
+    """A vector exactly equidistant from two centroids (here: identical
+    cosine to both) must land in the LOWER cell id — the tiebreak the
+    windowed rank-1 (cell asc) used."""
+    from dataplatform_cdc_pipeline_spark.operators.ivf_index import (
+        IncrementalIvfIndex,
+    )
+
+    idx = IncrementalIvfIndex.__new__(IncrementalIvfIndex)
+
+    # centroids() is only read by _assign_expr via .collect(); fake two
+    # cells whose centroids are scalar multiples (same direction → every
+    # vector ties on cosine) so the tiebreak alone decides.
+    class _FakeCentroids:
+        def __init__(self, spark):
+            self.spark = spark
+
+        def collect(self):
+            return self.spark.createDataFrame(
+                [(3, [2.0, 0.0], 2.0), (1, [1.0, 0.0], 1.0)],
+                "cell long, centroid array<double>, c_norm double",
+            ).collect()
+
+    fake = _FakeCentroids(spark)
+    idx.centroids = lambda: fake
+    vecs = spark.createDataFrame(
+        [(1, [5.0, 0.0]), (2, [0.25, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["cell"] for r in idx.assign_cells(vecs).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_resolve_changes_plans_shuffled_hash_join(spark):
+    """The full-outer resolve join must plan as ShuffledHashJoin with the
+    change-set (s) side as build — not SortMergeJoin (two per-partition
+    sorts of the target table, guide §3.1)."""
+    from dataplatform_cdc_pipeline_spark.operators.merge_target import (
+        resolve_changes,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.cdc import user_state_config
+
+    cfg = user_state_config()
+    cols = ["user_id", "email", "ts"]
+    target = spark.createDataFrame(
+        [(1, "a@x", datetime.datetime(2024, 1, 1))], "user_id long, email string, ts timestamp"
+    )
+    changes = spark.createDataFrame(
+        [(1, "b@x", datetime.datetime(2024, 1, 2), "u")],
+        "user_id long, email string, ts timestamp, __op string",
+    )
+    merged = resolve_changes(target, changes, cfg, cols)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
