@@ -82,14 +82,31 @@ class IncrementalLshIndex:
             ).alias("band_key"),
         )
 
+    def band_rows(self, docs: DataFrame) -> DataFrame:
+        """Materialized (doc_id, band_key) rows for a delta — ONE MinHash
+        signature pass, reusable by both ``dedup_batch`` and
+        ``add_batch`` via their ``bands`` parameter (r12 optimization,
+        guide §1.2: the screen-then-publish loop previously ran the
+        signature pandas_udf twice over the same batch). Deterministic,
+        so reuse cannot change any result."""
+        return self._band_rows(docs).localCheckpoint(eager=True)
+
     # -- index lifecycle ---------------------------------------------------
 
-    def add_batch(self, batch_id: str, docs: DataFrame) -> None:
+    def add_batch(
+        self, batch_id: str, docs: DataFrame, bands: DataFrame | None = None
+    ) -> None:
         """Compute band rows for ``docs`` (the delta — signatures run
         over nothing else) and publish them under ``batch=<batch_id>``.
         Dynamic partition overwrite makes replay idempotent: re-adding a
-        batch rewrites exactly its own partition."""
-        rows = self._band_rows(docs).withColumn("batch", F.lit(batch_id))
+        batch rewrites exactly its own partition.
+
+        ``bands``: precomputed :meth:`band_rows` for the SAME docs, so a
+        caller that already screened the delta doesn't pay the signature
+        pass twice."""
+        rows = (
+            bands if bands is not None else self._band_rows(docs)
+        ).select("doc_id", "band_key").withColumn("batch", F.lit(batch_id))
         (
             rows.repartition("band_key")
             .write.mode("overwrite")
@@ -193,6 +210,7 @@ class IncrementalLshIndex:
         threshold: float = 0.5,
         exclude_batches: tuple[str, ...] = (),
         index_filter=None,
+        bands: DataFrame | None = None,
     ) -> DataFrame:
         """Near-dup pairs (exact Jaccard ≥ threshold) between ``new_docs``
         and (index ∪ new_docs): columns ``new_id`` (the incoming doc),
@@ -210,8 +228,16 @@ class IncrementalLshIndex:
         arbitrary Column predicate over the index's ``batch`` column —
         the streaming loop uses it to see strictly EARLIER batches, so a
         replay after checkpoint loss screens against exactly the
-        pre-crash world rather than its own future."""
-        new_bands = self._band_rows(new_docs).localCheckpoint(eager=True)
+        pre-crash world rather than its own future.
+
+        ``bands``: precomputed :meth:`band_rows` for ``new_docs`` —
+        lets the screen-then-publish loop run ONE signature pass per
+        batch instead of two (deterministic, so pairs are unchanged)."""
+        new_bands = (
+            bands
+            if bands is not None
+            else self._band_rows(new_docs).localCheckpoint(eager=True)
+        )
         old = self.index_bands()
         for b in exclude_batches:
             old = old.filter(F.col("batch") != b)

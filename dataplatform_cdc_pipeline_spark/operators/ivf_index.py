@@ -55,10 +55,6 @@ from dataplatform_cdc_pipeline_spark.operators.clustering import (
     MICRO,
     quantized_points,
 )
-from dataplatform_cdc_pipeline_spark.operators.quantization import (
-    sq8_codes,
-    sq8_scales,
-)
 from dataplatform_cdc_pipeline_spark.operators.similarity import (
     as_double_vec,
     dot_expr,
@@ -110,8 +106,13 @@ class IncrementalIvfIndex:
         # cell and coordinates live on the SAME row — no pts⋈cells
         # self-join on vec_id (r12 optimization: the join shuffled both
         # sides of a 1:1 self-pairing; this is one pass, zero extra
-        # shuffles before the (cell,pos) partial agg)
-        cent = (
+        # shuffles before the (cell,pos) partial agg). Centroids AND
+        # scales derive from ONE corpus pass (r12, guide §1.2): the
+        # (cell, pos) partial agg additionally carries max(|m|), so the
+        # global per-dimension scale is a second-stage max over the k·d
+        # partials (exact: max over per-cell maxes ≡ the corpus max
+        # sq8_scales computes) instead of its own posexplode pass.
+        grouped = (
             embeddings.select(
                 F.col(cell_col).alias("cell"),
                 F.posexplode(
@@ -124,8 +125,14 @@ class IncrementalIvfIndex:
                 ).alias("pos", "m"),
             )
             .groupBy("cell", "pos")
-            .agg(F.floor(F.sum("m") / F.count(F.lit(1))).cast("long").alias("c"))
-            .groupBy("cell")
+            .agg(
+                F.floor(F.sum("m") / F.count(F.lit(1))).cast("long").alias("c"),
+                F.max(F.abs(F.col("m"))).alias("mx"),
+            )
+            .localCheckpoint(eager=True)  # k·d rows feed both artifacts
+        )
+        cent = (
+            grouped.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select(
                 F.col("cell").cast("long").alias("cell"),
@@ -136,7 +143,12 @@ class IncrementalIvfIndex:
             .withColumn("c_norm", norm_expr(F.col("centroid")))
         )
         cent.write.parquet(self.centroids_path)
-        scales = sq8_scales(embeddings, id_col, vec_col)
+        scale_rows = grouped.groupBy("pos").agg(F.max("mx").alias("mx")).collect()
+        if not scale_rows:
+            raise ValueError("bootstrap: empty corpus")
+        scales = [0] * (max(r["pos"] for r in scale_rows) + 1)
+        for r in scale_rows:
+            scales[r["pos"]] = int(r["mx"])
         self.spark.createDataFrame(
             [(i, int(s)) for i, s in enumerate(scales)], "pos int, mx long"
         ).coalesce(1).write.parquet(self.scales_path)

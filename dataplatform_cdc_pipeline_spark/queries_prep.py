@@ -2442,13 +2442,16 @@ def q_incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = docs.filter(F.col("doc_id") % 10 == 7)
     idx = IncrementalLshIndex(spark, tempfile.mkdtemp(prefix="cdc_lshidx_") + "/ix")
     idx.add_batch("base", base)
+    # screen + publish share one signature pass (r12 optimization —
+    # band_rows is deterministic, so pairs and index are unchanged)
+    b1_bands = idx.band_rows(d1)
     p1 = (
-        idx.dedup_batch(d1, docs, threshold=0.5)
+        idx.dedup_batch(d1, docs, threshold=0.5, bands=b1_bands)
         .withColumn("batch", F.lit("b1"))
         .localCheckpoint(eager=True)
     )
-    idx.add_batch("b1", d1)
-    idx.add_batch("b1", d1)  # replay — rewrites its own partition only
+    idx.add_batch("b1", d1, bands=b1_bands)
+    idx.add_batch("b1", d1)  # replay — recomputes, rewrites its own partition only
     p2 = idx.dedup_batch(d2, docs, threshold=0.5).withColumn("batch", F.lit("b2"))
     return p1.unionByName(p2)
 

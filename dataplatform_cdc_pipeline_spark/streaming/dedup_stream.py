@@ -71,8 +71,11 @@ def stream_incremental_dedup(
             spark, archive, "doc_id long, text string, batch string"
         ).filter(earlier)
         corpus = prior.select("doc_id", "text").unionByName(docs)
+        # ONE signature pass per batch (r12 optimization): the screen
+        # and the publish share the same materialized band rows
+        bands = idx.band_rows(docs)
         pairs = idx.dedup_batch(
-            docs, corpus, threshold=threshold, index_filter=earlier
+            docs, corpus, threshold=threshold, index_filter=earlier, bands=bands
         ).withColumn("batch", F.lit(b))
         (
             pairs.write.mode("overwrite")
@@ -80,7 +83,7 @@ def stream_incremental_dedup(
             .partitionBy("batch")
             .parquet(pairs_path)
         )
-        idx.add_batch(b, docs)
+        idx.add_batch(b, docs, bands=bands)
         (
             docs.withColumn("batch", F.lit(b))
             .write.mode("overwrite")

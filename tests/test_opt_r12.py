@@ -176,6 +176,60 @@ def test_assign_expr_exact_tie_routes_to_lowest_cell(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_bootstrap_fused_scales_match_sq8_scales(spark, sf_dir):
+    """bootstrap() now derives the SQ8 scales from the same grouped pass
+    as the centroids (max over per-cell maxes); they must equal the
+    dedicated sq8_scales corpus aggregate exactly."""
+    from dataplatform_cdc_pipeline_spark.operators.ivf_index import (
+        IncrementalIvfIndex,
+    )
+    from dataplatform_cdc_pipeline_spark.operators.quantization import sq8_scales
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IncrementalIvfIndex(spark, tempfile.mkdtemp(prefix="ivfsc_") + "/ix")
+    idx.bootstrap("base", emb)
+    assert idx.scales() == sq8_scales(emb)
+
+
+def test_lsh_band_reuse_identical_index_and_pairs(spark, sf_dir):
+    """add_batch/dedup_batch fed precomputed band_rows must produce a
+    byte-identical index and identical pairs to the compute-twice path
+    they optimize (one signature pass per batch instead of two)."""
+    from dataplatform_cdc_pipeline_spark.operators.dedup_index import (
+        IncrementalLshIndex,
+    )
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 3)
+    d1 = docs.filter(F.col("doc_id") % 10 == 3)
+
+    def run(reuse: bool):
+        idx = IncrementalLshIndex(
+            spark, tempfile.mkdtemp(prefix="lshreuse_") + "/ix"
+        )
+        idx.add_batch("base", base)
+        if reuse:
+            bands = idx.band_rows(d1)
+            pairs = idx.dedup_batch(d1, docs, threshold=0.5, bands=bands)
+            idx.add_batch("b1", d1, bands=bands)
+        else:
+            pairs = idx.dedup_batch(d1, docs, threshold=0.5)
+            idx.add_batch("b1", d1)
+        p = sorted(
+            (r["new_id"], r["other_id"], r["kind"], r["jaccard"])
+            for r in pairs.collect()
+        )
+        b = sorted(
+            (r["batch"], r["doc_id"], r["band_key"])
+            for r in idx.index_bands().collect()
+        )
+        return p, b
+
+    assert run(True) == run(False)
+
+
 def test_resolve_changes_plans_shuffled_hash_join(spark):
     """The full-outer resolve join must plan as ShuffledHashJoin with the
     change-set (s) side as build — not SortMergeJoin (two per-partition
