@@ -950,13 +950,24 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_rare").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_rare").alias("n_b"))
+    # truth and lsh each feed TWO consumers (their own count + the hit
+    # join); without materialization the final plan duplicates both
+    # subtrees wholesale — measured 48 Exchanges / 8 SortMergeJoins /
+    # documents scanned 6×, zero ReusedExchange (r12 optimization,
+    # guide §1.2: don't compute things twice). Both are small pair
+    # frames; eager localCheckpoint evaluates each pipeline ONCE.
     truth = (
         inter.join(F.broadcast(na), "id_a")
         .join(F.broadcast(nb), "id_b")
         .filter(F.col("c") * 3 >= F.col("n_a") + F.col("n_b"))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
-    lsh = scored_pairs(spark, sf_dir).select("id_a", "id_b")
+    lsh = (
+        scored_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     hit = truth.join(lsh, ["id_a", "id_b"])
     return (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -1166,9 +1177,18 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    e = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
-    a = lsh_topk(emb, queries, k=5, planes=_ANN_PLANES, dims=_ANN_DIMS).select(
-        "query_id", "nbr_id"
+    # e and a each feed two consumers (own count + the hit semi-join);
+    # materialize the ≤50-row top-k lists so the brute-force and LSH
+    # pipelines run ONCE, not twice (r12 optimization, guide §1.2)
+    e = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
+    a = (
+        lsh_topk(emb, queries, k=5, planes=_ANN_PLANES, dims=_ANN_DIMS)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=True)
     )
     n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     n_approx = a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
@@ -1329,10 +1349,21 @@ def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    e = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
-    multi = ivf_topk_multi(
-        emb, queries, k=5, nprobes=(1, 2, 4), centroids=_ivf_index(spark, sf_dir)
-    ).select("nprobe", "query_id", "nbr_id")
+    # both sides feed two consumers each (counts + hit semi-join) —
+    # materialize the tiny top-k lists so brute force and the probe
+    # scan run ONCE (r12 optimization, guide §1.2)
+    e = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
+    multi = (
+        ivf_topk_multi(
+            emb, queries, k=5, nprobes=(1, 2, 4), centroids=_ivf_index(spark, sf_dir)
+        )
+        .select("nprobe", "query_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
     n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     n_approx = multi.groupBy("nprobe", "query_id").agg(F.count(F.lit(1)).alias("n_approx"))
     n_hit = (
@@ -2070,7 +2101,13 @@ def q_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    e = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    # e feeds n_exact AND the hit semi-join — materialize the ≤50-row
+    # list so brute force runs ONCE (r12 optimization, guide §1.2)
+    e = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
     a = sq8_topk(emb, queries, k=5).select("query_id", "nbr_id")
     n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     n_hit = (
@@ -2299,7 +2336,13 @@ def q_ivf_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    e = brute_force_topk(emb, queries, k=5).select("query_id", "nbr_id")
+    # e feeds n_exact AND the hit semi-join — materialize the ≤50-row
+    # list so brute force runs ONCE (r12 optimization, guide §1.2)
+    e = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
     a = ivf_sq8_topk(emb, queries, k=5, nprobe=2).select("query_id", "nbr_id")
     n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     n_hit = (

@@ -304,12 +304,15 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    # exact5 feeds hits AND base — materialize the tiny top-k list so
+    # the brute-force integer-L2 ranking runs ONCE (r12, guide §1.2)
     exact5 = (
         pts.join(F.broadcast(qp), pts["vec_id"] != qp["query_id"])
         .select("query_id", "vec_id", dist2.alias("d2"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _PQ_TOPK)
         .select("query_id", F.col("vec_id").alias("nbr_id"))
+        .localCheckpoint(eager=True)
     )
     hits = (
         exact5.join(pq5, ["query_id", "nbr_id"])
@@ -1386,8 +1389,12 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = brute_force_topk(trunc, queries_trunc, k=_PQ_TOPK).select(
         "query_id", "nbr_id"
     )
-    exact = brute_force_topk(emb, queries_full, k=_PQ_TOPK).select(
-        "query_id", "nbr_id"
+    # exact feeds hits AND base — materialize the tiny top-k list so
+    # the full-dim brute force runs ONCE (r12 optimization, guide §1.2)
+    exact = (
+        brute_force_topk(emb, queries_full, k=_PQ_TOPK)
+        .select("query_id", "nbr_id")
+        .localCheckpoint(eager=True)
     )
     hits = (
         exact.join(approx, ["query_id", "nbr_id"])
