@@ -176,6 +176,56 @@ def test_assign_expr_exact_tie_routes_to_lowest_cell(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_read_watermark_pyarrow_matches_spark_aggregate(spark):
+    """read_watermark (now a direct pyarrow read) must equal the Spark
+    COALESCE(MAX(cdc_end_ts), epoch) it replaced, over a store holding
+    BOTH writers' files (legacy Spark appends + pyarrow appends), with
+    FAILED rows, other-pipeline rows, and null cdc_end_ts in the mix."""
+    from dataplatform_cdc_pipeline_spark.operators.watermark import (
+        EPOCH,
+        WatermarkStore,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="wm_rt_")
+    store = WatermarkStore(spark, f"{tmp}/audit")
+
+    def spark_wm(cdc_table, target_table):
+        df = spark.read.schema(AUDIT_SCHEMA).parquet(f"{tmp}/audit")
+        row = (
+            df.filter(
+                (F.col("cdc_table_name") == cdc_table)
+                & (F.col("target_table") == target_table)
+                & (F.col("run_status") == "SUCCESS")
+            )
+            .agg(F.max("cdc_end_ts").alias("wm"))
+            .first()
+        )
+        return row["wm"] or EPOCH
+
+    # empty store → epoch
+    assert store.read_watermark("cdc_t", "t") == EPOCH
+
+    ts = datetime.datetime(2024, 5, 6, 7, 8, 9, 123456)
+    # legacy Spark-written row (the pre-r12 writer)
+    _spark_append(
+        spark,
+        f"{tmp}/audit",
+        AUDIT_SCHEMA,
+        dict(AUDIT_VALUES, cdc_end_ts=ts, run_status="SUCCESS"),
+    )
+    # pyarrow rows: a newer FAILED (must not advance), an older SUCCESS,
+    # a SUCCESS for a different pipeline, and a null-end SUCCESS
+    store.append_run("cdc_t", "db", "t", None, ts + datetime.timedelta(1), "FAILED")
+    store.append_run("cdc_t", "db", "t", None, ts - datetime.timedelta(1), "SUCCESS")
+    store.append_run("other", "db", "t2", None, ts + datetime.timedelta(9), "SUCCESS")
+    store.append_run("cdc_t", "db", "t", None, None, "SUCCESS")
+
+    assert store.read_watermark("cdc_t", "t") == ts == spark_wm("cdc_t", "t")
+    # a pipeline with only null-end SUCCESS rows → epoch, like Spark
+    store.append_run("nullonly", "db", "t3", None, None, "SUCCESS")
+    assert store.read_watermark("nullonly", "t3") == EPOCH == spark_wm("nullonly", "t3")
+
+
 def test_bootstrap_fused_scales_match_sq8_scales(spark, sf_dir):
     """bootstrap() now derives the SQ8 scales from the same grouped pass
     as the centroids (max over per-cell maxes); they must equal the
