@@ -12,7 +12,8 @@ lookup per candidate instead of a d-dim scan.
 Exactness design (same discipline as operators/clustering.py, which this
 module builds on):
 
-- Codebooks are learned by :func:`clustering.kmeans_fit` per subspace —
+- Codebooks are learned by the same exact-integer Lloyd recursion as
+  :func:`clustering.kmeans_fit`, run GROUPED over all m subspaces —
   integer micro-unit arithmetic, deterministic (md5, id) seeding, exact
   64-bit squared distances, floor-stable centroid updates. The SAME seed
   rows serve every subspace (seeds depend only on vec_id).
@@ -44,10 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataplatform_cdc_pipeline_spark.operators.clustering import (
-    kmeans_fit,
-    quantized_points,
-)
+from dataplatform_cdc_pipeline_spark.operators.clustering import quantized_points
 
 #: codebook: per-subspace list of (code, centroid-in-micro-units)
 Codebooks = list[list[tuple[int, list[int]]]]
@@ -98,14 +96,92 @@ def pq_fit(
     if d % m != 0:
         raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
     sub_len = d // m
-    books: Codebooks = []
-    for s in range(m):
-        sub = embeddings.select(
-            F.col(id_col),
-            F.slice(vec_col, s * sub_len + 1, sub_len).alias(vec_col),
+
+    # Grouped Lloyd (r12 optimization, guide §1.2/§2.3): ONE seed collect
+    # and ONE corpus scan per iteration update ALL m codebooks, instead of
+    # m independent kmeans_fit loops (m×(1 + n_iter) corpus passes →
+    # 1 + n_iter). Exactly the per-subspace recursion: the seed ids are
+    # the same k rows in every subspace (smallest (md5(id), id), the same
+    # rule seed_centroids applies to each slice); slicing commutes with
+    # the elementwise micro-quantization; each subspace's assignment uses
+    # its own codebook only (numpy argmin keeps ties on the first —
+    # lowest — code, matching _best_expr's lexicographic struct min); the
+    # centroid update is the identical floor(Σ/ n) integer mean per
+    # (sub, cluster, pos). Equivalence with the kmeans_fit-per-slice loop
+    # is pinned by a regression test.
+    import numpy as np
+
+    pts = quantized_points(embeddings, id_col, vec_col)
+    seed_rows = (
+        pts.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v")
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()  # k rows — bounded by k, an index artifact
+    )
+    if not seed_rows:
+        raise ValueError("kmeans_fit on an empty corpus (no seed points)")
+    seed_rows.sort(key=lambda r: (r["h"], r["vec_id"]))
+    books: Codebooks = [
+        [
+            (i, list(r["v"])[s * sub_len : (s + 1) * sub_len])
+            for i, r in enumerate(seed_rows)
+        ]
+        for s in range(m)
+    ]
+
+    for _ in range(n_iter):
+        mats = [
+            np.array([mv for _, mv in books[s]], dtype="int64") for s in range(m)
+        ]
+        ids_ = [[c for c, _ in books[s]] for s in range(m)]
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf["v"].to_numpy()).astype("int64")
+                out = []
+                for s in range(m):
+                    vs = v[:, s * sub_len : (s + 1) * sub_len]
+                    diff = vs[:, None, :] - mats[s][None, :, :]
+                    best = (diff * diff).sum(axis=2).argmin(axis=1)
+                    for i, c in enumerate(ids_[s]):
+                        members = vs[best == i]
+                        if len(members):
+                            sm = members.sum(axis=0)  # exact int64 partial
+                            out.append(
+                                pd.DataFrame(
+                                    {
+                                        "sub": s,
+                                        "cluster": int(c),
+                                        "pos": np.arange(sub_len),
+                                        "s": sm,
+                                        "c": len(members),
+                                    }
+                                )
+                            )
+                if out:
+                    yield pd.concat(out)
+
+        rows = (
+            pts.mapInPandas(partials, "sub int, cluster int, pos int, s long, c long")
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.floor(F.sum("s") / F.sum("c")).cast("long").alias("m"))
+            .groupBy("sub", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "sub", "cluster", F.transform("pm", lambda s: s["m"]).alias("m")
+            )
+            .collect()  # m·k rows — index artifact
         )
-        _, cents = kmeans_fit(sub, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
-        books.append(cents)
+        books = [
+            sorted(
+                (r["cluster"], list(r["m"])) for r in rows if r["sub"] == s
+            )
+            for s in range(m)
+        ]
     return books
 
 

@@ -242,6 +242,35 @@ def test_bootstrap_fused_scales_match_sq8_scales(spark, sf_dir):
     assert idx.scales() == sq8_scales(emb)
 
 
+def test_pq_fit_grouped_matches_per_subspace_loop(spark, sf_dir):
+    """pq_fit's grouped Lloyd (one scan per iteration updates all m
+    codebooks) must produce books EXACTLY equal to the pre-r12
+    per-subspace loop (kmeans_fit over each slice), for 1 and 2
+    iterations."""
+    from dataplatform_cdc_pipeline_spark.operators.clustering import kmeans_fit
+    from dataplatform_cdc_pipeline_spark.operators.pq import pq_fit
+    from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.size("embedding")).first()[0]
+    m, k = 4, 4
+    sub_len = d // m
+
+    def old_loop(n_iter):
+        books = []
+        for s in range(m):
+            sub = emb.select(
+                F.col("vec_id"),
+                F.slice("embedding", s * sub_len + 1, sub_len).alias("embedding"),
+            )
+            _, cents = kmeans_fit(sub, k=k, n_iter=n_iter)
+            books.append(cents)
+        return books
+
+    for n_iter in (1, 2):
+        assert pq_fit(emb, m=m, k=k, n_iter=n_iter) == old_loop(n_iter)
+
+
 def test_lsh_band_reuse_identical_index_and_pairs(spark, sf_dir):
     """add_batch/dedup_batch fed precomputed band_rows must produce a
     byte-identical index and identical pairs to the compute-twice path
