@@ -45,16 +45,24 @@ from pyspark.sql import functions as F
 MICRO = 1_000_000.0
 
 
+def micro_units_expr(col) -> F.Column:
+    """array<long> of exact integer micro-units for a float-vector column
+    — THE quantization convention every integer-exact operator shares
+    (kmeans, SQ8, PQ, the IVF index artifacts). Single-sited so the
+    persisted artifacts and the probe-side encoders can never drift."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(MICRO), 0).cast("long")
+    )
+
+
 def quantized_points(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(vec_id, v: array<long>) — coordinates in exact integer micro-units."""
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * F.lit(MICRO), 0).cast("long"),
-        ).alias("v"),
+        micro_units_expr(vec_col).alias("v"),
     )
 
 

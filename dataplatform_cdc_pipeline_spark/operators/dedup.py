@@ -73,44 +73,46 @@ def latest_per_key_agg(
 ) -> DataFrame:
     """W1 dedup via aggregation instead of a ranked window.
 
-    ``groupBy(pk).agg(max(struct(ts, pos, carry…)))`` — semantically the
-    same "latest (ts, pos) wins" (struct comparison is field-order
-    lexicographic), but with MAP-SIDE PARTIAL AGGREGATION: each input
+    "Latest (ts, pos) wins" with MAP-SIDE PARTIAL AGGREGATION: each input
     partition ships at most one candidate row per key through the shuffle,
     vs the window form which shuffles EVERY row and sorts within groups.
     For CDC batches with hot keys (many updates per key) this reduces
     shuffle volume by the per-key update factor — the right default at
     scale.
 
-    Tie behavior at exactly equal (ts, pos): the lexicographically largest
-    carry wins (deterministic); the window form keeps an arbitrary
-    partition-order row (the reference's ORDER BY leaves this undefined
-    too, SURVEY.md §7 risk register).
-
     ``carry_cols`` must be orderable types (no maps) — carry the raw JSON
     string through the shuffle and re-parse only the winners.
 
     Physical shape (r12 optimization, guide §2.3/§1.2): the aggregate is
-    ``max_by(struct(ts, pos, carry…), struct(ts, pos))`` — the ordering
-    struct is PRIMITIVE-ONLY, so the per-row comparator never touches the
-    carried JSON string. The previous ``max(struct(ts, pos, carry…))``
-    compared whole carry structs (string comparisons go through the
-    interpreted row ordering) and measured 4.5× slower on the sf0.1 CDC
-    feed (scripts/dedup_ab_bench.py: 2.65 s vs 0.58 s warm). Winner is
-    identical whenever (ts, pos) is unique within a key — the engine
-    invariant (pos is a unique source position in every feed, and the
-    row_number-based oracles would themselves be non-deterministic
-    otherwise). On an exact (ts, pos) tie the winner is engine-arbitrary
-    (was: lexicographically-largest carry); the reference's ORDER BY
-    leaves ties undefined too (SURVEY.md §7).
+    ``max_by(struct(ts, pos, carry…), struct(ts, pos, xxhash64(carry…)))``
+    — the ordering struct is PRIMITIVE-ONLY (two scalars + one long), so
+    the per-row comparator never touches the carried JSON string. The
+    previous ``max(struct(ts, pos, carry…))`` compared whole carry
+    structs (string comparisons go through the interpreted row ordering)
+    and measured 4.5× slower on the sf0.1 CDC feed
+    (scripts/dedup_ab_bench.py: 2.65 s vs 0.58 s warm).
+
+    Tie behavior at exactly equal (ts, pos): the carry row with the
+    LARGEST xxhash64 wins — DETERMINISTIC across partitionings and
+    replays (a pure function of the carried values; replay-stable
+    watermarks depend on this), though a different deterministic winner
+    than the pre-r12 lexicographically-largest-carry rule. Winner is
+    identical to the old rule whenever (ts, pos) is unique within a key —
+    the engine invariant in every feed (the row_number-based oracles
+    would themselves be non-deterministic otherwise; the reference's
+    ORDER BY leaves ties undefined too, SURVEY.md §7). Pinned by
+    ``test_dedup_agg_tie_winner_deterministic``.
     """
+    tie_break = (
+        [F.xxhash64(*[F.col(c) for c in carry_cols])] if carry_cols else []
+    )
     packed = F.max_by(
         F.struct(
             F.col(ts_col).alias("__ts"),
             F.col(pos_col).alias("__pos"),
             *[F.col(c).alias(c) for c in carry_cols],
         ),
-        F.struct(F.col(ts_col), F.col(pos_col)),
+        F.struct(F.col(ts_col), F.col(pos_col), *tie_break),
     ).alias("__best")
     out = df.groupBy(*[F.col(k) for k in key_cols]).agg(packed)
     return out.select(

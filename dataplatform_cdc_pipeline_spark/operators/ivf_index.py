@@ -52,9 +52,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataplatform_cdc_pipeline_spark.operators.clustering import (
-    MICRO,
+    micro_units_expr,
     quantized_points,
 )
+from dataplatform_cdc_pipeline_spark.operators.quantization import scales_from_rows
 from dataplatform_cdc_pipeline_spark.operators.similarity import (
     as_double_vec,
     dot_expr,
@@ -115,14 +116,7 @@ class IncrementalIvfIndex:
         grouped = (
             embeddings.select(
                 F.col(cell_col).alias("cell"),
-                F.posexplode(
-                    F.transform(
-                        F.col(vec_col),
-                        lambda x: F.round(
-                            x.cast("double") * F.lit(MICRO), 0
-                        ).cast("long"),
-                    )
-                ).alias("pos", "m"),
+                F.posexplode(micro_units_expr(vec_col)).alias("pos", "m"),
             )
             .groupBy("cell", "pos")
             .agg(
@@ -146,9 +140,7 @@ class IncrementalIvfIndex:
         scale_rows = grouped.groupBy("pos").agg(F.max("mx").alias("mx")).collect()
         if not scale_rows:
             raise ValueError("bootstrap: empty corpus")
-        scales = [0] * (max(r["pos"] for r in scale_rows) + 1)
-        for r in scale_rows:
-            scales[r["pos"]] = int(r["mx"])
+        scales = scales_from_rows(scale_rows)
         self.spark.createDataFrame(
             [(i, int(s)) for i, s in enumerate(scales)], "pos int, mx long"
         ).coalesce(1).write.parquet(self.scales_path)
@@ -163,11 +155,7 @@ class IncrementalIvfIndex:
         return self.spark.read.parquet(self.centroids_path)
 
     def scales(self) -> list[int]:
-        rows = self.spark.read.parquet(self.scales_path).collect()
-        out = [0] * (max(r["pos"] for r in rows) + 1)
-        for r in rows:
-            out[r["pos"]] = int(r["mx"])
-        return out
+        return scales_from_rows(self.spark.read.parquet(self.scales_path).collect())
 
     # -- assignment (shared by add and the from-scratch comparator) --------
 

@@ -98,8 +98,17 @@ def resolve_changes(
     # scale the batch is the side to build. Measured on the sf0.1 resolve
     # (scripts/join_ab_bench.py): 0.29 s → 0.22 s warm, SortMergeJoin →
     # ShuffledHashJoin with both Sort nodes gone.
+    #
+    # Escape hatch: SHJ's build side cannot spill, so a pathological
+    # catch-up batch (outage backlog, initial load routed through the
+    # incremental path) whose deduped per-partition slice exceeds task
+    # memory would OOM where sort-merge completes. SPARK_GRAFT_RESOLVE_JOIN
+    # selects the strategy per deployment: "shuffle_hash" (default),
+    # "merge" (Spark's SMJ hint — the safe fallback for unbounded
+    # backfills), or "none" (planner's choice).
+    join_hint = os.environ.get("SPARK_GRAFT_RESOLVE_JOIN", "shuffle_hash")
     t = target_rows.withColumn("__t_present", F.lit(True)).alias("t")
-    s_a = changes.hint("shuffle_hash").alias("s")
+    s_a = (changes if join_hint == "none" else changes.hint(join_hint)).alias("s")
     cond = None
     for c in cfg.pk:
         # null-safe: a null-valued PK upserts its own slot (contract-tested)

@@ -111,21 +111,19 @@ def pq_fit(
     # is pinned by a regression test.
     import numpy as np
 
-    pts = quantized_points(embeddings, id_col, vec_col)
-    seed_rows = (
-        pts.select(F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "v")
-        .orderBy("h", "vec_id")
-        .limit(k)
-        .collect()  # k rows — bounded by k, an index artifact
+    from dataplatform_cdc_pipeline_spark.operators.clustering import (
+        seed_centroids,
     )
-    if not seed_rows:
-        raise ValueError("kmeans_fit on an empty corpus (no seed points)")
-    seed_rows.sort(key=lambda r: (r["h"], r["vec_id"]))
+
+    pts = quantized_points(embeddings, id_col, vec_col)
+    # the per-subspace seed ids are the SAME k rows in every subspace, so
+    # ONE seed_centroids call over the full vectors (the seed rule stays
+    # single-sited in clustering.py) sliced per subspace seeds all m books
+    seeds = seed_centroids(pts, k)
+    if not seeds:
+        raise ValueError("pq_fit: empty embeddings frame")
     books: Codebooks = [
-        [
-            (i, list(r["v"])[s * sub_len : (s + 1) * sub_len])
-            for i, r in enumerate(seed_rows)
-        ]
+        [(c, v[s * sub_len : (s + 1) * sub_len]) for c, v in seeds]
         for s in range(m)
     ]
 

@@ -40,12 +40,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataplatform_cdc_pipeline_spark.operators.clustering import (
-    MICRO,
-    quantized_points,
-)
+from dataplatform_cdc_pipeline_spark.operators.clustering import quantized_points
 
 SQ8_MAX = 127  # int8 symmetric range
+
+
+def scales_from_rows(rows) -> list[int]:
+    """Dense per-dimension scale list from (pos, mx) rows — the shared
+    assembly for every reader/builder of the SQ8 scale artifact
+    (sq8_scales, the IVF index's bootstrap and scales())."""
+    scales = [0] * (max(r["pos"] for r in rows) + 1)
+    for r in rows:
+        scales[r["pos"]] = int(r["mx"])
+    return scales
 
 
 def sq8_scales(
@@ -66,10 +73,7 @@ def sq8_scales(
     )
     if not rows:
         raise ValueError("sq8_scales: empty corpus")
-    scales = [0] * (max(r["pos"] for r in rows) + 1)
-    for r in rows:
-        scales[r["pos"]] = int(r["mx"])
-    return scales
+    return scales_from_rows(rows)
 
 
 def _scales_lit(scales: list[int]):
@@ -82,13 +86,11 @@ def sq8_code_expr(vec_col, scales: list[int]):
     exact ``sq8_codes`` arithmetic, exposed as an expression so callers
     can fuse encoding with other projections in a single scan (the
     incremental IVF index's add path does)."""
-    from pyspark.sql import Column
-
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    assert isinstance(c, Column)
-    v = F.transform(
-        c, lambda x: F.round(x.cast("double") * F.lit(MICRO), 0).cast("long")
+    from dataplatform_cdc_pipeline_spark.operators.clustering import (
+        micro_units_expr,
     )
+
+    v = micro_units_expr(vec_col)
     return F.zip_with(
         v,
         _scales_lit(scales),

@@ -60,14 +60,21 @@ def append_row_parquet(path: str, schema: T.StructType, values: dict) -> None:
     costs a full job — scheduler round-trip, task launch, commit protocol
     — measured 0.3-0.4 s per append at local[32]; two appends per merge,
     every micro-batch of every streaming drain. The direct write is ~10 ms
-    and produces the identical table: Spark's audit readers supply the
-    read schema explicitly (``spark.read.schema(...)``), and the file is
-    written with UTC-adjusted int64-micro timestamps, the same physical
-    encoding Spark itself writes (pinned by a round-trip regression test).
+    and produces a table every reader sees identically: Spark's audit
+    readers supply the read schema explicitly (``spark.read.schema(...)``)
+    and timestamps round-trip value-identically (pinned by a regression
+    test). NOTE the physical encodings DIFFER: this Spark install writes
+    parquet timestamps as INT96 (``spark.sql.parquet.outputTimestampType``
+    default), while this path writes int64 micros tz=UTC — mixed-writer
+    stores work because Spark's reader decodes both under the explicit
+    schema and ``read_watermark``'s pyarrow scan casts INT96 and
+    normalizes the timezone. Do not remove either normalization on the
+    strength of an "identical encoding" assumption.
 
-    Crash atomicity matches the Spark append path: write to a dot-prefixed
-    temp name (invisible to Spark listings) in the target dir, fsync, then
-    rename into place — readers never see a partial file.
+    Crash atomicity: write to a dot-prefixed temp name (invisible to
+    Spark listings) in the target dir, flush+fsync the file, rename into
+    place, fsync the directory — readers never see a partial file and a
+    post-rename crash cannot surface a truncated one.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -98,12 +105,20 @@ def append_row_parquet(path: str, schema: T.StructType, values: dict) -> None:
     os.makedirs(path, exist_ok=True)
     name = f"part-{uuid.uuid4().hex}.snappy.parquet"
     tmp = os.path.join(path, f".{name}.tmp")
-    pq.write_table(
-        pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
-        tmp,
-        compression="snappy",
-    )
+    with open(tmp, "wb") as f:
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+            f,
+            compression="snappy",
+        )
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, name))
+    dfd = os.open(path, os.O_RDONLY)  # persist the rename itself
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 AUDIT_SCHEMA = T.StructType(
     [
@@ -219,10 +234,12 @@ class WatermarkStore:
         distributed work; the Spark path measured 0.26 s per call,
         this is ~ms). pyarrow's dataset reader skips dot/underscore
         files (same hidden-file rule as Spark's listing) and reads both
-        writers' files — Spark-written legacy/compacted parts and the
-        pyarrow appends share the int64-micro UTC encoding. Equality
-        with the Spark aggregate over a mixed-writer store is pinned by
-        a regression test."""
+        writers' files — Spark-written parts are INT96 timestamps on
+        this install, the pyarrow appends int64 micros tz=UTC; the
+        dataset scan casts both and the tz-normalization below maps
+        either to the engine's naive-UTC convention (both branches are
+        load-bearing). Equality with the Spark aggregate over a
+        mixed-writer store is pinned by a regression test."""
         d = self._table_dir(cdc_table, target_table)
         if not os.path.isdir(d):
             return EPOCH

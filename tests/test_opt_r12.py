@@ -242,6 +242,33 @@ def test_bootstrap_fused_scales_match_sq8_scales(spark, sf_dir):
     assert idx.scales() == sq8_scales(emb)
 
 
+def test_dedup_agg_tie_winner_deterministic(spark):
+    """On an exact (ts, pos) tie, latest_per_key_agg must pick the SAME
+    winner regardless of input partitioning (replay-stable watermarks
+    depend on it): the carry row with the largest xxhash64."""
+    from dataplatform_cdc_pipeline_spark.operators.dedup import latest_per_key_agg
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, ts, 7, f"payload-{i}", i) for i in range(6)]  # 6-way tie
+    schema = "k long, ts timestamp, pos long, data string, load long"
+    expected = None
+    for nparts in (1, 3, 8):
+        df = spark.createDataFrame(rows, schema).repartition(nparts)
+        got = latest_per_key_agg(df, ["k"], "ts", "pos", ["data", "load"]).collect()
+        assert len(got) == 1
+        win = (got[0]["data"], got[0]["load"])
+        expected = expected or win
+        assert win == expected
+    # and the winner is the max-xxhash64 carry, as documented
+    h = (
+        spark.createDataFrame(rows, schema)
+        .select("data", "load", F.xxhash64("data", "load").alias("h"))
+        .orderBy(F.col("h").desc())
+        .first()
+    )
+    assert expected == (h["data"], h["load"])
+
+
 def test_pq_fit_grouped_matches_per_subspace_loop(spark, sf_dir):
     """pq_fit's grouped Lloyd (one scan per iteration updates all m
     codebooks) must produce books EXACTLY equal to the pre-r12
