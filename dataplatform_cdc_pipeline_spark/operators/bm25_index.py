@@ -79,6 +79,12 @@ class IncrementalBm25Index:
     def _postings(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         """(term, doc_id, tf, dl) for the delta — ONE tokenization pass;
         dl rides every posting row so scoring never joins a doc table."""
+        from dataplatform_cdc_pipeline_spark.sources.tables import spread_scan
+
+        # scan-parallelism floor (r13, guide §2.5): a delta batch lands as
+        # one file — respread so tokenize+explode runs wide; no-op at
+        # production split counts
+        docs = spread_scan(docs)
         base = docs.select(
             F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__toks")
         ).select("doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
@@ -104,6 +110,12 @@ class IncrementalBm25Index:
         nothing produces no posting rows yet still belongs in N/avgdl
         (r10 ADVICE) — docstats is then the doclens aggregate (one
         row), bit-identical to aggregating the docs frame directly."""
+        from dataplatform_cdc_pipeline_spark.sources.tables import spread_scan
+
+        # respread once here so BOTH tokenization passes (postings and
+        # doclens) run wide over a single-file delta (guide §2.5); the
+        # nested _postings spread is then a no-op
+        docs = spread_scan(docs)
         postings = self._postings(docs, text_col, id_col).localCheckpoint(eager=True)
         bdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         # one row per doc per term -> df = row count per term (doc_ids

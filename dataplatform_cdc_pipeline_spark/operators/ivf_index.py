@@ -73,6 +73,16 @@ class IncrementalIvfIndex:
         self.centroids_path = os.path.join(path, "centroids")
         self.scales_path = os.path.join(path, "scales")
         self.rows_path = os.path.join(path, "rows")
+        #: session-local memo of the FROZEN artifacts (r13, guide §1.2):
+        #: centroids/scales are written once by bootstrap (re-bootstrap
+        #: fails loudly) and only replaced by refit()'s directory swap,
+        #: which resets the memo — so every add_batch/assign/search in a
+        #: lifecycle no longer pays a collect job per call to re-read an
+        #: immutable k-row artifact. Not cross-run state: the memo lives
+        #: on the index handle and is repopulated from the parquet
+        #: artifacts on first use.
+        self._centroid_rows: list | None = None
+        self._scales: list[int] | None = None
 
     # -- frozen artifacts ----------------------------------------------------
 
@@ -155,7 +165,11 @@ class IncrementalIvfIndex:
         return self.spark.read.parquet(self.centroids_path)
 
     def scales(self) -> list[int]:
-        return scales_from_rows(self.spark.read.parquet(self.scales_path).collect())
+        if self._scales is None:
+            self._scales = scales_from_rows(
+                self.spark.read.parquet(self.scales_path).collect()
+            )
+        return self._scales
 
     # -- assignment (shared by add and the from-scratch comparator) --------
 
@@ -174,7 +188,11 @@ class IncrementalIvfIndex:
         (Spark's total order ranks NaN above all and nulls below all,
         matching the window's NaN-first/nulls-last desc), and the negated
         cell id breaks exact ties toward the LOWEST cell."""
-        rows = sorted(self.centroids().collect(), key=lambda r: r["cell"])
+        if self._centroid_rows is None:
+            self._centroid_rows = sorted(
+                self.centroids().collect(), key=lambda r: r["cell"]
+            )
+        rows = self._centroid_rows
         entries = [
             F.struct(
                 (
@@ -498,6 +516,10 @@ class IncrementalIvfIndex:
             os.rename(self.path, old)
             swap_orphans.append(old)
         os.rename(staged, self.path)
+        # the swap replaced the frozen artifacts — drop the memo so the
+        # next assign/encode re-reads the NEW centroids/scales
+        self._centroid_rows = None
+        self._scales = None
         for orphan in swap_orphans:
             shutil.rmtree(orphan, ignore_errors=True)
 

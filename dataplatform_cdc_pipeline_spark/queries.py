@@ -38,7 +38,7 @@ from dataplatform_cdc_pipeline_spark.sources.cdc import (
     synthesize_cdc_from_events,
     user_state_config,
 )
-from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table, spread_scan
 
 # Fixed half-open CDC window used by the windowed queries (events span
 # 2024-01; the same literals work at every scale factor).
@@ -54,7 +54,15 @@ _FEED_CACHE: dict[str, DataFrame] = {}
 def cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _FEED_CACHE:
-        _FEED_CACHE[key] = synthesize_cdc_from_events(load_table(spark, sf_dir, "events")).persist()
+        # spread_scan BEFORE the synthesis (r13, guide §2.5/§6): the
+        # events table is one single-row-group file, so without it the
+        # JSON envelope synthesis AND every consumer's json_tuple parse
+        # of the cached feed run as ONE task; the persisted feed keeps
+        # the spread partitioning, so every CDC query's window scan is
+        # parallel. No-op at production split counts (see spread_scan).
+        _FEED_CACHE[key] = synthesize_cdc_from_events(
+            spread_scan(load_table(spark, sf_dir, "events"))
+        ).persist()
     return _FEED_CACHE[key]
 
 # ---------------------------------------------------------------------------
@@ -203,7 +211,7 @@ def _cast_demo_payload() -> F.Column:
 
 def q_cdc_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2/P4-P9/P11/P15/P16 cast rules through the real engine."""
-    events = load_table(spark, sf_dir, "events")
+    events = spread_scan(load_table(spark, sf_dir, "events"))
     raw = events.select(_cast_demo_payload().alias("data"), F.col("ts").alias("load_ts"))
     cfg = MergeConfig.from_dict(
         {
@@ -470,7 +478,7 @@ def q_cdc_rowkey_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: ``row_key_timestamp`` — ISO timestamp payload key decoded to unix
     seconds in the ``rowkeynum`` column (merge.sql:236-243), through the real
     window-scan → dedup → cast pipeline."""
-    events = load_table(spark, sf_dir, "events")
+    events = spread_scan(load_table(spark, sf_dir, "events"))
     iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     payload = F.to_json(
         F.struct(
@@ -525,7 +533,7 @@ def _late_replay_state(spark: SparkSession, sf_dir: str, strict: bool) -> DataFr
     from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
     from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
 
-    events = load_table(spark, sf_dir, "events")
+    events = spread_scan(load_table(spark, sf_dir, "events"))
     # +30 days puts EVERY late view in batch 2 by itself (events span one
     # month), so most keys' batch-2 winner is event-time-older than their
     # batch-1 state — the discriminating shape for the guard
@@ -623,7 +631,7 @@ def q_cdc_merge_multi_pk_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
     from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
 
-    events = load_table(spark, sf_dir, "events")
+    events = spread_scan(load_table(spark, sf_dir, "events"))
     late_lt = F.when(
         F.col("event_id") % 3 == 0, F.col("ts") + F.expr("INTERVAL 30 DAYS")
     ).otherwise(F.col("ts"))
@@ -1053,7 +1061,7 @@ def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.merge_target import ParquetMergeTarget
     from dataplatform_cdc_pipeline_spark.operators.watermark import WatermarkStore
 
-    events = load_table(spark, sf_dir, "events")
+    events = spread_scan(load_table(spark, sf_dir, "events"))
     split = F.lit(_DRIFT_SPLIT).cast("timestamp")
     payload = F.to_json(
         F.struct(
@@ -2099,7 +2107,7 @@ def q_cdc_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.plans.patch import patch_fold
     from dataplatform_cdc_pipeline_spark.sources.cdc import op_expr
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
     op = op_expr()
     is_u = op == "u"
     is_d = op == "d"
@@ -2266,7 +2274,9 @@ def q_cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_debezium_from_events,
     )
 
-    wire = synthesize_debezium_from_events(load_table(spark, sf_dir, "events"))
+    wire = synthesize_debezium_from_events(
+        spread_scan(load_table(spark, sf_dir, "events"))
+    )
     raw = normalize_debezium(wire)
     cfg = user_state_config()
     w = window_scan(raw, cfg, None, None)
@@ -2421,7 +2431,9 @@ def q_cdc_maxwell_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_maxwell_from_events,
     )
 
-    wire = synthesize_maxwell_from_events(load_table(spark, sf_dir, "events"))
+    wire = synthesize_maxwell_from_events(
+        spread_scan(load_table(spark, sf_dir, "events"))
+    )
     raw = normalize_maxwell(wire)
     cfg = user_state_config()
     w = window_scan(raw, cfg, None, None)
@@ -2479,7 +2491,9 @@ def q_cdc_canal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_canal_from_events,
     )
 
-    wire = synthesize_canal_from_events(load_table(spark, sf_dir, "events"))
+    wire = synthesize_canal_from_events(
+        spread_scan(load_table(spark, sf_dir, "events"))
+    )
     raw = normalize_canal(wire)
     cfg = user_state_config()
     w = window_scan(raw, cfg, None, None)

@@ -21,7 +21,7 @@ from dataplatform_cdc_pipeline_spark.operators.curation import (
     synthesize_pii_text,
 )
 from dataplatform_cdc_pipeline_spark.queries_llm import TOKS
-from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -29,7 +29,7 @@ from dataplatform_cdc_pipeline_spark.sources.tables import load_table
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     dirty = synthesize_pii_text(docs)
     return redact_pii(dirty).select(
         "doc_id", "n_emails", "n_phones", F.md5("redacted_text").alias("redacted_md5")
@@ -61,7 +61,7 @@ FROM dirty ORDER BY doc_id
 
 
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return quality_funnel(docs)
 
 
@@ -110,7 +110,7 @@ SQL_QUALITY_FUNNEL = (
 
 
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return assign_split(docs).select("doc_id", "split_slot", "split")
 
 
@@ -170,7 +170,7 @@ SELECT source, n_docs, tokens, w_ppm, keep_tokens, rate_ppm FROM plan ORDER BY s
 
 
 def q_domain_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return domain_mix_apply(docs, MIX_WEIGHTS_PPM, MIX_DEFAULT_PPM)
 
 
@@ -191,7 +191,7 @@ ORDER BY doc_id
 def q_ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.text_analysis import top_ngrams
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return top_ngrams(docs, n=2, k=50)
 
 
@@ -237,7 +237,7 @@ def q_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference slice (doc_id % 20 == 0), MinHash-banded, Jaccard ≥ 0.5."""
     from dataplatform_cdc_pipeline_spark.operators.corpus import cross_corpus_near_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return cross_corpus_near_pairs(train, bench, threshold=0.5)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataplatform_cdc_pipeline_spark import bench_phases
-from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table, spread_scan
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
@@ -1117,8 +1117,14 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words, _ = bloom_build(dim, "key", DEFAULT_M_BITS, DEFAULT_K)
     bench_phases.mark("index_build")  # the bounded words collect
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+    # scan-parallelism floor (r13, guide §2.5/§6): lineitem is one
+    # single-row-group file, so the 5×MD5-per-row probe below otherwise
+    # evaluates on ONE task (measured 3.4 s → 1.2 s for the probe alone,
+    # scripts/spread_ab_bench.py bloom_probe)
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
     )
     # ONE scan computes all four aggregates (r12 optimization, guide §1.2
     # "don't compute things twice" / §2.4): the previous shape scanned

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataplatform_cdc_pipeline_spark import bench_phases
-from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------------
 # bounded multi-source BFS (operators/graph.py bfs_hops)
@@ -836,7 +836,7 @@ def q_cdc_merge_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_state_config,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
     poisoned = ev.withColumn(
         "value",
         F.when(F.col("event_id") % DLQ_POISON_MOD == 0, F.lit("oops")).otherwise(
@@ -1061,7 +1061,7 @@ def q_stream_dlq_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_merge_dlq,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = spread_scan(load_table(spark, sf_dir, "events"))
     poisoned = ev.withColumn(
         "value",
         F.when(F.col("event_id") % DLQ_POISON_MOD == 0, F.lit("oops")).otherwise(

@@ -30,7 +30,7 @@ from dataplatform_cdc_pipeline_spark.operators.text_dedup import (
     simhash64,
     simhash_near_pairs,
 )
-from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments
@@ -91,7 +91,7 @@ FROM s ORDER BY doc_id
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         quality_score_expr("text").alias("quality_score"),
@@ -117,7 +117,7 @@ FROM c ORDER BY doc_id
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
@@ -165,7 +165,7 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         language_id_expr,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
         F.col("lang").alias("lang_label"),
         language_id_expr("text").alias("lang_pred"),
@@ -207,7 +207,7 @@ SQL_LANGID_CONFUSION = _langid_confusion_sql()
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.text_analysis import fingerprint_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return fingerprint_frame(docs)
 
 
@@ -252,7 +252,7 @@ _PAIRS_CACHE: dict[str, DataFrame] = {}
 def scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _PAIRS_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
         _PAIRS_CACHE[key] = minhash_dedup_pairs(docs, threshold=0.0).persist()
     return _PAIRS_CACHE[key]
 
@@ -294,7 +294,7 @@ SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.9 ORDER BY id_a, id_b
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return simhash_near_pairs(docs, max_hamming=3)
 
 
@@ -336,7 +336,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical id per document (iterative min-label propagation)."""
     from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
     return dedup_clusters(pairs, docs)
 
@@ -625,7 +625,7 @@ def q_interdoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.text_dedup import shingles_expr
 
     DF_T = 3
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     inv = docs.select(
         "doc_id",
         F.explode(
@@ -689,7 +689,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokens_expr("text")).alias("term")).filter(
         F.col("term").isNotNull()
     )
@@ -736,7 +736,7 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen pairs, and counts must match exactly."""
     from dataplatform_cdc_pipeline_spark.operators.bpe import learn_bpe_merges
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     merges = learn_bpe_merges(docs, n_merges=3)
     return spark.createDataFrame(
         [(m["rank"], m["left"], m["right"], m["merged"], m["cnt"]) for m in merges],
@@ -795,7 +795,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         learn_bpe_merges,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     merges = learn_bpe_merges(docs, n_merges=3)
     return apply_bpe(docs, merges)
 
@@ -1026,7 +1026,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency posting cap, never all-pairs."""
     from dataplatform_cdc_pipeline_spark.operators.text_dedup import containment_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return containment_pairs(docs, threshold=0.8, n=3, max_shingle_df=100)
 
 
@@ -1755,7 +1755,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.operators.packing import concat_and_chunk
     from dataplatform_cdc_pipeline_spark.operators.text_dedup import dedup_clusters
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     quality = docs.withColumn("q", quality_score_expr("text")).filter(F.col("q") >= 0.5)
     pairs = scored_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
     clusters = dedup_clusters(pairs, docs)
@@ -1827,7 +1827,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     real tokenizer when sizing a corpus)."""
     from dataplatform_cdc_pipeline_spark.operators.text_analysis import bpe_token_count_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("ws_tokens"),
@@ -1855,7 +1855,7 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100% of other strata — MD5-slot membership, no RNG state."""
     from dataplatform_cdc_pipeline_spark.operators.corpus import stratified_sample
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return stratified_sample(docs, SAMPLE_RATES)
 
 
@@ -1886,7 +1886,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     word 5-gram with the held-out benchmark slice (doc_id % 20 == 0)."""
     from dataplatform_cdc_pipeline_spark.operators.corpus import contamination_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return contamination_pairs(train, bench, n=5)
@@ -2013,7 +2013,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition_stats_frame)."""
     from dataplatform_cdc_pipeline_spark.operators.text_analysis import repetition_stats_frame
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return repetition_stats_frame(docs)
 
 

@@ -24,7 +24,7 @@ from dataplatform_cdc_pipeline_spark.operators.chunking import (
     boilerplate_strip,
 )
 from dataplatform_cdc_pipeline_spark.queries_llm import TOKS
-from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------------
 # content-defined-chunking boilerplate strip
@@ -59,7 +59,7 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/chunking.py) — the CCNet/RefinedWeb-style boilerplate
     strip that fixed-offset windows cannot do, because the injected
     footers start at a different token offset in every document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return boilerplate_strip(_dirty_docs(docs))
 
 
@@ -450,7 +450,7 @@ def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids. Uses the range-partition + driver prefix-sum formulation from
     q_doc_global_ids (queries_ext.py) — the oracle is the naive global
     row_number, which a 1000-executor cluster could not run."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = spread_scan(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.md5(F.concat(F.lit(_SHUFFLE_SEED + "|"),
                                  F.col("doc_id").cast("string"))).alias("skey")
     )
@@ -720,7 +720,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
 
     bm = bm25_search(docs, BM25_TERMS, top_k=_RRF_LEG_TOP)
@@ -1063,7 +1063,7 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     content. One explode + per-doc window work + one rebuild agg."""
     from dataplatform_cdc_pipeline_spark.operators.text_analysis import tokens_expr
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
     ).withColumn("blk", (F.col("pos") / _SPAN_BLOCK).cast("long"))
@@ -1722,7 +1722,7 @@ def q_packing_efficiency_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy: batches, padded char-slots, wasted slots, waste ppm.
     The sort-for-batching is the range-partition prefix-sum formulation
     — no single-partition window at any scale."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = spread_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "n_chars")
 
     def waste_for(sort_cols, label: str) -> DataFrame:
         ranked = _global_ranked(spark, docs, sort_cols)
@@ -2246,7 +2246,7 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_duplicate_spans,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return strip_duplicate_spans(docs, _SPAN_W)
 
 
@@ -2320,7 +2320,7 @@ def q_dedup_substring_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_duplicate_spans,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     merges = learn_bpe_merges(docs, n_merges=_BPE_SPAN_MERGES)
     toks = docs.select(
         "doc_id", bpe_tokens_expr(merges).alias("__toks")
@@ -2443,7 +2443,7 @@ def q_incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         IncrementalLshIndex,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     base = docs.filter(F.col("doc_id") % 10 != 3).filter(F.col("doc_id") % 10 != 7)
     d1 = docs.filter(F.col("doc_id") % 10 == 3)
     d2 = docs.filter(F.col("doc_id") % 10 == 7)
@@ -2532,7 +2532,7 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_incremental_dedup,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     tmp = _tempfile.mkdtemp(prefix="cdc_sdix_")
     src = f"{tmp}/src"
     _os.makedirs(src)
@@ -2612,7 +2612,7 @@ def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate_against,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     train = docs.filter(F.col("doc_id") % 5 != 0)
     bench = docs.filter(F.col("doc_id") % 5 == 0)
     return decontaminate_against(train, bench, _SPAN_W).filter(
@@ -2728,7 +2728,7 @@ def q_substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_hashes,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     legs = []
     for w in _PROFILE_WS:
         g = window_hashes(docs, w)

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from dataplatform_cdc_pipeline_spark import bench_phases
 from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS, TOKS
-from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table, spread_scan
 
 
 def q_incremental_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +57,7 @@ def q_incremental_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         IncrementalBm25Index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     b0 = docs.filter(F.col("doc_id") % 2 == 0)
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
     idx = IncrementalBm25Index(
@@ -157,7 +157,7 @@ def q_stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_bm25_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread_scan(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     tmp = _tempfile.mkdtemp(prefix="bm25_stream_q_")
     src = f"{tmp}/src"
     _os.makedirs(src)

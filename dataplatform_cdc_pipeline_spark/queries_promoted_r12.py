@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataplatform_cdc_pipeline_spark import bench_phases
-from dataplatform_cdc_pipeline_spark.sources.tables import load_table
+from dataplatform_cdc_pipeline_spark.sources.tables import load_table, spread_scan
 
 _N_FILES = 16  # staged small files for the bin-pack query
 _N_BINS = 5  # target bins: target_rows = ceil(n / _N_BINS)
@@ -297,7 +297,7 @@ def q_bm25_index_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dataplatform_cdc_pipeline_spark.queries_llm import BM25_TERMS
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     idx = IncrementalBm25Index(
         spark, tempfile.mkdtemp(prefix="bm25_erase_q_") + "/ix"
     )

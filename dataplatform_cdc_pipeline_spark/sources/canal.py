@@ -74,22 +74,31 @@ def normalize_canal(
     then the row's array index, so replaying a batch preserves statement
     order. One envelope explodes to N rows AFTER the op gate, so marker
     envelopes never reach the generator."""
-    v = F.col(value_col)
-    is_ddl = F.get_json_object(v, "$.isDdl") == "true"
-    op = _engine_op(F.get_json_object(v, "$.type"), is_ddl)
-    es_ms = F.get_json_object(v, "$.es").cast("long")
-    env_id = F.get_json_object(v, "$.id").cast("long")
-    rows = F.from_json(
-        F.get_json_object(v, "$.data"), "array<map<string,string>>"
+    # ONE from_json parse per envelope (r13, guide §1.2/§2.3): previously
+    # seven scalar get_json_object probes plus a second from_json of the
+    # extracted data-array text. ``isDdl`` parses as boolean (true ⟺ the
+    # old string comparison against "true"); the array parses directly —
+    # JSON null/absent data → NULL array, matching get_json_object's null
+    # — so gating, fan-out and the re-serialized payload are byte-
+    # identical (tests/test_opt_r13.py).
+    e = F.from_json(
+        F.col(value_col),
+        "database string, table string, type string, isDdl boolean, es long, "
+        "id long, data array<map<string,string>>",
     )
+    is_ddl = F.coalesce(e["isDdl"], F.lit(False))
+    op = _engine_op(e["type"], is_ddl)
+    es_ms = e["es"]
+    env_id = e["id"]
+    rows = e["data"]
     gated = (
         raw.filter(op.isNotNull() & rows.isNotNull())
         .select(
             op.alias("__cnl_op"),
             es_ms.alias("__cnl_es_ms"),
             env_id.alias("__cnl_id"),
-            F.get_json_object(v, "$.database").alias("__cnl_db"),
-            F.get_json_object(v, "$.table").alias("__cnl_tbl"),
+            e["database"].alias("__cnl_db"),
+            e["table"].alias("__cnl_tbl"),
             F.posexplode(rows).alias("__cnl_idx", "__cnl_row"),
         )
     )

@@ -62,16 +62,22 @@ def normalize_debezium(
     commit time); pass a column name to use the transport's arrival time
     instead (e.g. a Kafka-dump ``kafka_timestamp``).
     """
-    v = F.col(value_col)
-    op = _engine_op(F.get_json_object(v, "$.op"))
-    ts_ms = F.get_json_object(v, "$.ts_ms").cast("long")
-    pos = F.get_json_object(v, "$.source.pos").cast("string")
-    # raw JSON text of the row image; get_json_object returns the object
-    # text for nested paths, null when the field is JSON null/absent
-    row_image = F.coalesce(
-        F.get_json_object(v, "$.after"), F.get_json_object(v, "$.before")
+    # ONE from_json parse per envelope (r13, guide §1.2/§2.3): previously
+    # six scalar get_json_object probes plus a second from_json of the
+    # extracted row-image text — seven full parses per row. The nested
+    # before/after parse directly as maps (JSON null/absent → NULL map,
+    # exactly like get_json_object's null), so ``coalesce`` picks the
+    # same image and the re-serialized bronze payload is byte-identical —
+    # pinned by tests/test_opt_r13.py.
+    e = F.from_json(
+        F.col(value_col),
+        "before map<string,string>, after map<string,string>, op string, "
+        "ts_ms long, source struct<db:string,table:string,pos:string>",
     )
-    payload = F.from_json(row_image, "map<string,string>")
+    op = _engine_op(e["op"])
+    ts_ms = e["ts_ms"]
+    pos = e["source"]["pos"]
+    payload = F.coalesce(e["after"], e["before"])
     envelope = F.create_map(
         F.lit("__op"), op,
         F.lit("__ts_ns"), (ts_ms * F.lit(1_000_000)).cast("string"),
@@ -87,9 +93,7 @@ def normalize_debezium(
         load_ts.alias("publish_time"),
         F.concat(F.lit("dbz-"), pos).alias("message_id"),
         F.concat(
-            F.get_json_object(v, "$.source.db"),
-            F.lit("."),
-            F.get_json_object(v, "$.source.table"),
+            e["source"]["db"], F.lit("."), e["source"]["table"]
         ).alias("source_db_table"),
         F.lit(source_name).alias("subscription_name"),
     )

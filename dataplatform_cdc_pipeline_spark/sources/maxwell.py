@@ -55,17 +55,29 @@ def normalize_maxwell(
     micros event-time order therefore quantizes to whole seconds and
     sub-second orderings resolve on ``xid``). ``load_ts`` defaults to
     the envelope's ``ts``."""
-    v = F.col(value_col)
-    op = _engine_op(F.get_json_object(v, "$.type"))
-    ts_s = F.get_json_object(v, "$.ts").cast("long")
-    pos = F.get_json_object(v, "$.xid").cast("string")
-    payload = F.from_json(F.get_json_object(v, "$.data"), "map<string,string>")
+    # ONE from_json parse per envelope (r13, guide §1.2/§2.3): the prior
+    # shape probed the document with five scalar get_json_object calls
+    # plus a second from_json of the extracted row image — six full JSON
+    # parses per row. Field-for-field equivalent: scalar fields return
+    # the same literals as get_json_object (absent/JSON-null → NULL in
+    # both), and parsing ``data`` as a nested map yields exactly the map
+    # the old text-reparse produced (document key order preserved), so
+    # the re-serialized bronze payload is byte-identical — pinned by
+    # tests/test_opt_r13.py::test_normalize_maxwell_single_parse_identical.
+    e = F.from_json(
+        F.col(value_col),
+        "database string, table string, type string, ts long, xid string, "
+        "data map<string,string>",
+    )
+    op = _engine_op(e["type"])
+    ts_s = e["ts"]
+    pos = e["xid"]
     envelope = F.create_map(
         F.lit("__op"), op,
         F.lit("__ts_ns"), (ts_s * F.lit(1_000_000_000)).cast("string"),
         F.lit("__source_pos"), pos,
     )
-    data = F.to_json(F.map_concat(payload, envelope))
+    data = F.to_json(F.map_concat(e["data"], envelope))
     load_ts = (
         F.col(load_ts_col) if load_ts_col is not None else F.timestamp_seconds(ts_s)
     )
@@ -74,11 +86,7 @@ def normalize_maxwell(
         load_ts.alias("load_ts"),
         load_ts.alias("publish_time"),
         F.concat(F.lit("mxw-"), pos).alias("message_id"),
-        F.concat(
-            F.get_json_object(v, "$.database"),
-            F.lit("."),
-            F.get_json_object(v, "$.table"),
-        ).alias("source_db_table"),
+        F.concat(e["database"], F.lit("."), e["table"]).alias("source_db_table"),
         F.lit(source_name).alias("subscription_name"),
     )
 

@@ -76,6 +76,39 @@ def _check_contract(name: str, df: DataFrame) -> None:
             )
 
 
+def spread_scan(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Scan-parallelism floor for undersplit inputs (guide §2.5 "input
+    skew: one huge unsplittable file" / §6 input split sizing).
+
+    The driver's landing tables are single-file, SINGLE-ROW-GROUP parquet
+    (lineitem: 600k rows / 1 row group at sf0.1), so the scan plans
+    exactly ONE task no matter the split config — parquet can only split
+    on row-group boundaries — and everything map-side of the first
+    exchange (JSON envelope synthesis + parse, MD5 probes, shingling,
+    cast projections) serializes on one core of local[N].
+
+    Repartition to the session's parallelism ONLY when the scan plans
+    fewer partitions than that floor: at production split counts
+    (row groups ≈ maxPartitionBytes) the condition is false and NO
+    exchange is added — the partitioning adapts to the input instead of
+    hard-coding either the local or the cluster shape. Round-robin keeps
+    the pieces even; Spark's sort-before-repartition (on by default,
+    SPARK-23207) keeps the row→partition assignment deterministic under
+    task retries, so downstream dedup/agg results are unchanged (all
+    engine aggregations are partitioning-independent by construction).
+
+    NOT applied inside ``load_table`` itself: fixture-staging writes
+    derive their FILE COUNT from the frame's partitioning, and the
+    ``maxFilesPerTrigger=1`` streaming drains derive their micro-batch
+    structure from that file count — a blanket respread would multiply
+    their batch counts. Callers opt in where the map work is heavy.
+    """
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # read unadjusted-to-UTC parquet timestamps as TIMESTAMP, not NTZ
