@@ -411,6 +411,7 @@ def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.queries import cdc_feed
 
     cdc_feed(spark, sf_dir).write.parquet(bronze)
+    bench_phases.mark("setup")  # staged source fixture ends here
     cfg = user_state_config()
     target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
     audit = WatermarkStore(spark, f"{tmp}/a")
@@ -447,6 +448,7 @@ def q_stream_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="cdc_sdv_q_")
     bronze = f"{tmp}/bronze"
     cdc_feed(spark, sf_dir).write.parquet(bronze)
+    bench_phases.mark("setup")  # staged source fixture ends here
     cfg = user_state_config()
     target = DvMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
     audit = WatermarkStore(spark, f"{tmp}/a")
@@ -488,6 +490,7 @@ def q_stream_txn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="cdc_stxn_q_")
     bronze = f"{tmp}/bronze"
     cdc_feed(spark, sf_dir).write.parquet(bronze)
+    bench_phases.mark("setup")  # staged source fixture ends here
     cfg = user_state_config()
     target = SnapshotMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
     run_streaming_merge_txn(
@@ -539,6 +542,7 @@ def q_stream_ivm_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataplatform_cdc_pipeline_spark.queries import cdc_feed
 
     cdc_feed(spark, sf_dir).write.parquet(bronze)
+    bench_phases.mark("setup")  # staged source fixture ends here
     cfg = user_state_config()
     target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
     audit = WatermarkStore(spark, f"{tmp}/a")
@@ -566,6 +570,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="cdc_wstream_")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     ev.write.parquet(f"{tmp}/src")
+    bench_phases.mark("setup")  # staged source fixture ends here
     return stream_tumbling_counts(
         spark,
         f"{tmp}/src",
@@ -591,6 +596,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="cdc_sstream_")
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     ev.write.parquet(f"{tmp}/src")
+    bench_phases.mark("setup")  # staged source fixture ends here
     return stream_session_windows(
         spark, f"{tmp}/src", "user_id long, ts timestamp, value double"
     )
@@ -628,6 +634,7 @@ def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="cdc_ssj_")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
     ev.write.parquet(f"{tmp}/src")
+    bench_phases.mark("setup")  # staged source fixture ends here
     return stream_click_purchase_join(
         spark, f"{tmp}/src", "event_id long, ts timestamp, user_id long, event_type string"
     )
@@ -658,6 +665,7 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.write.parquet(f"{tmp}/src")
     ev.write.mode("append").parquet(f"{tmp}/src")  # the replay
+    bench_phases.mark("setup")  # staged source fixture ends here
     out = stream_distinct_events(
         spark,
         f"{tmp}/src",
@@ -691,6 +699,7 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="cdc_sut_")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     ev.write.parquet(f"{tmp}/src")
+    bench_phases.mark("setup")  # staged source fixture ends here
     return running_user_totals(
         spark,
         f"{tmp}/src",
@@ -726,6 +735,7 @@ def q_stream_debezium_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_dbz_q_")
     wire = synthesize_debezium_from_events(load_table(spark, sf_dir, "events"))
     wire.write.mode("overwrite").text(f"{tmp}/topic")
+    bench_phases.mark("setup")  # staged source fixture ends here
     cfg = user_state_config()
     target = ParquetMergeTarget(spark, f"{tmp}/t", cfg, USER_STATE_SCHEMA)
     audit = WatermarkStore(spark, f"{tmp}/a")
@@ -821,6 +831,7 @@ def q_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_sketch_q_")
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
     ev.write.parquet(f"{tmp}/src")
+    bench_phases.mark("setup")  # staged source fixture ends here
     run_streaming_distinct_sketch(
         spark,
         f"{tmp}/src",
@@ -1225,10 +1236,12 @@ def q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in [feed.filter(F.col("load_ts") <= split),
                  feed.filter(F.col("load_ts") > split)]:
         part.coalesce(1).write.mode("append").parquet(bronze)
+        bench_phases.mark("setup")  # accumulates per staged landing
         run_streaming_scd2(
             spark, cfg, target, bronze, ckpt, USER_STATE_SCHEMA,
             deterministic_audit=True,
         )
+        bench_phases.mark("drain")  # accumulates per micro-batch drain
     return target.read().select(
         "user_id",
         "event_type",
@@ -1783,6 +1796,7 @@ def q_stream_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type", "value"
     )
     ev.write.parquet(f"{tmp}/src")
+    bench_phases.mark("setup")  # staged source fixture ends here
     out = running_topk_per_type(
         spark,
         f"{tmp}/src",
@@ -2422,6 +2436,7 @@ def q_orc_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="cdc_orc_")
     ev.write.orc(f"{tmp}/events_orc")
+    bench_phases.mark("setup")  # staged source fixture ends here
     back = read_orc(
         spark,
         f"{tmp}/events_orc",
@@ -2497,6 +2512,7 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .write.parquet(f"{tmp}/facts")
     )
+    bench_phases.mark("setup")  # staged fact-stream fixture ends here
     out = stream_point_in_time_enrich(
         spark,
         f"{tmp}/facts",

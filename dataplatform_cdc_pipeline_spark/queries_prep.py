@@ -1205,6 +1205,7 @@ def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _tf.mkdtemp(prefix="stream_psi_q_")
     live = ev.filter(F.col("ts") >= split).select("event_id", "ts", "value")
     live.repartition(4).write.parquet(f"{tmp}/src")
+    bench_phases.mark("setup")  # staged source fixture ends here
     run_streaming_histogram(
         spark,
         f"{tmp}/src",
@@ -1807,6 +1808,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "event_type", "value"
     )
     ev.write.parquet(f"{tmp}/src")
+    bench_phases.mark("setup")  # staged source fixture ends here
     return stream_sliding_counts(
         spark,
         f"{tmp}/src",
