@@ -72,13 +72,12 @@ class IncrementalLshIndex:
     # -- band computation (delta only) ------------------------------------
 
     def _band_rows(self, docs: DataFrame) -> DataFrame:
-        # scan-parallelism floor (r13, guide §2.5): a delta batch arrives
-        # as one landed file (one task) — without the respread the whole
-        # MinHash signature pass runs on one core; no-op when the batch
-        # already scans wide (production split counts)
-        from dataplatform_cdc_pipeline_spark.sources.tables import spread_scan
-
-        docs = spread_scan(docs.select("doc_id", "text"))
+        # NOT respread (r13, measured): LSH delta batches are small and
+        # the Arrow signature UDF is already fast — a spread_scan here
+        # cost more in shuffle + 32-task overhead across the lifecycle's
+        # many jobs than the one-core pass it saved (+1.6-2.1 s on the
+        # incremental/stream dedup queries; BM25's explode-heavy ingest
+        # is the seam where the respread pays).
         sig = minhash_signature_udf(self.k, self.n)(F.col("text"))
         return docs.select(
             "doc_id", sig.alias("minhash_sig")
@@ -293,14 +292,7 @@ class IncrementalLshIndex:
             .union(cand.select(F.col("other_id").alias("doc_id")))
             .distinct()
         )
-        from dataplatform_cdc_pipeline_spark.sources.tables import spread_scan
-
-        # respread the candidate fetch: a broadcast semi-join inherits the
-        # corpus scan's partitioning (one task on a single-file landing),
-        # which would serialize the shingle UDF over every candidate doc
-        sets_ = spread_scan(
-            corpus.join(cand_ids, "doc_id", "left_semi").select("doc_id", "text")
-        ).select(
+        sets_ = corpus.join(cand_ids, "doc_id", "left_semi").select(
             "doc_id", shingle_set_udf(self.n)(F.col("text")).alias("shingle_set")
         )
         joined = cand.join(
