@@ -67,6 +67,11 @@ class IncrementalIvfIndex:
     """IVF,SQ8 index persisted at ``path`` (``centroids/``, ``scales/``,
     ``rows/`` partitioned by batch and cell)."""
 
+    #: class-level memo defaults so __new__-constructed handles (the
+    #: tie-break unit test builds one) read as "not yet cached"
+    _centroid_rows: list | None = None
+    _scales: list[int] | None = None
+
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
         self.path = path
